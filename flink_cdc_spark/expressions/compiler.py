@@ -1,0 +1,466 @@
+"""AST -> Spark SQL expression compiler.
+
+The Spark analog of the reference's JaninoCompiler
+(runtime/parser/JaninoCompiler.java:133-374): where the reference
+translates Calcite SqlNodes to compiled Java expressions calling its
+runtime function library, we translate to Spark SQL expression strings so
+Catalyst + Tungsten codegen execute them JVM-side (no Python in the hot
+path). Function mapping per SURVEY.md §2.5; the divergences needing real
+translation work:
+
+  * LIKE (no ESCAPE) is Java-regex substring match in the dialect
+    (StringFunctions.java:162-164: Pattern.matcher(str).find()) -> RLIKE.
+  * LIKE ... ESCAPE is standard SQL LIKE                        -> LIKE/ESCAPE.
+  * SIMILAR TO -> anchored RLIKE with the SQL-similar pattern rewritten to a
+    Java regex at compile time (literal patterns only).
+  * subscript access is 1-based with NULL on out-of-bounds       -> element_at /
+    try_element_at / get().
+  * SimpleDateFormat patterns -> java.time (datetime_patterns.py).
+  * CURRENT_TIMESTAMP / NOW / LOCALTIMESTAMP ... are frozen per batch
+    (reference freezes per event via __epoch_time__, JaninoCompiler.java:92);
+    the compiler binds them to a literal supplied in the context.
+  * metadata columns (__namespace_name__ __schema_name__ __table_name__
+    __data_event_type__ + source meta keys) bind to envelope expressions
+    supplied in the context.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..core import types as ct
+from .datetime_patterns import translate_simple_date_format
+from .parser import ParseError, parse
+
+METADATA_COLUMNS = (
+    "__namespace_name__",
+    "__schema_name__",
+    "__table_name__",
+    "__data_event_type__",
+)
+
+
+class CompileError(ValueError):
+    pass
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _q(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+# SQL SIMILAR TO pattern -> Java regex (Calcite SqlFunctions.similar analog)
+def similar_to_regex(pattern: str, escape: Optional[str] = None) -> str:
+    out = []
+    i, n = 0, len(pattern)
+    esc = escape if escape else None
+    while i < n:
+        ch = pattern[i]
+        if esc and ch == esc and i + 1 < n:
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch in ".^$\\":
+            out.append("\\" + ch)
+        else:
+            # []()|*+?{} are regex-meaningful in SIMILAR TO too - pass through
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+@dataclass
+class ExpressionContext:
+    """Per-compilation bindings."""
+
+    # identifier -> SQL expression (metadata columns, envelope access, ...)
+    column_bindings: dict = field(default_factory=dict)
+    # literal SQL for the frozen evaluation time, e.g. "timestamp'2026-01-01 00:00:00'"
+    epoch_timestamp_sql: str = "current_timestamp()"
+    # session-local timezone (reference: pipeline local-time-zone)
+    local_time_zone: str = "UTC"
+    # names of registered user/AI functions that pass through untouched
+    udf_names: frozenset = frozenset()
+    # available physical columns; None disables the existence check
+    known_columns: Optional[frozenset] = None
+    # strict reference null semantics for bare comparisons (null -> FALSE)
+    strict_nulls: bool = False
+
+
+# Spark type names for CAST targets (dialect names incl. BYTE/SHORT/LONG)
+def _cast_type_sql(type_text: str) -> str:
+    dt = ct.parse_type(type_text)
+    return ct.to_spark_type(dt).simpleString()
+
+
+class ExpressionCompiler:
+    """Compile dialect expression strings to Spark SQL expression strings."""
+
+    def __init__(self, context: Optional[ExpressionContext] = None):
+        self.ctx = context or ExpressionContext()
+
+    # -- public ----------------------------------------------------------------
+    def compile(self, text: str) -> str:
+        ast = parse(text)
+        return self.render(ast)
+
+    # -- rendering ----------------------------------------------------------------
+    def render(self, node) -> str:
+        kind = node[0]
+        fn = getattr(self, f"_r_{kind}", None)
+        if fn is None:
+            raise CompileError(f"Unknown AST node {kind}")
+        return fn(node)
+
+    def _r_lit_num(self, node) -> str:
+        text = node[1]
+        if "." not in text and "e" not in text.lower():
+            # dialect integer literals are INT/BIGINT; Spark defaults match
+            return text
+        # reference decimal literals are exact decimals (Calcite), Spark
+        # fractional literals default to DECIMAL too when parsing SQL text
+        return text
+
+    def _r_lit_str(self, node) -> str:
+        return _sql_str(node[1])
+
+    def _r_lit_bool(self, node) -> str:
+        return "true" if node[1] else "false"
+
+    def _r_lit_null(self, node) -> str:
+        return "null"
+
+    def _r_star(self, node) -> str:
+        raise CompileError("* is only valid at the top of a projection, not inside expressions")
+
+    def _r_col(self, node) -> str:
+        name = node[1]
+        if name in self.ctx.column_bindings:
+            return self.ctx.column_bindings[name]
+        lowered = name.lower()
+        if lowered in ("current_date", "current_time", "current_timestamp",
+                       "localtime", "localtimestamp", "now"):
+            return self._frozen_time(lowered.upper())
+        if name.startswith("__") and name.endswith("__"):
+            raise CompileError(f"Unknown metadata column {name!r}")
+        if self.ctx.known_columns is not None and name not in self.ctx.known_columns:
+            raise CompileError(f"Column '{name}' not found in source table or projection")
+        return _q(name)
+
+    def _r_neg(self, node) -> str:
+        return f"(- {self.render(node[1])})"
+
+    def _r_not(self, node) -> str:
+        return f"(NOT {self.render(node[1])})"
+
+    def _r_and(self, node) -> str:
+        return f"({self.render(node[1])} AND {self.render(node[2])})"
+
+    def _r_or(self, node) -> str:
+        return f"({self.render(node[1])} OR {self.render(node[2])})"
+
+    def _r_binop(self, node) -> str:
+        _, op, l, r = node
+        ls, rs = self.render(l), self.render(r)
+        if op == "||":
+            return f"concat({ls}, {rs})"
+        if op in ("=", "<>", ">", ">=", "<", "<=") and self.ctx.strict_nulls:
+            # reference ComparisonFunctions: null operands -> FALSE, not NULL
+            return f"ifnull(({ls} {op} {rs}), false)"
+        return f"({ls} {op} {rs})"
+
+    def _r_is(self, node) -> str:
+        _, e, what, negated = node
+        es = self.render(e)
+        if what == "NULL" or what == "UNKNOWN":
+            return f"({es} IS {'NOT ' if negated else ''}NULL)"
+        if what == "TRUE":
+            return f"({es} IS {'NOT ' if negated else ''}TRUE)"
+        if what == "FALSE":
+            return f"({es} IS {'NOT ' if negated else ''}FALSE)"
+        raise CompileError(f"Unknown IS predicate {what}")
+
+    def _r_is_distinct(self, node) -> str:
+        _, l, r, negated = node
+        ls, rs = self.render(l), self.render(r)
+        if negated:  # IS NOT DISTINCT FROM = null-safe equal
+            return f"({ls} <=> {rs})"
+        return f"(NOT ({ls} <=> {rs}))"
+
+    def _r_between(self, node) -> str:
+        _, e, lo, hi, negated = node
+        es, los, his = self.render(e), self.render(lo), self.render(hi)
+        core = f"({es} BETWEEN {los} AND {his})"
+        if self.ctx.strict_nulls:
+            core = f"ifnull({core}, false)"
+        return f"(NOT {core})" if negated else core
+
+    def _r_like(self, node) -> str:
+        _, e, pat, esc, negated = node
+        es = self.render(e)
+        if esc is None:
+            # dialect LIKE = Java-regex substring match (find())
+            core = f"({es} RLIKE {self.render(pat)})"
+        else:
+            if esc[0] != "lit_str":
+                raise CompileError("LIKE ESCAPE requires a literal escape string")
+            core = f"({es} LIKE {self.render(pat)} ESCAPE {self.render(esc)})"
+        return f"(NOT {core})" if negated else core
+
+    def _r_similar(self, node) -> str:
+        _, e, pat, esc, negated = node
+        if pat[0] != "lit_str":
+            raise CompileError("SIMILAR TO requires a literal pattern")
+        esc_ch = None
+        if esc is not None:
+            if esc[0] != "lit_str":
+                raise CompileError("SIMILAR TO ESCAPE requires a literal escape string")
+            esc_ch = esc[1]
+        regex = "^(?:" + similar_to_regex(pat[1], esc_ch) + ")$"
+        core = f"({self.render(e)} RLIKE {_sql_str(regex)})"
+        return f"(NOT {core})" if negated else core
+
+    def _r_in(self, node) -> str:
+        _, e, items, negated = node
+        es = self.render(e)
+        inner = ", ".join(self.render(it) for it in items)
+        core = f"({es} IN ({inner}))"
+        return f"(NOT {core})" if negated else core
+
+    def _r_case_when(self, node) -> str:
+        _, whens, else_e = node
+        parts = ["CASE"]
+        for cond, res in whens:
+            parts.append(f"WHEN {self.render(cond)} THEN {self.render(res)}")
+        if else_e is not None:
+            parts.append(f"ELSE {self.render(else_e)}")
+        parts.append("END")
+        return "(" + " ".join(parts) + ")"
+
+    def _r_case_value(self, node) -> str:
+        _, value, whens, else_e = node
+        vs = self.render(value)
+        if any(len(vals) > 1 for vals, _ in whens):
+            # multi-value WHEN (CASE v WHEN a, b THEN ...) lowers to searched form
+            parts = ["CASE"]
+            for vals, res in whens:
+                cond = " OR ".join(f"{vs} = {self.render(v)}" for v in vals)
+                parts.append(f"WHEN ({cond}) THEN {self.render(res)}")
+            if else_e is not None:
+                parts.append(f"ELSE {self.render(else_e)}")
+            parts.append("END")
+            return "(" + " ".join(parts) + ")"
+        parts = [f"CASE {vs}"]
+        for vals, res in whens:
+            parts.append(f"WHEN {self.render(vals[0])} THEN {self.render(res)}")
+        if else_e is not None:
+            parts.append(f"ELSE {self.render(else_e)}")
+        parts.append("END")
+        return "(" + " ".join(parts) + ")"
+
+    def _r_raw(self, node) -> str:
+        return f"({node[1]})"
+
+    def _r_cast(self, node) -> str:
+        _, e, type_text = node
+        return f"CAST({self.render(e)} AS {_cast_type_sql(type_text)})"
+
+    def _r_subscript(self, node) -> str:
+        _, e, idx = node
+        # 1-based, NULL out-of-bounds (doc transform.md:268-279).
+        # element_at is 1-based for arrays and key-lookup for maps; Spark's
+        # strict mode errors on OOB, try_element_at returns NULL - use it.
+        return f"try_element_at({self.render(e)}, {self.render(idx)})"
+
+    # -- function calls ----------------------------------------------------------
+    def _frozen_time(self, name: str) -> str:
+        ts = self.ctx.epoch_timestamp_sql
+        if name in ("CURRENT_TIMESTAMP", "NOW", "LOCALTIMESTAMP"):
+            return f"({ts})"
+        if name == "CURRENT_DATE":
+            return f"CAST({ts} AS DATE)"
+        if name in ("CURRENT_TIME", "LOCALTIME"):
+            # TIME maps to millis-of-day int
+            return f"(CAST(date_format({ts}, 'HH') AS INT) * 3600000 + CAST(date_format({ts}, 'mm') AS INT) * 60000 + CAST(date_format({ts}, 'ss') AS INT) * 1000)"
+        raise CompileError(f"Unknown time function {name}")
+
+    def _fmt_arg(self, arg) -> str:
+        """Translate a (literal) SimpleDateFormat pattern argument."""
+        if arg[0] == "lit_str":
+            return _sql_str(translate_simple_date_format(arg[1]))
+        return self.render(arg)
+
+    def _r_call(self, node) -> str:
+        _, name, args = node
+        a = lambda i: self.render(args[i])
+        rendered = [self.render(x) for x in args]
+        n = len(args)
+
+        if name in self.ctx.udf_names:
+            return f"{name.lower()}({', '.join(rendered)})"
+
+        # --- arithmetic ---
+        if name in ("ABS", "CEIL", "CEILING", "FLOOR", "ROUND"):
+            f = {"CEILING": "ceil"}.get(name, name.lower())
+            return f"{f}({', '.join(rendered)})"
+        if name == "UUID":
+            return "uuid()"
+
+        # --- conditional ---
+        if name == "COALESCE":
+            return f"coalesce({', '.join(rendered)})"
+        if name == "IF":
+            if n != 3:
+                raise CompileError("IF takes exactly 3 arguments")
+            return f"if({rendered[0]}, {rendered[1]}, {rendered[2]})"
+
+        # --- string ---
+        simple_string = {
+            "CONCAT": "concat",
+            "CONCAT_WS": "concat_ws",
+            "CHAR_LENGTH": "char_length",
+            "UPPER": "upper",
+            "LOWER": "lower",
+            "TRIM": "trim",
+            "LTRIM": "ltrim",
+            "RTRIM": "rtrim",
+            "BTRIM": "btrim",
+            "REGEXP_REPLACE": "regexp_replace",
+            "REGEXP_EXTRACT": "regexp_extract",
+            "REGEXP_EXTRACT_ALL": "regexp_extract_all",
+            "REGEXP_COUNT": "regexp_count",
+            "REGEXP_INSTR": "regexp_instr",
+            "REGEXP_SUBSTR": "regexp_substr",
+            "SUBSTR": "substr",
+            "SUBSTRING": "substring",
+            "OVERLAY": "overlay",
+            "LOCATE": "locate",
+            "INSTR": "instr",
+            "LPAD": "lpad",
+            "RPAD": "rpad",
+            "REPLACE": "replace",
+            "REPEAT": "repeat",
+            "LEFT": "left",
+            "RIGHT": "right",
+            "STARTSWITH": "startswith",
+            "ENDSWITH": "endswith",
+        }
+        if name in simple_string:
+            if name == "REGEXP_EXTRACT" and n == 2:
+                # dialect default group = 0 (whole match); Spark default is 1
+                return f"regexp_extract({rendered[0]}, {rendered[1]}, 0)"
+            return f"{simple_string[name]}({', '.join(rendered)})"
+        if name == "POSITION":
+            return f"position({', '.join(rendered)})"
+        if name == "TRIM_SPEC":
+            spec = args[0][1]
+            chars, target = rendered[1], rendered[2]
+            f = {"BOTH": "trim", "LEADING": "ltrim", "TRAILING": "rtrim"}[spec]
+            if args[1][0] == "lit_str" and args[1][1] == " ":
+                return f"{f}({target})"
+            return f"{f}({chars}, {target})" if f != "trim" else f"btrim({target}, {chars})"
+        if name == "TO_BASE64":
+            return f"base64({rendered[0]})"
+        if name == "FROM_BASE64":
+            return f"decode(unbase64({rendered[0]}), 'UTF-8')"
+        if name == "FROM_BASE64_BINARY":
+            return f"unbase64({rendered[0]})"
+
+        # --- temporal ---
+        if name in ("LOCALTIME", "LOCALTIMESTAMP", "CURRENT_TIME", "CURRENT_DATE",
+                    "CURRENT_TIMESTAMP", "NOW"):
+            return self._frozen_time(name)
+        if name == "DATE_FORMAT":
+            if n < 2:
+                raise CompileError("DATE_FORMAT(ts, fmt) needs 2 arguments")
+            return f"date_format({rendered[0]}, {self._fmt_arg(args[1])})"
+        if name == "DATE_FORMAT_TZ":
+            if n != 3:
+                raise CompileError("DATE_FORMAT_TZ(ts, fmt, tz) needs 3 arguments")
+            return (
+                f"date_format(convert_timezone({_sql_str(self.ctx.local_time_zone)}, "
+                f"{rendered[2]}, {rendered[0]}), {self._fmt_arg(args[1])})"
+            )
+        if name in ("TIMESTAMPADD", "TIMESTAMP_ADD"):
+            unit = args[0][1] if args[0][0] == "col" else str(args[0][1])
+            return f"timestampadd({unit.upper()}, {rendered[1]}, {rendered[2]})"
+        if name in ("TIMESTAMPDIFF", "TIMESTAMP_DIFF"):
+            unit = args[0][1] if args[0][0] == "col" else str(args[0][1])
+            return f"timestampdiff({unit.upper()}, {rendered[1]}, {rendered[2]})"
+        if name == "TO_DATE":
+            if n == 1:
+                return f"to_date({rendered[0]})"
+            return f"to_date({rendered[0]}, {self._fmt_arg(args[1])})"
+        if name == "TO_TIMESTAMP":
+            if n == 1:
+                return f"to_timestamp_ntz({rendered[0]})"
+            return f"to_timestamp_ntz({rendered[0]}, {self._fmt_arg(args[1])})"
+        if name == "TO_TIMESTAMP_LTZ":
+            if n == 1:
+                return f"to_timestamp_ltz({rendered[0]})"
+            return f"to_timestamp_ltz({rendered[0]}, {self._fmt_arg(args[1])})"
+        if name == "FROM_UNIXTIME":
+            if n == 1:
+                return f"from_unixtime({rendered[0]})"
+            return f"from_unixtime({rendered[0]}, {self._fmt_arg(args[1])})"
+        if name == "UNIX_TIMESTAMP":
+            if n == 0:
+                return f"unix_timestamp({self.ctx.epoch_timestamp_sql})"
+            if n == 1:
+                return f"unix_timestamp({rendered[0]})"
+            return f"unix_timestamp({rendered[0]}, {self._fmt_arg(args[1])})"
+        if name == "DATE_ADD":
+            return f"date_add({rendered[0]}, {rendered[1]})"
+
+        # --- variant ---
+        if name == "PARSE_JSON":
+            return f"parse_json({rendered[0]})"
+        if name == "TRY_PARSE_JSON":
+            return f"try_parse_json({rendered[0]})"
+
+        # unknown: pass through lowercased so registered UDFs and Spark
+        # built-ins beyond the dialect remain callable
+        return f"{name.lower()}({', '.join(rendered)})"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def compile_expression(text: str, context: Optional[ExpressionContext] = None) -> str:
+    return ExpressionCompiler(context).compile(text)
+
+
+def referenced_columns(text: str) -> set:
+    """Physical column names referenced by an expression (excludes metadata
+    columns). The reference computes this in TransformParser.java:208-256 for
+    PreTransform pruning; Catalyst prunes automatically, but we still use it
+    for schema-change-through-projection decisions."""
+    ast = parse(text)
+    out: set = set()
+
+    def walk(x):
+        if isinstance(x, tuple):
+            if x and x[0] == "col":
+                name = x[1]
+                if not (name.startswith("__") and name.endswith("__")):
+                    out.add(name)
+                return
+            for child in x:
+                walk(child)
+        elif isinstance(x, list):
+            for child in x:
+                walk(child)
+
+    walk(ast)
+    return out

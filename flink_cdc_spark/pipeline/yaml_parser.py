@@ -1,0 +1,142 @@
+"""YAML pipeline definition parser.
+
+Port of the reference CLI parser
+(flink-cdc-cli/src/main/java/org/apache/flink/cdc/cli/parser/YamlPipelineDefinitionParser.java:65-99):
+top-level keys `source, sink, route, transform, pipeline`, with
+`pipeline.user-defined-function` and `pipeline.model` blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import yaml
+
+from .definition import (
+    ModelDef,
+    PipelineConfig,
+    PipelineDef,
+    RouteDef,
+    SinkDef,
+    SourceDef,
+    TransformDef,
+    UdfDef,
+)
+
+
+def _split_keys(value) -> tuple:
+    if value is None:
+        return ()
+    if isinstance(value, (list, tuple)):
+        return tuple(str(v).strip() for v in value)
+    return tuple(k.strip() for k in str(value).split(",") if k.strip())
+
+
+def _parse_table_options(block: dict) -> tuple:
+    raw = block.get("table-options")
+    if not raw:
+        return ()
+    delimiter = block.get("table-options.delimiter", ",")
+    out = []
+    for pair in str(raw).split(delimiter):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            out.append((k.strip(), v.strip()))
+    return tuple(out)
+
+
+def parse_pipeline_yaml(text: str) -> PipelineDef:
+    doc = yaml.safe_load(text)
+    if not isinstance(doc, dict):
+        raise ValueError("Pipeline YAML must be a mapping")
+    if "source" not in doc:
+        raise ValueError("Missing required 'source' block")
+    if "sink" not in doc:
+        raise ValueError("Missing required 'sink' block")
+
+    src_block = dict(doc["source"])
+    source = SourceDef(
+        type=src_block.pop("type"),
+        name=src_block.pop("name", None),
+        config=src_block,
+    )
+
+    sink_block = dict(doc["sink"])
+    include = _split_keys(sink_block.pop("include.schema.changes", None))
+    exclude = _split_keys(sink_block.pop("exclude.schema.changes", None))
+    sink = SinkDef(
+        type=sink_block.pop("type"),
+        name=sink_block.pop("name", None),
+        config=sink_block,
+        include_schema_evolution_types=include,
+        exclude_schema_evolution_types=exclude,
+    )
+
+    routes = []
+    for r in doc.get("route") or []:
+        routes.append(
+            RouteDef(
+                source_table=r["source-table"],
+                sink_table=r["sink-table"],
+                replace_symbol=r.get("replace-symbol"),
+                description=r.get("description"),
+            )
+        )
+
+    transforms = []
+    for t in doc.get("transform") or []:
+        transforms.append(
+            TransformDef(
+                source_table=t["source-table"],
+                projection=t.get("projection"),
+                filter=t.get("filter"),
+                primary_keys=_split_keys(t.get("primary-keys")),
+                partition_keys=_split_keys(t.get("partition-keys")),
+                table_options=_parse_table_options(t),
+                converter_after_transform=t.get("converter-after-transform"),
+                description=t.get("description"),
+            )
+        )
+
+    pipeline_block = dict(doc.get("pipeline") or {})
+    udfs = [
+        UdfDef(
+            name=u["name"],
+            classpath=u["classpath"],
+            options=dict(u.get("options") or {}),
+        )
+        for u in pipeline_block.pop("user-defined-function", None) or []
+    ]
+    models = [
+        ModelDef(
+            model_name=m["model-name"],
+            class_name=m["class-name"],
+            options={k: v for k, v in m.items() if k not in ("model-name", "class-name")},
+        )
+        for m in pipeline_block.pop("model", None) or []
+    ]
+
+    config = PipelineConfig(
+        name=pipeline_block.pop("name", PipelineConfig.name),
+        parallelism=int(pipeline_block.pop("parallelism", 1)),
+        runtime_mode=str(pipeline_block.pop("execution.runtime-mode", "STREAMING")).upper(),
+        schema_change_behavior=str(
+            pipeline_block.pop("schema.change.behavior", "LENIENT")
+        ).upper(),
+        route_mode=str(pipeline_block.pop("route-mode", "ALL_MATCH")).upper().replace("-", "_"),
+        local_time_zone=pipeline_block.pop("local-time-zone", "UTC"),
+        sink_partitioning_strategy=str(
+            pipeline_block.pop("sink.partitioning.strategy", "PRIMARY_KEY")
+        ).upper(),
+        extra=pipeline_block,
+    )
+
+    return PipelineDef(
+        source=source,
+        sink=sink,
+        routes=routes,
+        transforms=transforms,
+        udfs=udfs,
+        models=models,
+        config=config,
+    )

@@ -1,0 +1,141 @@
+"""End-to-end pipeline tests: YAML -> composer -> materialized tables,
+checked against DuckDB on the driver-provided parquet (FIXTURES.md F4)."""
+
+import duckdb
+import pytest
+
+from flink_cdc_spark.core.schema import Schema
+from flink_cdc_spark.core.table_id import TableId
+from flink_cdc_spark.pipeline import BatchPipelineComposer, parse_pipeline_yaml
+from flink_cdc_spark.pipeline.composer import TableStream
+from flink_cdc_spark.sources.parquet_source import MutationSpec, ParquetTableSource
+
+from conftest import SF_DIR
+
+YAML = """
+source:
+  type: parquet
+  sf-dir: {sf}
+  tables: default.customer
+
+transform:
+  - source-table: default.customer
+    projection: c_custkey, UPPER(c_name) AS uname, c_acctbal * 2 AS doubled
+    filter: c_acctbal > 0
+
+sink:
+  type: values
+
+pipeline:
+  name: test pipeline
+  execution.runtime-mode: BATCH
+"""
+
+
+def duck(sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    return con.sql(sql).fetchall()
+
+
+def _stream(spark, table, table_id, pk, mutations=None):
+    src = ParquetTableSource(spark, SF_DIR)
+    df = src.changelog(table, table_id, mutations)
+    snap = src.snapshot(table)
+    schema = Schema.from_spark_struct(snap.schema, primary_keys=pk)
+    return TableStream(TableId.parse(table_id), df, schema, insert_only=mutations is None)
+
+
+def test_yaml_parse_roundtrip():
+    p = parse_pipeline_yaml(YAML.format(sf=SF_DIR))
+    assert p.source.type == "parquet"
+    assert p.transforms[0].projection.startswith("c_custkey")
+    assert p.config.runtime_mode == "BATCH"
+
+
+def test_e2e_projection_filter_vs_duckdb(spark):
+    p = parse_pipeline_yaml(YAML.format(sf=SF_DIR))
+    composer = BatchPipelineComposer(spark, p)
+    result = composer.compose([_stream(spark, "customer", "default.customer", ("c_custkey",))])
+    out = result.tables["default.customer"]
+    got = sorted((r.c_custkey, r.uname, r.doubled) for r in out.collect())
+    want = sorted(
+        duck(
+            "SELECT c_custkey, UPPER(c_name), c_acctbal * 2 FROM customer WHERE c_acctbal > 0"
+        )
+    )
+    assert len(got) == len(want) and got[0][0] == want[0][0]
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and abs(g[2] - w[2]) < 1e-9
+
+
+def test_e2e_mutations_vs_duckdb(spark):
+    spec = MutationSpec(
+        key_column="o_orderkey",
+        update_exprs={"o_totalprice": "o_totalprice + 1000"},
+    )
+    stream = _stream(spark, "orders", "default.orders", ("o_orderkey",), mutations=spec)
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    p = parse_pipeline_yaml(yaml_text)
+    composer = BatchPipelineComposer(spark, p)
+    result = composer.compose([stream])
+    out = result.tables["default.orders"]
+    got = {r.o_orderkey: r.o_totalprice for r in out.collect()}
+    want = {
+        r[0]: r[1]
+        for r in duck(spec.oracle_final_state_sql("orders", ["o_orderkey", "o_totalprice"]))
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6, k
+
+
+def test_e2e_route_fanout_and_merge(spark):
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+route:
+  - source-table: default.customer
+    sink-table: sink.replica_a
+  - source-table: default.\\.*
+    sink-table: sink.all_merged
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    p = parse_pipeline_yaml(yaml_text)
+    composer = BatchPipelineComposer(spark, p)
+    streams = [
+        _stream(spark, "customer", "default.customer", ("c_custkey",)),
+    ]
+    result = composer.compose(streams)
+    assert set(result.tables) == {"sink.replica_a", "sink.all_merged"}
+    n = result.tables["sink.replica_a"].count()
+    assert n == result.tables["sink.all_merged"].count()
+    assert n == duck("SELECT count(*) FROM customer")[0][0]
+
+
+def test_e2e_n_to_1_merge_schema_align(spark):
+    # merge two differently-shaped tables into one sink table
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+route:
+  - source-table: default.\\.*
+    sink-table: sink.merged
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    p = parse_pipeline_yaml(yaml_text)
+    composer = BatchPipelineComposer(spark, p)
+    streams = [
+        _stream(spark, "region", "default.region", ()),
+        _stream(spark, "nation", "default.nation", ()),
+    ]
+    result = composer.compose(streams)
+    merged = result.tables["sink.merged"]
+    cols = set(merged.columns)
+    assert {"r_regionkey", "r_name", "n_nationkey", "n_name", "n_regionkey"} <= cols
+    assert merged.count() == 30  # 5 regions + 25 nations
