@@ -234,6 +234,328 @@ pipeline: {execution.runtime-mode: BATCH}
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.5 scalar function surface — each suite runs through the transform
+# pipeline (our dialect compiler), oracle in equivalent DuckDB SQL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_string_suite",
+    """
+    SELECT p_partkey,
+           concat(p_brand, ':', p_type) AS joined,
+           concat_ws('-', p_brand, p_name) AS joined_ws,
+           length(p_name) AS name_len,
+           upper(p_brand) AS up,
+           lower(p_type) AS lo,
+           trim(p_name) AS trimmed,
+           substr(p_name, 1, 5) AS sub5,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           replace(p_type, ' ', '_') AS replaced,
+           repeat(left(p_brand, 2), 2) AS rep2,
+           right(p_type, 3) AS r3,
+           starts_with(p_name, 'a') AS sw,
+           ends_with(p_type, 'd') AS ew,
+           instr(p_name, 'e') AS ie,
+           position('a' IN p_name) AS pa,
+           substr(p_name, 2) AS tail
+    FROM part
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+transform:
+  - source-table: default.part
+    projection: >-
+      p_partkey,
+      p_brand || ':' || p_type AS joined,
+      CONCAT_WS('-', p_brand, p_name) AS joined_ws,
+      CHAR_LENGTH(p_name) AS name_len,
+      UPPER(p_brand) AS up,
+      LOWER(p_type) AS lo,
+      TRIM(p_name) AS trimmed,
+      SUBSTR(p_name, 1, 5) AS sub5,
+      LPAD(CAST(p_size AS STRING), 4, '0') AS padded,
+      REPLACE(p_type, ' ', '_') AS replaced,
+      REPEAT(LEFT(p_brand, 2), 2) AS rep2,
+      RIGHT(p_type, 3) AS r3,
+      STARTSWITH(p_name, 'a') AS sw,
+      ENDSWITH(p_type, 'd') AS ew,
+      INSTR(p_name, 'e') AS ie,
+      POSITION('a' IN p_name) AS pa,
+      SUBSTRING(p_name FROM 2) AS tail
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    return run_pipeline(
+        spark, sf_dir, yaml_text,
+        [("part", "default.part", ("p_partkey",), None)],
+        "default.part",
+    )
+
+
+@register(
+    "fn_string_regexp",
+    """
+    SELECT doc_id,
+           regexp_replace(text, '\\s+', '_', 'g') AS squashed,
+           regexp_extract(text, '[a-z]+') AS first_word,
+           length(regexp_extract(text, '([a-z]+) ([a-z]+)', 2)) AS second_len,
+           regexp_matches(text, 'scan|join') AS has_scan_join,
+           regexp_full_match(lang, '(en|de|fr)') AS is_eur,
+           to_base64(encode(source)) AS b64,
+           decode(from_base64(to_base64(encode(lang)))) AS roundtrip
+    FROM documents
+    """,
+)
+def fn_string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yaml_text = r"""
+source: {type: parquet}
+sink: {type: values}
+transform:
+  - source-table: default.documents
+    projection: >-
+      doc_id,
+      REGEXP_REPLACE(text, '\s+', '_') AS squashed,
+      REGEXP_EXTRACT(text, '[a-z]+') AS first_word,
+      CHAR_LENGTH(REGEXP_EXTRACT(text, '([a-z]+) ([a-z]+)', 2)) AS second_len,
+      text LIKE 'scan|join' AS has_scan_join,
+      lang SIMILAR TO '(en|de|fr)' AS is_eur,
+      TO_BASE64(source) AS b64,
+      FROM_BASE64(TO_BASE64(lang)) AS roundtrip
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    return run_pipeline(
+        spark, sf_dir, yaml_text,
+        [("documents", "default.documents", ("doc_id",), None)],
+        "default.documents",
+    )
+
+
+@register(
+    "fn_temporal_suite",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS fmt_date,
+           strftime(o_orderdate, '%Y/%m') AS fmt_month,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus_30d,
+           CAST(floor(epoch(TIMESTAMP '1998-01-01 00:00:00' - o_orderdate) / 86400) AS BIGINT) AS days_to_98,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_s,
+           CAST(o_orderdate AS DATE) AS just_date,
+           year(o_orderdate) AS yr
+    FROM orders
+    """,
+)
+def fn_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+transform:
+  - source-table: default.orders
+    projection: >-
+      o_orderkey,
+      DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS fmt_date,
+      DATE_FORMAT(o_orderdate, 'yyyy/MM') AS fmt_month,
+      CAST(TIMESTAMPADD(DAY, 30, o_orderdate) AS TIMESTAMP) AS plus_30d,
+      CAST(TIMESTAMPDIFF(DAY, o_orderdate, TO_TIMESTAMP('1998-01-01 00:00:00')) AS BIGINT) AS days_to_98,
+      UNIX_TIMESTAMP(CAST(o_orderdate AS STRING)) AS unix_s,
+      TO_DATE(DATE_FORMAT(o_orderdate, 'yyyy-MM-dd')) AS just_date,
+      CAST(DATE_FORMAT(o_orderdate, 'yyyy') AS INTEGER) AS yr
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    return run_pipeline(
+        spark, sf_dir, yaml_text,
+        [("orders", "default.orders", ("o_orderkey",), None)],
+        "default.orders",
+    )
+
+
+@register(
+    "fn_arith_cast_suite",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS ad,
+           CAST(ceil(l_extendedprice) AS DOUBLE) AS ce,
+           CAST(floor(l_extendedprice) AS DOUBLE) AS fl,
+           CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2) AS DOUBLE) AS revenue,
+           CAST(l_quantity AS INTEGER) % 7 AS m7,
+           CAST(l_quantity AS BIGINT) AS q_long,
+           CAST(l_tax AS VARCHAR) AS tax_str,
+           CAST(CAST(l_extendedprice AS DECIMAL(18, 2)) AS DOUBLE) AS price_dec,
+           (l_extendedprice / (1 + l_tax)) AS net,
+           -l_discount AS neg
+    FROM lineitem
+    """,
+)
+def fn_arith_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+transform:
+  - source-table: default.lineitem
+    projection: >-
+      l_orderkey, l_linenumber,
+      ABS(l_discount - 0.05) AS ad,
+      CAST(CEIL(l_extendedprice) AS DOUBLE) AS ce,
+      CAST(FLOOR(l_extendedprice) AS DOUBLE) AS fl,
+      CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6)), 2) AS DOUBLE) AS revenue,
+      CAST(l_quantity AS INTEGER) % 7 AS m7,
+      CAST(l_quantity AS LONG) AS q_long,
+      CAST(l_tax AS STRING) AS tax_str,
+      CAST(CAST(l_extendedprice AS DECIMAL(18, 2)) AS DOUBLE) AS price_dec,
+      l_extendedprice / (1 + l_tax) AS net,
+      -l_discount AS neg
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    return run_pipeline(
+        spark, sf_dir, yaml_text,
+        [("lineitem", "default.lineitem", (), None)],
+        "default.lineitem",
+    )
+
+
+@register(
+    "fn_conditional_comparison",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000 THEN 'high' WHEN c_acctbal > 0 THEN 'mid' ELSE 'low' END AS tier,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2 ELSE 0 END AS seg_code,
+           coalesce(NULL, c_name) AS nm,
+           if(c_nationkey % 2 = 0, 'even', 'odd') AS parity,
+           (c_acctbal BETWEEN 0 AND 1000) AS in_band,
+           (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) AS seg_in,
+           (c_nationkey IS NOT NULL) AS nk_nn,
+           (c_acctbal IS NOT DISTINCT FROM c_acctbal) AS self_same,
+           (c_nationkey <> 3) AS not3
+    FROM customer
+    """,
+)
+def fn_conditional_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+transform:
+  - source-table: default.customer
+    projection: >-
+      c_custkey,
+      CASE WHEN c_acctbal > 5000 THEN 'high' WHEN c_acctbal > 0 THEN 'mid' ELSE 'low' END AS tier,
+      CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2 ELSE 0 END AS seg_code,
+      COALESCE(NULL, c_name) AS nm,
+      IF(c_nationkey % 2 = 0, 'even', 'odd') AS parity,
+      c_acctbal BETWEEN 0 AND 1000 AS in_band,
+      c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS seg_in,
+      c_nationkey IS NOT NULL AS nk_nn,
+      c_acctbal IS NOT DISTINCT FROM c_acctbal AS self_same,
+      c_nationkey <> 3 AS not3
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    return run_pipeline(
+        spark, sf_dir, yaml_text,
+        [("customer", "default.customer", ("c_custkey",), None)],
+        "default.customer",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§3 schema evolution through the pipeline (SchemaOperator analog)
+# ---------------------------------------------------------------------------
+
+
+def _customer_evolution_events(spark, sf_dir, rename=False):
+    """Scripted stream: even-keyed customers arrive under a 4-column schema,
+    then ADD COLUMN c_mktsegment (and optionally RENAME c_name->full_name),
+    then odd-keyed customers arrive with the full schema."""
+    from .core.events import (
+        AddColumnEvent,
+        CreateTableEvent,
+        DataChangeEvent,
+        RenameColumnEvent,
+    )
+    from .core.schema import Column, new_schema
+    from .core import types as ct
+
+    tid = TableId.parse("db.customer")
+    rows = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .collect()
+    )
+    schema_v1 = (
+        new_schema()
+        .physical_column("c_custkey", "BIGINT NOT NULL")
+        .physical_column("c_name", "STRING")
+        .physical_column("c_nationkey", "INT")
+        .physical_column("c_acctbal", "DOUBLE")
+        .primary_key("c_custkey")
+        .build()
+    )
+    events = [CreateTableEvent(tid, schema_v1)]
+    for r in rows:
+        if r.c_custkey % 2 == 0:
+            events.append(
+                DataChangeEvent.insert(tid, (r.c_custkey, r.c_name, r.c_nationkey, r.c_acctbal))
+            )
+    events.append(AddColumnEvent.last(tid, Column("c_mktsegment", ct.string())))
+    if rename:
+        events.append(RenameColumnEvent(tid, (("c_name", "full_name"),)))
+    for r in rows:
+        if r.c_custkey % 2 == 1:
+            events.append(
+                DataChangeEvent.insert(
+                    tid, (r.c_custkey, r.c_name, r.c_nationkey, r.c_acctbal, r.c_mktsegment)
+                )
+            )
+    return events
+
+
+@register(
+    "schema_evolution_add_column",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def schema_evolution_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.composer import EventPipelineComposer
+
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: EVOLVE}
+"""
+    composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
+    result = composer.run(_customer_evolution_events(spark, sf_dir))
+    return result.tables["db.customer"]
+
+
+@register(
+    "schema_evolution_lenient_rename",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 2 = 0 THEN c_name ELSE NULL END AS c_name,
+           CASE WHEN c_custkey % 2 = 1 THEN c_name ELSE NULL END AS full_name,
+           c_nationkey, c_acctbal,
+           CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def schema_evolution_lenient_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.composer import EventPipelineComposer
+
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: LENIENT}
+"""
+    composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
+    result = composer.run(_customer_evolution_events(spark, sf_dir, rename=True))
+    return result.tables["db.customer"]
+
+
 def queries() -> Dict[str, Callable]:
     return dict(QUERIES)
 

@@ -301,9 +301,21 @@ class ExpressionCompiler:
 
     def _r_call(self, node) -> str:
         _, name, args = node
-        a = lambda i: self.render(args[i])
-        rendered = [self.render(x) for x in args]
         n = len(args)
+
+        # interval-unit first arguments are identifiers, not columns —
+        # handle before eagerly rendering args
+        if name in ("TIMESTAMPADD", "TIMESTAMP_ADD", "TIMESTAMPDIFF", "TIMESTAMP_DIFF"):
+            if n != 3:
+                raise CompileError(f"{name}(unit, a, b) needs 3 arguments")
+            unit_node = args[0]
+            unit = unit_node[1] if unit_node[0] in ("col", "lit_str") else None
+            if unit is None:
+                raise CompileError(f"{name} unit must be an identifier")
+            f = "timestampadd" if name in ("TIMESTAMPADD", "TIMESTAMP_ADD") else "timestampdiff"
+            return f"{f}({unit.upper()}, {self.render(args[1])}, {self.render(args[2])})"
+
+        rendered = [self.render(x) for x in args]
 
         if name in self.ctx.udf_names:
             return f"{name.lower()}({', '.join(rendered)})"
@@ -390,12 +402,6 @@ class ExpressionCompiler:
                 f"date_format(convert_timezone({_sql_str(self.ctx.local_time_zone)}, "
                 f"{rendered[2]}, {rendered[0]}), {self._fmt_arg(args[1])})"
             )
-        if name in ("TIMESTAMPADD", "TIMESTAMP_ADD"):
-            unit = args[0][1] if args[0][0] == "col" else str(args[0][1])
-            return f"timestampadd({unit.upper()}, {rendered[1]}, {rendered[2]})"
-        if name in ("TIMESTAMPDIFF", "TIMESTAMP_DIFF"):
-            unit = args[0][1] if args[0][0] == "col" else str(args[0][1])
-            return f"timestampdiff({unit.upper()}, {rendered[1]}, {rendered[2]})"
         if name == "TO_DATE":
             if n == 1:
                 return f"to_date({rendered[0]})"

@@ -66,6 +66,151 @@ def _transform_rule_of(t: TransformDef) -> TransformRule:
     )
 
 
+class EventPipelineComposer:
+    """Replays a scripted event stream (data changes + DDL) through the full
+    pipeline: per-epoch transform -> schema coordination -> coercion to the
+    final evolved schema -> materialization. The batch analog of the
+    reference's values-connector integration tests
+    (FlinkPipelineComposerITCase / SchemaEvolveTest), and the core loop the
+    streaming runner reuses per micro-batch."""
+
+    def __init__(self, spark: SparkSession, pipeline: PipelineDef, udf_names=frozenset()):
+        self.spark = spark
+        self.pipeline = pipeline
+        self.udf_names = frozenset(udf_names)
+        self.router = TableIdRouter(
+            [
+                RouteRule(r.source_table, r.sink_table, r.replace_symbol, r.description)
+                for r in pipeline.routes
+            ],
+            route_mode=pipeline.config.route_mode,
+        )
+        from .schema_coordinator import SchemaCoordinator
+
+        self.coordinator = SchemaCoordinator.from_sink_def(
+            self.router,
+            pipeline.config.schema_change_behavior,
+            pipeline.sink.include_schema_evolution_types,
+            pipeline.sink.exclude_schema_evolution_types,
+        )
+        self._transform_rules = [
+            (_transform_rule_of(t), _transform_rule_of(t).selectors())
+            for t in pipeline.transforms
+        ]
+
+    def _first_matching_rule(self, table_id: TableId):
+        for rule, selectors in self._transform_rules:
+            if selectors.is_match(table_id):
+                return rule
+        return None
+
+    def _passes_transform(self, event, rule) -> bool:
+        """Whether a schema change survives the projection
+        (PostTransformOperator.java:244-273: wildcard passes everything;
+        an explicit projection only passes changes touching projected
+        passthrough columns)."""
+        if rule is None or not rule.projection:
+            return True
+        from ..expressions.projection import parse_projection
+
+        items = parse_projection(rule.projection)
+        if any(p.is_wildcard for p in items):
+            return True
+        projected = {p.output_name for p in items}
+        t = event.TYPE
+        if t == "ADD_COLUMN":
+            return False  # new upstream columns aren't projected
+        if t == "DROP_COLUMN":
+            return any(c in projected for c in event.dropped_column_names)
+        if t == "RENAME_COLUMN":
+            return any(old in projected for old, _ in event.name_mapping)
+        if t == "ALTER_COLUMN_TYPE":
+            return any(c in projected for c, _ in event.type_mapping)
+        return True
+
+    def run(self, events) -> PipelineResult:
+        """events: ordered DataChangeEvent | SchemaChangeEvent stream."""
+        from ..core.events import CreateTableEvent, SchemaChangeEvent
+        from ..operators.coerce import coerce_envelope_payload
+        from ..sources.values_source import Epoch, ValuesSource
+
+        source = ValuesSource(self.spark, events)
+        per_sink: dict = {}  # sink table str -> list[envelope df (pre-coercion)]
+        epoch_idx = 0
+
+        for item in source.epochs():
+            if isinstance(item, SchemaChangeEvent):
+                rule = self._first_matching_rule(item.table_id)
+                if isinstance(item, CreateTableEvent):
+                    # transform rewrites the created schema
+                    if rule is not None:
+                        payload = item.schema.to_spark_struct()
+                        proc = TransformProcessor(
+                            rule, payload, udf_names=self.udf_names,
+                            local_time_zone=self.pipeline.config.local_time_zone,
+                        )
+                        item = CreateTableEvent(item.table_id, proc.output_schema(item.schema))
+                    self.coordinator.process_schema_change(item)
+                elif self._passes_transform(item, rule):
+                    self.coordinator.process_schema_change(item)
+                else:
+                    # still track upstream schema versions
+                    from ..core.schema_evolution import apply_schema_change_event
+
+                    cur = self.coordinator.original_schema(item.table_id)
+                    self.coordinator.original_schemas.setdefault(item.table_id, []).append(
+                        apply_schema_change_event(cur, item)
+                    )
+                continue
+
+            epoch: Epoch = item
+            df = source.epoch_dataframe(epoch, seq_start=epoch_idx << 32)
+            epoch_idx += 1
+            rule = self._first_matching_rule(epoch.table_id)
+            schema = epoch.schema
+            if rule is not None:
+                payload = None
+                for f_ in df.schema.fields:
+                    if f_.name == "after":
+                        payload = f_.dataType
+                proc = TransformProcessor(
+                    rule, payload, udf_names=self.udf_names,
+                    local_time_zone=self.pipeline.config.local_time_zone,
+                )
+                df = proc.apply(df)
+            for target in self.router.route(epoch.table_id):
+                routed = df.withColumn(ENVELOPE_TABLE_ID, F.lit(str(target)))
+                version = len(self.coordinator.evolved_schemas.get(target, []))
+                per_sink.setdefault(str(target), []).append((routed, target, version))
+
+        result = PipelineResult()
+        from ..operators.coerce import coerce_envelope_payload
+        from .schema_coordinator import rename_map_through
+
+        for sink_table, frames in per_sink.items():
+            final_schema = self.coordinator.evolved_schema(TableId.parse(sink_table))
+            if final_schema is None:
+                raise ValueError(f"No CreateTableEvent seen for sink table {sink_table}")
+            target_struct = final_schema.to_spark_struct()
+            coerced = []
+            for frame, target, version in frames:
+                # columns renamed after this frame's emission need source-name
+                # redirection during coercion
+                later_ddl = self.coordinator.ddl_log.get(target, [])[version:]
+                fwd = rename_map_through(later_ddl)  # emission name -> final name
+                source_names = {final: src for src, final in fwd.items()}
+                coerced.append(coerce_envelope_payload(frame, target_struct, source_names))
+            env = coerced[0]
+            for other in coerced[1:]:
+                env = env.unionByName(other)
+            result.changelogs[sink_table] = env
+            result.schemas[sink_table] = final_schema
+            result.tables[sink_table] = materialize_changelog(
+                env, list(final_schema.primary_keys)
+            )
+        return result
+
+
 class BatchPipelineComposer:
     def __init__(self, spark: SparkSession, pipeline: PipelineDef, udf_names=frozenset()):
         self.spark = spark

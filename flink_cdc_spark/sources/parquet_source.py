@@ -88,8 +88,11 @@ class ParquetTableSource:
 
     def snapshot(self, table: str) -> DataFrame:
         path = f"{self.sf_dir}/{table}.parquet"
-        df = self.spark.read.parquet(path)
         nanos_cols = _nanos_timestamp_columns(path)
+        if nanos_cols:
+            # runtime-settable SQL conf; required to read TIMESTAMP(NANOS)
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
         if nanos_cols:
             # nanos were read as long (spark.sql.legacy.parquet.nanosAsLong);
             # normalize to micros TIMESTAMP_NTZ, matching DuckDB's cast
