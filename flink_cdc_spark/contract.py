@@ -556,6 +556,9 @@ pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: LENIENT}
     return result.tables["db.customer"]
 
 
+from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queries)
+
+
 def queries() -> Dict[str, Callable]:
     return dict(QUERIES)
 

@@ -1,0 +1,78 @@
+"""Driver-contract entries for the datapipe operators.
+
+Registered into the shared QUERIES/ORACLES registries (imported from
+flink_cdc_spark.contract at the bottom of that module). Each Spark query
+uses the scale-path plan; each oracle is the naive-but-identical DuckDB
+equivalent generated from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..contract import register
+from . import dedup, similarity, textstats
+
+N_SIM_QUERIES = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@register("dedup_exact", dedup.exact_dedup_oracle_sql())
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@register("dedup_ngram_jaccard", dedup.ngram_jaccard_oracle_sql())
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_minhash_lsh", dedup.minhash_lsh_oracle_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_simhash", dedup.simhash_oracle_sql())
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_embedding_cosine", dedup.embedding_near_dup_oracle_sql())
+def dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_near_dup_pairs(_embs(spark, sf_dir))
+
+
+@register("sim_cosine_topk", similarity.cosine_topk_oracle_sql(n_queries=N_SIM_QUERIES))
+def sim_cosine_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
+    return similarity.cosine_topk(embs, queries)
+
+
+@register("sim_ann_lsh", similarity.ann_topk_oracle_sql(n_queries=N_SIM_QUERIES))
+def sim_ann_lsh(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
+    return similarity.ann_topk(embs, queries)
+
+
+@register("text_language_id", textstats.language_id_oracle_sql())
+def text_language_id(spark, sf_dir):
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+@register("text_token_stats", textstats.token_stats_oracle_sql())
+def text_token_stats(spark, sf_dir):
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+@register("text_fingerprint", textstats.fingerprint_oracle_sql())
+def text_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))

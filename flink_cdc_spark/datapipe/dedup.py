@@ -1,0 +1,429 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (100 TB / 1000-executor design):
+- exact dedup: one shuffle on the content fingerprint; map-side partial
+  aggregation is free (hash aggregate).
+- n-gram Jaccard & MinHash verification: inverted-index join (explode
+  shingles, join on shingle) — work is proportional to the number of
+  *shared* shingles, never |docs|². Ultra-frequent shingles should be
+  dropped upstream (stop-shingle filter) or handled by AQE skew-join.
+- SimHash pairs: banded self-join (pigeonhole: hamming ≤ 3 over 4 nibbles
+  ⇒ at least one nibble equal), so the join key is (band, nibble-value),
+  never a cross join.
+- embedding near-dup: brute-force pair join is the correctness baseline;
+  the LSH-bucketed variant in ``similarity.py`` is the scale path.
+
+All hashing is md5 so the DuckDB oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# --- shared constants (Spark impl and DuckDB oracle must agree) -----------
+
+SHINGLE_N = 3           # word n-gram size
+MINHASH_K = 8           # number of minhash functions
+MINHASH_BANDS = 4       # LSH bands (rows per band = K / BANDS = 2)
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32       # one bit per md5 hex position
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4       # 8-bit bands for the pair join (pigeonhole: 3 < 4)
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+COSINE_DUP_THRESHOLD = 0.4
+
+_NORM = "lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+
+
+def _shingle_expr(text_col: str, n: int = SHINGLE_N) -> str:
+    """Spark SQL: distinct word n-grams of `text_col` as array<string>."""
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def _shingle_sql_duckdb(text_col: str, n: int = SHINGLE_N) -> str:
+    toks = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Keep the lowest-key row per normalized-content fingerprint.
+
+    One hash-aggregate shuffle on the md5 fingerprint; at 100 TB the
+    fingerprint is tiny vs the payload, so pre-project (key, fingerprint),
+    dedup, then semi-join back to fetch surviving payloads.
+    """
+    fp = F.md5(F.expr(_NORM.format(col=text)))
+    return (
+        df.select(F.col(key), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(key).alias(key), F.count("*").alias("dup_count"))
+        .select(key, "fingerprint", "dup_count")
+    )
+
+
+def exact_dedup_oracle_sql(table: str = "documents", key: str = "doc_id", text: str = "text") -> str:
+    norm = _NORM.format(col=text).replace("\\\\s", "\\s")
+    return f"""
+    SELECT min({key}) AS {key}, md5({norm}) AS fingerprint, count(*) AS dup_count
+    FROM {table} GROUP BY 2
+    """
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard pairs (inverted-index join)
+# --------------------------------------------------------------------------
+
+
+def _exploded_shingles(df: DataFrame, key: str, text: str) -> DataFrame:
+    base = df.selectExpr(key, _shingle_expr(text) + " AS sh")
+    return base.select(key, F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """All pairs with word-{SHINGLE_N}-gram Jaccard >= threshold.
+
+    Inverted-index plan: explode shingles, self-join on the shingle value
+    (shuffle keyed by shingle — never |docs|²), count shared shingles per
+    pair, Jaccard = common / (|A| + |B| - common).
+    """
+    ex = _exploded_shingles(df, key, text)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .groupBy(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return pairs
+
+
+def ngram_jaccard_oracle_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    text: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> str:
+    sh = _shingle_sql_duckdb(text)
+    return f"""
+    WITH sh AS (SELECT {key}, {sh} AS sh FROM {table}),
+    ex AS (SELECT {key}, len(sh) AS n_sh, unnest(sh) AS s FROM sh)
+    SELECT a.{key} AS doc_a, b.{key} AS doc_b,
+           round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
+    FROM ex a JOIN ex b ON a.s = b.s AND a.{key} < b.{key}
+    GROUP BY 1, 2
+    HAVING jaccard >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (banded candidate generation, exact verification)
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """K md5-derived minhashes per doc (one aggregate shuffle)."""
+    ex = _exploded_shingles(df, key, text)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return ex.groupBy(key).agg(F.first("n_sh").alias("n_sh"), *aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    Candidates = docs agreeing on any LSH band (band hash = md5 of the
+    band's minhash rows). Verification re-joins the inverted index only
+    for candidate pairs (semi-join pushdown), so the expensive exact
+    Jaccard runs on the tiny candidate set, not all pairs.
+    """
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sig = minhash_signatures(df, key, text)
+    band_cols = []
+    for b in range(MINHASH_BANDS):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bv")))
+    bands = sig.select(key, F.explode(F.array(*band_cols)).alias("e")).select(
+        key, F.col("e.band").alias("band"), F.col("e.bv").alias("bv")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
+        .distinct()
+    )
+    ex = _exploded_shingles(df, key, text)
+    ea = ex.alias("ea")
+    eb = ex.alias("eb")
+    verified = (
+        cand.join(ea, F.col(f"ea.{key}") == F.col("doc_a"))
+        .join(eb, (F.col(f"eb.{key}") == F.col("doc_b")) & (F.col("eb.s") == F.col("ea.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.first("ea.n_sh").alias("na"),
+            F.first("eb.n_sh").alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    text: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> str:
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sh = _shingle_sql_duckdb(text)
+    sig_aggs = ", ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(MINHASH_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT {key}, {b} AS band, md5("
+        + " || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ") AS bv FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS (SELECT {key}, {sh} AS sh FROM {table}),
+    ex AS (SELECT {key}, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+    sig AS (SELECT {key}, {sig_aggs} FROM ex GROUP BY {key}),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.{key} AS doc_a, b.{key} AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.{key} < b.{key}
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(count(*)::DOUBLE / (any_value(ea.n_sh) + any_value(eb.n_sh) - count(*)), 6) AS jaccard
+    FROM cand c
+    JOIN ex ea ON ea.{key} = c.doc_a
+    JOIN ex eb ON eb.{key} = c.doc_b AND eb.s = ea.s
+    GROUP BY 1, 2
+    HAVING jaccard >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """{SIMHASH_BITS}-bit SimHash over word tokens.
+
+    Bit p is the sign of sum over tokens of ±1, +1 iff hex digit p of
+    md5(token) >= '8' (top bit of the nibble). Pure built-in expressions;
+    one aggregate shuffle.
+    """
+    toks = "split(lower(trim(text)), '\\\\s+')".replace("text", text)
+    ex = df.selectExpr(key, f"explode({toks}) AS tok").withColumn("h", F.md5("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", p, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{p}")
+        for p in range(1, SIMHASH_BITS + 1)
+    ]
+    sums = ex.groupBy(key).agg(*aggs)
+    sim = None
+    for p in range(1, SIMHASH_BITS + 1):
+        bit = F.when(F.col(f"s{p}") >= 0, F.lit(1 << (p - 1))).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select(key, sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Scale path: banded self-join. With 4 bands and <= 3 differing bits,
+    at least one band is identical (pigeonhole), so joining on
+    (band-index, band-value) finds every qualifying pair without a
+    cross join.
+    """
+    sh = simhash(df, key, text)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    nibble_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (
+                (F.col("simhash").bitwiseAND(F.lit(mask << (SIMHASH_BAND_BITS * b))))
+                / F.lit(1 << (SIMHASH_BAND_BITS * b))
+            )
+            .cast("int")
+            .alias("nv"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = sh.select(key, "simhash", F.explode(F.array(*nibble_structs)).alias("e")).select(
+        key, "simhash", F.col("e.band").alias("band"), F.col("e.nv").alias("nv")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nv") == F.col("b.nv"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("doc_a"),
+            F.col(f"b.{key}").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _simhash_sql_duckdb(table: str, key: str, text: str) -> str:
+    toks = f"string_split_regex(lower(trim({text})), '\\s+')"
+    sum_aggs = ", ".join(
+        f"sum(CASE WHEN substr(h, {p}, 1) >= '8' THEN 1 ELSE -1 END) AS s{p}"
+        for p in range(1, SIMHASH_BITS + 1)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{p} >= 0 THEN {1 << (p - 1)} ELSE 0 END)"
+        for p in range(1, SIMHASH_BITS + 1)
+    )
+    return f"""
+    tokens AS (SELECT {key}, md5(unnest({toks})) AS h FROM {table}),
+    sums AS (SELECT {key}, {sum_aggs} FROM tokens GROUP BY {key}),
+    sh AS (SELECT {key}, CAST({bits} AS BIGINT) AS simhash FROM sums)
+    """
+
+
+def simhash_oracle_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> str:
+    """Naive quadratic oracle: cross join + popcount(xor)."""
+    return f"""
+    WITH {_simhash_sql_duckdb(table, key, text)}
+    SELECT a.{key} AS doc_a, b.{key} AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.{key} < b.{key}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (brute-force baseline; LSH path in similarity.py)
+# --------------------------------------------------------------------------
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
+        f"cast(0 AS double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(col: str) -> str:
+    return f"sqrt({_dot_expr(col, col)})"
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold (brute-force baseline).
+
+    Pre-normalizes each vector once (one narrow projection), then the
+    pair join is a pure dot product. At scale, replace the full pair join
+    with the LSH-bucketed candidates from ``similarity.lsh_buckets``.
+    """
+    normed = df.selectExpr(
+        key,
+        f"transform({vec}, x -> cast(x AS double) / {_norm_expr(vec)}) AS u",
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    return (
+        a.join(b, F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .select(
+            F.col(f"a.{key}").alias("vec_a"),
+            F.col(f"b.{key}").alias("vec_b"),
+            F.round(F.expr(_dot_expr("a.u", "b.u")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_oracle_sql(
+    table: str = "embeddings",
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> str:
+    # sequential left-to-right fold, mirroring Spark's aggregate()
+    dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])), (acc, v) -> acc + v)"
+    )
+    self_dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({vec}, x -> x::DOUBLE * x::DOUBLE)), (acc, v) -> acc + v)"
+    )
+    return f"""
+    WITH normed AS (
+      SELECT {key}, list_transform({vec}, x -> x::DOUBLE / sqrt({self_dot})) AS u
+      FROM {table}
+    )
+    SELECT a.{key} AS vec_a, b.{key} AS vec_b, round({dot}, 4) AS cosine
+    FROM normed a JOIN normed b ON a.{key} < b.{key}
+    WHERE round({dot}, 4) >= {threshold}
+    """

@@ -1,0 +1,228 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k. The (tiny) query set is
+  broadcast, so the plan is a broadcast-nested-loop join + per-query
+  window top-k: one pass over the corpus, no shuffle of the corpus
+  except the final per-query aggregation — the right baseline at any
+  scale where queries are few.
+- ``lsh_buckets`` / ``ann_topk``: random-hyperplane LSH. Signatures are
+  computed corpus-side with built-in expressions (hyperplanes are
+  deterministic literals, seed fixed), candidates = signature-band
+  equality join (shuffle keyed by band, never |corpus| x |queries|),
+  then exact cosine re-rank of the candidate set.
+
+Determinism: hyperplanes are generated from a fixed seed and rounded to
+4 decimals; cosine is rounded to 4 decimals with (score DESC, id ASC)
+tie-break, so Spark and the DuckDB oracle produce identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+LSH_PLANES = 16
+LSH_BANDS = 4          # 4 bands x 4 bits
+EMBED_DIM = 64
+PLANE_SEED = 7
+TOPK_DEFAULT = 5
+
+
+def _planes():
+    import numpy as np
+
+    rng = np.random.default_rng(PLANE_SEED)
+    return [
+        [round(float(v), 4) for v in rng.normal(size=EMBED_DIM)]
+        for _ in range(LSH_PLANES)
+    ]
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
+        f"cast(0 AS double), (acc, v) -> acc + v)"
+    )
+
+
+def _unit_expr(vec: str) -> str:
+    return f"transform({vec}, x -> cast(x AS double) / sqrt({_dot(vec, vec)}))"
+
+
+def _dot_duck(a: str, b: str) -> str:
+    # sequential left fold, mirroring Spark's aggregate()
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {EMBED_DIM} + 1), i -> {a}[i] * {b}[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _unit_duck(vec: str) -> str:
+    self_dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({vec}, x -> x::DOUBLE * x::DOUBLE)), (acc, v) -> acc + v)"
+    )
+    return f"list_transform({vec}, x -> x::DOUBLE / sqrt({self_dot}))"
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k
+# --------------------------------------------------------------------------
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query vector by cosine.
+
+    queries must be small (it is broadcast). Self-matches excluded.
+    """
+    c = corpus.selectExpr(f"{key} AS nbr_id", f"{_unit_expr(vec)} AS cu")
+    q = queries.selectExpr(f"{key} AS query_id", f"{_unit_expr(vec)} AS qu")
+    scored = (
+        c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(F.expr(_dot("qu", "cu")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cosine")
+    )
+
+
+def cosine_topk_oracle_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    return f"""
+    WITH normed AS (
+      SELECT {key}, {_unit_duck(vec)} AS u FROM {table}
+    ),
+    q AS (SELECT {key} AS query_id, u AS qu FROM normed WHERE {key} < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c.{key} AS nbr_id, round({_dot_duck('q.qu', 'c.u')}, 4) AS cosine
+      FROM normed c, q WHERE c.{key} <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN
+# --------------------------------------------------------------------------
+
+
+def _band_structs_spark(unit_col: str):
+    """LSH band columns: sign bit per hyperplane, packed 4 bits per band."""
+    planes = _planes()
+    bits_per_band = LSH_PLANES // LSH_BANDS
+    structs = []
+    for b in range(LSH_BANDS):
+        val = None
+        for r in range(bits_per_band):
+            p = planes[b * bits_per_band + r]
+            arr = "array(" + ", ".join(f"cast({w} AS double)" for w in p) + ")"
+            bit = F.when(F.expr(_dot(unit_col, arr)) > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            val = bit if val is None else val + bit
+        structs.append(F.struct(F.lit(b).alias("band"), val.cast("int").alias("bv")))
+    return structs
+
+
+def lsh_buckets(df: DataFrame, key: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """(key, band, band-value, unit-vector) — the corpus index frame."""
+    normed = df.selectExpr(key, f"{_unit_expr(vec)} AS u")
+    return normed.select(
+        key, "u", F.explode(F.array(*_band_structs_spark("u"))).alias("e")
+    ).select(key, "u", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share >= 1 LSH band with the query,
+    exact cosine re-rank of candidates only."""
+    c = lsh_buckets(corpus, key, vec).withColumnRenamed(key, "nbr_id").withColumnRenamed("u", "cu")
+    q = lsh_buckets(queries, key, vec).withColumnRenamed(key, "query_id").withColumnRenamed("u", "qu")
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (c["band"] == q["band"]) & (c["bv"] == q["bv"])
+            & (F.col("nbr_id") != F.col("query_id")),
+        )
+        .select("query_id", "qu", "nbr_id", "cu")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "nbr_id",
+        F.round(F.expr(_dot("qu", "cu")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cosine")
+    )
+
+
+def ann_topk_oracle_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    planes = _planes()
+    bits_per_band = LSH_PLANES // LSH_BANDS
+    band_selects = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for r in range(bits_per_band):
+            p = planes[b * bits_per_band + r]
+            arr = "[" + ", ".join(f"CAST({w} AS DOUBLE)" for w in p) + "]"
+            bits.append(f"(CASE WHEN {_dot_duck('u', arr)} > 0 THEN {1 << r} ELSE 0 END)")
+        band_selects.append(
+            f"SELECT {key}, u, {b} AS band, ({' + '.join(bits)})::INT AS bv FROM normed"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH normed AS (
+      SELECT {key}, {_unit_duck(vec)} AS u FROM {table}
+    ),
+    bands AS ({bands}),
+    q AS (SELECT {key} AS query_id, u AS qu, band, bv FROM bands WHERE {key} < {n_queries}),
+    cand AS (
+      SELECT DISTINCT q.query_id, q.qu, c.{key} AS nbr_id, c.u AS cu
+      FROM bands c JOIN q ON c.band = q.band AND c.bv = q.bv AND c.{key} <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, nbr_id, round({_dot_duck('qu', 'cu')}, 4) AS cosine FROM cand
+    ),
+    ranked AS (
+      SELECT query_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """

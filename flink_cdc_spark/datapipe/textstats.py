@@ -1,0 +1,138 @@
+"""Text-analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+
+All pure built-in expressions (whole-stage codegen, no shuffle at all —
+these are map-only and scale embarrassingly). Regex patterns restricted
+to the dialect intersection of Java regex (Spark) and RE2 (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# stopword alternations per language for the n-gram language heuristic;
+# deterministic precedence order breaks ties
+LANG_STOPWORDS = (
+    ("en", "(the|and|of|to|in)"),
+    ("de", "(der|die|und|das|ist)"),
+    ("fr", "(le|la|les|et|est)"),
+    ("es", "(el|los|las|una|es)"),
+)
+_CJK_CLASS = "[一-鿿]"
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+STOPWORD_PATTERN = r"\b(the|a|of|and|to)\b"
+FINGERPRINT_HEX_CHARS = 15  # 60 bits fits signed BIGINT
+
+
+def _lang_score_exprs_spark(text: str):
+    scores = [
+        (lang, F.expr(f"regexp_count(lower({text}), '\\\\b{pat}\\\\b')"))
+        for lang, pat in LANG_STOPWORDS
+    ]
+    cjk = F.expr(f"regexp_count({text}, '{_CJK_CLASS}')")
+    return scores, cjk
+
+
+def language_id(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK-char presence wins, else argmax of
+    per-language stopword hit counts (declaration order breaks ties)."""
+    scores, cjk = _lang_score_exprs_spark(text)
+    best = F.greatest(*[e for _, e in scores])
+    pred = F.lit("es")
+    for lang, expr in reversed([s for s in scores][:-1]):
+        pred = F.when(expr == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(cjk > 0, F.lit("zh")).otherwise(
+        F.when(best <= 0, F.lit("und")).otherwise(pred)
+    )
+    cols = [F.col(key), pred.alias("predicted_lang")]
+    for lang, expr in scores:
+        cols.append(expr.alias(f"score_{lang}"))
+    return df.select(*cols)
+
+
+def language_id_oracle_sql(table: str = "documents", key: str = "doc_id", text: str = "text") -> str:
+    score_sql = {
+        lang: f"len(regexp_extract_all(lower({text}), '\\b{pat}\\b'))"
+        for lang, pat in LANG_STOPWORDS
+    }
+    cjk = f"len(regexp_extract_all({text}, '{_CJK_CLASS}'))"
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    best = "greatest(" + ", ".join(score_sql[lang] for lang in langs) + ")"
+    cases = [f"WHEN {cjk} > 0 THEN 'zh'", f"WHEN {best} <= 0 THEN 'und'"]
+    for lang in langs[:-1]:
+        cases.append(f"WHEN {score_sql[lang]} = {best} THEN '{lang}'")
+    case_expr = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    score_cols = ", ".join(f"{score_sql[lang]} AS score_{lang}" for lang in langs)
+    return f"SELECT {key}, {case_expr} AS predicted_lang, {score_cols} FROM {table}"
+
+
+def token_stats(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts + quality signals.
+
+    quality = 0.4*stopword_ratio + 0.3*min(ws_tokens/100, 1) - 0.3*punct_ratio,
+    all ratios over deterministic integer counts (portable rounding).
+    """
+    ws = F.expr(f"size(split(trim({text}), '\\\\s+'))")
+    bpe = F.expr(f"regexp_count({text}, '{BPE_ISH_PATTERN}')")
+    punct = F.expr(f"regexp_count({text}, '[^A-Za-z0-9 ]')")
+    stop = F.expr(f"regexp_count(lower({text}), '{STOPWORD_PATTERN}')".replace("\\b", "\\\\b"))
+    nchars = F.length(text)
+    punct_ratio = F.round(punct.cast("double") / nchars, 4)
+    stop_ratio = F.round(stop.cast("double") / ws, 4)
+    quality = F.round(
+        0.4 * stop.cast("double") / ws
+        + 0.3 * F.least(ws.cast("double") / 100, F.lit(1.0))
+        - 0.3 * punct.cast("double") / nchars,
+        4,
+    )
+    return df.select(
+        F.col(key),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        nchars.alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_stats_oracle_sql(table: str = "documents", key: str = "doc_id", text: str = "text") -> str:
+    ws = f"len(string_split_regex(trim({text}), '\\s+'))"
+    bpe = f"len(regexp_extract_all({text}, '{BPE_ISH_PATTERN}'))"
+    punct = f"len(regexp_extract_all({text}, '[^A-Za-z0-9 ]'))"
+    stop = f"len(regexp_extract_all(lower({text}), '{STOPWORD_PATTERN}'))"
+    return f"""
+    SELECT {key},
+           {ws} AS ws_tokens,
+           {bpe} AS bpe_tokens,
+           length({text}) AS n_chars,
+           round({punct}::DOUBLE / length({text}), 4) AS punct_ratio,
+           round({stop}::DOUBLE / {ws}, 4) AS stopword_ratio,
+           round(0.4 * {stop}::DOUBLE / {ws}
+                 + 0.3 * least({ws}::DOUBLE / 100, 1.0)
+                 - 0.3 * {punct}::DOUBLE / length({text}), 4) AS quality
+    FROM {table}
+    """
+
+
+def fingerprint(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text,
+    plus a 60-bit integer fingerprint (hex prefix) for compact storage /
+    bucketing at scale."""
+    norm = f"lower(trim(regexp_replace({text}, '\\\\s+', ' ')))"
+    md5 = F.expr(f"md5({norm})")
+    fp64 = F.expr(
+        f"cast(conv(substring(md5({norm}), 1, {FINGERPRINT_HEX_CHARS}), 16, 10) AS bigint)"
+    )
+    return df.select(F.col(key), md5.alias("fp_md5"), fp64.alias("fp64"))
+
+
+def fingerprint_oracle_sql(table: str = "documents", key: str = "doc_id", text: str = "text") -> str:
+    norm = f"lower(trim(regexp_replace({text}, '\\s+', ' ', 'g')))"
+    return f"""
+    SELECT {key},
+           md5({norm}) AS fp_md5,
+           ('0x' || substr(md5({norm}), 1, {FINGERPRINT_HEX_CHARS}))::BIGINT AS fp64
+    FROM {table}
+    """

@@ -1,0 +1,127 @@
+"""Datapipe operator invariants (the DuckDB-oracle contract check is the
+strong gate; these assert structural properties and scale-path equivalence
+with the naive plans)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from flink_cdc_spark.datapipe import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_covers_all_rows(docs):
+    out = dedup.exact_dedup(docs)
+    total = out.agg(F.sum("dup_count")).first()[0]
+    assert total == docs.count()
+    assert out.select("fingerprint").distinct().count() == out.count()
+
+
+def test_ngram_jaccard_finds_planted_near_dups(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs).collect()
+    assert len(pairs) > 0
+    assert all(0.5 <= r.jaccard <= 1.0 for r in pairs)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_minhash_recall_on_high_jaccard(docs):
+    """LSH with 4 bands x 2 rows must recover essentially all j>=0.9 pairs."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert exact, "corpus should contain planted near-duplicates"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95
+    # verification step bounds precision: every emitted pair passes the
+    # exact-jaccard threshold
+    assert lsh <= {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=dedup.JACCARD_THRESHOLD).collect()
+    }
+
+
+def test_simhash_banding_is_lossless(docs):
+    """Banded pair join == naive cross-join filter (pigeonhole argument)."""
+    sh = dedup.simhash(docs).cache()
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_pairs(docs).collect()
+    }
+    a, b = sh.alias("a"), sh.alias("b")
+    naive = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= dedup.SIMHASH_MAX_HAMMING)
+        .collect()
+    }
+    assert banded == naive
+
+
+def test_embedding_near_dup_symmetric_bounds(embs):
+    pairs = dedup.embedding_near_dup_pairs(embs).collect()
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in pairs)
+    assert all(r.vec_a < r.vec_b for r in pairs)
+
+
+def test_cosine_topk_shape_and_selfmatch(embs):
+    q = embs.where("vec_id < 5")
+    out = similarity.cosine_topk(embs, q, k=3).collect()
+    assert len(out) == 15
+    assert all(r.nbr_id != r.query_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        cos = [r.cosine for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_ann_is_subset_quality(embs):
+    """ANN top-1 should usually agree with exact top-1 (planted or not,
+    the top neighbor is far above the noise floor for at least some
+    queries); weak check: ANN results are valid corpus ids with sane
+    scores."""
+    q = embs.where("vec_id < 10")
+    ann = similarity.ann_topk(embs, q, k=5).collect()
+    assert len(ann) > 0
+    ids = {r.vec_id for r in embs.select("vec_id").collect()}
+    assert all(r.nbr_id in ids for r in ann)
+
+
+def test_language_id_deterministic_labels(docs):
+    out = textstats.language_id(docs)
+    langs = {r.predicted_lang for r in out.select("predicted_lang").distinct().collect()}
+    assert langs <= {"en", "de", "fr", "es", "zh", "und"}
+    assert out.count() == docs.count()
+
+
+def test_token_stats_sanity(docs):
+    out = textstats.token_stats(docs).collect()
+    for r in out:
+        assert r.ws_tokens > 0
+        assert r.bpe_tokens >= r.ws_tokens  # BPE-ish splits at least as fine
+        assert 0 <= r.punct_ratio <= 1
+
+
+def test_fingerprint_unique_on_distinct_texts(docs):
+    out = textstats.fingerprint(docs)
+    assert out.select("fp_md5").distinct().count() == docs.select("text").distinct().count()
+    assert out.where(F.col("fp64") < 0).count() == 0
