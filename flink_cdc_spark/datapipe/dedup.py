@@ -88,8 +88,14 @@ def exact_dedup_oracle_sql(table: str = "documents", key: str = "doc_id", text: 
 
 
 def _exploded_shingles(df: DataFrame, key: str, text: str) -> DataFrame:
+    """(key, n_sh, s, sk): exploded distinct shingles with a 64-bit join
+    key (xxhash64). Joins run on the 8-byte hash, not the shingle string —
+    narrower shuffles at scale; the hash never reaches the output so the
+    oracle is unaffected (collision odds ~n²/2^65)."""
     base = df.selectExpr(key, _shingle_expr(text) + " AS sh")
-    return base.select(key, F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    return base.select(
+        key, F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    ).withColumn("sk", F.xxhash64("s"))
 
 
 def ngram_jaccard_pairs(
@@ -107,8 +113,19 @@ def ngram_jaccard_pairs(
     ex = _exploded_shingles(df, key, text)
     a = ex.alias("a")
     b = ex.alias("b")
+    # lossless size prune: common <= min(|A|,|B|) and union >= max, so
+    # jaccard <= min/max — pairs failing min/max >= threshold can never
+    # qualify and are dropped inside the join, before the aggregate
+    size_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
+        F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        a.join(
+            b,
+            (F.col("a.sk") == F.col("b.sk"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}"))
+            & size_ok,
+        )
         .groupBy(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
         .agg(
             F.count("*").alias("common"),
@@ -172,7 +189,12 @@ def minhash_lsh_pairs(
     Jaccard runs on the tiny candidate set, not all pairs.
     """
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    sig = minhash_signatures(df, key, text)
+    ex = _exploded_shingles(df, key, text).persist()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    sig = ex.groupBy(key).agg(F.first("n_sh").alias("n_sh"), *aggs)
     band_cols = []
     for b in range(MINHASH_BANDS):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -191,16 +213,25 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
         .distinct()
     )
-    ex = _exploded_shingles(df, key, text)
+    # verification: the candidate set is tiny — broadcast it, filter the
+    # inverted index down to candidate docs, then one broadcast join per
+    # side instead of a full shuffle of the index
     ea = ex.alias("ea")
     eb = ex.alias("eb")
+    left = (
+        F.broadcast(cand)
+        .join(ea, F.col(f"ea.{key}") == F.col("doc_a"))
+        .select("doc_a", "doc_b", F.col("ea.n_sh").alias("na"), F.col("ea.sk").alias("a_sk"))
+    )
     verified = (
-        cand.join(ea, F.col(f"ea.{key}") == F.col("doc_a"))
-        .join(eb, (F.col(f"eb.{key}") == F.col("doc_b")) & (F.col("eb.s") == F.col("ea.s")))
+        eb.join(
+            F.broadcast(left),
+            (F.col(f"eb.{key}") == F.col("doc_b")) & (F.col("eb.sk") == F.col("a_sk")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("common"),
-            F.first("ea.n_sh").alias("na"),
+            F.first("na").alias("na"),
             F.first("eb.n_sh").alias("nb"),
         )
         .withColumn(
@@ -383,24 +414,52 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold (brute-force baseline).
 
-    Pre-normalizes each vector once (one narrow projection), then the
-    pair join is a pure dot product. At scale, replace the full pair join
-    with the LSH-bucketed candidates from ``similarity.lsh_buckets``.
+    Vectorized block plan: the corpus (keys + float64 matrix) is broadcast
+    once, then ``mapInPandas`` computes each partition's rows against the
+    whole corpus with one BLAS matmul per Arrow batch — no per-pair lambda
+    evaluation, no shuffle at all. Valid while one copy of the (id, vector)
+    matrix fits per executor; beyond that, switch to the LSH-bucketed
+    candidates in ``similarity`` (the ANN scale path) or block both sides.
     """
-    normed = df.selectExpr(
-        key,
-        f"transform({vec}, x -> cast(x AS double) / {_norm_expr(vec)}) AS u",
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = df.select(key, vec).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    a, b = normed.alias("a"), normed.alias("b")
-    return (
-        a.join(b, F.col(f"a.{key}") < F.col(f"b.{key}"))
-        .select(
-            F.col(f"a.{key}").alias("vec_a"),
-            F.col(f"b.{key}").alias("vec_b"),
-            F.round(F.expr(_dot_expr("a.u", "b.u")), 4).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+
+    def block(batches):
+        import pandas as pd
+
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf[key].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf[vec]), dtype=np.float64)
+            a /= np.sqrt((a * a).sum(axis=1, keepdims=True))
+            sims = np.round(a @ c_mat.T, 4)
+            ai, ci = np.nonzero(sims >= threshold)
+            keep = a_ids[ai] < c_ids[ci]
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai][keep],
+                    "vec_b": c_ids[ci][keep],
+                    "cosine": sims[ai, ci][keep],
+                }
+            )
+
+    return df.select(key, vec).mapInPandas(block, schema=out_schema)
 
 
 def embedding_near_dup_oracle_sql(
