@@ -556,6 +556,70 @@ pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: LENIENT}
     return result.tables["db.customer"]
 
 
+# ---------------------------------------------------------------------------
+# §7 phase 4: Structured Streaming pipeline (foreachBatch + DDL barrier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_pipeline_evolution",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def streaming_pipeline_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as schema_evolution_add_column, but executed through
+    the Structured Streaming runner: the event stream is serialized to the
+    JSON wire format in two files (two micro-batches), streamed with
+    availableNow, mid-batch DDL splits the batch at the barrier, and the
+    materialized state store is the result."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipelineRunner
+    from .streaming.wire import write_wire_file
+
+    events = _customer_evolution_events(spark, sf_dir)
+    # split at the AddColumnEvent: batch 1 = v1 inserts, batch 2 = DDL + v2
+    split_at = next(
+        i for i, ev in enumerate(events) if type(ev).__name__ == "AddColumnEvent"
+    )
+    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    try:
+        src = f"{work}/src"
+        import os
+
+        os.makedirs(src)
+        write_wire_file(f"{src}/b0.json", events[:split_at])
+        # re-prefix the second file with the create so serialization knows
+        # the schema; the runner's coordinator treats the replay as a no-op
+        from .core.events import CreateTableEvent
+
+        head = [ev for ev in events[:split_at] if isinstance(ev, CreateTableEvent)]
+        write_wire_file(f"{src}/b1.json", head + events[split_at:], seq_start=split_at)
+        runner = StreamingPipelineRunner(
+            spark,
+            parse_pipeline_yaml(
+                """
+source: {type: wire}
+sink: {type: state}
+pipeline: {schema.change.behavior: EVOLVE}
+"""
+            ),
+            state_root=f"{work}/state",
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        runner.run_available(src)
+        # materialize the final state eagerly, then release the temp dir
+        result = runner.state.read("db.customer")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queries)
 
 

@@ -66,6 +66,31 @@ def _transform_rule_of(t: TransformDef) -> TransformRule:
     )
 
 
+def schema_change_passes_projection(event, rule) -> bool:
+    """Whether a schema change survives the projection
+    (PostTransformOperator.java:244-273: wildcard passes everything;
+    an explicit projection only passes changes touching projected
+    passthrough columns)."""
+    if rule is None or not rule.projection:
+        return True
+    from ..expressions.projection import parse_projection
+
+    items = parse_projection(rule.projection)
+    if any(p.is_wildcard for p in items):
+        return True
+    projected = {p.output_name for p in items}
+    t = event.TYPE
+    if t == "ADD_COLUMN":
+        return False  # new upstream columns aren't projected
+    if t == "DROP_COLUMN":
+        return any(c in projected for c in event.dropped_column_names)
+    if t == "RENAME_COLUMN":
+        return any(old in projected for old, _ in event.name_mapping)
+    if t == "ALTER_COLUMN_TYPE":
+        return any(c in projected for c, _ in event.type_mapping)
+    return True
+
+
 class EventPipelineComposer:
     """Replays a scripted event stream (data changes + DDL) through the full
     pipeline: per-epoch transform -> schema coordination -> coercion to the
@@ -105,28 +130,7 @@ class EventPipelineComposer:
         return None
 
     def _passes_transform(self, event, rule) -> bool:
-        """Whether a schema change survives the projection
-        (PostTransformOperator.java:244-273: wildcard passes everything;
-        an explicit projection only passes changes touching projected
-        passthrough columns)."""
-        if rule is None or not rule.projection:
-            return True
-        from ..expressions.projection import parse_projection
-
-        items = parse_projection(rule.projection)
-        if any(p.is_wildcard for p in items):
-            return True
-        projected = {p.output_name for p in items}
-        t = event.TYPE
-        if t == "ADD_COLUMN":
-            return False  # new upstream columns aren't projected
-        if t == "DROP_COLUMN":
-            return any(c in projected for c in event.dropped_column_names)
-        if t == "RENAME_COLUMN":
-            return any(old in projected for old, _ in event.name_mapping)
-        if t == "ALTER_COLUMN_TYPE":
-            return any(c in projected for c, _ in event.type_mapping)
-        return True
+        return schema_change_passes_projection(event, rule)
 
     def run(self, events) -> PipelineResult:
         """events: ordered DataChangeEvent | SchemaChangeEvent stream."""

@@ -1,0 +1,300 @@
+"""Structured Streaming pipeline runner.
+
+The streaming shape of the engine (SURVEY.md §7 phase 4):
+
+    readStream(wire JSON) -> foreachBatch(process_batch) -> state store
+
+Each micro-batch is processed with the same core as the batch composer
+(transform -> route -> schema coordination -> coercion -> MERGE), with the
+reference's FlushEvent/coordinator dance collapsed into batch segmentation:
+DDL records split the batch at their sequence positions; every data segment
+is fully merged into the sink state *before* the DDL is applied, exactly
+the "flush then apply DDL on a consistent boundary" contract of
+runtime/operators/schema/regular/SchemaOperator.java:150-228.
+
+Per-key ordering under shuffle: the MERGE orders by the wire sequence
+number within the batch and existing state sorts below every new event, so
+last-image-per-key is deterministic (SURVEY.md §7 hard-list #5).
+
+The state store is a versioned parquet snapshot per sink table (a stand-in
+for a Delta/Iceberg MERGE INTO target; the MetadataApplier analog is the
+schema coercion applied when the snapshot is rewritten).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.router import RouteRule, TableIdRouter
+from ..core.table_id import TableId
+from ..operators.coerce import coerce_envelope_payload
+from ..operators.transform import TransformProcessor
+from ..pipeline.definition import PipelineDef
+from ..pipeline.schema_coordinator import SchemaCoordinator
+from ..sources.envelope import (
+    ENVELOPE_META,
+    ENVELOPE_OP,
+    ENVELOPE_SEQ,
+    ENVELOPE_TABLE_ID,
+    OP_DELETE,
+)
+from .wire import KIND_DATA, KIND_DDL, WIRE_SCHEMA, ddl_from_dict
+
+
+class ParquetStateStore:
+    """Versioned materialized table state: {root}/{table}/v{n} + _CURRENT.
+
+    merge() = read current snapshot (sorting below the incoming batch),
+    union, last-image-per-key, write next version, flip the pointer.
+    Stand-in for `MERGE INTO` on a lake table; the full-rewrite cost is the
+    price of parquet-without-a-table-format and is documented as such.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table.replace("/", "_"))
+
+    def _current_version(self, table: str) -> int:
+        ptr = os.path.join(self._dir(table), "_CURRENT")
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def read(self, table: str) -> Optional[DataFrame]:
+        v = self._current_version(table)
+        if v < 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self._dir(table), f"v{v}"))
+
+    def write(self, table: str, df: DataFrame) -> None:
+        v = self._current_version(table) + 1
+        d = self._dir(table)
+        df.write.mode("overwrite").parquet(os.path.join(d, f"v{v}"))
+        with open(os.path.join(d, "_CURRENT"), "w") as f:
+            f.write(str(v))
+
+    def merge(self, table: str, env: DataFrame, target_struct, primary_keys) -> None:
+        """Apply an envelope batch (already coerced to target_struct)."""
+        from pyspark.sql import Window
+
+        current = self.read(table)
+        if current is not None:
+            # existing state sorts below all new events (seq = -1), and is
+            # coerced in case this batch evolved the schema
+            state_env = current.select(
+                F.lit(table).alias(ENVELOPE_TABLE_ID),
+                F.lit("INSERT").alias(ENVELOPE_OP),
+                F.lit(None).cast(env.schema["before"].dataType).alias("before"),
+                F.struct(*[F.col(c) for c in current.columns]).alias("after"),
+                F.create_map().cast("map<string,string>").alias(ENVELOPE_META),
+                F.lit(-1).alias(ENVELOPE_SEQ),
+            )
+            state_env = coerce_envelope_payload(state_env, target_struct)
+            env = state_env.unionByName(env)
+        if primary_keys:
+            keys = [
+                F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(f"__k_{k}")
+                for k in primary_keys
+            ]
+            keyed = env.select("*", *keys)
+            w = Window.partitionBy(*[f"__k_{k}" for k in primary_keys]).orderBy(
+                F.col(ENVELOPE_SEQ).desc()
+            )
+            latest = (
+                keyed.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .where(F.col(ENVELOPE_OP) != OP_DELETE)
+            )
+            out = latest.select("after.*")
+        else:
+            out = env.where(F.col(ENVELOPE_OP) != OP_DELETE).select("after.*")
+        self.write(table, out)
+
+
+class StreamingPipelineRunner:
+    """Drives a wire-format changelog stream through the pipeline."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pipeline: PipelineDef,
+        state_root: str,
+        checkpoint_dir: str,
+        udf_names=frozenset(),
+    ):
+        self.spark = spark
+        self.pipeline = pipeline
+        self.state = ParquetStateStore(spark, state_root)
+        self.checkpoint_dir = checkpoint_dir
+        self.udf_names = frozenset(udf_names)
+        self.router = TableIdRouter(
+            [
+                RouteRule(r.source_table, r.sink_table, r.replace_symbol, r.description)
+                for r in pipeline.routes
+            ],
+            route_mode=pipeline.config.route_mode,
+        )
+        self.coordinator = SchemaCoordinator.from_sink_def(
+            self.router,
+            pipeline.config.schema_change_behavior,
+            pipeline.sink.include_schema_evolution_types,
+            pipeline.sink.exclude_schema_evolution_types,
+        )
+        from ..pipeline.composer import _transform_rule_of
+
+        self._transform_rules = [
+            (_transform_rule_of(t), _transform_rule_of(t).selectors())
+            for t in pipeline.transforms
+        ]
+        self.batches_seen = 0
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _rule_for(self, table_id: TableId):
+        for rule, selectors in self._transform_rules:
+            if selectors.is_match(table_id):
+                return rule
+        return None
+
+    def start(self, source_dir: str, available_now: bool = True):
+        """Start the stream over a directory of wire JSON files."""
+        wire = self.spark.readStream.schema(WIRE_SCHEMA).json(source_dir)
+        writer = (
+            wire.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_available(self, source_dir: str, timeout: int = 300) -> None:
+        q = self.start(source_dir, available_now=True)
+        q.awaitTermination(timeout)
+
+    # -- the core ----------------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: segment at DDL positions, merge each data
+        segment before applying the DDL that follows it."""
+        self.batches_seen += 1
+        ddl_rows = (
+            batch.where(F.col("kind") == KIND_DDL)
+            .select("table_id", "seq", "ddl")
+            .orderBy("seq")
+            .collect()
+        )
+        data = batch.where(F.col("kind") == KIND_DATA)
+        # segment boundaries: (-inf, ddl1.seq), [ddl1.seq, ddl2.seq), ...
+        bounds = [r.seq for r in ddl_rows]
+        segments = []
+        lo = None
+        for i, hi in enumerate(bounds):
+            segments.append((lo, hi, ddl_rows[i]))
+            lo = hi
+        segments.append((lo, None, None))
+
+        for lo, hi, ddl_row in segments:
+            seg = data
+            if lo is not None:
+                seg = seg.where(F.col("seq") > lo)
+            if hi is not None:
+                seg = seg.where(F.col("seq") < hi)
+            self._merge_segment(seg)
+            if ddl_row is not None:
+                event = ddl_from_dict(
+                    TableId.parse(ddl_row.table_id), json.loads(ddl_row.ddl)
+                )
+                self._apply_ddl(event)
+
+    def _apply_ddl(self, event) -> None:
+        from ..core.events import CreateTableEvent
+        from ..pipeline.composer import schema_change_passes_projection
+
+        rule = self._rule_for(event.table_id)
+        if isinstance(event, CreateTableEvent) and rule is not None:
+            proc = TransformProcessor(
+                rule,
+                event.schema.to_spark_struct(),
+                udf_names=self.udf_names,
+                local_time_zone=self.pipeline.config.local_time_zone,
+            )
+            event = CreateTableEvent(event.table_id, proc.output_schema(event.schema))
+        if isinstance(event, CreateTableEvent) or schema_change_passes_projection(
+            event, rule
+        ):
+            applied = self.coordinator.process_schema_change(event)
+            for target, evolved_event in applied:
+                self._migrate_state(str(target), evolved_event)
+        else:
+            from ..core.schema_evolution import apply_schema_change_event
+
+            cur = self.coordinator.original_schema(event.table_id)
+            self.coordinator.original_schemas.setdefault(event.table_id, []).append(
+                apply_schema_change_event(cur, event)
+            )
+
+    def _migrate_state(self, table: str, event) -> None:
+        """Sink-side DDL execution — the MetadataApplier analog
+        (common/sink/MetadataApplier.java:33-39). Renames/truncates rewrite
+        the snapshot; adds/type-widenings are absorbed by the coercion in
+        the next merge."""
+        from ..core.events import RenameColumnEvent, TruncateTableEvent
+
+        current = self.state.read(table)
+        if current is None:
+            return
+        if isinstance(event, RenameColumnEvent):
+            for old, new in event.name_mapping:
+                if old in current.columns:
+                    current = current.withColumnRenamed(old, new)
+            self.state.write(table, current)
+        elif isinstance(event, TruncateTableEvent):
+            self.state.write(table, current.limit(0))
+
+    def _merge_segment(self, seg: DataFrame) -> None:
+        tables = [r.table_id for r in seg.select("table_id").distinct().collect()]
+        for table in sorted(tables):
+            tid = TableId.parse(table)
+            schema = self.coordinator.original_schema(tid)
+            if schema is None:
+                raise ValueError(f"Data before CreateTableEvent for {table}")
+            payload = schema.to_spark_struct()
+            rows = seg.where(F.col("table_id") == table)
+            env = rows.select(
+                F.col("table_id").alias(ENVELOPE_TABLE_ID),
+                F.col("op").alias(ENVELOPE_OP),
+                F.from_json("before", payload).alias("before"),
+                F.from_json("after", payload).alias("after"),
+                F.col("meta").alias(ENVELOPE_META),
+                F.col("seq").alias(ENVELOPE_SEQ),
+            )
+            rule = self._rule_for(tid)
+            if rule is not None:
+                proc = TransformProcessor(
+                    rule,
+                    payload,
+                    udf_names=self.udf_names,
+                    local_time_zone=self.pipeline.config.local_time_zone,
+                )
+                env = proc.apply(env)
+            for target in self.router.route(tid):
+                final_schema = self.coordinator.evolved_schema(target)
+                if final_schema is None:
+                    raise ValueError(f"No sink schema for {target}")
+                # data decodes with the *current* original schema, so no
+                # rename redirection is needed here — state migrated at
+                # DDL-apply time carries renamed history forward
+                routed = env.withColumn(ENVELOPE_TABLE_ID, F.lit(str(target)))
+                target_struct = final_schema.to_spark_struct()
+                coerced = coerce_envelope_payload(routed, target_struct)
+                self.state.merge(
+                    str(target), coerced, target_struct, list(final_schema.primary_keys)
+                )

@@ -1,0 +1,200 @@
+"""Structured Streaming runner: wire serde, foreachBatch processing with
+mid-stream DDL barriers, incremental multi-batch state merging."""
+
+import os
+
+import pytest
+
+from flink_cdc_spark.core import types as ct
+from flink_cdc_spark.core.events import (
+    AddColumnEvent,
+    CreateTableEvent,
+    DataChangeEvent,
+    RenameColumnEvent,
+)
+from flink_cdc_spark.core.schema import Column, new_schema
+from flink_cdc_spark.core.table_id import TableId
+from flink_cdc_spark.pipeline import parse_pipeline_yaml
+from flink_cdc_spark.streaming import StreamingPipelineRunner, write_wire_file
+from flink_cdc_spark.streaming.wire import (
+    ddl_from_dict,
+    ddl_to_dict,
+    events_to_wire_lines,
+)
+
+TID = TableId.parse("db.users")
+
+SCHEMA_V1 = (
+    new_schema()
+    .physical_column("id", "BIGINT NOT NULL")
+    .physical_column("name", "STRING")
+    .physical_column("score", "DOUBLE")
+    .primary_key("id")
+    .build()
+)
+
+
+def _base_events():
+    return [
+        CreateTableEvent(TID, SCHEMA_V1),
+        DataChangeEvent.insert(TID, (1, "alice", 10.0)),
+        DataChangeEvent.insert(TID, (2, "bob", 20.0)),
+        DataChangeEvent.update(TID, (1, "alice", 10.0), (1, "alice", 15.0)),
+        DataChangeEvent.delete(TID, (2, "bob", 20.0)),
+        DataChangeEvent.insert(TID, (3, "carol", 30.0)),
+    ]
+
+
+def _runner(spark, tmp_path, yaml_text=None):
+    yaml_text = yaml_text or """
+source: {type: wire}
+sink: {type: state}
+pipeline: {schema.change.behavior: EVOLVE}
+"""
+    return StreamingPipelineRunner(
+        spark,
+        parse_pipeline_yaml(yaml_text),
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+
+def test_ddl_serde_roundtrip():
+    events = [
+        CreateTableEvent(TID, SCHEMA_V1),
+        AddColumnEvent.last(TID, Column("age", ct.int_())),
+        RenameColumnEvent(TID, (("name", "full_name"),)),
+    ]
+    for ev in events:
+        assert ddl_from_dict(TID, ddl_to_dict(ev)) == ev
+
+
+def test_wire_lines_track_schema_epochs():
+    events = [
+        CreateTableEvent(TID, SCHEMA_V1),
+        DataChangeEvent.insert(TID, (1, "a", 1.0)),
+        AddColumnEvent.last(TID, Column("age", ct.int_())),
+        DataChangeEvent.insert(TID, (2, "b", 2.0, 42)),
+    ]
+    lines = events_to_wire_lines(events)
+    assert len(lines) == 4
+    import json
+
+    last = json.loads(lines[-1])
+    assert json.loads(last["after"])["age"] == 42
+
+
+def test_stream_single_batch_materializes(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    write_wire_file(str(src / "f0.json"), _base_events())
+    runner = _runner(spark, tmp_path)
+    runner.run_available(str(src))
+    state = runner.state.read("db.users")
+    rows = {r.id: r for r in state.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].score == 15.0
+    assert runner.batches_seen >= 1
+
+
+def test_stream_incremental_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    write_wire_file(str(src / "f0.json"), _base_events())
+    runner = _runner(spark, tmp_path)
+    runner.run_available(str(src))
+
+    # second batch arrives later: update existing key, add a new one
+    tail = [
+        CreateTableEvent(TID, SCHEMA_V1),  # replayed create is idempotent
+        DataChangeEvent.update(TID, (1, "alice", 15.0), (1, "alice", 99.0)),
+        DataChangeEvent.insert(TID, (4, "dave", 40.0)),
+    ]
+    write_wire_file(str(src / "f1.json"), tail)
+    runner.run_available(str(src))
+    rows = {r.id: r for r in runner.state.read("db.users").collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[1].score == 99.0
+
+
+def test_stream_mid_batch_ddl_barrier(spark, tmp_path):
+    """A DDL between data events inside ONE file (one micro-batch) must
+    split the batch: pre-DDL rows merge under the old schema, post-DDL
+    rows see the new column."""
+    events = [
+        CreateTableEvent(TID, SCHEMA_V1),
+        DataChangeEvent.insert(TID, (1, "alice", 10.0)),
+        AddColumnEvent.last(TID, Column("age", ct.int_())),
+        DataChangeEvent.insert(TID, (2, "bob", 20.0, 33)),
+        DataChangeEvent.update(TID, (1, "alice", 10.0, None), (1, "alice", 10.0, 44)),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    write_wire_file(str(src / "f0.json"), events)
+    runner = _runner(spark, tmp_path)
+    runner.run_available(str(src))
+    state = runner.state.read("db.users")
+    assert "age" in state.columns
+    rows = {r.id: r for r in state.collect()}
+    assert rows[1].age == 44
+    assert rows[2].age == 33
+
+
+def test_stream_rename_migrates_state(spark, tmp_path):
+    events = [
+        CreateTableEvent(TID, SCHEMA_V1),
+        DataChangeEvent.insert(TID, (1, "alice", 10.0)),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    write_wire_file(str(src / "f0.json"), events)
+    runner = _runner(spark, tmp_path)
+    runner.run_available(str(src))
+
+    schema_v2 = (
+        new_schema()
+        .physical_column("id", "BIGINT NOT NULL")
+        .physical_column("full_name", "STRING")
+        .physical_column("score", "DOUBLE")
+        .primary_key("id")
+        .build()
+    )
+    tail = [
+        CreateTableEvent(TID, SCHEMA_V1),
+        RenameColumnEvent(TID, (("name", "full_name"),)),
+        DataChangeEvent.insert(TID, (2, "bob", 20.0)),
+    ]
+    write_wire_file(str(src / "f1.json"), tail)
+    runner.run_available(str(src))
+    state = runner.state.read("db.users")
+    assert "full_name" in state.columns and "name" not in state.columns
+    rows = {r.id: r for r in state.collect()}
+    assert rows[1].full_name == "alice"  # migrated, not nulled
+    assert rows[2].full_name == "bob"
+
+
+def test_stream_transform_applies(spark, tmp_path):
+    yaml_text = """
+source: {type: wire}
+sink: {type: state}
+transform:
+  - source-table: db.users
+    projection: id, UPPER(name) AS name, score * 2 AS score
+    filter: score > 5
+pipeline: {schema.change.behavior: EVOLVE}
+"""
+    src = tmp_path / "src"
+    src.mkdir()
+    write_wire_file(
+        str(src / "f0.json"),
+        [
+            CreateTableEvent(TID, SCHEMA_V1),
+            DataChangeEvent.insert(TID, (1, "alice", 10.0)),
+            DataChangeEvent.insert(TID, (2, "bob", 2.0)),
+        ],
+    )
+    runner = _runner(spark, tmp_path, yaml_text)
+    runner.run_available(str(src))
+    rows = {r.id: r for r in runner.state.read("db.users").collect()}
+    assert set(rows) == {1}
+    assert rows[1].name == "ALICE" and rows[1].score == 20.0
