@@ -557,6 +557,54 @@ pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: LENIENT}
 
 
 # ---------------------------------------------------------------------------
+# §2.2 Kafka changelog formats: envelope -> debezium-json -> envelope -> state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kafka_debezium_roundtrip",
+    """
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 10) = 3 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN (o_orderkey % 10) = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    WHERE (o_orderkey % 20) <> 7
+    """,
+)
+def kafka_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> debezium-json records (the Kafka sink payload) ->
+    decoded envelope (the Kafka source) -> materialized state. Exercises
+    the full Kafka connector path minus the broker itself."""
+    from .sinks.materialize import materialize_changelog
+    from .sources.envelope import payload_struct
+    from .sources.kafka_json import decode_debezium_json, encode_debezium_json
+
+    def image(side):
+        # project the image to 3 columns, preserving NULL-ness of the image
+        return (
+            f"CASE WHEN {side} IS NULL THEN NULL ELSE "
+            f"struct({side}.o_orderkey, {side}.o_totalprice, {side}.o_orderstatus) END"
+        )
+
+    env = (
+        ParquetTableSource(spark, sf_dir)
+        .changelog("orders", "db.orders", _ORDERS_MUT)
+        .selectExpr(
+            "__table_id",
+            "__op",
+            image("before") + " AS before",
+            image("after") + " AS after",
+            "__meta",
+            "__seq",
+        )
+    )
+    payload = payload_struct(env)
+    records = encode_debezium_json(env)
+    decoded = decode_debezium_json(records, payload)
+    return materialize_changelog(decoded, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
 # §7 phase 4: Structured Streaming pipeline (foreachBatch + DDL barrier)
 # ---------------------------------------------------------------------------
 
