@@ -1,0 +1,99 @@
+"""User-defined-function registry.
+
+Spark rendition of the reference's UDF surface
+(common/udf/UserDefinedFunction.java: eval() + getReturnType() +
+open()/close() lifecycle; YAML `pipeline.user-defined-function:` parsed by
+cli/parser/YamlPipelineDefinitionParser.java): a UDF is a Python callable
+addressed by "pkg.module:attr", registered into the SparkSession under its
+YAML name so transform expressions can call it.
+
+Return-type resolution order:
+  1. a `result_type` attribute on the callable (CDC type string or a
+     pyspark DataType) — the getReturnType() analog;
+  2. an explicit `result-type` option in the YAML block;
+  3. default STRING.
+
+Lifecycle: if the target is a class, it is instantiated once per
+registration; `open()` is called before first use and `close()` is
+best-effort at interpreter exit (executor-side state should live in the
+callable itself — Spark pickles it per task, matching the reference's
+per-subtask instances).
+"""
+
+from __future__ import annotations
+
+import atexit
+import importlib
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import SparkSession, types as T
+
+from ..core.types import parse_type, to_spark_type
+from ..pipeline.definition import UdfDef
+
+
+def _resolve_callable(classpath: str):
+    if ":" in classpath:
+        mod_name, attr = classpath.split(":", 1)
+    else:
+        mod_name, attr = classpath.rsplit(".", 1)
+    mod = importlib.import_module(mod_name)
+    target = getattr(mod, attr)
+    if isinstance(target, type):  # class with eval(), reference-style
+        instance = target()
+        if hasattr(instance, "open"):
+            instance.open()
+        if hasattr(instance, "close"):
+            atexit.register(instance.close)
+        fn = instance.eval if hasattr(instance, "eval") else instance
+        if not hasattr(fn, "result_type") and hasattr(instance, "result_type"):
+            return instance, fn
+        return instance, fn
+    return None, target
+
+
+def _spark_return_type(fn, udf_def: Optional[UdfDef], holder=None) -> T.DataType:
+    rt = getattr(fn, "result_type", None)
+    if rt is None and holder is not None:
+        rt = getattr(holder, "result_type", None)
+    if rt is None and udf_def is not None:
+        rt = udf_def.options.get("result-type")
+    if rt is None:
+        return T.StringType()
+    if isinstance(rt, T.DataType):
+        return rt
+    return to_spark_type(parse_type(str(rt)))
+
+
+class UdfRegistry:
+    """Registers pipeline UDFs into a SparkSession and tracks their names
+    (the expression compiler treats known UDF names as opaque calls)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.names: set = set()
+
+    def register(self, name: str, fn: Callable, return_type=None) -> None:
+        rt = return_type
+        if rt is None:
+            rt = _spark_return_type(fn, None)
+        elif isinstance(rt, str):
+            rt = to_spark_type(parse_type(rt))
+        self.spark.udf.register(name.lower(), fn, rt)
+        self.names.add(name.upper())
+
+    def register_def(self, udf_def: UdfDef) -> None:
+        holder, fn = _resolve_callable(udf_def.classpath)
+        rt = _spark_return_type(fn, udf_def, holder)
+        self.spark.udf.register(udf_def.name.lower(), fn, rt)
+        self.names.add(udf_def.name.upper())
+
+    def udf_names(self) -> frozenset:
+        return frozenset(self.names)
+
+
+def register_pipeline_udfs(spark: SparkSession, udf_defs: Iterable[UdfDef]) -> frozenset:
+    reg = UdfRegistry(spark)
+    for d in udf_defs:
+        reg.register_def(d)
+    return reg.udf_names()
