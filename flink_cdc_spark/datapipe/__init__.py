@@ -14,4 +14,4 @@ LLM-training-data workloads. Design rules:
   used only by the correctness oracle. Both produce identical rows.
 """
 
-from . import dedup, similarity, textstats  # noqa: F401
+from . import dedup, multimodal, similarity, textstats  # noqa: F401

@@ -63,6 +63,15 @@ def sim_ann_lsh(spark, sf_dir):
     return similarity.ann_topk(embs, queries)
 
 
+@register("mm_image_feature_pipeline")  # no SQL oracle: binary decode via
+# mapInPandas is not SQL-expressible; the driver records the rows-only check
+def mm_image_feature_pipeline(spark, sf_dir):
+    from . import multimodal as mm
+
+    media = mm.synthesize_media(spark, n=256, partitions=8)
+    return mm.extract_image_features(media)
+
+
 @register("text_language_id", textstats.language_id_oracle_sql())
 def text_language_id(spark, sf_dir):
     return textstats.language_id(_docs(spark, sf_dir))

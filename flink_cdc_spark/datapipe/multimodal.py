@@ -1,0 +1,223 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+Design (the part that must be right at 100 TB):
+  * media payloads are `binary` columns riding next to a typed metadata
+    struct (media_type, width/height or sample_rate/duration, codec) — the
+    schema is real and enforced;
+  * every processing stage is `mapInPandas` over Arrow batches, so bytes
+    move Python-side once per batch, not per row, and each stage is an
+    embarrassingly parallel map (no shuffle);
+  * oversized payloads should be pointered (store a URI, fetch in the
+    UDF) — represented here by the `uri` column; the frame passes either
+    inline bytes or a pointer.
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
+`decode_image` routes through a DETERMINISTIC FAKE decoder (seeded by the
+payload hash) behind `_decode_backend`; swapping in a real library is a
+one-function change and every schema/batching contract stays identical.
+A real deployment should also raise `spark.sql.execution.arrow
+.maxRecordsPerBatch` awareness: batches are bounded by bytes, not rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("uri", T.StringType(), True),
+        T.StructField("meta", MEDIA_META, False),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("phash", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def _decode_backend(payload: bytes, width: int, height: int) -> np.ndarray:
+    """FAKE deterministic decode: pixels seeded by the payload digest.
+
+    Replace with e.g. PIL.Image.open(io.BytesIO(payload)) in a real
+    deployment; the container has no image codecs (see module docstring).
+    """
+    if payload is None:
+        raise NotImplementedError("pointer fetch (uri) not implemented in the stub")
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height or 8, width or 8), dtype=np.uint8)
+
+
+def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic fixture frame matching MEDIA_SCHEMA."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * 4  # 128 bytes
+        rows.append(
+            (
+                i,
+                bytearray(payload),
+                None,
+                ("image", "fake", 8 + (i % 5) * 4, 8 + (i % 3) * 4, None, None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """decode -> per-image features, one Arrow batch at a time."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                m = r["meta"]
+                img = _decode_backend(r["payload"], m["width"], m["height"])
+                # 8x8 downsample -> mean-threshold perceptual hash
+                ys = np.linspace(0, img.shape[0] - 1, 8).astype(int)
+                xs = np.linspace(0, img.shape[1] - 1, 8).astype(int)
+                small = img[np.ix_(ys, xs)]
+                bits = (small >= small.mean()).flatten()
+                phash = "".join(
+                    f"{int(''.join('1' if b else '0' for b in bits[k:k+8]), 2):02x}"
+                    for k in range(0, 64, 8)
+                )
+                out.append(
+                    (
+                        r["media_id"],
+                        img.shape[1],
+                        img.shape[0],
+                        float(img.mean()),
+                        phash,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mean_luma", "phash"]
+            )
+
+    return media.mapInPandas(stage, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """decode -> nearest-neighbor resize -> re-encode (raw bytes)."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, uris, metas = [], [], [], []
+            for _, r in pdf.iterrows():
+                m = dict(r["meta"])
+                img = _decode_backend(r["payload"], m["width"], m["height"])
+                ys = np.linspace(0, img.shape[0] - 1, height).astype(int)
+                xs = np.linspace(0, img.shape[1] - 1, width).astype(int)
+                resized = img[np.ix_(ys, xs)]
+                ids.append(r["media_id"])
+                payloads.append(resized.tobytes())
+                uris.append(r["uri"])
+                m.update({"width": width, "height": height, "codec": "raw"})
+                metas.append(m)
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "uri": uris, "meta": metas}
+            )
+
+    return media.mapInPandas(stage, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFrame:
+    """Video-style frame sampling: one input row fans out to <= max_frames
+    rows (the batch shape changes — mapInPandas handles 1->N)."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                m = r["meta"]
+                base = _decode_backend(r["payload"], m["width"], m["height"])
+                for k in range(max_frames):
+                    # fake temporal dimension: shift the seed per frame
+                    frame = np.roll(base, k * every_n, axis=0)
+                    out.append((r["media_id"], k * every_n, frame.tobytes()))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(stage, schema=FRAME_SCHEMA)
+
+
+def near_dup_by_phash(features: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual-hash near-dup: banded self-join on phash nibbles (same
+    pigeonhole trick as SimHash dedup) then exact hamming filter."""
+    f = features.select("media_id", "phash")
+    bands = f.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("phash", 1 + b * 4, 4).alias("bv"),
+                )
+                for b in range(4)
+            ])
+        ).alias("e"),
+    ).select("media_id", "phash", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            # hamming over two 32-bit halves (a full 64-bit conv can
+            # overflow signed long for high hashes)
+            (
+                F.bit_count(
+                    F.conv(F.substring("a.phash", 1, 8), 16, 10)
+                    .cast("long")
+                    .bitwiseXOR(F.conv(F.substring("b.phash", 1, 8), 16, 10).cast("long"))
+                )
+                + F.bit_count(
+                    F.conv(F.substring("a.phash", 9, 8), 16, 10)
+                    .cast("long")
+                    .bitwiseXOR(F.conv(F.substring("b.phash", 9, 8), 16, 10).cast("long"))
+                )
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,86 @@
+"""Multimodal plumbing: schema enforcement, Arrow batch stages, 1->N frame
+fan-out, deterministic fake decode, phash near-dup banding."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_spark.datapipe import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synthesize_media(spark, n=48, partitions=4).cache()
+
+
+def test_media_schema_enforced(media):
+    assert media.schema == mm.MEDIA_SCHEMA
+    assert media.count() == 48
+
+
+def test_image_features_deterministic(media):
+    f1 = {r.media_id: (r.phash, r.mean_luma) for r in mm.extract_image_features(media).collect()}
+    f2 = {r.media_id: (r.phash, r.mean_luma) for r in mm.extract_image_features(media).collect()}
+    assert f1 == f2
+    assert len(f1) == 48
+    ph = next(iter(f1.values()))[0]
+    assert len(ph) == 16  # 64-bit hex
+
+
+def test_resize_changes_meta_and_payload(media):
+    out = mm.resize_images(media, 16, 16)
+    assert out.schema == mm.MEDIA_SCHEMA
+    rows = out.collect()
+    assert all(r.meta.width == 16 and r.meta.height == 16 for r in rows)
+    assert all(len(r.payload) == 256 for r in rows)  # 16x16 uint8
+
+
+def test_frame_sampling_fanout(media):
+    frames = mm.sample_frames(media, every_n=2, max_frames=3)
+    assert frames.count() == 48 * 3
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 3 for r in per)
+    idx = {r.frame_idx for r in frames.select("frame_idx").distinct().collect()}
+    assert idx == {0, 2, 4}
+
+
+def test_decode_stub_raises_on_pointer(spark):
+    rows = [(1, None, "s3://bucket/img.png", ("image", "png", 8, 8, None, None))]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception) as exc:
+        mm.extract_image_features(df).collect()
+    assert "NotImplementedError" in str(exc.value) or "pointer" in str(exc.value)
+
+
+def test_phash_near_dup_banding_matches_naive(spark, media):
+    feats = mm.extract_image_features(media).cache()
+    banded = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in mm.near_dup_by_phash(feats, max_hamming=20).collect()
+    }
+    a, b = feats.alias("a"), feats.alias("b")
+    half = lambda side, lo: (  # noqa: E731
+        F.conv(F.substring(f"{side}.phash", lo, 8), 16, 10).cast("long")
+    )
+    naive_df = (
+        a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            (
+                F.bit_count(half("a", 1).bitwiseXOR(half("b", 1)))
+                + F.bit_count(half("a", 9).bitwiseXOR(half("b", 9)))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 20)
+    )
+    naive = {(r.media_a, r.media_b, r.hamming) for r in naive_df.collect()}
+    # banding requires >= 1 shared 16-bit band; with hamming <= 20 over 4
+    # bands that is NOT guaranteed by pigeonhole (20 > 3), so banded must
+    # be a subset; at threshold <= 3 they must be equal
+    assert banded <= naive
+    banded3 = {
+        (r.media_a, r.media_b)
+        for r in mm.near_dup_by_phash(feats, max_hamming=3).collect()
+    }
+    naive3 = {(r.media_a, r.media_b) for r in naive_df.where("hamming <= 3").collect()}
+    assert banded3 == naive3
