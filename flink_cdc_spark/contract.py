@@ -458,6 +458,40 @@ pipeline: {execution.runtime-mode: BATCH}
     )
 
 
+@register(
+    "fn_variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_item,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+           json_extract_string(props, '$.k') AS k_str,
+           (CAST(json_extract_string(props, '$.k') AS INTEGER) % 5) AS k_mod
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant surface (SURVEY.md §2.5): PARSE_JSON + 1-based/variant item
+    access + JSON-path extraction, oracle via DuckDB json functions."""
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+transform:
+  - source-table: default.events
+    projection: >-
+      event_id,
+      CAST(PARSE_JSON(props)['k'] AS INTEGER) AS k_item,
+      CAST(VARIANT_GET(PARSE_JSON(props), '$.k', 'long') AS LONG) AS k_path,
+      GET_JSON_OBJECT(props, '$.k') AS k_str,
+      CAST(PARSE_JSON(props)['k'] AS INTEGER) % 5 AS k_mod
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    return run_pipeline(
+        spark, sf_dir, yaml_text,
+        [("events", "default.events", ("event_id",), None)],
+        "default.events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.1/§3 schema evolution through the pipeline (SchemaOperator analog)
 # ---------------------------------------------------------------------------

@@ -279,6 +279,15 @@ class ExpressionCompiler:
         # 1-based, NULL out-of-bounds (doc transform.md:268-279).
         # element_at is 1-based for arrays and key-lookup for maps; Spark's
         # strict mode errors on OOB, try_element_at returns NULL - use it.
+        # VARIANT operands (VariantAwareItemOperator.java:113) need
+        # variant_get with a JSON path: detectable statically when the
+        # operand is a PARSE_JSON / TRY_PARSE_JSON call.
+        if e[0] == "call" and e[1] in ("PARSE_JSON", "TRY_PARSE_JSON"):
+            if idx[0] == "lit_str":
+                return f"variant_get({self.render(e)}, '$.{idx[1]}')"
+            if idx[0] == "lit_num":
+                # 1-based variant array access -> 0-based JSON path
+                return f"variant_get({self.render(e)}, '$[{int(idx[1]) - 1}]')"
         return f"try_element_at({self.render(e)}, {self.render(idx)})"
 
     # -- function calls ----------------------------------------------------------
