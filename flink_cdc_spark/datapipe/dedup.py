@@ -110,27 +110,55 @@ def ngram_jaccard_pairs(
     (shuffle keyed by shingle — never |docs|²), count shared shingles per
     pair, Jaccard = common / (|A| + |B| - common).
     """
-    ex = _exploded_shingles(df, key, text)
-    a = ex.alias("a")
-    b = ex.alias("b")
-    # lossless size prune: common <= min(|A|,|B|) and union >= max, so
-    # jaccard <= min/max — pairs failing min/max >= threshold can never
-    # qualify and are dropped inside the join, before the aggregate
+    from pyspark.sql import Window
+
+    ex = _exploded_shingles(df, key, text).persist()
+    # ---- prefix filtering (All-Pairs / PPJoin, lossless for jaccard >= t):
+    # under one global shingle order (rarest first), any pair with
+    # J >= t shares a shingle within each side's prefix of length
+    # |d| - ceil(t*|d|) + 1. Joining prefixes only means the join keys are
+    # the globally RARE shingles — tiny buckets, no quadratic blowup on
+    # ubiquitous shingles.
+    freq = ex.groupBy("sk").agg(F.count("*").alias("df"))
+    ranked = ex.join(freq, "sk").withColumn(
+        "rnk", F.row_number().over(Window.partitionBy(key).orderBy("df", "sk"))
+    )
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # lossless size prune: jaccard <= min/max, so min/max < t can't qualify
     size_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
         F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
     )
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.sk") == F.col("b.sk"))
             & (F.col(f"a.{key}") < F.col(f"b.{key}"))
             & size_ok,
         )
-        .groupBy(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
+        .select(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
+        .distinct()
+    )
+    # ---- exact verification of the (small) candidate set
+    ea = ex.alias("ea")
+    eb = ex.alias("eb")
+    left = (
+        cand.join(ea, F.col(f"ea.{key}") == F.col("doc_a"))
+        .select("doc_a", "doc_b", F.col("ea.n_sh").alias("na"), F.col("ea.sk").alias("a_sk"))
+    )
+    pairs = (
+        eb.join(
+            left,
+            (F.col(f"eb.{key}") == F.col("doc_b")) & (F.col("eb.sk") == F.col("a_sk")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("common"),
-            F.first("a.n_sh").alias("na"),
-            F.first("b.n_sh").alias("nb"),
+            F.first("na").alias("na"),
+            F.first("eb.n_sh").alias("nb"),
         )
         .withColumn(
             "jaccard",
