@@ -156,7 +156,12 @@ class EventPipelineComposer:
                         item = CreateTableEvent(item.table_id, proc.output_schema(item.schema))
                     self.coordinator.process_schema_change(item)
                 elif self._passes_transform(item, rule):
-                    self.coordinator.process_schema_change(item)
+                    applied = self.coordinator.process_schema_change(item)
+                    # data-plane effects of table-level DDL: truncate/drop
+                    # discard rows accumulated for the target so far
+                    for target, ev in applied:
+                        if ev.TYPE in ("TRUNCATE_TABLE", "DROP_TABLE"):
+                            per_sink.pop(str(target), None)
                 else:
                     # still track upstream schema versions
                     from ..core.schema_evolution import apply_schema_change_event

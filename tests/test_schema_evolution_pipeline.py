@@ -180,3 +180,44 @@ route:
     assert dict(df.dtypes)["v"] == "double"
     rows = {r.id: r.v for r in df.collect()}
     assert rows == {1: 10.0, 2: 2.5}
+
+
+def test_truncate_table_discards_prior_rows(spark):
+    from flink_cdc_spark.core.events import TruncateTableEvent
+
+    events = base_events() + [
+        TruncateTableEvent(TID),
+        DataChangeEvent.insert(TID, (3, "c")),
+    ]
+    result = make_composer(spark, behavior="EVOLVE").run(events)
+    rows = {r.id for r in result.tables["db.t1"].collect()}
+    assert rows == {3}
+
+
+def test_drop_table_removes_output(spark):
+    from flink_cdc_spark.core.events import DropTableEvent
+
+    events = base_events() + [DropTableEvent(TID)]
+    result = make_composer(spark, behavior="EVOLVE").run(events)
+    assert "db.t1" not in result.tables
+
+
+def test_excluded_type_is_not_applied_to_sink(spark):
+    """Sink-side type filtering (SinkDef.getIncludedSchemaEvolutionTypes):
+    an excluded ADD_COLUMN evolves the upstream schema but not the sink."""
+    yaml_text = """
+source: {type: values}
+sink:
+  type: values
+  exclude.schema.changes: [add.column]
+pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: EVOLVE}
+"""
+    composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
+    events = base_events() + [
+        AddColumnEvent.last(TID, Column("extra", ct.string())),
+        DataChangeEvent.insert(TID, (3, "c", "x")),
+    ]
+    result = composer.run(events)
+    table = result.tables["db.t1"]
+    assert "extra" not in table.columns
+    assert {r.id for r in table.collect()} == {1, 2, 3}
