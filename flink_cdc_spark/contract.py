@@ -459,6 +459,61 @@ pipeline: {execution.runtime-mode: BATCH}
 
 
 @register(
+    "fn_null_propagation",
+    """
+    SELECT c_custkey,
+           (nullif(c_nationkey, 3) + 1) AS add_null,
+           ('x' || CAST(nullif(c_nationkey, 3) AS VARCHAR)) AS concat_null,
+           upper(CAST(NULL AS VARCHAR)) AS upper_null,
+           (nullif(c_nationkey, 3) BETWEEN 0 AND 10) AS between_3vl,
+           (nullif(c_nationkey, 3) > 1) AS cmp_3vl,
+           ((nullif(c_nationkey, 3) > 1) OR TRUE) AS or_true,
+           ((nullif(c_nationkey, 3) > 1) AND FALSE) AS and_false,
+           coalesce(nullif(c_nationkey, 3), -1) AS coalesced,
+           (nullif(c_nationkey, 3) IS NULL) AS isn,
+           (nullif(c_nationkey, 3) IS NOT DISTINCT FROM NULL) AS notdist_null,
+           CASE WHEN nullif(c_nationkey, 3) > 10 THEN 'big' END AS case_null,
+           if(nullif(c_nationkey, 3) IS NULL, 'was3', 'other') AS ifnull_tag,
+           abs(nullif(c_nationkey, 3) * NULL) AS arith_null
+    FROM customer
+    """,
+)
+def fn_null_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-valued-logic / null-propagation parity (SURVEY.md §7 phase-2 risk
+    list): comparisons, BETWEEN, AND/OR short-circuit, CASE without ELSE,
+    string/arith propagation — the oracle pins SQL-standard semantics.
+    DuckDB's concat() skips NULLs, so the oracle uses `||` (propagating),
+    matching the reference's CONCAT-returns-NULL behavior."""
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+transform:
+  - source-table: default.customer
+    projection: >-
+      c_custkey,
+      NULLIF(c_nationkey, 3) + 1 AS add_null,
+      'x' || CAST(NULLIF(c_nationkey, 3) AS STRING) AS concat_null,
+      UPPER(CAST(NULL AS STRING)) AS upper_null,
+      NULLIF(c_nationkey, 3) BETWEEN 0 AND 10 AS between_3vl,
+      NULLIF(c_nationkey, 3) > 1 AS cmp_3vl,
+      (NULLIF(c_nationkey, 3) > 1) OR TRUE AS or_true,
+      (NULLIF(c_nationkey, 3) > 1) AND FALSE AS and_false,
+      COALESCE(NULLIF(c_nationkey, 3), -1) AS coalesced,
+      NULLIF(c_nationkey, 3) IS NULL AS isn,
+      NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM NULL AS notdist_null,
+      CASE WHEN NULLIF(c_nationkey, 3) > 10 THEN 'big' END AS case_null,
+      IF(NULLIF(c_nationkey, 3) IS NULL, 'was3', 'other') AS ifnull_tag,
+      ABS(NULLIF(c_nationkey, 3) * NULL) AS arith_null
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    return run_pipeline(
+        spark, sf_dir, yaml_text,
+        [("customer", "default.customer", ("c_custkey",), None)],
+        "default.customer",
+    )
+
+
+@register(
     "fn_variant_json",
     """
     SELECT event_id,
