@@ -171,6 +171,7 @@ class TransformProcessor:
             elif p.output_name not in emitted:
                 out_cols.append((p.output_name, p.expression_ast))
                 emitted.add(p.output_name)
+        self._out_cols = out_cols
         self.output_columns = [name for name, _ in out_cols]
         if len(set(self.output_columns)) != len(self.output_columns):
             raise CompileError(f"Duplicate output column in projection: {self.output_columns}")
@@ -281,10 +282,34 @@ class TransformProcessor:
         return out
 
     # -- output schema -------------------------------------------------------------
+    def _deduce_output_types(self) -> dict:
+        """Computed-column types via Catalyst: plan the projection over an
+        empty envelope frame and read the analyzed schema (the analog of
+        TransformParser.deduceSubExpressionType via Calcite RelNode types,
+        runtime/parser/TransformParser.java:753 — Spark's analyzer is the
+        type checker here)."""
+        from pyspark.sql import SparkSession
+
+        from ..sources.envelope import envelope_schema
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return {}
+        nullable_payload = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in self.payload.fields]
+        )
+        try:
+            empty = spark.createDataFrame([], envelope_schema(nullable_payload))
+            exprs = [F.expr(sql).alias(name) for name, sql in self._proj_sql["after"]]
+            analyzed = empty.select(*exprs).schema
+            return {f.name: ct.from_spark_type(f.dataType) for f in analyzed.fields}
+        except Exception:
+            return {}
+
     def output_schema(self, input_schema: Optional[Schema] = None) -> Schema:
         """Schema of the transformed payload, with reassigned PKs forced
-        non-null. Types are resolved by Spark at plan time; here we carry
-        names + PK/partition key metadata."""
+        non-null. Passthrough columns keep the input column definition;
+        computed columns get their Catalyst-deduced type."""
         pks = tuple(self.rule.primary_keys) or (
             tuple(input_schema.primary_keys) if input_schema else ()
         )
@@ -293,10 +318,19 @@ class TransformProcessor:
         )
         from ..core.schema import Column
 
+        deduced = self._deduce_output_types()
         cols = []
-        for name in self.output_columns:
-            if input_schema is not None and input_schema.get_column(name) is not None:
-                cols.append(input_schema.get_column(name))
+        for name, ast in self._out_cols:
+            passthrough = ast is None or ast[0] == "col"
+            src = (ast[1] if ast is not None else name) if passthrough else None
+            if (
+                passthrough
+                and input_schema is not None
+                and input_schema.get_column(src) is not None
+            ):
+                cols.append(input_schema.get_column(src).with_name(name))
+            elif name in deduced:
+                cols.append(Column(name, deduced[name]))
             else:
                 cols.append(Column(name, ct.string()))
         sch = Schema(
