@@ -91,8 +91,15 @@ def _exploded_shingles(df: DataFrame, key: str, text: str) -> DataFrame:
     """(key, n_sh, s, sk): exploded distinct shingles with a 64-bit join
     key (xxhash64). Joins run on the 8-byte hash, not the shingle string —
     narrower shuffles at scale; the hash never reaches the output so the
-    oracle is unaffected (collision odds ~n²/2^65)."""
-    base = df.selectExpr(key, _shingle_expr(text) + " AS sh")
+    oracle is unaffected (collision odds ~n²/2^65). The tokenizer runs
+    once per row (two-step projection), not once per reference."""
+    n = SHINGLE_N
+    toked = df.selectExpr(key, f"split(lower(trim({text})), '\\\\s+') AS __toks")
+    base = toked.selectExpr(
+        key,
+        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))) AS sh",
+    )
     return base.select(
         key, F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     ).withColumn("sk", F.xxhash64("s"))
