@@ -139,3 +139,33 @@ pipeline: {execution.runtime-mode: BATCH}
     cols = set(merged.columns)
     assert {"r_regionkey", "r_name", "n_nationkey", "n_name", "n_regionkey"} <= cols
     assert merged.count() == 30  # 5 regions + 25 nations
+
+
+def test_distributed_schema_reduction(spark):
+    """Parallel-metadata-source reduction: partitions report different
+    payload shapes; the driver folds them to one least-common schema
+    (distributed SchemaOperator analog)."""
+    from flink_cdc_spark.pipeline.distributed import (
+        discover_json_payload_schemas,
+        merged_schema_for_table,
+        reduce_partition_schemas,
+    )
+    from flink_cdc_spark.core.schema import new_schema
+
+    # two partitions with heterogeneous JSON payloads for the same table
+    p0 = [('{"id": 1, "name": "a"}',)] * 5
+    p1 = [('{"id": 2, "score": 1.5}',)] * 5
+    df = spark.createDataFrame(p0, "after STRING").repartition(1).unionAll(
+        spark.createDataFrame(p1, "after STRING").repartition(1)
+    )
+    ddls = discover_json_payload_schemas(df)
+    assert len(ddls) >= 1
+    merged = merged_schema_for_table("db.t", ddls)
+    names = set(merged.column_names)
+    assert {"id", "name", "score"} <= names
+
+    s1 = new_schema().physical_column("id", "INT").physical_column("v", "INT").build()
+    s2 = new_schema().physical_column("id", "BIGINT").physical_column("w", "STRING").build()
+    red = reduce_partition_schemas([s1, s2])
+    assert red.column_names == ["id", "v", "w"]
+    assert str(red.get_column("id").type) == "BIGINT"
