@@ -72,6 +72,57 @@ def mm_image_feature_pipeline(spark, sf_dir):
     return mm.extract_image_features(media)
 
 
+_PIPE_QUALITY_MIN = 0.15
+
+
+def _doc_pipeline_oracle() -> str:
+    """Composite oracle assembled from the same per-op generators the
+    standalone queries use, so the two stay in lockstep."""
+    stats = textstats.token_stats_oracle_sql()
+    lang = textstats.language_id_oracle_sql()
+    fp = textstats.fingerprint_oracle_sql()
+    return f"""
+    WITH stats AS ({stats}),
+    lang AS ({lang}),
+    fp AS ({fp}),
+    joined AS (
+      SELECT s.doc_id, l.predicted_lang, s.ws_tokens, s.quality, f.fp_md5
+      FROM stats s
+      JOIN lang l ON l.doc_id = s.doc_id
+      JOIN fp f ON f.doc_id = s.doc_id
+      WHERE s.quality >= {_PIPE_QUALITY_MIN}
+    )
+    SELECT doc_id, predicted_lang, ws_tokens, quality
+    FROM joined
+    WHERE doc_id IN (SELECT min(doc_id) FROM joined GROUP BY fp_md5)
+    """
+
+
+@register("doc_training_pipeline", _doc_pipeline_oracle())
+def doc_training_pipeline(spark, sf_dir):
+    """The end-to-end training-data shape: quality gate -> language tag ->
+    content dedup, composed from the datapipe primitives as one DataFrame
+    chain (all map-side except the final dedup shuffle on fp_md5)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    stats = textstats.token_stats(docs).select("doc_id", "ws_tokens", "quality")
+    lang = textstats.language_id(docs).select("doc_id", "predicted_lang")
+    fp = textstats.fingerprint(docs).select("doc_id", "fp_md5")
+    joined = (
+        stats.where(F.col("quality") >= _PIPE_QUALITY_MIN)
+        .join(lang, "doc_id")
+        .join(fp, "doc_id")
+    )
+    w = Window.partitionBy("fp_md5")
+    return (
+        joined.withColumn("__keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "predicted_lang", "ws_tokens", "quality")
+    )
+
+
 @register("text_language_id", textstats.language_id_oracle_sql())
 def text_language_id(spark, sf_dir):
     return textstats.language_id(_docs(spark, sf_dir))
