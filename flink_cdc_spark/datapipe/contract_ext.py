@@ -16,12 +16,22 @@ from . import dedup, similarity, textstats
 N_SIM_QUERIES = 10
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The test parquets are single-row-group files -> one input partition,
+    which serializes every map stage onto one core. Spread small inputs
+    across the cluster once up front (at real scale the source has many
+    splits and this is a no-op decision)."""
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 @register("dedup_exact", dedup.exact_dedup_oracle_sql())
