@@ -198,3 +198,22 @@ pipeline: {schema.change.behavior: EVOLVE}
     rows = {r.id: r for r in runner.state.read("db.users").collect()}
     assert set(rows) == {1}
     assert rows[1].name == "ALICE" and rows[1].score == 20.0
+
+
+def test_stream_route_renames_sink_table(spark, tmp_path):
+    yaml_text = """
+source: {type: wire}
+sink: {type: state}
+route:
+  - source-table: db.users
+    sink-table: lake.users_v2
+pipeline: {schema.change.behavior: EVOLVE}
+"""
+    src = tmp_path / "src"
+    src.mkdir()
+    write_wire_file(str(src / "f0.json"), _base_events())
+    runner = _runner(spark, tmp_path, yaml_text)
+    runner.run_available(str(src))
+    assert runner.state.read("db.users") is None
+    rows = {r.id: r for r in runner.state.read("lake.users_v2").collect()}
+    assert set(rows) == {1, 3}
