@@ -261,3 +261,40 @@ def test_spark_struct_roundtrip():
     struct = s.to_spark_struct()
     assert [f.name for f in struct.fields] == ["id", "name", "score"]
     assert not struct.fields[0].nullable
+
+
+def test_type_system_edges():
+    """Type-system edge cases (SURVEY.md §7 hard-list #4): TIME(p),
+    CHAR/VARCHAR/BINARY lengths, TIMESTAMP precisions, decimal defaults."""
+    from flink_cdc_spark.core.types import from_spark_type, parse_type, to_spark_type
+    from pyspark.sql import types as T
+
+    t = parse_type("TIME(3)")
+    assert t.precision == 3
+    # TIME has no Spark native: carried as integer millis-of-day
+    assert isinstance(to_spark_type(t), T.IntegerType)
+
+    c = parse_type("CHAR(5)")
+    assert c.length == 5
+    assert isinstance(to_spark_type(c), T.StringType)
+
+    vb = parse_type("VARBINARY(16)")
+    assert vb.length == 16
+    assert isinstance(to_spark_type(vb), T.BinaryType)
+
+    ts = parse_type("TIMESTAMP(9)")
+    assert ts.precision == 9
+    assert isinstance(to_spark_type(ts), T.TimestampNTZType)
+
+    ltz = parse_type("TIMESTAMP_LTZ")
+    assert isinstance(to_spark_type(ltz), T.TimestampType)
+
+    dec = parse_type("DECIMAL")
+    assert (dec.precision, dec.scale) == (10, 0)
+
+    nn = parse_type("VARCHAR(10) NOT NULL")
+    assert nn.length == 10 and not nn.nullable
+
+    # round-trip through string rendering
+    for s in ["TIME(3)", "CHAR(5)", "DECIMAL(18,6)", "ARRAY<INT>", "MAP<STRING, INT>"]:
+        assert parse_type(str(parse_type(s))) == parse_type(s)
