@@ -20,6 +20,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main():
+    # pure-Python micro-bench first, before the JVM adds driver load
+    selectors = _bench_selectors()
+
     from flink_cdc_spark import contract
     from flink_cdc_spark.session import get_spark
 
@@ -45,9 +48,47 @@ def main():
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "selectors_ops_per_ms": selectors,
         "sf": sf,
     }
     print(json.dumps(out))
+
+
+def _bench_selectors():
+    """Table-selector throughput, same shape as the reference's JMH
+    SelectorsBenchmark (BASELINE.md rows 1-2): one op = matching 6
+    TableIds against a 6-pattern selector; 'cached' reuses a built
+    Selectors (memoised matches), 'uncached' rebuilds it every op."""
+    from flink_cdc_spark.core.selectors import Selectors
+    from flink_cdc_spark.core.table_id import TableId
+
+    # dialect note: unescaped '.' separates TableId parts; regex-dot is '\.'
+    patterns = (
+        r"db1.sc1.tbl1, db1.sc2.\.*, db2.\.*.orders, "
+        r"inventory.products, logs_\.*.events_\d+, exact.schema.table"
+    )
+    ids = [
+        TableId.parse("db1.sc1.tbl1"),
+        TableId.parse("db1.sc2.anything"),
+        TableId.parse("db2.any.orders"),
+        TableId.parse("inventory.products"),
+        TableId.parse("logs_7.events_42"),
+        TableId.parse("no.match.here"),
+    ]
+    sel = Selectors(patterns)
+    for tid in ids:  # warm the memo + regex engine
+        sel.is_match(tid)
+
+    def run(build_each_op: bool, ops: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(ops):
+            s = Selectors(patterns) if build_each_op else sel
+            for tid in ids:
+                s.is_match(tid)
+        dt = time.perf_counter() - t0
+        return round(ops / (dt * 1000), 1)  # ops per millisecond
+
+    return {"cached": run(False, 200_000), "uncached": run(True, 20_000)}
 
 
 if __name__ == "__main__":
