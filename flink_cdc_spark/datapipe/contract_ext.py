@@ -73,6 +73,13 @@ def sim_ann_lsh(spark, sf_dir):
     return similarity.ann_topk(embs, queries)
 
 
+@register("sim_ivf_topk", similarity.ivf_topk_oracle_sql(n_queries=N_SIM_QUERIES))
+def sim_ivf_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
+    return similarity.ivf_topk(embs, queries)
+
+
 @register("mm_image_feature_pipeline")  # no SQL oracle: binary decode via
 # mapInPandas is not SQL-expressible; the driver records the rows-only check
 def mm_image_feature_pipeline(spark, sf_dir):

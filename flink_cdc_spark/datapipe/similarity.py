@@ -186,6 +186,137 @@ def ann_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 2
+IVF_SEED = 11
+
+
+def _centroids():
+    """Seeded random unit centroids. A production index would k-means a
+    corpus sample; the index/probe mechanics are identical and this keeps
+    the oracle reproducible."""
+    import numpy as np
+
+    rng = np.random.default_rng(IVF_SEED)
+    m = rng.normal(size=(IVF_CELLS, EMBED_DIM))
+    m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+    return [[round(float(v), 4) for v in row] for row in m]
+
+
+def _ivf_scores_spark(unit_col: str) -> str:
+    dots = []
+    for c in _centroids():
+        arr = "array(" + ", ".join(f"cast({w} AS double)" for w in c) + ")"
+        dots.append(_dot(unit_col, arr))
+    return "array(" + ", ".join(dots) + ")"
+
+
+def _ivf_scores_duck(unit_col: str) -> str:
+    dots = []
+    for c in _centroids():
+        arr = "[" + ", ".join(f"CAST({w} AS DOUBLE)" for w in c) + "]"
+        dots.append(_dot_duck(unit_col, arr))
+    return "[" + ", ".join(dots) + "]"
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest-centroid cell; each
+    query probes its IVF_NPROBE closest cells and exact-reranks only those
+    cells' members. The cell assignment is one map-side pass; the probe
+    join shuffles nothing (tiny query side broadcast)."""
+    c = (
+        corpus.selectExpr(f"{key} AS nbr_id", f"{_unit_expr(vec)} AS cu")
+        .withColumn("scores", F.expr(_ivf_scores_spark("cu")))
+        .withColumn("cell", F.expr("array_position(scores, array_max(scores))"))
+        .drop("scores")
+    )
+    q = (
+        queries.selectExpr(f"{key} AS query_id", f"{_unit_expr(vec)} AS qu")
+        .withColumn("scores", F.expr(_ivf_scores_spark("qu")))
+        .withColumn("cell1", F.expr("array_position(scores, array_max(scores))"))
+        .withColumn(
+            "masked",
+            F.expr(
+                f"transform(sequence(1, {IVF_CELLS}), "
+                "i -> IF(i = cell1, cast(-1e9 AS double), element_at(scores, i)))"
+            ),
+        )
+        .withColumn("cell2", F.expr("array_position(masked, array_max(masked))"))
+        .drop("scores", "masked")
+    )
+    cand = c.join(
+        F.broadcast(q),
+        ((c["cell"] == q["cell1"]) | (c["cell"] == q["cell2"]))
+        & (F.col("nbr_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id", "nbr_id", F.round(F.expr(_dot("qu", "cu")), 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cosine")
+    )
+
+
+def ivf_topk_oracle_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    scores = _ivf_scores_duck("u")
+    return f"""
+    WITH normed AS (
+      SELECT {key}, {_unit_duck(vec)} AS u FROM {table}
+    ),
+    scored AS (SELECT {key}, u, {scores} AS scores FROM normed),
+    cells AS (
+      SELECT {key}, u,
+             list_position(scores, list_aggregate(scores, 'max')) AS cell,
+             scores
+      FROM scored
+    ),
+    q0 AS (SELECT {key} AS query_id, u AS qu, cell AS cell1, scores FROM cells WHERE {key} < {n_queries}),
+    q AS (
+      SELECT query_id, qu, cell1,
+             list_position(masked, list_aggregate(masked, 'max')) AS cell2
+      FROM (
+        SELECT query_id, qu, cell1,
+               list_transform(range(1, {IVF_CELLS} + 1),
+                 i -> CASE WHEN i = cell1 THEN CAST(-1e9 AS DOUBLE) ELSE scores[i] END) AS masked
+        FROM q0
+      )
+    ),
+    cand AS (
+      SELECT q.query_id, q.qu, c.{key} AS nbr_id, c.u AS cu
+      FROM cells c JOIN q
+        ON (c.cell = q.cell1 OR c.cell = q.cell2) AND c.{key} <> q.query_id
+    ),
+    scored2 AS (
+      SELECT query_id, nbr_id, round({_dot_duck('qu', 'cu')}, 4) AS cosine FROM cand
+    ),
+    ranked AS (
+      SELECT query_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+      FROM scored2
+    )
+    SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
 def ann_topk_oracle_sql(
     table: str = "embeddings",
     n_queries: int = 10,

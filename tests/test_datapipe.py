@@ -125,3 +125,19 @@ def test_fingerprint_unique_on_distinct_texts(docs):
     out = textstats.fingerprint(docs)
     assert out.select("fp_md5").distinct().count() == docs.select("text").distinct().count()
     assert out.where(F.col("fp64") < 0).count() == 0
+
+
+def test_ivf_candidates_are_probed_cells_only(embs):
+    """IVF returns valid neighbors with correct ordering; probing 2 of 16
+    cells, each query still gets k results on this corpus."""
+    q = embs.where("vec_id < 5")
+    out = similarity.ivf_topk(embs, q, k=3).collect()
+    by_q = {}
+    for r in out:
+        assert r.nbr_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        cos = [r.cosine for r in rows]
+        assert cos == sorted(cos, reverse=True)
