@@ -96,3 +96,82 @@ class ValuesSource:
             [T.StructField(f.name, f.dataType, True) for f in payload_t.fields]
         )
         return self.spark.createDataFrame(rows, envelope_schema(nullable_payload))
+
+
+# ---------------------------------------------------------------------------
+# Canned event suites — parity with the reference's test-source helper
+# (values/source/ValuesDataSourceHelper.java:80-305). Each returns an
+# ordered event list for pipeline tests/demos.
+# ---------------------------------------------------------------------------
+
+
+def _suite_schema():
+    from .envelope import ENVELOPE_TABLE_ID  # noqa: F401  (module coupling hint)
+    from ..core.schema import new_schema
+
+    return (
+        new_schema()
+        .physical_column("col1", "STRING NOT NULL")
+        .physical_column("col2", "STRING")
+        .primary_key("col1")
+        .build()
+    )
+
+
+def single_split_single_table(table_id="default.default.table1"):
+    """create + 3 inserts + update + delete on one table."""
+    tid = TableId.parse(table_id)
+    s = _suite_schema()
+    return [
+        CreateTableEvent(tid, s),
+        DataChangeEvent.insert(tid, ("1", "1")),
+        DataChangeEvent.insert(tid, ("2", "2")),
+        DataChangeEvent.insert(tid, ("3", "3")),
+        DataChangeEvent.update(tid, ("2", "2"), ("2", "x")),
+        DataChangeEvent.delete(tid, ("3", "3")),
+    ]
+
+
+def single_split_multi_tables(
+    table_ids=("default.default.table1", "default.default.table2")
+):
+    """interleaved events across N tables (one source split)."""
+    out = []
+    for t in table_ids:
+        tid = TableId.parse(t)
+        out.append(CreateTableEvent(tid, _suite_schema()))
+    for i in range(1, 4):
+        for t in table_ids:
+            tid = TableId.parse(t)
+            out.append(DataChangeEvent.insert(tid, (str(i), t.rsplit(".", 1)[-1])))
+    return out
+
+
+def multi_splits_single_table(table_id="default.default.table1", splits=3):
+    """same table fed from several 'splits' — rows interleave arbitrarily;
+    per-key ordering still holds because keys are disjoint per split."""
+    tid = TableId.parse(table_id)
+    out = [CreateTableEvent(tid, _suite_schema())]
+    for split in range(splits):
+        for i in range(2):
+            key = f"{split}-{i}"
+            out.append(DataChangeEvent.insert(tid, (key, key)))
+    return out
+
+
+def suite_with_schema_evolution(table_id="default.default.table1"):
+    """the canonical evolve sequence: inserts, ADD COLUMN, RENAME, more
+    inserts under the new shape."""
+    from ..core.events import AddColumnEvent, RenameColumnEvent
+    from ..core.schema import Column
+    from ..core import types as ct
+
+    tid = TableId.parse(table_id)
+    return [
+        CreateTableEvent(tid, _suite_schema()),
+        DataChangeEvent.insert(tid, ("1", "1")),
+        AddColumnEvent.last(tid, Column("col3", ct.string())),
+        DataChangeEvent.insert(tid, ("2", "2", "c3")),
+        RenameColumnEvent(tid, (("col2", "newCol2"),)),
+        DataChangeEvent.insert(tid, ("3", "3", "c3b")),
+    ]

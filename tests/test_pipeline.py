@@ -169,3 +169,41 @@ def test_distributed_schema_reduction(spark):
     red = reduce_partition_schemas([s1, s2])
     assert red.column_names == ["id", "v", "w"]
     assert str(red.get_column("id").type) == "BIGINT"
+
+
+def test_canned_suites_through_pipeline(spark):
+    """The reference's canned values-source suites replayed through the
+    composer (FlinkPipelineComposerITCase shape)."""
+    from flink_cdc_spark.pipeline.composer import EventPipelineComposer
+    from flink_cdc_spark.sources.values_source import (
+        multi_splits_single_table,
+        single_split_multi_tables,
+        single_split_single_table,
+        suite_with_schema_evolution,
+    )
+
+    def run(events, behavior="EVOLVE"):
+        yaml_text = f"""
+source: {{type: values}}
+sink: {{type: values}}
+pipeline: {{execution.runtime-mode: BATCH, schema.change.behavior: {behavior}}}
+"""
+        return EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text)).run(events)
+
+    r = run(single_split_single_table())
+    rows = {t.col1: t.col2 for t in r.tables["default.default.table1"].collect()}
+    assert rows == {"1": "1", "2": "x"}
+
+    r = run(single_split_multi_tables())
+    assert r.tables["default.default.table1"].count() == 3
+    assert r.tables["default.default.table2"].count() == 3
+
+    r = run(multi_splits_single_table())
+    assert r.tables["default.default.table1"].count() == 6
+
+    r = run(suite_with_schema_evolution())
+    t = r.tables["default.default.table1"]
+    assert set(t.columns) == {"col1", "newCol2", "col3"}
+    rows = {x.col1: (x.newCol2, x.col3) for x in t.collect()}
+    assert rows["3"] == ("3", "c3b")
+    assert rows["1"] == ("1", None)
