@@ -693,6 +693,46 @@ def kafka_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_changelog(decoded, ["o_orderkey"])
 
 
+@register(
+    "kafka_canal_roundtrip",
+    """
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 10) = 3 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN (o_orderkey % 10) = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    WHERE (o_orderkey % 20) <> 7
+    """,
+)
+def kafka_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same loop as the debezium query through the canal-json codec."""
+    from .sinks.materialize import materialize_changelog
+    from .sources.envelope import payload_struct
+    from .sources.kafka_json import decode_canal_json, encode_canal_json
+
+    def image(side):
+        return (
+            f"CASE WHEN {side} IS NULL THEN NULL ELSE "
+            f"struct({side}.o_orderkey, {side}.o_totalprice, {side}.o_orderstatus) END"
+        )
+
+    env = (
+        ParquetTableSource(spark, sf_dir)
+        .changelog("orders", "db.orders", _ORDERS_MUT)
+        .selectExpr(
+            "__table_id",
+            "__op",
+            image("before") + " AS before",
+            image("after") + " AS after",
+            "__meta",
+            "__seq",
+        )
+    )
+    payload = payload_struct(env)
+    records = encode_canal_json(env, pk_names=["o_orderkey"])
+    decoded = decode_canal_json(records, payload)
+    return materialize_changelog(decoded, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # §7 phase 4: Structured Streaming pipeline (foreachBatch + DDL barrier)
 # ---------------------------------------------------------------------------

@@ -39,6 +39,30 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+@register(
+    "dedup_exact_keep_payload",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (
+      SELECT min(doc_id) FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    )
+    """,
+)
+def dedup_exact_keep_payload(spark, sf_dir):
+    """Exact dedup keeping surviving payload rows: dedup on the narrow
+    (key, fingerprint) projection, then semi-join back — the payload never
+    enters the dedup shuffle (the 100 TB-friendly shape)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    keepers = dedup.exact_dedup(docs).select("doc_id")
+    return docs.join(F.broadcast(keepers), "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 @register("dedup_ngram_jaccard", dedup.ngram_jaccard_oracle_sql())
 def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
