@@ -48,8 +48,17 @@ def _stream(spark, sf_dir, table, table_id, pk, mutations=None) -> TableStream:
     return TableStream(TableId.parse(table_id), df, schema, insert_only=mutations is None)
 
 
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Make results independent of the driver session's defaults: naive
+    testdata timestamps must read as UTC (the DuckDB oracle's convention)
+    and Arrow batching stays on for the pandas-UDF paths."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def run_pipeline(spark, sf_dir, yaml_text, tables, sink_table) -> DataFrame:
     """tables: list[(table, table_id, pk_tuple, mutations_or_None)]"""
+    pin_session(spark)
     pipeline = parse_pipeline_yaml(yaml_text)
     composer = BatchPipelineComposer(spark, pipeline)
     streams = [

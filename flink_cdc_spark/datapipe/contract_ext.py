@@ -16,6 +16,12 @@ from . import dedup, similarity, textstats
 N_SIM_QUERIES = 10
 
 
+def _pin(spark: SparkSession) -> SparkSession:
+    from ..contract import pin_session
+
+    return pin_session(spark)
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """The test parquets are single-row-group files -> one input partition,
     which serializes every map stage onto one core. Spread small inputs
@@ -27,11 +33,11 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return _spread(_pin(spark), spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _spread(_pin(spark), spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 @register("dedup_exact", dedup.exact_dedup_oracle_sql())

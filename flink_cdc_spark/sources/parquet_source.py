@@ -85,6 +85,8 @@ class ParquetTableSource:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
+        # engine convention: naive timestamps are UTC (matches the oracle)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def snapshot(self, table: str) -> DataFrame:
         path = f"{self.sf_dir}/{table}.parquet"
