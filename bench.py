@@ -5,6 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced to full execution with a count-style action (no
 driver-side row materialization beyond what the operator needs).
+
+Methodology: one untimed warm-up run per query (JVM/codegen/parquet-footer
+warmup), then median of 3 timed runs — keeps round-over-round deltas
+reproducible within ~20% (a cold first execution can be 10x slower than
+steady-state and is not a property of the plan).
 """
 
 from __future__ import annotations
@@ -33,10 +38,13 @@ def main():
 
     timings = {}
     for name, fn in contract.queries().items():
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        fn(spark, SF_DIR).count()  # warm-up: untimed
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)  # median of 3
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -446,15 +446,104 @@ def embedding_near_dup_pairs(
     key: str = "vec_id",
     vec: str = "embedding",
     threshold: float = COSINE_DUP_THRESHOLD,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold (brute-force baseline).
+    """Pairs with cosine similarity >= threshold — exact, fully distributed.
 
-    Vectorized block plan: the corpus (keys + float64 matrix) is broadcast
-    once, then ``mapInPandas`` computes each partition's rows against the
-    whole corpus with one BLAS matmul per Arrow batch — no per-pair lambda
-    evaluation, no shuffle at all. Valid while one copy of the (id, vector)
-    matrix fits per executor; beyond that, switch to the LSH-bucketed
-    candidates in ``similarity`` (the ANN scale path) or block both sides.
+    Triangle-blocked all-pairs plan (the classic blocked similarity join):
+    every row is assigned a block ``bid = key mod B``; each row is then
+    replicated to the B block-pairs it participates in ((min(bid,j),
+    max(bid,j)) for every j), and ``applyInPandas`` computes one float64
+    BLAS matmul per block-pair group. Nothing is collected to the driver;
+    per-task memory is O((n/B) * dim), tunable via ``num_blocks`` — at
+    100 TB you raise B so a block fits executor memory and the plan still
+    executes (it is inherently O(n^2) work; the *approximate* scale path is
+    the LSH/IVF candidate generation in ``similarity``, and the broadcast
+    variant ``embedding_near_dup_pairs_broadcast`` remains the low-latency
+    opt-in for corpora that fit in one executor).
+
+    Shuffle volume is B copies of the (key, vector) projection — with
+    B = 8 and 4-byte floats that is bounded and embarrassingly parallel;
+    the B*(B+1)/2 groups spread across the cluster with no skew (blocks
+    are hash-sized).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    B = int(num_blocks)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    # replicate each row to every block-pair it participates in
+    replicated = (
+        df.select(
+            F.col(key).cast("long").alias("_k"),
+            F.col(vec).alias("_v"),
+            F.pmod(F.col(key).cast("long"), F.lit(B)).alias("_bid"),
+        )
+        .withColumn("_j", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .select(
+            F.least("_bid", "_j").alias("_pi"),
+            F.greatest("_bid", "_j").alias("_pj"),
+            "_k",
+            "_v",
+            "_bid",
+        )
+    )
+
+    def pair_block(pdf):
+        import pandas as pd
+
+        pi, pj = int(pdf["_pi"].iloc[0]), int(pdf["_pj"].iloc[0])
+        ids = pdf["_k"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["_v"]), dtype=np.float64)
+        mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        if pi == pj:
+            sims = np.round(mat @ mat.T, 4)
+            ai, bi = np.nonzero(sims >= threshold)
+            keep = ids[ai] < ids[bi]
+        else:
+            left = pdf["_bid"].to_numpy(dtype=np.int64) == pi
+            a_ids, a_mat = ids[left], mat[left]
+            b_ids, b_mat = ids[~left], mat[~left]
+            if not len(a_ids) or not len(b_ids):
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                    {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+                )
+            sims = np.round(a_mat @ b_mat.T, 4)
+            ai, bi = np.nonzero(sims >= threshold)
+            # orient so the smaller key is vec_a
+            a_sel, b_sel = a_ids[ai].copy(), b_ids[bi].copy()
+            flip = a_sel > b_sel
+            a_sel[flip], b_sel[flip] = b_sel[flip], a_sel[flip]
+            return pd.DataFrame(
+                {"vec_a": a_sel, "vec_b": b_sel, "cosine": sims[ai, bi]}
+            )
+        return pd.DataFrame(
+            {"vec_a": ids[ai][keep], "vec_b": ids[bi][keep], "cosine": sims[ai, bi][keep]}
+        )
+
+    return replicated.groupBy("_pi", "_pj").applyInPandas(pair_block, schema=out_schema)
+
+
+def embedding_near_dup_pairs_broadcast(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Broadcast variant: low-latency opt-in for corpora that fit in memory.
+
+    The corpus (keys + float64 matrix) is broadcast once, then
+    ``mapInPandas`` computes each partition's rows against the whole corpus
+    with one BLAS matmul per Arrow batch — no shuffle at all. Valid only
+    while one copy of the (id, vector) matrix fits per executor; the
+    registered contract plan is the distributed ``embedding_near_dup_pairs``.
     """
     import numpy as np
     from pyspark.sql import types as T
