@@ -1,0 +1,234 @@
+"""Command-line frontend: ``python -m flink_cdc_spark run pipeline.yaml``.
+
+The Spark rendition of the reference CLI
+(flink-cdc-cli/src/main/java/org/apache/flink/cdc/cli/CliFrontend.java and
+CliExecutor.java: parse YAML -> compose -> execute), with ``flink-cdc.sh``'s
+role played by ``python -m flink_cdc_spark``. The YAML surface is the
+reference's (`source, sink, route, transform, pipeline` — parsed by
+pipeline/yaml_parser.py); connector `type` strings resolve against the
+connectors this engine ships:
+
+sources
+  ``parquet``       `path` + `tables` (comma list) read as insert-only
+                    changelogs; optional `primary-key.<table>` keys.
+  ``values``        canned event suites (values_source.py), `suite:` one of
+                    single-split-single-table / single-split-multi-tables /
+                    multi-splits-single-table / with-schema-evolution.
+  ``wire``          directory of wire-format JSON changelog files
+                    (streaming/wire.py) — the streaming entry.
+  ``jdbc``          live JDBC endpoint (sources/jdbc_live.py): snapshot
+                    chunks + changelog tail through the LW/HW protocol.
+
+sinks
+  ``parquet``       materialized current state written per sink table under
+                    `path`.
+  ``console``       .show() to stdout.
+  ``values``        in-memory result only (tests/dry runs).
+
+Batch mode runs the composers; STREAMING + a `wire` source runs the
+StructuredStreaming runner with the sink path as its state root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from .pipeline.definition import PipelineDef
+from .pipeline.yaml_parser import parse_pipeline_yaml
+
+
+@dataclass
+class RunSummary:
+    mode: str
+    tables: dict = field(default_factory=dict)  # sink table -> row count
+    sink_paths: dict = field(default_factory=dict)  # sink table -> output path
+    result: object = None  # PipelineResult for programmatic callers
+
+
+def _split_tables(raw) -> list:
+    if isinstance(raw, (list, tuple)):
+        return [str(t).strip() for t in raw]
+    return [t.strip() for t in str(raw).split(",") if t.strip()]
+
+
+def _parquet_streams(spark: SparkSession, pipeline: PipelineDef):
+    from .core.schema import Schema
+    from .pipeline.composer import TableStream
+    from .core.table_id import TableId
+    from .sources.parquet_source import ParquetTableSource
+
+    cfg = pipeline.source.config
+    path = cfg.get("path")
+    if not path:
+        raise SystemExit("source.type=parquet requires 'path'")
+    tables = _split_tables(cfg.get("tables", ""))
+    if not tables:
+        raise SystemExit("source.type=parquet requires 'tables'")
+    database = cfg.get("database", "default")
+    src = ParquetTableSource(spark, path)
+    for table in tables:
+        df = src.changelog(table, table_id=f"{database}.{table}")
+        pks = _split_tables(cfg.get(f"primary-key.{table}", ""))
+        payload = df.schema["after"].dataType
+        yield TableStream(
+            table_id=TableId.parse(f"{database}.{table}"),
+            df=df,
+            schema=Schema.from_spark_struct(payload, primary_keys=pks),
+            insert_only=True,
+        )
+
+
+_VALUES_SUITES = {
+    "single-split-single-table": "single_split_single_table",
+    "single-split-multi-tables": "single_split_multi_tables",
+    "multi-splits-single-table": "multi_splits_single_table",
+    "with-schema-evolution": "suite_with_schema_evolution",
+}
+
+
+def _values_events(pipeline: PipelineDef):
+    from .sources import values_source
+
+    suite = str(pipeline.source.config.get("suite", "single-split-single-table"))
+    key = suite.lower().replace("_", "-").replace(".", "-")
+    if key not in _VALUES_SUITES:
+        raise SystemExit(
+            f"unknown values suite {suite!r}; one of {sorted(_VALUES_SUITES)}"
+        )
+    return getattr(values_source, _VALUES_SUITES[key])()
+
+
+def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> None:
+    sink_type = pipeline.sink.type.lower()
+    for table, df in result.tables.items():
+        if sink_type == "parquet":
+            root = pipeline.sink.config.get("path")
+            if not root:
+                raise SystemExit("sink.type=parquet requires 'path'")
+            out = os.path.join(root, table.replace("/", "_"))
+            df.write.mode("overwrite").parquet(out)
+            # row count from what was actually written, not the plan
+            summary.tables[table] = spark.read.parquet(out).count()
+            summary.sink_paths[table] = out
+        elif sink_type == "console":
+            print(f"== {table} ==")
+            df.show(int(pipeline.sink.config.get("num-rows", 20)), truncate=False)
+            summary.tables[table] = df.count()
+        elif sink_type == "values":
+            summary.tables[table] = df.count()
+        else:
+            raise SystemExit(f"unknown sink type {pipeline.sink.type!r}")
+
+
+def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
+    """Compose and execute a parsed pipeline definition."""
+    from .functions.registry import register_pipeline_udfs
+
+    udf_names = register_pipeline_udfs(spark, pipeline.udfs)
+    mode = pipeline.config.runtime_mode
+    source_type = pipeline.source.type.lower()
+
+    if mode == "STREAMING" and source_type == "wire":
+        from .streaming.runner import StreamingPipelineRunner
+
+        cfg = pipeline.source.config
+        src_dir = cfg.get("path")
+        if not src_dir:
+            raise SystemExit("source.type=wire requires 'path'")
+        state_root = pipeline.sink.config.get("path")
+        if not state_root:
+            raise SystemExit("streaming mode requires sink 'path' (state root)")
+        checkpoint = pipeline.sink.config.get(
+            "checkpoint", os.path.join(state_root, "_checkpoint")
+        )
+        runner = StreamingPipelineRunner(
+            spark, pipeline, state_root, checkpoint, udf_names=udf_names
+        )
+        runner.run_available(src_dir, timeout=int(cfg.get("timeout", 300)))
+        summary = RunSummary(mode="STREAMING")
+        for target in runner.coordinator.evolved_schemas:
+            df = runner.state.read(str(target))
+            if df is not None:
+                summary.tables[str(target)] = df.count()
+                summary.sink_paths[str(target)] = runner.state._dir(str(target))
+        return summary
+
+    # batch path
+    if source_type == "values":
+        from .pipeline.composer import EventPipelineComposer
+
+        composer = EventPipelineComposer(spark, pipeline, udf_names=udf_names)
+        result = composer.run(_values_events(pipeline))
+    elif source_type == "parquet":
+        from .pipeline.composer import BatchPipelineComposer
+
+        composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+        result = composer.compose(_parquet_streams(spark, pipeline))
+    elif source_type == "jdbc":
+        from .sources.jdbc_live import jdbc_streams
+
+        from .pipeline.composer import BatchPipelineComposer
+
+        composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+        result = composer.compose(jdbc_streams(spark, pipeline.source.config))
+    else:
+        raise SystemExit(f"unknown source type {pipeline.source.type!r}")
+
+    summary = RunSummary(mode="BATCH", result=result)
+    _write_sink(spark, pipeline, result, summary)
+    return summary
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m flink_cdc_spark",
+        description="PySpark CDC pipeline runner (flink-cdc YAML surface)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    run_p = sub.add_parser("run", help="run a pipeline YAML")
+    run_p.add_argument("yaml_file")
+    run_p.add_argument("--mode", choices=["batch", "streaming"], default=None,
+                       help="override pipeline.execution.runtime-mode")
+    run_p.add_argument("--json", action="store_true", help="print summary as JSON")
+    val_p = sub.add_parser("validate", help="parse a pipeline YAML and print the plan")
+    val_p.add_argument("yaml_file")
+    args = parser.parse_args(argv)
+
+    with open(args.yaml_file) as f:
+        pipeline = parse_pipeline_yaml(f.read())
+
+    if args.command == "validate":
+        print(f"pipeline: {pipeline.config.name}")
+        print(f"  mode: {pipeline.config.runtime_mode}")
+        print(f"  source: {pipeline.source.type} {pipeline.source.config}")
+        print(f"  sink: {pipeline.sink.type}")
+        print(f"  routes: {len(pipeline.routes)}  transforms: {len(pipeline.transforms)}"
+              f"  udfs: {len(pipeline.udfs)}")
+        return 0
+
+    if args.mode:
+        pipeline.config.runtime_mode = args.mode.upper()
+
+    from .session import get_spark
+
+    spark = get_spark(pipeline.config.name or "flink-cdc-spark")
+    summary = run_pipeline(spark, pipeline)
+    if args.json:
+        print(json.dumps({"mode": summary.mode, "tables": summary.tables,
+                          "paths": summary.sink_paths}))
+    else:
+        print(f"[{summary.mode}] pipeline {pipeline.config.name!r} finished:")
+        for table, n in sorted(summary.tables.items()):
+            loc = summary.sink_paths.get(table, "(in-memory)")
+            print(f"  {table}: {n} rows -> {loc}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,6 +16,17 @@ class TableId:
     schema_name: str | None
     table_name: str
 
+    def __post_init__(self):
+        # TableIds are dict keys on every selector/router hot path; the
+        # dataclass-generated hash re-tuples three strings per call, so
+        # precompute it once (frozen => immutable => safe).
+        object.__setattr__(
+            self, "_hash", hash((self.namespace, self.schema_name, self.table_name))
+        )
+
+    def __hash__(self) -> int:
+        return self._hash
+
     @staticmethod
     def table_id(namespace: str | None, schema_name: str | None, table_name: str) -> "TableId":
         return TableId(namespace, schema_name, table_name)

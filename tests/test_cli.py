@@ -1,0 +1,111 @@
+"""CLI end-to-end: python -m flink_cdc_spark run pipeline.yaml.
+
+Coverage intent mirrors the reference CLI tests
+(flink-cdc-cli/src/test/java/org/apache/flink/cdc/cli/CliFrontendTest.java):
+YAML in, executed pipeline out, sink state asserted.
+"""
+
+import json
+import os
+
+import pytest
+
+from flink_cdc_spark.cli import main, run_pipeline
+from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cli_validate(tmp_path, capsys):
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        """
+source:
+  type: values
+  suite: single-split-single-table
+sink:
+  type: values
+pipeline:
+  name: v-test
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["validate", str(y)]) == 0
+    out = capsys.readouterr().out
+    assert "v-test" in out and "values" in out
+
+
+def test_cli_run_values_suite(tmp_path, capsys, spark):
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        """
+source:
+  type: values
+  suite: single-split-single-table
+sink:
+  type: values
+pipeline:
+  name: values-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["run", str(y), "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # suite: 3 inserts, 1 update, 1 delete -> 2 live rows
+    assert out["tables"] == {"default.default.table1": 2}
+
+
+def test_cli_run_parquet_transform_route(tmp_path, spark):
+    """parquet source -> projection+filter transform -> route -> parquet sink."""
+    out_dir = tmp_path / "out"
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: parquet
+  path: {out_dir}
+transform:
+  - source-table: default.nation
+    projection: n_nationkey, n_name, UPPER(n_name) AS upper_name
+    filter: n_regionkey > 1
+route:
+  - source-table: default.nation
+    sink-table: sinkdb.nations
+pipeline:
+  name: parquet-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    with open(y) as f:
+        pipeline = parse_pipeline_yaml(f.read())
+    summary = run_pipeline(spark, pipeline)
+    assert set(summary.tables) == {"sinkdb.nations"}
+    written = spark.read.parquet(str(out_dir / "sinkdb.nations"))
+    assert written.columns == ["n_nationkey", "n_name", "upper_name"]
+    rows = {r.n_nationkey: r for r in written.collect()}
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    expected = {r.n_nationkey for r in src if r.n_regionkey > 1}
+    assert set(rows) == expected
+    for r in rows.values():
+        assert r.upper_name == r.n_name.upper()
+
+
+def test_cli_unknown_source_type(tmp_path, spark):
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        """
+source:
+  type: nope
+sink:
+  type: values
+"""
+    )
+    with open(y) as f:
+        pipeline = parse_pipeline_yaml(f.read())
+    with pytest.raises(SystemExit):
+        run_pipeline(spark, pipeline)
