@@ -806,6 +806,104 @@ pipeline: {schema.change.behavior: EVOLVE}
         shutil.rmtree(work, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# live JDBC database source, end-to-end (sources/jdbc_live.py)
+# ---------------------------------------------------------------------------
+
+# deterministic mutation recipe applied to the live DB after loading the
+# parquet snapshot — SQL-expressible, so the DuckDB oracle reproduces the
+# exact final state without ever seeing the database
+_JDBC_MUTATIONS = [
+    "UPDATE CUSTOMER SET C_ACCTBAL = C_ACCTBAL + 100 WHERE MOD(C_CUSTKEY, 10) = 3",
+    "UPDATE CUSTOMER SET C_MKTSEGMENT = 'MOVED' WHERE MOD(C_CUSTKEY, 7) = 2",
+    "DELETE FROM CUSTOMER WHERE MOD(C_CUSTKEY, 20) = 7",
+]
+
+_JDBC_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_custkey % 7 = 2 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+WHERE c_custkey % 20 <> 7
+"""
+
+_CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _jdbc_customer_db(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a live Derby database seeded from the
+    customer parquet, with trigger-based changelog capture installed, and
+    the deterministic mutations applied through real SQL so the capture
+    triggers produce a real changelog. Fixture loading is driver-side by
+    necessity (it is the test database's ingest, not the engine's read
+    path); every engine-side byte then flows through executor JDBC."""
+    import hashlib
+    import os
+    import shutil
+
+    from .sources.jdbc_live import JdbcEndpoint, derby_url, install_capture
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/flink_cdc_spark_jdbc/{key}"
+    db, marker = f"{root}/db", f"{root}/_READY"
+    if os.path.exists(marker):
+        return db
+    shutil.rmtree(root, ignore_errors=True)  # half-built leftovers
+    os.makedirs(root, exist_ok=True)
+    ep = JdbcEndpoint(spark, derby_url(db))
+    ep.execute(
+        "CREATE TABLE CUSTOMER ("
+        "C_CUSTKEY BIGINT NOT NULL PRIMARY KEY, C_NAME VARCHAR(200), "
+        "C_NATIONKEY INTEGER, C_ACCTBAL DOUBLE, C_MKTSEGMENT VARCHAR(64))"
+    )
+    install_capture(ep, "customer", _CUSTOMER_COLS)
+    snap = ParquetTableSource(spark, sf_dir).snapshot("customer")
+    rows = [tuple(r) for r in snap.select(*_CUSTOMER_COLS).collect()]
+    ep.insert_rows("CUSTOMER", [c.upper() for c in _CUSTOMER_COLS], rows)
+    for sql in _JDBC_MUTATIONS:
+        ep.execute_update(sql)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return db
+
+
+@register("jdbc_snapshot_stream_handoff", _JDBC_ORACLE)
+def jdbc_snapshot_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's reason to exist, end-to-end on a live database:
+    schema discovery -> chunked-parallel spark.read.jdbc snapshot with
+    per-chunk LW/HW watermarks -> changelog tail from trigger capture ->
+    snapshot_with_tail merge -> materialized state. A concurrent (value-
+    idempotent) write lands mid-snapshot via the hook, so the handoff
+    filter genuinely decides per-chunk which tail events to keep."""
+    pin_session(spark)
+    db = _jdbc_customer_db(spark, sf_dir)
+    from .sinks.materialize import materialize_changelog
+    from .sources.jdbc_live import JdbcLiveSource, JdbcLiveSourceConfig, derby_url
+    from .sources.jdbc_snapshot import StartupMode
+
+    cfg = JdbcLiveSourceConfig(
+        url=derby_url(db, create=False),
+        table="customer",
+        key_column="c_custkey",
+        table_id="app.customer",
+        startup_mode=StartupMode.INITIAL,
+    )
+    src = JdbcLiveSource(spark, cfg)
+    _, _, cnt = src._probe()
+    src.cfg.chunk_size = max(cnt // 6, 64)  # always a multi-chunk snapshot
+
+    def concurrent_touch():
+        # value-idempotent concurrent write: real log events mid-snapshot,
+        # same final state on every invocation (keeps the oracle exact)
+        src.ep.execute_update(
+            "UPDATE CUSTOMER SET C_NAME = C_NAME WHERE MOD(C_CUSTKEY, 13) = 1"
+        )
+
+    env = src.read(mid_scan_hook=concurrent_touch)
+    final = materialize_changelog(env, ["c_custkey"])
+    return final.select(*_CUSTOMER_COLS)
+
+
 from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queries)
 
 
