@@ -806,6 +806,65 @@ pipeline: {schema.change.behavior: EVOLVE}
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "lake_merge_evolution",
+    """
+    SELECT c_custkey, c_name AS full_name, c_nationkey, c_acctbal,
+           CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def lake_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake sink executed for real: the streaming runner writes into
+    the LSM merge-on-read store (sinks/lsm_store.py — the Paimon table
+    format's storage contract), so every micro-batch is an O(batch) delta
+    commit and the mid-stream ADD COLUMN + RENAME COLUMN are applied as
+    metadata-only operations (PaimonMetadataApplier.java semantics) — no
+    state rewrite anywhere. EVOLVE behavior renames in place; early rows'
+    c_name values surface under full_name purely through read-time
+    mapping."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipelineRunner
+    from .streaming.wire import write_wire_file
+
+    pin_session(spark)
+    events = _customer_evolution_events(spark, sf_dir, rename=True)
+    split_at = next(
+        i for i, ev in enumerate(events) if type(ev).__name__ == "AddColumnEvent"
+    )
+    work = tempfile.mkdtemp(prefix="cdc_lake_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        write_wire_file(f"{src}/b0.json", events[:split_at])
+        from .core.events import CreateTableEvent
+
+        head = [ev for ev in events[:split_at] if isinstance(ev, CreateTableEvent)]
+        write_wire_file(f"{src}/b1.json", head + events[split_at:], seq_start=split_at)
+        runner = StreamingPipelineRunner(
+            spark,
+            parse_pipeline_yaml(
+                """
+source: {type: wire}
+sink: {type: lake}
+pipeline: {schema.change.behavior: EVOLVE}
+"""
+            ),
+            state_root=f"{work}/state",
+            checkpoint_dir=f"{work}/ckpt",
+            state_backend="lsm",
+        )
+        runner.run_available(src)
+        result = runner.state.read("db.customer")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # live JDBC database source, end-to-end (sources/jdbc_live.py)
 # ---------------------------------------------------------------------------

@@ -129,10 +129,22 @@ class StreamingPipelineRunner:
         state_root: str,
         checkpoint_dir: str,
         udf_names=frozenset(),
+        state_backend: str = "lsm",
     ):
         self.spark = spark
         self.pipeline = pipeline
-        self.state = ParquetStateStore(spark, state_root)
+        if state_backend == "lsm":
+            # Paimon-style merge-on-read: O(batch) appends, metadata-only
+            # DDL, amortized compaction (sinks/lsm_store.py)
+            from ..sinks.lsm_store import LsmStateStore
+
+            self.state = LsmStateStore(spark, state_root)
+        elif state_backend == "parquet":
+            # legacy full-rewrite store (O(state) per batch; kept for
+            # comparison and as the simplest possible sink)
+            self.state = ParquetStateStore(spark, state_root)
+        else:
+            raise ValueError(f"unknown state backend {state_backend!r}")
         self.checkpoint_dir = checkpoint_dir
         self.udf_names = frozenset(udf_names)
         self.router = TableIdRouter(
@@ -243,11 +255,20 @@ class StreamingPipelineRunner:
 
     def _migrate_state(self, table: str, event) -> None:
         """Sink-side DDL execution — the MetadataApplier analog
-        (common/sink/MetadataApplier.java:33-39). Renames/truncates rewrite
-        the snapshot; adds/type-widenings are absorbed by the coercion in
-        the next merge."""
+        (common/sink/MetadataApplier.java:33-39; PaimonMetadataApplier
+        applies DDL as catalog metadata operations). On the LSM backend
+        every DDL is metadata-only; on the legacy parquet backend
+        renames/truncates rewrite the snapshot. Adds/type-widenings are
+        absorbed by the coercion in the next merge either way."""
         from ..core.events import RenameColumnEvent, TruncateTableEvent
+        from ..sinks.lsm_store import LsmStateStore
 
+        if isinstance(self.state, LsmStateStore):
+            if isinstance(event, RenameColumnEvent):
+                self.state.rename_columns(table, list(event.name_mapping))
+            elif isinstance(event, TruncateTableEvent):
+                self.state.truncate(table)
+            return
         current = self.state.read(table)
         if current is None:
             return

@@ -1,0 +1,141 @@
+"""LSM merge-on-read state store (sinks/lsm_store.py).
+
+Coverage intent mirrors the reference's Paimon sink tests
+(PaimonSinkITCase / PaimonMetadataApplierTest): append-only commits,
+merge-on-read correctness, metadata-only DDL, compaction.
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+from flink_cdc_spark.sources.envelope import ENVELOPE_SYSTEM_COLUMNS
+
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+
+def _env(spark, rows):
+    """rows: (op, before_tuple|None, after_tuple|None, seq)"""
+    data = [
+        ("db.t", op, before, after, {}, seq) for op, before, after, seq in rows
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("__table_id", T.StringType()),
+            T.StructField("__op", T.StringType()),
+            T.StructField("before", PAYLOAD),
+            T.StructField("after", PAYLOAD),
+            T.StructField("__meta", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("__seq", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+def _state(spark, tmp_path, **kw):
+    return LsmStateStore(spark, str(tmp_path / "lsm"), **kw)
+
+
+def test_merge_appends_delta_without_rewriting(spark, tmp_path):
+    st = _state(spark, tmp_path)
+    st.merge("db.t", _env(spark, [("INSERT", None, (1, "a"), 1),
+                                  ("INSERT", None, (2, "b"), 2)]), PAYLOAD, ["id"])
+    d = st._dir("db.t")
+    first = {p for p in os.listdir(d) if p.startswith("delta-")}
+    mtimes = {p: os.path.getmtime(os.path.join(d, p)) for p in first}
+    st.merge("db.t", _env(spark, [("UPDATE", (1, "a"), (1, "a2"), 3)]), PAYLOAD, ["id"])
+    # the first delta was not touched — O(batch), not O(state)
+    for p in first:
+        assert os.path.getmtime(os.path.join(d, p)) == mtimes[p]
+    rows = {r.id: r.name for r in st.read("db.t").collect()}
+    assert rows == {1: "a2", 2: "b"}
+
+
+def test_tombstones_delete_across_commits(spark, tmp_path):
+    st = _state(spark, tmp_path)
+    st.merge("db.t", _env(spark, [("INSERT", None, (1, "a"), 1),
+                                  ("INSERT", None, (2, "b"), 2)]), PAYLOAD, ["id"])
+    st.merge("db.t", _env(spark, [("DELETE", (1, "a"), None, 3)]), PAYLOAD, ["id"])
+    rows = {r.id for r in st.read("db.t").collect()}
+    assert rows == {2}
+    # re-insert after tombstone resurrects the key (later commit wins)
+    st.merge("db.t", _env(spark, [("INSERT", None, (1, "a3"), 4)]), PAYLOAD, ["id"])
+    rows = {r.id: r.name for r in st.read("db.t").collect()}
+    assert rows == {1: "a3", 2: "b"}
+
+
+def test_compaction_folds_and_preserves_state(spark, tmp_path):
+    st = _state(spark, tmp_path, compact_every=3)
+    for i in range(1, 8):
+        st.merge(
+            "db.t", _env(spark, [("INSERT", None, (i, f"n{i}"), i)]), PAYLOAD, ["id"]
+        )
+    m = st._load("db.t")
+    assert m["base"] is not None  # compaction ran
+    assert len(m["deltas"]) < 3
+    rows = {r.id: r.name for r in st.read("db.t").collect()}
+    assert rows == {i: f"n{i}" for i in range(1, 8)}
+
+
+def test_rename_is_metadata_only(spark, tmp_path):
+    st = _state(spark, tmp_path)
+    st.merge("db.t", _env(spark, [("INSERT", None, (1, "a"), 1)]), PAYLOAD, ["id"])
+    d = st._dir("db.t")
+    files_before = {
+        p: os.path.getmtime(os.path.join(d, p))
+        for p in os.listdir(d)
+        if p.startswith(("delta-", "base-"))
+    }
+    st.rename_columns("db.t", [("name", "full_name")])
+    # no data file touched
+    for p, t in files_before.items():
+        assert os.path.getmtime(os.path.join(d, p)) == t
+    out = st.read("db.t")
+    assert out.columns == ["id", "full_name"]
+    assert out.collect()[0].full_name == "a"
+    # writes under the new schema merge with renamed history
+    new_payload = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("full_name", T.StringType(), True),
+        ]
+    )
+    env2 = (
+        _env(spark, [("UPDATE", (1, "a"), (1, "A"), 2)])
+        .select(
+            "__table_id", "__op",
+            F.col("before").cast(new_payload).alias("before"),
+            F.col("after").cast(new_payload).alias("after"),
+            "__meta", "__seq",
+        )
+    )
+    st.merge("db.t", env2, new_payload, ["id"])
+    assert {r.full_name for r in st.read("db.t").collect()} == {"A"}
+
+
+def test_truncate_is_metadata_only(spark, tmp_path):
+    st = _state(spark, tmp_path)
+    st.merge("db.t", _env(spark, [("INSERT", None, (1, "a"), 1)]), PAYLOAD, ["id"])
+    st.truncate("db.t")
+    assert st.read("db.t").count() == 0
+    st.merge("db.t", _env(spark, [("INSERT", None, (9, "z"), 2)]), PAYLOAD, ["id"])
+    assert {r.id for r in st.read("db.t").collect()} == {9}
+
+
+def test_add_column_old_commits_null_pad(spark, tmp_path):
+    st = _state(spark, tmp_path)
+    st.merge("db.t", _env(spark, [("INSERT", None, (1, "a"), 1)]), PAYLOAD, ["id"])
+    wider = T.StructType(
+        PAYLOAD.fields + [T.StructField("extra", T.IntegerType(), True)]
+    )
+    st.set_schema("db.t", wider)
+    out = {r.id: (r.name, r.extra) for r in st.read("db.t").collect()}
+    assert out == {1: ("a", None)}
