@@ -110,12 +110,22 @@ def sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(embs, queries)
 
 
-@register("mm_image_feature_pipeline")  # no SQL oracle: binary decode via
-# mapInPandas is not SQL-expressible; the driver records the rows-only check
-def mm_image_feature_pipeline(spark, sf_dir):
+def _mm_oracle():
     from . import multimodal as mm
 
-    media = mm.synthesize_media(spark, n=256, partitions=8)
+    return mm.image_features_oracle_sql()
+
+
+@register("mm_image_feature_pipeline", _mm_oracle())
+def mm_image_feature_pipeline(spark, sf_dir):
+    """Binary media columns -> Arrow-batched pandas-UDF decode -> features.
+    The deterministic fake decoder tiles the payload's md5 digest
+    (multimodal._decode_backend), which has a closed SQL form — so this
+    pipeline is fully oracle-gated even though the decode itself runs in
+    mapInPandas over binary payloads built from the documents table."""
+    from . import multimodal as mm
+
+    media = mm.media_from_documents(_docs(spark, sf_dir))
     return mm.extract_image_features(media)
 
 

@@ -69,16 +69,41 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _decode_backend(payload: bytes, width: int, height: int) -> np.ndarray:
-    """FAKE deterministic decode: pixels seeded by the payload digest.
+    """FAKE deterministic decode: the md5 digest of the payload tiled to
+    (height, width) — pixel(r, c) = digest[(r*width + c) mod 16].
 
     Replace with e.g. PIL.Image.open(io.BytesIO(payload)) in a real
     deployment; the container has no image codecs (see module docstring).
+    The tiling is chosen to be *closed-form reproducible in SQL* (md5 +
+    modular indexing), so downstream features are oracle-checkable even
+    though the decode itself runs in a pandas UDF.
     """
     if payload is None:
         raise NotImplementedError("pointer fetch (uri) not implemented in the stub")
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big") % (2**32)
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height or 8, width or 8), dtype=np.uint8)
+    h, w = height or 8, width or 8
+    digest = hashlib.md5(bytes(payload)).digest()  # 16 bytes
+    reps = -(-(h * w) // 16)
+    return np.frombuffer(digest * reps, dtype=np.uint8)[: h * w].reshape(h, w)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a MEDIA_SCHEMA frame from the documents table: the text bytes
+    stand in for an encoded image payload (media_id = doc_id; width/height
+    derived from the id). Pure built-in expressions — no UDF — so an
+    oracle over `documents` sees exactly the same inputs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("uri"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("codec"),
+            (F.lit(8) + (F.col("doc_id") % 5) * 4).cast("int").alias("width"),
+            (F.lit(8) + (F.col("doc_id") % 3) * 4).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
 
 
 def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
@@ -172,6 +197,42 @@ def sample_frames(media: DataFrame, every_n: int = 4, max_frames: int = 3) -> Da
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return media.mapInPandas(stage, schema=FRAME_SCHEMA)
+
+
+def image_features_oracle_sql(table: str = "documents") -> str:
+    """DuckDB SQL reproducing extract_image_features(media_from_documents):
+    md5-digest-tiled pixels, exact mean luma, 8x8 mean-threshold phash.
+    Integer pixel sums are exact in float64 on both engines, so mean_luma
+    and the phash threshold compare bit-for-bit."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(8 + (doc_id % 5) * 4 AS INTEGER) AS width,
+             CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS height,
+             list_transform(range(16),
+               k -> CAST('0x' || substr(md5(text), CAST(2*k+1 AS INTEGER), 2) AS BIGINT)) AS b
+      FROM {table}
+    ), f AS (
+      SELECT media_id, width, height,
+        CAST(list_sum(list_transform(range(width*height),
+               i -> b[CAST(i % 16 AS INTEGER) + 1])) AS DOUBLE)
+          / (width*height) AS mean_luma,
+        list_transform(range(64), j ->
+          b[CAST((CAST(floor((j // 8) * (height-1) / 7.0) AS BIGINT) * width
+                + CAST(floor((j % 8) * (width-1) / 7.0) AS BIGINT)) % 16 AS INTEGER) + 1]
+        ) AS small
+      FROM m
+    ), t AS (
+      SELECT *, CAST(list_sum(small) AS DOUBLE) / 64.0 AS thr FROM f
+    )
+    SELECT media_id, width, height, mean_luma,
+      array_to_string(list_transform(range(8), i ->
+        printf('%02x', CAST(list_sum(list_transform(range(8), j ->
+          CASE WHEN small[CAST(8*i + j AS INTEGER) + 1] >= thr
+               THEN (1 << CAST(7 - j AS INTEGER)) ELSE 0 END)) AS BIGINT))), '')
+        AS phash
+    FROM t
+    """
 
 
 def near_dup_by_phash(features: DataFrame, max_hamming: int = 6) -> DataFrame:
