@@ -807,6 +807,93 @@ pipeline: {schema.change.behavior: EVOLVE}
 
 
 @register(
+    "distributed_schema_reduction",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 3 IN (1, 2) THEN c_acctbal ELSE NULL END AS c_acctbal,
+           CASE WHEN c_custkey % 3 = 2 THEN c_mktsegment ELSE NULL END AS c_mktsegment
+    FROM customer
+    """,
+)
+def distributed_schema_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed schema evolution against a live parallel-metadata
+    stream: three wire files (= three stream partitions) carry the same
+    table with DIVERGENT payload schemas and no in-band DDL; each
+    partition infers its schema executor-side, the driver folds them to
+    the least-common schema and derives DDL through the coordinator
+    (runtime/operators/schema/distributed/SchemaCoordinator.java), and the
+    batch then merges under the reduced schema."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingPipelineRunner
+
+    pin_session(spark)
+    rows = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="cdc_dist_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        seq = 0
+        files = {s: open(f"{src}/part{s}.json", "w") for s in range(3)}
+        try:
+            for r in rows:
+                stripe = r.c_custkey % 3
+                payload = {"c_custkey": r.c_custkey, "c_name": r.c_name}
+                if stripe >= 1:
+                    payload["c_acctbal"] = r.c_acctbal
+                if stripe == 2:
+                    payload["c_mktsegment"] = r.c_mktsegment
+                files[stripe].write(
+                    _json.dumps(
+                        {
+                            "kind": "DATA",
+                            "table_id": "db.customer",
+                            "op": "INSERT",
+                            "before": None,
+                            "after": _json.dumps(payload),
+                            "meta": {},
+                            "seq": seq,
+                        }
+                    )
+                    + "\n"
+                )
+                seq += 1
+        finally:
+            for f in files.values():
+                f.close()
+        runner = StreamingPipelineRunner(
+            spark,
+            parse_pipeline_yaml(
+                """
+source: {type: wire}
+sink: {type: lake}
+pipeline: {schema.change.behavior: EVOLVE}
+"""
+            ),
+            state_root=f"{work}/state",
+            checkpoint_dir=f"{work}/ckpt",
+            parallel_metadata=True,
+            primary_keys={"db.customer": ["c_custkey"]},
+        )
+        runner.run_available(src)
+        result = runner.state.read("db.customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        )
+        rows_out = result.collect()
+        return spark.createDataFrame(rows_out, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "lake_merge_evolution",
     """
     SELECT c_custkey, c_name AS full_name, c_nationkey, c_acctbal,

@@ -130,9 +130,18 @@ class StreamingPipelineRunner:
         checkpoint_dir: str,
         udf_names=frozenset(),
         state_backend: str = "lsm",
+        parallel_metadata: bool = False,
+        primary_keys: Optional[dict] = None,
     ):
         self.spark = spark
         self.pipeline = pipeline
+        # parallel-metadata source mode (DataSource.isParallelMetadataSource,
+        # common/source/DataSource.java:51): partitions may carry divergent
+        # payload schemas and no in-band DDL; each batch starts with a
+        # distributed schema discovery + reduction
+        # (runtime/operators/schema/distributed/SchemaCoordinator.java).
+        self.parallel_metadata = parallel_metadata
+        self.primary_keys = dict(primary_keys or {})
         if state_backend == "lsm":
             # Paimon-style merge-on-read: O(batch) appends, metadata-only
             # DDL, amortized compaction (sinks/lsm_store.py)
@@ -197,6 +206,8 @@ class StreamingPipelineRunner:
         """foreachBatch body: segment at DDL positions, merge each data
         segment before applying the DDL that follows it."""
         self.batches_seen += 1
+        if self.parallel_metadata:
+            self._reduce_batch_schemas(batch)
         ddl_rows = (
             batch.where(F.col("kind") == KIND_DDL)
             .select("table_id", "seq", "ddl")
@@ -225,6 +236,46 @@ class StreamingPipelineRunner:
                     TableId.parse(ddl_row.table_id), json.loads(ddl_row.ddl)
                 )
                 self._apply_ddl(event)
+
+    def _reduce_batch_schemas(self, batch: DataFrame) -> None:
+        """Distributed schema reduction, live: every partition of the batch
+        infers its payload schema executor-side (metadata-only pass — the
+        payloads never reach the driver), the driver folds them to the
+        least-common schema, and the delta vs the known schema is applied
+        through the coordinator as ordinary DDL. The Spark rendition of the
+        distributed SchemaOperator/SchemaCoordinator RPC reduction."""
+        from ..core.events import CreateTableEvent
+        from ..core.schema import Schema
+        from ..core.schema_evolution import (
+            get_least_common_schema,
+            get_schema_difference,
+        )
+        from ..pipeline.distributed import (
+            discover_json_payload_schemas,
+            merged_schema_for_table,
+        )
+
+        data = batch.where(F.col("kind") == KIND_DATA)
+        tables = [r.table_id for r in data.select("table_id").distinct().collect()]
+        for table in sorted(tables):
+            tid = TableId.parse(table)
+            ddls = discover_json_payload_schemas(
+                data.where(F.col("table_id") == table), "after"
+            )
+            if not ddls:
+                continue
+            merged = merged_schema_for_table(table, ddls)
+            pks = tuple(self.primary_keys.get(table, ()))
+            current = self.coordinator.original_schema(tid)
+            if current is None:
+                merged = Schema(
+                    columns=merged.columns, primary_keys=pks
+                ).ensure_pk_non_null()
+                self._apply_ddl(CreateTableEvent(tid, merged))
+                continue
+            target = get_least_common_schema(current, merged)
+            for ev in get_schema_difference(tid, current, target):
+                self._apply_ddl(ev)
 
     def _apply_ddl(self, event) -> None:
         from ..core.events import CreateTableEvent
