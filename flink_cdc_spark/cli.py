@@ -122,6 +122,21 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
             summary.tables[table] = df.count()
         elif sink_type == "values":
             summary.tables[table] = df.count()
+        elif sink_type == "jdbc":
+            from .core.events import CreateTableEvent
+            from .core.table_id import TableId
+            from .sinks.jdbc_sink import JdbcWarehouseSink
+
+            url = pipeline.sink.config.get("url")
+            if not url:
+                raise SystemExit("sink.type=jdbc requires 'url'")
+            sink = JdbcWarehouseSink(spark, url)
+            tid = TableId.parse(table)
+            schema = result.schemas[table].ensure_pk_non_null()
+            sink.apply_schema_change(CreateTableEvent(tid, schema))
+            sink.write_batch(tid, result.changelogs[table], schema)
+            summary.tables[table] = sink.read_table(tid).count()
+            summary.sink_paths[table] = url
         else:
             raise SystemExit(f"unknown sink type {pipeline.sink.type!r}")
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .core.schema import Schema
 from .core.table_id import TableId
@@ -1048,6 +1048,65 @@ def jdbc_snapshot_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = src.read(mid_scan_hook=concurrent_touch)
     final = materialize_changelog(env, ["c_custkey"])
     return final.select(*_CUSTOMER_COLS)
+
+
+# ---------------------------------------------------------------------------
+# JDBC warehouse sink: real DDL + real MERGE INTO (sinks/jdbc_sink.py)
+# ---------------------------------------------------------------------------
+
+_WH_SPEC = MutationSpec(
+    key_column="c_custkey",
+    update_mod=10,
+    update_rem=3,
+    update_exprs={"c_acctbal": "c_acctbal + 50"},
+    delete_mod=20,
+    delete_rem=7,
+)
+
+
+@register(
+    "jdbc_warehouse_sink_roundtrip",
+    _WH_SPEC.oracle_final_state_sql(
+        "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ),
+)
+def jdbc_warehouse_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse-sink path (DorisDataSink/StarRocksDataSink scope)
+    executed against a live database: CREATE TABLE via the MetadataApplier,
+    snapshot batch + mutation-tail batch landed through executor-side JDBC
+    staging and two real ANSI MERGE INTO statements, then the final table
+    read back through spark.read.jdbc. Every byte of state lives in the
+    database; the oracle recomputes the same final state from parquet."""
+    import shutil
+    import tempfile
+
+    from .core.events import CreateTableEvent
+    from .sinks.jdbc_sink import JdbcWarehouseSink
+    from .sources.envelope import ENVELOPE_SEQ
+    from .sources.jdbc_live import derby_url
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    snap = src.snapshot("customer")
+    schema = Schema.from_spark_struct(
+        snap.schema, primary_keys=["c_custkey"]
+    ).ensure_pk_non_null()
+    tid = TableId.parse("wh.customer")
+    work = tempfile.mkdtemp(prefix="cdc_wh_")
+    try:
+        sink = JdbcWarehouseSink(spark, derby_url(f"{work}/db"))
+        sink.apply_schema_change(CreateTableEvent(tid, schema))
+        full = src.changelog("customer", "wh.customer", mutations=_WH_SPEC)
+        # batch 1: the snapshot inserts; batch 2: the mutation tail
+        sink.write_batch(tid, full.where(F.col(ENVELOPE_SEQ) < (1 << 41)), schema)
+        sink.write_batch(tid, full.where(F.col(ENVELOPE_SEQ) >= (1 << 41)), schema)
+        result = sink.read_table(tid).select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queries)

@@ -1,4 +1,4 @@
-"""AI/model functions: GET_EMBEDDING, AI_CHAT_PREDICT.
+"""AI/model functions: GET_EMBEDDING, AI_CHAT_PREDICT, AI_LANGCHAIN_PREDICT.
 
 Spark rendition of the reference's model UDFs
 (flink-cdc-pipeline-model/.../OpenAIEmbeddingModel.java:47,
@@ -105,15 +105,57 @@ def make_chat_predict(model_def: ModelDef):
     return ai_chat_predict
 
 
+def make_langchain_predict(model_def: ModelDef):
+    """AI_LANGCHAIN_PREDICT (TransformSqlOperatorTable.java:677-687 —
+    same (STRING, STRING, STRING) -> VARCHAR surface as AI_CHAT_PREDICT,
+    routed through langchain4j in the reference / the `langchain` package
+    here). Import-gated like the OpenAI client; the offline stub tags its
+    digest so tests can tell the three functions apart."""
+    model_name = model_def.options.get("model-name") or model_def.model_name
+
+    def _client(md):
+        host = md.options.get("host")
+        api_key = md.options.get("apiKey") or md.options.get("api-key")
+        if not host or not api_key:
+            return None
+        try:
+            from langchain_openai import ChatOpenAI
+
+            return ChatOpenAI(model=model_name, base_url=host, api_key=api_key)
+        except Exception:
+            return None
+
+    @pandas_udf(T.StringType())
+    def ai_langchain_predict(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        client = _client(model_def)
+        for prompts in batches:
+            if client is None:
+                yield prompts.map(
+                    lambda p: None
+                    if p is None
+                    else f"[langchain-stub:{hashlib.md5(p.encode('utf-8')).hexdigest()[:12]}]"
+                )
+            else:
+                yield pd.Series([client.invoke(p or "").content for p in prompts.tolist()])
+
+    return ai_langchain_predict
+
+
 def register_models(spark: SparkSession, model_defs) -> frozenset:
-    """Register GET_EMBEDDING / AI_CHAT_PREDICT under each model's name
-    prefix; returns UDF names for the expression compiler."""
+    """Register GET_EMBEDDING / AI_CHAT_PREDICT / AI_LANGCHAIN_PREDICT
+    under each model's name prefix; returns UDF names for the expression
+    compiler."""
     names = set()
     for md in model_defs:
         cls = (md.class_name or "").rsplit(".", 1)[-1]
         if "Embedding" in cls:
             spark.udf.register(f"{md.model_name.lower()}_get_embedding", make_get_embedding(md))
             names.add(f"{md.model_name.upper()}_GET_EMBEDDING")
+        elif "LangChain" in cls or "Langchain" in cls:
+            spark.udf.register(
+                f"{md.model_name.lower()}_langchain_predict", make_langchain_predict(md)
+            )
+            names.add(f"{md.model_name.upper()}_LANGCHAIN_PREDICT")
         else:
             spark.udf.register(f"{md.model_name.lower()}_chat_predict", make_chat_predict(md))
             names.add(f"{md.model_name.upper()}_CHAT_PREDICT")

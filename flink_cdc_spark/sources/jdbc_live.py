@@ -399,6 +399,27 @@ class JdbcLiveSource:
             wms.append(ChunkWatermarks(rng.lo, rng.hi, lw, hw))
         return chunks, wms
 
+    def detect_schema_changes(self, known_schema: Optional[Schema] = None):
+        """Live DDL detection: re-discover the table's schema through real
+        JDBC metadata and derive SchemaChangeEvents from the difference.
+
+        The reference parses binlog DDL statements
+        (source/parser/CustomMySqlAntlrDdlParser.java) because MySQL's log
+        carries raw SQL; trigger-based capture has no DDL channel, so the
+        Spark-first equivalent is metadata polling + schema diff — the
+        same events come out (ADD/ALTER type), and the engine's existing
+        difference machinery (core/schema_evolution.get_schema_difference)
+        does the derivation. Returns (events, new_schema)."""
+        from ..core.schema_evolution import get_schema_difference
+
+        current = self.ep.discover_schema(self.cfg.table)
+        if known_schema is None:
+            return [], current
+        events = get_schema_difference(
+            TableId.parse(self.table_id), known_schema, current
+        )
+        return events, current
+
     def read(self, mid_scan_hook=None) -> DataFrame:
         """Envelope changelog per the configured startup mode
         (StartupMode.java -> assigner selection)."""

@@ -82,11 +82,16 @@ class MutationSpec:
 class ParquetTableSource:
     """Reads `{sf_dir}/{table}.parquet` as a changelog envelope."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(self, spark: SparkSession, sf_dir: str, pin_utc: bool = True):
+        """pin_utc: the engine's convention is that naive timestamps are
+        UTC (session.py sets it globally; the DuckDB oracle assumes it).
+        Sessions built elsewhere may carry another zone, so by default the
+        source pins UTC — pass pin_utc=False to leave foreign sessions
+        untouched (results then depend on the ambient zone)."""
         self.spark = spark
         self.sf_dir = sf_dir
-        # engine convention: naive timestamps are UTC (matches the oracle)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if pin_utc and spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def snapshot(self, table: str) -> DataFrame:
         path = f"{self.sf_dir}/{table}.parquet"

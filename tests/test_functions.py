@@ -159,3 +159,19 @@ def test_model_stub_embedding_and_chat(spark):
     # determinism
     again = df.select(F.expr("emb_get_embedding(txt)").alias("e")).collect()
     assert again[0].e == out[0].e
+
+
+def test_model_stub_langchain_predict(spark):
+    names = register_models(
+        spark,
+        [ModelDef(model_name="lc", class_name="OpenAILangChainModel")],
+    )
+    assert names == {"LC_LANGCHAIN_PREDICT"}
+    df = spark.createDataFrame([("hello",), (None,)], ["txt"])
+    out = df.select(F.expr("lc_langchain_predict(txt)").alias("p")).collect()
+    assert out[0].p.startswith("[langchain-stub:")
+    assert out[1].p is None
+    # distinct from the plain chat stub for the same prompt
+    register_models(spark, [ModelDef(model_name="c2", class_name="OpenAIChatModel")])
+    chat = df.select(F.expr("c2_chat_predict(txt)").alias("p")).collect()
+    assert chat[0].p != out[0].p

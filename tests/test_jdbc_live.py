@@ -152,6 +152,28 @@ def test_specific_offsets_mode(spark, db):
     assert len(rows) == 1 and rows[0]["__op"] == "DELETE"
 
 
+def test_live_ddl_detection_via_metadata_diff(spark, db):
+    """ALTER TABLE on the live database surfaces as SchemaChangeEvents
+    derived from a real metadata re-discovery (the binlog-DDL-parse
+    analog for a log-less capture channel)."""
+    ep, url = db
+    src = _source(spark, url)
+    _, known = src.detect_schema_changes(None)
+    assert [c.name for c in known.columns] == ["id", "name", "val"]
+
+    ep.execute("ALTER TABLE items ADD COLUMN score DOUBLE")
+    ep.execute_update("UPDATE items SET score = val * 2.0 WHERE id <= 3")
+    events, new_schema = src.detect_schema_changes(known)
+    assert [type(e).__name__ for e in events] == ["AddColumnEvent"]
+    assert events[0].added_columns[0].column.name == "score"
+    assert [c.name for c in new_schema.columns] == ["id", "name", "val", "score"]
+    # snapshot reads now carry the new column through real JDBC
+    chunks, _ = src.snapshot_chunks()
+    assert "score" in chunks[0].columns
+    merged = {r.id: r.score for c in chunks for r in c.collect() if r.id <= 3}
+    assert merged == {1: 2.0, 2: 4.0, 3: 6.0}
+
+
 def test_cli_jdbc_source(spark, db, tmp_path):
     """YAML -> jdbc source -> transform -> parquet sink, through run_pipeline."""
     ep, url = db
