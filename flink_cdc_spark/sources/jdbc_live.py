@@ -252,6 +252,65 @@ def derby_url(db_path: str, create: bool = True) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _capture_triggers_sql(t: str, log: str, cols) -> list:
+    a_cols = ", ".join(f"A_{c}" for c in cols)
+    b_cols = ", ".join(f"B_{c}" for c in cols)
+    n_vals = ", ".join(f"N.{c}" for c in cols)
+    o_vals = ", ".join(f"O.{c}" for c in cols)
+    return [
+        f"CREATE TRIGGER {t}_CDC_I AFTER INSERT ON {t} REFERENCING NEW AS N "
+        f"FOR EACH ROW INSERT INTO {log} (OP, {a_cols}) VALUES ('I', {n_vals})",
+        f"CREATE TRIGGER {t}_CDC_U AFTER UPDATE ON {t} "
+        f"REFERENCING OLD AS O NEW AS N FOR EACH ROW "
+        f"INSERT INTO {log} (OP, {b_cols}, {a_cols}) VALUES ('U', {o_vals}, {n_vals})",
+        f"CREATE TRIGGER {t}_CDC_D AFTER DELETE ON {t} REFERENCING OLD AS O "
+        f"FOR EACH ROW INSERT INTO {log} (OP, {b_cols}) VALUES ('D', {o_vals})",
+    ]
+
+
+def refresh_capture(ep: JdbcEndpoint, table: str) -> list:
+    """Re-align the capture channel after source-side DDL: add any missing
+    B_*/A_* image columns to the log table and recreate the row triggers
+    with the current column list. The analog of the binlog transparently
+    carrying post-DDL row images. Returns the current column names."""
+    t = table.upper()
+    log = t + LOG_SUFFIX
+    schema = ep.discover_schema(table)
+    cols = [c.name.upper() for c in schema.columns]
+    log_schema = ep.discover_schema(t + LOG_SUFFIX)
+    have = {c.name.upper() for c in log_schema.columns}
+    type_sql = _image_column_types(schema)
+    for c in cols:
+        for img in ("B_", "A_"):
+            if f"{img}{c}" not in have:
+                ep.execute(f"ALTER TABLE {log} ADD COLUMN {img}{c} {type_sql[c]}")
+    for trg in ("I", "U", "D"):
+        try:
+            ep.execute(f"DROP TRIGGER {t}_CDC_{trg}")
+        except Exception:
+            pass
+    for sql in _capture_triggers_sql(t, log, cols):
+        ep.execute(sql)
+    return [c.name for c in schema.columns]
+
+
+def _image_column_types(md_schema) -> dict:
+    rs_types = {
+        "BIGINT": "BIGINT", "INT": "INTEGER", "SMALLINT": "SMALLINT",
+        "TINYINT": "SMALLINT", "DOUBLE": "DOUBLE", "FLOAT": "REAL",
+        "BOOLEAN": "BOOLEAN", "DATE": "DATE", "TIME": "TIME",
+        "TIMESTAMP": "TIMESTAMP",
+    }
+    out = {}
+    for c in md_schema.columns:
+        root = c.type.root
+        if root == "DECIMAL":
+            out[c.name.upper()] = f"DECIMAL({c.type.precision},{c.type.scale})"
+        else:
+            out[c.name.upper()] = rs_types.get(root, "VARCHAR(4000)")
+    return out
+
+
 def install_capture(ep: JdbcEndpoint, table: str, columns: Sequence[str]) -> None:
     """Create <table>__CDCLOG + AFTER I/U/D row triggers. The log row holds
     both images (B_*/A_*) so UPDATEs carry before+after like the binlog."""
@@ -259,19 +318,7 @@ def install_capture(ep: JdbcEndpoint, table: str, columns: Sequence[str]) -> Non
     log = t + LOG_SUFFIX
     # mirror source column types into both image column sets
     md_schema = ep.discover_schema(table)
-    type_sql = {}
-    rs_types = {
-        "BIGINT": "BIGINT", "INT": "INTEGER", "SMALLINT": "SMALLINT",
-        "TINYINT": "SMALLINT", "DOUBLE": "DOUBLE", "FLOAT": "REAL",
-        "BOOLEAN": "BOOLEAN", "DATE": "DATE", "TIME": "TIME",
-        "TIMESTAMP": "TIMESTAMP",
-    }
-    for c in md_schema.columns:
-        root = c.type.root
-        if root == "DECIMAL":
-            type_sql[c.name.upper()] = f"DECIMAL({c.type.precision},{c.type.scale})"
-        else:
-            type_sql[c.name.upper()] = rs_types.get(root, "VARCHAR(4000)")
+    type_sql = _image_column_types(md_schema)
     cols = [c.upper() for c in columns]
     img_cols = ", ".join(
         [f"B_{c} {type_sql[c]}" for c in cols] + [f"A_{c} {type_sql[c]}" for c in cols]
@@ -281,23 +328,8 @@ def install_capture(ep: JdbcEndpoint, table: str, columns: Sequence[str]) -> Non
         f"SEQ BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY, "
         f"OP CHAR(1) NOT NULL, TS TIMESTAMP DEFAULT CURRENT_TIMESTAMP, {img_cols})"
     )
-    a_cols = ", ".join(f"A_{c}" for c in cols)
-    b_cols = ", ".join(f"B_{c}" for c in cols)
-    n_vals = ", ".join(f"N.{c}" for c in cols)
-    o_vals = ", ".join(f"O.{c}" for c in cols)
-    ep.execute(
-        f"CREATE TRIGGER {t}_CDC_I AFTER INSERT ON {t} REFERENCING NEW AS N "
-        f"FOR EACH ROW INSERT INTO {log} (OP, {a_cols}) VALUES ('I', {n_vals})"
-    )
-    ep.execute(
-        f"CREATE TRIGGER {t}_CDC_U AFTER UPDATE ON {t} "
-        f"REFERENCING OLD AS O NEW AS N FOR EACH ROW "
-        f"INSERT INTO {log} (OP, {b_cols}, {a_cols}) VALUES ('U', {o_vals}, {n_vals})"
-    )
-    ep.execute(
-        f"CREATE TRIGGER {t}_CDC_D AFTER DELETE ON {t} REFERENCING OLD AS O "
-        f"FOR EACH ROW INSERT INTO {log} (OP, {b_cols}) VALUES ('D', {o_vals})"
-    )
+    for sql in _capture_triggers_sql(t, log, cols):
+        ep.execute(sql)
 
 
 # ---------------------------------------------------------------------------

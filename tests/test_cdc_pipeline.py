@@ -1,0 +1,90 @@
+"""Continuous CDC pipeline: live Derby -> polled capture log -> LSM state.
+
+The end-to-end loop of the reference (database -> incremental snapshot ->
+streaming tail -> lake sink), asserted against the live database state.
+"""
+
+from flink_cdc_spark.pipeline.cdc_pipeline import JdbcCdcPipeline
+from flink_cdc_spark.sources.jdbc_live import (
+    JdbcEndpoint,
+    JdbcLiveSourceConfig,
+    derby_url,
+    install_capture,
+)
+
+COLS = ["id", "name", "val"]
+
+
+def _mk(spark, tmp_path):
+    ep = JdbcEndpoint(spark, derby_url(str(tmp_path / "db")))
+    ep.execute(
+        "CREATE TABLE items (id BIGINT NOT NULL PRIMARY KEY, "
+        "name VARCHAR(50), val DOUBLE)"
+    )
+    install_capture(ep, "items", COLS)
+    ep.insert_rows("items", COLS, [(i, f"n{i}", float(i)) for i in range(1, 21)])
+    cfg = JdbcLiveSourceConfig(
+        url=derby_url(str(tmp_path / "db"), create=False),
+        table="items", key_column="id", table_id="app.items", chunk_size=8,
+    )
+    return ep, JdbcCdcPipeline(spark, cfg, str(tmp_path / "state"), compact_every=3)
+
+
+def _rows(pipe):
+    return {r.id: (r.name, r.val) for r in pipe.current_state().collect()}
+
+
+def test_bootstrap_then_incremental_polls(spark, tmp_path):
+    ep, pipe = _mk(spark, tmp_path)
+    pipe.bootstrap()
+    assert len(_rows(pipe)) == 20
+    assert pipe.poll_once() == 0  # quiet: no new offsets
+
+    ep.execute_update("UPDATE items SET val = val + 100 WHERE id <= 3")
+    ep.execute_update("DELETE FROM items WHERE id = 10")
+    n = pipe.poll_once()
+    assert n == 4  # 3 updates + 1 delete
+    rows = _rows(pipe)
+    assert rows[1] == ("n1", 101.0) and 10 not in rows and len(rows) == 19
+
+    # several small polls, each an O(batch) delta commit
+    for i in (30, 31, 32):
+        ep.insert_rows("items", COLS, [(i, f"n{i}", float(i))])
+        assert pipe.poll_once() == 1
+    assert len(_rows(pipe)) == 22
+
+
+def test_restart_resumes_from_offset(spark, tmp_path):
+    ep, pipe = _mk(spark, tmp_path)
+    pipe.bootstrap()
+    ep.execute_update("UPDATE items SET val = -1 WHERE id = 5")
+    pipe.poll_once()
+
+    # a fresh pipeline over the same state root resumes, not re-snapshots
+    pipe2 = JdbcCdcPipeline(spark, pipe.cfg, str(tmp_path / "state"))
+    pipe2.bootstrap()
+    assert pipe2.poll_once() == 0  # nothing new
+    ep.execute_update("DELETE FROM items WHERE id = 6")
+    assert pipe2.poll_once() == 1
+    rows = _rows(pipe2)
+    assert rows[5] == ("n5", -1.0) and 6 not in rows
+
+
+def test_live_ddl_evolves_state_and_capture(spark, tmp_path):
+    ep, pipe = _mk(spark, tmp_path)
+    pipe.bootstrap()
+    # source-side DDL + writes under the new shape
+    ep.execute("ALTER TABLE items ADD COLUMN score DOUBLE")
+    ep.execute_update("UPDATE items SET score = 9.5 WHERE id = 1")
+    pipe.poll_once()
+    out = pipe.current_state()
+    assert "score" in out.columns
+    rows = {r.id: r.score for r in out.collect()}
+    assert rows[1] == 9.5 and rows[2] is None  # old rows null-padded
+    # post-DDL inserts flow through the re-aligned capture channel
+    ep.execute(
+        "INSERT INTO items (id, name, val, score) VALUES (50, 'new', 5.0, 1.25)"
+    )
+    pipe.poll_once()
+    rows = {r.id: r.score for r in pipe.current_state().collect()}
+    assert rows[50] == 1.25
