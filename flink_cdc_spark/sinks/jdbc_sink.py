@@ -69,6 +69,26 @@ class JdbcWarehouseSink:
         self.url = url
         self.ep = JdbcEndpoint(spark, url)
         self._props = {"driver": DERBY_DRIVER}
+        # exactly-once ledger: (table, batch_id) recorded in the SAME
+        # transaction as the MERGE, so a replayed micro-batch (foreachBatch
+        # redelivery after failure) is detected and skipped — the JDBC
+        # rendition of the reference sinks' two-phase/label dedup (e.g.
+        # Doris stream-load labels)
+        try:
+            self.ep.execute(
+                "CREATE TABLE CDC_COMMITS (TABLE_NAME VARCHAR(128) NOT NULL, "
+                "BATCH_ID BIGINT NOT NULL, PRIMARY KEY (TABLE_NAME, BATCH_ID))"
+            )
+        except Exception:
+            pass  # already exists
+
+    def is_committed(self, table_id, batch_id: int) -> bool:
+        t = self._table_name(table_id)
+        [(n,)] = self.ep.query(
+            f"SELECT COUNT(*) FROM CDC_COMMITS "
+            f"WHERE TABLE_NAME = '{t}' AND BATCH_ID = {int(batch_id)}"
+        )
+        return int(n) > 0
 
     # -- MetadataApplier (common/sink/MetadataApplier.java:33-39) ----------
     def _table_name(self, table_id) -> str:
@@ -115,13 +135,24 @@ class JdbcWarehouseSink:
             raise ValueError(f"unsupported schema change for JDBC sink: {event!r}")
 
     # -- writer ------------------------------------------------------------
-    def write_batch(self, table_id, env: DataFrame, schema: Schema) -> None:
+    def write_batch(
+        self, table_id, env: DataFrame, schema: Schema, batch_id: Optional[int] = None
+    ) -> None:
         """Land one changelog batch: Spark-side last-image-per-key, stage
-        via executor JDBC, one MERGE, clear staging."""
+        via executor JDBC, one MERGE, clear staging.
+
+        With a ``batch_id``, delivery is exactly-once: an already-committed
+        id is skipped; staging is cleared *before* loading (a crashed
+        half-staged attempt leaves garbage that must not merge twice); and
+        the MERGE + ledger insert run in one database transaction, so
+        either both happen or neither."""
         from pyspark.sql import Window
 
         t = self._table_name(table_id)
         stg = f"{t}{_STG_SUFFIX}"
+        if batch_id is not None and self.is_committed(table_id, batch_id):
+            return
+        self.ep.execute(f"TRUNCATE TABLE {stg}")  # clear partial prior attempt
         cols = [c.name for c in schema.columns]
         pks = [k for k in schema.primary_keys]
         if not pks:
@@ -158,12 +189,22 @@ class JdbcWarehouseSink:
             f"WHEN MATCHED AND s.OP_FLAG = 'D' THEN DELETE "
             + (f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else "")
         )
-        self.ep.execute(
+        merge_sql = (
             f"MERGE INTO {t} t USING {stg} s ON {on} "
             + update_branch
             + f"WHEN NOT MATCHED AND s.OP_FLAG <> 'D' THEN INSERT ({ins_cols}) "
             f"VALUES ({ins_vals})"
         )
+        if batch_id is not None:
+            self.ep.transaction(
+                [
+                    merge_sql,
+                    f"INSERT INTO CDC_COMMITS (TABLE_NAME, BATCH_ID) "
+                    f"VALUES ('{t}', {int(batch_id)})",
+                ]
+            )
+        else:
+            self.ep.execute(merge_sql)
         self.ep.execute(f"TRUNCATE TABLE {stg}")
 
     # -- reading back (tests / contract) -----------------------------------

@@ -168,6 +168,24 @@ class JdbcEndpoint:
             ps.close()
         return n
 
+    def transaction(self, sqls: Sequence[str]) -> None:
+        """Execute several statements in ONE database transaction (used by
+        the warehouse sink to make MERGE + commit-ledger atomic)."""
+        self._conn.setAutoCommit(False)
+        try:
+            st = self._conn.createStatement()
+            try:
+                for sql in sqls:
+                    st.execute(sql)
+            finally:
+                st.close()
+            self._conn.commit()
+        except Exception:
+            self._conn.rollback()
+            raise
+        finally:
+            self._conn.setAutoCommit(True)
+
     def query(self, sql: str) -> List[tuple]:
         """Small control-plane SELECTs (probes, watermarks) -> Python rows."""
         st = self._conn.createStatement()
@@ -204,8 +222,8 @@ class JdbcEndpoint:
             if ttype != "TABLE":
                 continue
             sc, tb = rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")
-            if tb.endswith(LOG_SUFFIX):
-                continue  # capture plumbing is not a user table
+            if tb.endswith(LOG_SUFFIX) or tb.endswith("__STG") or tb == "CDC_COMMITS":
+                continue  # capture/sink plumbing is not a user table
             found.append(TableId(None, sc.lower(), tb.lower()))
         if selectors:
             sel = Selectors(selectors)

@@ -55,6 +55,23 @@ def test_upsert_across_batches(spark, sink):
     assert 9 not in {r.id for r in s.read_table(TID).collect()}
 
 
+def test_exactly_once_batch_ledger(spark, sink):
+    """A redelivered batch_id is a no-op: MERGE + ledger are atomic."""
+    s, schema = sink
+    env = _env(spark, [("INSERT", None, (1, "a"), 1)])
+    s.write_batch(TID, env, schema, batch_id=7)
+    # redelivery of the same batch with different (stale) content: skipped
+    stale = _env(spark, [("INSERT", None, (1, "STALE"), 1)])
+    s.write_batch(TID, stale, schema, batch_id=7)
+    assert {r.name for r in s.read_table(TID).collect()} == {"a"}
+    # a new batch id lands normally
+    s.write_batch(TID, _env(spark, [("UPDATE", (1, "a"), (1, "b"), 2)]), schema,
+                  batch_id=8)
+    assert {r.name for r in s.read_table(TID).collect()} == {"b"}
+    assert s.is_committed(TID, 7) and s.is_committed(TID, 8)
+    assert not s.is_committed(TID, 9)
+
+
 def test_ddl_executes_on_live_target(spark, sink):
     s, schema = sink
     s.write_batch(TID, _env(spark, [("INSERT", None, (1, "a"), 1)]), schema)
