@@ -149,6 +149,38 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
     mode = pipeline.config.runtime_mode
     source_type = pipeline.source.type.lower()
 
+    if mode == "STREAMING" and source_type == "jdbc":
+        from .pipeline.cdc_pipeline import MultiTableCdcPipeline
+
+        cfg = pipeline.source.config
+        url = cfg.get("url")
+        if not url:
+            raise SystemExit("source.type=jdbc requires 'url'")
+        state_root = pipeline.sink.config.get("path")
+        if not state_root:
+            raise SystemExit("streaming mode requires sink 'path' (state root)")
+        loop = MultiTableCdcPipeline(
+            spark,
+            url,
+            state_root,
+            pipeline_def=pipeline,
+            tables_selector=cfg.get("tables", r"app.\.*"),
+            chunk_size=int(cfg.get("chunk-size", 8096)),
+            udf_names=udf_names,
+        )
+        loop.bootstrap()
+        loop.run(
+            polls=int(cfg.get("polls", 1)),
+            interval_s=float(cfg.get("poll-interval", 0)),
+        )
+        summary = RunSummary(mode="STREAMING")
+        for target in loop.sink_tables():
+            df = loop.current_state(target)
+            if df is not None:
+                summary.tables[target] = df.count()
+                summary.sink_paths[target] = state_root
+        return summary
+
     if mode == "STREAMING" and source_type == "wire":
         from .streaming.runner import StreamingPipelineRunner
 

@@ -82,11 +82,13 @@ class JdbcCdcPipeline:
         # backfill replay.
         hw = self.source.current_offset()
         env = self.source.read()  # startup-mode driven (INITIAL by default)
-        target = self.schema.to_spark_struct()
-        self.state.merge(
-            self.table, env, target, list(self.schema.primary_keys)
-        )
+        self._merge_env(env, self.schema.to_spark_struct(), list(self.schema.primary_keys))
         self._store_offset(hw)
+
+    def _merge_env(self, env, target_struct, pks) -> None:
+        """Single merge point for bootstrap/poll/repair — the routed
+        multi-table variant overrides this to transform + fan out."""
+        self.state.merge(self.table, env, target_struct, pks)
 
     def poll_once(self) -> int:
         """One incremental micro-batch: detect DDL, re-align capture,
@@ -111,7 +113,7 @@ class JdbcCdcPipeline:
             return 0
         env = self.source.read_log_envelope(last).where(f"__seq <= {hw}")
         target = self.schema.to_spark_struct()
-        self.state.merge(self.table, env, target, list(self.schema.primary_keys))
+        self._merge_env(env, target, list(self.schema.primary_keys))
         if events:
             self._repair_touched_keys(env, target)
         self._store_offset(hw)
@@ -152,7 +154,7 @@ class JdbcCdcPipeline:
         repair = wrap_as_inserts(fresh, self.table)
         # its own (later) commit: wins over the slice for keys still present;
         # deleted keys are absent here, so their tombstones stand
-        self.state.merge(self.table, repair, target, list(self.schema.primary_keys))
+        self._merge_env(repair, target, list(self.schema.primary_keys))
 
     def run(self, polls: int, interval_s: float = 0.0) -> int:
         """Poll N times (the availableNow analog of a continuous loop)."""
@@ -165,3 +167,125 @@ class JdbcCdcPipeline:
 
     def current_state(self):
         return self.state.read(self.table)
+
+
+class MultiTableCdcPipeline:
+    """Discovery-driven continuous replication of many tables through the
+    full pipeline surface: selector-matched tables from live metadata, a
+    per-table transform (first matching rule), routing (1->N fan-out /
+    renames), LSM state per sink table. The live composition of what the
+    YAML pipeline declares — `execution.runtime-mode: STREAMING` with a
+    `jdbc` source runs exactly this loop (cli.py).
+
+    Reference scope: a multi-table MySqlDataSource feeding the composed
+    pipeline (FlinkPipelineComposer.translate) continuously.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        state_root: str,
+        pipeline_def=None,
+        tables_selector: str = r"app.\.*",
+        chunk_size: int = 8096,
+        udf_names=frozenset(),
+    ):
+        from ..core.router import RouteRule, TableIdRouter
+        from ..pipeline.composer import _transform_rule_of
+        from ..sources.jdbc_live import JdbcEndpoint
+
+        self.spark = spark
+        self.url = url
+        self.state_root = state_root
+        self.pipeline_def = pipeline_def
+        self.udf_names = frozenset(udf_names)
+        routes = pipeline_def.routes if pipeline_def else []
+        self.router = TableIdRouter(
+            [RouteRule(r.source_table, r.sink_table, r.replace_symbol, r.description) for r in routes]
+        )
+        self._transform_rules = [
+            (_transform_rule_of(t), _transform_rule_of(t).selectors())
+            for t in (pipeline_def.transforms if pipeline_def else [])
+        ]
+        ep = JdbcEndpoint(spark, url)
+        self.pipes = {}
+        self.sink_schemas = {}  # sink table str -> Schema (post-transform)
+        for tid in ep.discover_tables(selectors=tables_selector):
+            schema = ep.discover_schema(tid.table_name)
+            if not schema.primary_keys:
+                continue
+            cfg = JdbcLiveSourceConfig(
+                url=url,
+                table=tid.table_name,
+                key_column=schema.primary_keys[0],
+                table_id=str(tid),
+                chunk_size=chunk_size,
+            )
+            self.pipes[str(tid)] = _RoutedTablePipe(self, cfg)
+
+    def _rule_for(self, tid):
+        for rule, selectors in self._transform_rules:
+            if selectors.is_match(tid):
+                return rule
+        return None
+
+    def bootstrap(self) -> None:
+        for pipe in self.pipes.values():
+            pipe.bootstrap()
+
+    def poll_once(self) -> int:
+        return sum(pipe.poll_once() for pipe in self.pipes.values())
+
+    def run(self, polls: int, interval_s: float = 0.0) -> int:
+        total = 0
+        for _ in range(polls):
+            total += self.poll_once()
+            if interval_s:
+                time.sleep(interval_s)
+        return total
+
+    def current_state(self, sink_table: str):
+        from ..sinks.lsm_store import LsmStateStore
+
+        return LsmStateStore(self.spark, self.state_root).read(sink_table)
+
+    def sink_tables(self):
+        out = set()
+        for pipe in self.pipes.values():
+            out.update(pipe.targets())
+        return sorted(out)
+
+
+class _RoutedTablePipe(JdbcCdcPipeline):
+    """One source table inside a MultiTableCdcPipeline: same bootstrap/
+    poll/repair lifecycle, but every envelope batch goes through the
+    transform rule and the router before merging (possibly into several
+    sink tables)."""
+
+    def __init__(self, parent: MultiTableCdcPipeline, cfg: JdbcLiveSourceConfig):
+        super().__init__(parent.spark, cfg, parent.state_root)
+        self.parent = parent
+        from ..core.table_id import TableId
+
+        self._tid = TableId.parse(self.table)
+
+    def targets(self):
+        return [str(t) for t in self.parent.router.route(self._tid)]
+
+    # the single-table lifecycle funnels every merge through _merge_env;
+    # route and transform by overriding that one hook
+    def _merge_env(self, env, target_struct, pks):
+        from ..operators.transform import TransformProcessor
+
+        rule = self.parent._rule_for(self._tid)
+        out_struct, out_pks = target_struct, pks
+        if rule is not None:
+            proc = TransformProcessor(
+                rule, target_struct, udf_names=self.parent.udf_names
+            )
+            env = proc.apply(env)
+            out_struct = env.schema["after"].dataType
+            out_pks = list(rule.primary_keys) or pks
+        for target in self.parent.router.route(self._tid):
+            self.state.merge(str(target), env, out_struct, out_pks)

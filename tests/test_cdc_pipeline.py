@@ -70,6 +70,66 @@ def test_restart_resumes_from_offset(spark, tmp_path):
     assert rows[5] == ("n5", -1.0) and 6 not in rows
 
 
+def test_multi_table_loop_with_transform_and_route(spark, tmp_path):
+    """Two live tables -> selector discovery -> transform on one -> routed
+    into renamed sink tables; continuous polls keep both in sync."""
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    ep = JdbcEndpoint(spark, derby_url(str(tmp_path / "db")))
+    for t in ("users", "orders"):
+        ep.execute(
+            f"CREATE TABLE {t} (id BIGINT NOT NULL PRIMARY KEY, "
+            "name VARCHAR(50), val DOUBLE)"
+        )
+        install_capture(ep, t, COLS)
+        ep.insert_rows(t, COLS, [(i, f"{t}{i}", float(i)) for i in range(1, 6)])
+
+    url = derby_url(str(tmp_path / "db"), create=False)
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: jdbc
+  url: "{url}"
+  tables: app.\\.*
+  chunk-size: 3
+  polls: 1
+sink:
+  type: lake
+  path: {tmp_path / "state"}
+transform:
+  - source-table: app.users
+    projection: id, UPPER(name) AS uname
+route:
+  - source-table: app.\\.*
+    sink-table: mart.<>
+    replace-symbol: <>
+pipeline:
+  name: live-loop
+  execution.runtime-mode: STREAMING
+"""
+    )
+    summary = run_pipeline(spark, pipeline)
+    assert set(summary.tables) == {"mart.users", "mart.orders"}
+    assert summary.tables["mart.users"] == 5 and summary.tables["mart.orders"] == 5
+
+    from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+
+    store = LsmStateStore(spark, str(tmp_path / "state"))
+    users = {r.id: r.uname for r in store.read("mart.users").collect()}
+    assert users[1] == "USERS1"  # transform applied
+    orders = store.read("mart.orders")
+    assert set(orders.columns) == {"id", "name", "val"}  # untransformed
+
+    # live writes picked up by a second run (resume, no re-snapshot)
+    ep.execute_update("UPDATE users SET name = 'changed' WHERE id = 2")
+    ep.execute_update("DELETE FROM orders WHERE id = 3")
+    summary2 = run_pipeline(spark, pipeline)
+    users = {r.id: r.uname for r in store.read("mart.users").collect()}
+    assert users[2] == "CHANGED"
+    assert 3 not in {r.id for r in store.read("mart.orders").collect()}
+
+
 def test_live_ddl_evolves_state_and_capture(spark, tmp_path):
     ep, pipe = _mk(spark, tmp_path)
     pipe.bootstrap()
