@@ -152,6 +152,20 @@ def test_specific_offsets_mode(spark, db):
     assert len(rows) == 1 and rows[0]["__op"] == "DELETE"
 
 
+def test_timestamp_mode_bounds(spark, db):
+    """TIMESTAMP startup replays from the first log entry at/after the
+    given wall time: a boundary before all events replays the full log, a
+    future boundary replays nothing (deterministic regardless of clock)."""
+    ep, url = db
+    src = _source(spark, url, mode=StartupMode.TIMESTAMP,
+                  startup_timestamp="1990-01-01 00:00:00")
+    env = src.read()
+    assert env.count() == 40  # the 40 capture-log inserts
+    src2 = _source(spark, url, mode=StartupMode.TIMESTAMP,
+                   startup_timestamp="2990-01-01 00:00:00")
+    assert src2.read().count() == 0
+
+
 def test_live_ddl_detection_via_metadata_diff(spark, db):
     """ALTER TABLE on the live database surfaces as SchemaChangeEvents
     derived from a real metadata re-discovery (the binlog-DDL-parse
