@@ -224,6 +224,12 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
 
         composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
         result = composer.compose(jdbc_streams(spark, pipeline.source.config))
+    elif source_type == "postgres":
+        from .pipeline.composer import BatchPipelineComposer
+        from .sources.postgres_cdc import postgres_streams
+
+        composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+        result = composer.compose(postgres_streams(spark, pipeline.source.config))
     else:
         raise SystemExit(f"unknown source type {pipeline.source.type!r}")
 

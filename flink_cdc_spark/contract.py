@@ -1051,6 +1051,105 @@ def jdbc_snapshot_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PostgreSQL logical decoding source (sources/postgres_cdc.py)
+# ---------------------------------------------------------------------------
+
+_PG_MUTATIONS = [
+    "UPDATE customer SET c_acctbal = c_acctbal + 25 WHERE c_custkey % 9 = 4",
+    "UPDATE customer SET c_mktsegment = 'PGSEG' WHERE c_custkey % 11 = 5",
+    "DELETE FROM customer WHERE c_custkey % 17 = 3",
+]
+
+_PG_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 9 = 4 THEN c_acctbal + 25 ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_custkey % 11 = 5 THEN 'PGSEG' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+WHERE c_custkey % 17 <> 3
+"""
+
+
+def _pg_customer_server(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) a live PostgreSQL server seeded from the
+    customer parquet with a logical replication slot created *before* the
+    deterministic mutations, so the slot holds their decoded changelog."""
+    import hashlib
+    import os
+    import shutil
+
+    from .sources.postgres_cdc import PostgresServer
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/flink_cdc_spark_pg/{key}"
+    marker = f"{root}/_READY"
+    srv = PostgresServer(f"{root}/srv")
+    if os.path.exists(marker):
+        srv.start()  # fresh process after a restart: bring it back up
+        return srv
+    try:
+        srv.stop()  # half-built leftovers may still hold the data dir
+    except Exception:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    srv.start()
+    srv.sql(
+        "CREATE TABLE customer (c_custkey bigint PRIMARY KEY, c_name text, "
+        "c_nationkey integer, c_acctbal double precision, c_mktsegment text)"
+    )
+    srv.sql("ALTER TABLE customer REPLICA IDENTITY FULL")
+    # bulk load through a server-side COPY of a DuckDB-exported CSV
+    import duckdb
+
+    from .sources.postgres_cdc import _open_for_server
+
+    load_dir = f"{root}/load"
+    _open_for_server(load_dir)
+    duckdb.sql(
+        f"COPY (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+        f"FROM read_parquet('{sf_dir}/customer.parquet') ORDER BY c_custkey) "
+        f"TO '{load_dir}/customer.csv' (FORMAT csv, HEADER false)"
+    )
+    srv.sql(f"COPY customer FROM '{load_dir}/customer.csv' WITH (FORMAT csv)")
+    srv.sql("SELECT pg_create_logical_replication_slot('cdc_slot', 'test_decoding')")
+    for sql in _PG_MUTATIONS:
+        srv.sql(sql)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return srv
+
+
+@register("pg_logical_decoding_pipeline", _PG_ORACLE)
+def pg_logical_decoding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PostgreSQL pipeline source, end-to-end on a REAL
+    postgres server: information_schema discovery, chunked server-side
+    COPY snapshot read executor-side, and the mutation changelog decoded
+    from an actual logical replication slot (test_decoding — the same
+    server mechanism Debezium consumes), replayed idempotently over the
+    snapshot to the exact final state the oracle computes from parquet."""
+    import tempfile
+
+    from .sinks.materialize import materialize_changelog
+    from .sources.envelope import wrap_as_inserts
+    from .sources.postgres_cdc import PostgresCdcConfig, PostgresCdcSource
+
+    pin_session(spark)
+    srv = _pg_customer_server(spark, sf_dir)
+    src = PostgresCdcSource(
+        spark,
+        srv,
+        PostgresCdcConfig(table="customer", key_column="c_custkey", chunk_size=2048),
+    )
+    snap_dir = tempfile.mkdtemp(prefix="pgsnap_", dir="/tmp")
+    snap = src.snapshot(snap_dir)
+    env = src.read_changes(peek=True)  # repeatable across invocations
+    base = wrap_as_inserts(snap, "public.customer")
+    env = env.withColumn("__seq", F.col("__seq") + (1 << 40))
+    final = materialize_changelog(base.unionByName(env), ["c_custkey"])
+    return final.select(*_CUSTOMER_COLS)
+
+
+# ---------------------------------------------------------------------------
 # JDBC warehouse sink: real DDL + real MERGE INTO (sinks/jdbc_sink.py)
 # ---------------------------------------------------------------------------
 
