@@ -169,6 +169,86 @@ class JdbcCdcPipeline:
         return self.state.read(self.table)
 
 
+class PostgresCdcPipeline:
+    """Continuous CDC from a live PostgreSQL server into LSM state: the
+    logical replication slot IS the checkpoint — ``poll_once`` consumes it
+    (``pg_logical_slot_get_changes``), so a restarted pipeline resumes
+    exactly where the slot stands, with no side file. Source-side DDL is
+    detected by metadata diff (logical decoding does not emit DDL — the
+    same gap Debezium fills with its schema history topic; here the
+    current metadata is authoritative and old rows null-pad)."""
+
+    def __init__(self, spark, source, state_root: str, compact_every: int = 8):
+        """source: a PostgresCdcSource (its cfg.slot must exist or be
+        created via bootstrap)."""
+        self.spark = spark
+        self.source = source
+        self.state = LsmStateStore(spark, state_root, compact_every=compact_every)
+        self.table = source.table_id
+        self.schema = None
+        self._snap_root = os.path.join(state_root, "_pg_snapshots")
+
+    def bootstrap(self) -> None:
+        """Create the slot (its position = now), then snapshot. Changes
+        committed between slot creation and the snapshot read replay from
+        the slot over the snapshot — idempotent last-image merge, the same
+        at-least-once contract as the JDBC loop."""
+        self.schema = self.source.discover_schema()
+        self.source.create_slot()
+        if self.state.read(self.table) is not None:
+            return  # restart: state exists, the slot holds the position
+        import uuid
+
+        snap = self.source.snapshot(
+            os.path.join(self._snap_root, uuid.uuid4().hex[:8])
+        )
+        from ..sources.envelope import wrap_as_inserts
+
+        env = wrap_as_inserts(snap, self.table)
+        self.state.merge(
+            self.table, env, self.schema.to_spark_struct(),
+            list(self.schema.primary_keys),
+        )
+
+    def poll_once(self) -> int:
+        events, new_schema = self._detect_ddl()
+        if events:
+            for ev in events:
+                self.schema = apply_schema_change_event(self.schema, ev)
+            self.state.set_schema(self.table, self.schema.to_spark_struct())
+        env = self.source.read_changes(peek=False)  # consumes = advances slot
+        n = env.count()
+        if n:
+            self.state.merge(
+                self.table, env, self.schema.to_spark_struct(),
+                list(self.schema.primary_keys),
+            )
+        return n
+
+    def _detect_ddl(self):
+        from ..core.schema_evolution import get_schema_difference
+        from ..core.table_id import TableId
+
+        current = self.source.discover_schema()
+        if self.schema is None:
+            return [], current
+        return (
+            get_schema_difference(TableId.parse(self.table), self.schema, current),
+            current,
+        )
+
+    def run(self, polls: int, interval_s: float = 0.0) -> int:
+        total = 0
+        for _ in range(polls):
+            total += self.poll_once()
+            if interval_s:
+                time.sleep(interval_s)
+        return total
+
+    def current_state(self):
+        return self.state.read(self.table)
+
+
 class MultiTableCdcPipeline:
     """Discovery-driven continuous replication of many tables through the
     full pipeline surface: selector-matched tables from live metadata, a

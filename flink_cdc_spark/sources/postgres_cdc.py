@@ -335,15 +335,27 @@ class PostgresCdcSource:
         else:
             ranges = plan_chunks(int(probe["mn"]), int(probe["mx"]), cnt, q.chunk_size)
             preds = chunk_predicates(ranges, q.key_column)
+        schema = self.discover_schema()
+        # postgres CSV booleans are t/f; Spark's reader wants true/false
+        select_list = ", ".join(
+            f"CASE WHEN {c.name} THEN 'true' WHEN NOT {c.name} THEN 'false' END"
+            f" AS {c.name}"
+            if c.type.root == "BOOLEAN"
+            else c.name
+            for c in schema.columns
+        )
         for i, pred in enumerate(preds):
             path = os.path.join(out_dir, f"chunk-{i:05d}.csv")
             self.server.sql(
-                f"COPY (SELECT * FROM {full} WHERE {pred}) TO '{path}' "
+                f"COPY (SELECT {select_list} FROM {full} WHERE {pred}) TO '{path}' "
                 "WITH (FORMAT csv, NULL '\\N')"
             )
-        schema = self.discover_schema().to_spark_struct()
         return self.spark.read.csv(
-            out_dir, schema=schema, nullValue="\\N", header=False
+            out_dir,
+            schema=schema.to_spark_struct(),
+            nullValue="\\N",
+            header=False,
+            escape='"',  # postgres CSV escapes " as "" (RFC 4180)
         )
 
     # -- changelog: the slot ----------------------------------------------

@@ -139,3 +139,82 @@ def test_get_changes_consumes_slot(spark, items, tmp_path):
     items.sql("UPDATE items SET val = -1 WHERE id = 2")
     assert src.read_changes(peek=False).count() == 1  # consumed
     assert src.read_changes(peek=True).count() == 0  # slot drained
+
+
+def test_continuous_pipeline_slot_is_the_checkpoint(spark, items, tmp_path):
+    """Bootstrap + polls; a rebuilt pipeline object resumes from the slot
+    position (replication semantics, no side files)."""
+    from flink_cdc_spark.pipeline.cdc_pipeline import PostgresCdcPipeline
+
+    src = PostgresCdcSource(
+        spark, items, PostgresCdcConfig(table="items", key_column="id", chunk_size=15)
+    )
+    pipe = PostgresCdcPipeline(spark, src, str(tmp_path / "state"))
+    pipe.bootstrap()
+    assert pipe.current_state().count() == 40
+    assert pipe.poll_once() == 0
+
+    items.sql("UPDATE items SET val = val * 10 WHERE id <= 2")
+    items.sql("DELETE FROM items WHERE id = 30")
+    assert pipe.poll_once() == 3
+    rows = {r.id: r.val for r in pipe.current_state().collect()}
+    assert rows[1] == 15.0 and 30 not in rows
+
+    # "restart": new objects over the same slot + state
+    src2 = PostgresCdcSource(
+        spark, items, PostgresCdcConfig(table="items", key_column="id", chunk_size=15)
+    )
+    pipe2 = PostgresCdcPipeline(spark, src2, str(tmp_path / "state"))
+    pipe2.bootstrap()  # no re-snapshot: state exists, slot holds position
+    items.sql("INSERT INTO items VALUES (77, 'new', 7.7)")
+    assert pipe2.poll_once() == 1
+    rows = {r.id: r.val for r in pipe2.current_state().collect()}
+    assert rows[77] == 7.7 and rows[1] == 15.0
+
+    # live DDL: metadata diff evolves the state schema
+    items.sql("ALTER TABLE items ADD COLUMN tag text")
+    items.sql("UPDATE items SET tag = 'T' WHERE id = 77")
+    pipe2.poll_once()
+    tags = {r.id: r.tag for r in pipe2.current_state().collect()}
+    assert tags[77] == "T" and tags[1] is None
+
+
+def test_full_types_roundtrip(spark, pg, tmp_path):
+    """PostgresFullTypesITCase scope: scalar types survive snapshot CSV
+    export + slot decode identically."""
+    pg.sql("DROP TABLE IF EXISTS typed")
+    pg.sql(
+        "SELECT pg_drop_replication_slot(slot_name) FROM pg_replication_slots "
+        "WHERE slot_name = 'typed_slot'"
+    )
+    pg.sql(
+        "CREATE TABLE typed (id bigint primary key, b boolean, si smallint, "
+        "i integer, r real, d double precision, n numeric(10,3), t text, "
+        "dt date, ts timestamp)"
+    )
+    pg.sql("ALTER TABLE typed REPLICA IDENTITY FULL")
+    pg.sql(
+        "INSERT INTO typed VALUES (1, true, 7, 42, 1.5, 2.25, 123.456, "
+        "'it''s, a \"test\"', '2024-02-29', '2024-02-29 12:34:56')"
+    )
+    src = PostgresCdcSource(
+        spark, pg, PostgresCdcConfig(table="typed", key_column="id", slot="typed_slot")
+    )
+    s = src.discover_schema()
+    assert [c.type.root for c in s.columns] == [
+        "BIGINT", "BOOLEAN", "SMALLINT", "INT", "FLOAT", "DOUBLE",
+        "DECIMAL", "VARCHAR", "DATE", "TIMESTAMP",
+    ]
+    snap = src.snapshot(str(tmp_path / "snap")).collect()[0]
+    assert (snap.id, snap.b, snap.si, snap.i) == (1, True, 7, 42)
+    assert snap.r == 1.5 and snap.d == 2.25 and float(snap.n) == 123.456
+    assert snap.t == 'it\'s, a "test"'
+    assert str(snap.dt) == "2024-02-29" and "12:34:56" in str(snap.ts)
+
+    src.create_slot()
+    pg.sql("INSERT INTO typed SELECT 2, false, -1, -2, 0.5, 0.25, -9.001, null, null, null")
+    row = src.read_changes().collect()[0]
+    a = row["after"]
+    assert (a.id, a.b, a.si, a.i) == (2, False, -1, -2)
+    assert a.r == 0.5 and a.d == 0.25 and float(a.n) == -9.001
+    assert a.t is None and a.dt is None and a.ts is None
