@@ -32,7 +32,6 @@ from ..sources.jdbc_live import (
     JdbcLiveSourceConfig,
     refresh_capture,
 )
-from ..sources.jdbc_snapshot import StartupMode
 
 
 class JdbcCdcPipeline:

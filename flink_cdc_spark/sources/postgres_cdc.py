@@ -45,7 +45,7 @@ import os
 import re
 import subprocess
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -53,7 +53,7 @@ from ..core import types as ct
 from ..core.schema import Column, Schema
 from ..core.selectors import Selectors
 from ..core.table_id import TableId
-from .envelope import ENVELOPE_SYSTEM_COLUMNS, OP_DELETE, OP_INSERT, OP_UPDATE
+from .envelope import OP_DELETE, OP_INSERT, OP_UPDATE
 from .jdbc_snapshot import chunk_predicates, plan_chunks
 
 _RUN_AS = "nobody"
@@ -434,7 +434,6 @@ def postgres_streams(spark: SparkSession, config: dict):
     import tempfile
 
     from ..pipeline.composer import TableStream
-    from ..sinks.materialize import materialize_changelog
     from .envelope import wrap_as_inserts
 
     root = config.get("pgdata")

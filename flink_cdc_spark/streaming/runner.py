@@ -232,10 +232,26 @@ class StreamingPipelineRunner:
                 seg = seg.where(F.col("seq") < hi)
             self._merge_segment(seg)
             if ddl_row is not None:
-                event = ddl_from_dict(
-                    TableId.parse(ddl_row.table_id), json.loads(ddl_row.ddl)
-                )
-                self._apply_ddl(event)
+                self._apply_ddl(self._decode_ddl(ddl_row))
+
+    def _decode_ddl(self, ddl_row):
+        """Wire DDL records carry either the engine's JSON event encoding
+        or a raw SQL statement (a binlog/Kafka-DDL-topic shape) — the SQL
+        path goes through sources/ddl_parser.py, the
+        CustomMySqlAntlrDdlParser analog."""
+        raw = ddl_row.ddl
+        tid = TableId.parse(ddl_row.table_id)
+        if raw.lstrip().startswith("{"):
+            return ddl_from_dict(tid, json.loads(raw))
+        import dataclasses
+
+        from ..sources.ddl_parser import parse_ddl
+
+        event = parse_ddl(raw)
+        if str(event.table_id) != ddl_row.table_id:
+            # the record's table_id is authoritative (SQL may use a short name)
+            event = dataclasses.replace(event, table_id=tid)
+        return event
 
     def _reduce_batch_schemas(self, batch: DataFrame) -> None:
         """Distributed schema reduction, live: every partition of the batch

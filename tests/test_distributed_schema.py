@@ -58,6 +58,47 @@ def test_divergent_partitions_reduce_to_least_common_schema(spark, tmp_path):
     assert {c.name for c in s.columns} == {"id", "a", "b"}
 
 
+def test_wire_ddl_as_raw_sql(spark, tmp_path):
+    """A wire DDL record may carry a raw SQL statement; it parses through
+    ddl_parser and applies like the JSON encoding."""
+    import json as _json
+
+    from flink_cdc_spark.streaming.wire import write_wire_file
+    from flink_cdc_spark.sources.values_source import single_split_single_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    events = single_split_single_table("db.t1")
+    write_wire_file(src / "b0.json", events)
+    # raw-SQL DDL + one post-DDL insert encoded manually
+    with open(src / "b1.json", "w") as f:
+        f.write(_json.dumps({
+            "kind": "DDL", "table_id": "db.t1", "seq": 100,
+            "ddl": "ALTER TABLE t1 ADD COLUMN col3 VARCHAR(10)",
+        }) + "\n")
+        f.write(_json.dumps({
+            "kind": "DATA", "table_id": "db.t1", "op": "INSERT",
+            "before": None, "after": _json.dumps({"col1": "9", "col2": "x", "col3": "z"}),
+            "meta": {}, "seq": 101,
+        }) + "\n")
+    runner = StreamingPipelineRunner(
+        spark,
+        parse_pipeline_yaml(
+            """
+source: {type: wire}
+sink: {type: lake}
+pipeline: {schema.change.behavior: EVOLVE}
+"""
+        ),
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    runner.run_available(str(src))
+    rows = {r.col1: (r.col2, r.col3) for r in runner.state.read("db.t1").collect()}
+    assert rows["9"] == ("x", "z")
+    assert rows["1"] == ("1", None)  # pre-DDL rows null-pad
+
+
 def test_later_batch_widens_schema_via_difference(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
