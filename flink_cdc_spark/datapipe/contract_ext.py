@@ -110,6 +110,18 @@ def sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(embs, queries)
 
 
+@register("dedup_connected_components", dedup.dedup_components_oracle_sql())
+def dedup_connected_components(spark, sf_dir):
+    """Cluster-level dedup: duplicate groups resolved as connected
+    components by iterative min-label propagation (multi-hop: the edge set
+    is sparse chains, so the fixpoint takes O(chain length) rounds). The
+    repo's iterative-algorithm representative — and still fully
+    oracle-gated, because the chain graph's components have a closed
+    form."""
+    edges = dedup.duplicate_chain_edges(_docs(spark, sf_dir))
+    return dedup.connected_components(edges)
+
+
 def _mm_oracle():
     from . import multimodal as mm
 

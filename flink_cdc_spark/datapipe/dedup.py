@@ -426,6 +426,97 @@ def simhash_oracle_sql(
 
 
 # --------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components by label propagation
+# --------------------------------------------------------------------------
+
+
+def duplicate_chain_edges(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact-duplicate groups rendered as CHAIN edges (d1-d2, d2-d3, ...
+    by ascending key within each fingerprint group): the sparsest edge set
+    whose transitive closure is the duplicate clusters — so resolving
+    clusters genuinely requires multi-hop propagation, not one lookup."""
+    from pyspark.sql import Window
+
+    norm = _NORM.format(col=text)
+    fp = df.selectExpr(key, f"md5({norm}) AS fp")
+    w = Window.partitionBy("fp").orderBy(key)
+    chained = fp.withColumn("prev", F.lag(key).over(w))
+    return chained.where(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col(key).alias("dst")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Distributed connected components by min-label propagation — the
+    engine's iterative-algorithm primitive (cluster-level dedup: keep one
+    doc per component). Each round every node adopts the smallest label in
+    its closed neighborhood; rounds repeat until a fixpoint (checked with
+    a control-plane count, no data to the driver). Converges in O(diameter)
+    rounds; each round is one shuffle keyed by node — the standard
+    large-graph formulation (GraphX/Pregel style) in pure DataFrame ops.
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    sym = edges.selectExpr("src AS a", "dst AS b").unionByName(
+        edges.selectExpr("dst AS a", "src AS b")
+    )
+    labels = (
+        sym.selectExpr("a AS node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    sym = sym.persist()
+    labels = labels.persist()
+    for _ in range(max_iter):
+        # every node's candidate = min(own label, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_components_oracle_sql(
+    table: str = "documents", key: str = "doc_id", text: str = "text"
+) -> str:
+    """Components of the chain-edge graph = fingerprint groups, so the
+    exact answer is min(key) per group, restricted to nodes that appear in
+    at least one edge (groups of size >= 2)."""
+    norm = _NORM.format(col=text).replace("\\\\s", "\\s")
+    return f"""
+    WITH fp AS (SELECT {key}, md5({norm}) AS fp FROM {table}),
+    grp AS (
+      SELECT {key} AS node, min({key}) OVER (PARTITION BY fp) AS component,
+             count(*) OVER (PARTITION BY fp) AS n
+      FROM fp
+    )
+    SELECT node, component FROM grp WHERE n >= 2
+    """
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup (brute-force baseline; LSH path in similarity.py)
 # --------------------------------------------------------------------------
 

@@ -10,6 +10,31 @@ from tests.conftest import SF_DIR
 from flink_cdc_spark.datapipe import dedup, similarity, textstats
 
 
+def test_connected_components_multi_hop(spark):
+    """Chains require propagation across O(length) rounds; isolated pairs
+    and separate components stay separate."""
+    edges = spark.createDataFrame(
+        # one chain 1-2-3-4-5, one pair 10-11, one triangle 20-21-22
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src BIGINT, dst BIGINT",
+    )
+    out = {r.node: r.component for r in dedup.connected_components(edges).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_duplicate_chain_edges_sparse(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"), (4, "other")],
+        "doc_id BIGINT, text STRING",
+    )
+    edges = {(r.src, r.dst) for r in dedup.duplicate_chain_edges(docs).collect()}
+    assert edges == {(1, 2), (2, 3)}  # chain, not clique; singleton excluded
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
