@@ -23,18 +23,28 @@ Pieces:
     ``spark.read.csv(schema=...)`` — the bulk path is files, so a
     1000-executor cluster scans it in parallel; nothing rows through the
     driver.
-  * ``read_changes`` — the replication slot consumed via
-    ``pg_logical_slot_peek/get_changes``; the ``test_decoding`` text
+  * ``read_changes`` — the replication slot spooled server-side
+    (``COPY (SELECT row_number() OVER (), data FROM
+    pg_logical_slot_peek/get_changes(...)) TO <file>``) and decoded
+    **executor-side** with ``mapInPandas``: the ``test_decoding`` text
     format is parsed into the changelog envelope (INSERT after-image,
     UPDATE old-key/new-tuple with REPLICA IDENTITY FULL, DELETE
-    before-image) — the MySqlEventDeserializer analog for Postgres. Slot
-    reads are control-plane sized per poll (one reader per slot is the
-    replication protocol's own constraint; Debezium reads the same way),
-    then distributed as a DataFrame.
+    before-image) — the MySqlEventDeserializer analog for Postgres. One
+    reader per slot is the replication protocol's own constraint
+    (Debezium reads the same way), but the server does that read once
+    into files; parse and cast then scale with executors, and no change
+    row ever materializes on the driver.
+  * ``advance_slot`` — explicit confirmed-position advance
+    (``pg_replication_slot_advance``) so a consumer can peek → merge →
+    advance: the slot moves only after the downstream commit succeeds,
+    the same contract as Debezium advancing the confirmed LSN after
+    records are flushed.
 
 LSN ordering: test_decoding emits rows in commit order; the envelope's
 ``__seq`` is the row's position in that order (LSNs repeat within a
-transaction, so position, not LSN, is the tiebreaker).
+transaction, so position, not LSN, is the tiebreaker) — stamped
+server-side by ``row_number() OVER ()`` over the slot function's
+emission order.
 """
 
 from __future__ import annotations
@@ -84,13 +94,31 @@ def _pg_type(data_type: str, precision, scale, nullable: bool):
     return t if nullable else t.not_null()
 
 
+def _qi(name: str) -> str:
+    """Quote a SQL identifier (schema/table/column names arrive from
+    config and discovery; never interpolate them bare)."""
+    return '"' + str(name).replace('"', '""') + '"'
+
+
+def _ql(value: str) -> str:
+    """Quote a SQL string literal."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def _open_for_server(path: str) -> None:
-    """Make `path` writable by the unprivileged server user and every
-    ancestor traversable (pytest tmp dirs are 0700-root)."""
+    """Make `path` writable by the unprivileged server user, adding
+    traverse bits to ancestors *only inside the system temp tree* (pytest
+    tmp dirs are 0700-root). The walk never escapes the temp root, so
+    ordinary calls cannot loosen permissions on /, /root, or any other
+    directory outside scratch space; paths elsewhere must already be
+    server-traversable."""
+    import tempfile
+
     os.makedirs(path, exist_ok=True)
     os.chmod(path, 0o777)
-    p = os.path.dirname(os.path.abspath(path))
-    while p not in ("/", ""):
+    boundary = os.path.realpath(tempfile.gettempdir())
+    p = os.path.dirname(os.path.realpath(path))
+    while p.startswith(boundary + os.sep):
         try:
             os.chmod(p, os.stat(p).st_mode | 0o011)
         except OSError:
@@ -277,8 +305,8 @@ class PostgresCdcSource:
         cols = self.server.rows(
             "SELECT column_name, data_type, numeric_precision, numeric_scale, "
             "is_nullable FROM information_schema.columns "
-            f"WHERE table_schema = '{self.cfg.schema_name}' "
-            f"AND table_name = '{self.cfg.table}' ORDER BY ordinal_position"
+            f"WHERE table_schema = {_ql(self.cfg.schema_name)} "
+            f"AND table_name = {_ql(self.cfg.table)} ORDER BY ordinal_position"
         )
         if not cols:
             raise ValueError(f"table not found: {self.cfg.table}")
@@ -286,7 +314,7 @@ class PostgresCdcSource:
             "SELECT a.attname FROM pg_index i "
             "JOIN pg_attribute a ON a.attrelid = i.indrelid "
             "AND a.attnum = ANY(i.indkey) "
-            f"WHERE i.indrelid = '{self.cfg.schema_name}.{self.cfg.table}'::regclass "
+            f"WHERE i.indrelid = {_ql(self.cfg.schema_name + '.' + self.cfg.table)}::regclass "
             "AND i.indisprimary"
         )
         return Schema(
@@ -308,24 +336,43 @@ class PostgresCdcSource:
     # -- replication slot --------------------------------------------------
     def create_slot(self) -> None:
         exists = self.server.rows(
-            f"SELECT 1 FROM pg_replication_slots WHERE slot_name = '{self.cfg.slot}'"
+            f"SELECT 1 FROM pg_replication_slots WHERE slot_name = {_ql(self.cfg.slot)}"
         )
         if not exists:
             self.server.sql(
                 f"SELECT pg_create_logical_replication_slot("
-                f"'{self.cfg.slot}', 'test_decoding')"
+                f"{_ql(self.cfg.slot)}, 'test_decoding')"
             )
 
     def current_lsn(self) -> str:
         return self.server.rows("SELECT pg_current_wal_lsn() AS l")[0]["l"]
 
+    def advance_slot(self, upto_lsn: str) -> None:
+        """Move the slot's confirmed position forward to `upto_lsn` —
+        called AFTER the downstream merge commits, so a crash in between
+        replays the peeked window instead of losing it (Debezium's
+        flush-then-confirm contract). pg_replication_slot_advance never
+        moves a slot backwards, so a replayed advance is a no-op."""
+        self.server.sql(
+            f"SELECT pg_replication_slot_advance({_ql(self.cfg.slot)}, "
+            f"{_ql(upto_lsn)}::pg_lsn)"
+        )
+
     # -- snapshot: chunked COPY exports -----------------------------------
-    def snapshot(self, out_dir: str) -> DataFrame:
-        """Server-side chunked COPY to CSV files, read executor-side."""
+    def snapshot(self, out_dir: str, parallelism: int = 8) -> DataFrame:
+        """Server-side chunked COPY to CSV files, read executor-side.
+
+        COPY exports run `parallelism` at a time (each on its own psql
+        connection, the SnapshotSplitAssigner connection-pool analog,
+        MySqlSourceOptions.java:125-127) — the server scans chunks
+        concurrently instead of one-by-one, so export wall-time scales
+        with server cores, and the Spark read scales with executors."""
+        from concurrent.futures import ThreadPoolExecutor
+
         q = self.cfg
-        full = f"{q.schema_name}.{q.table}"
+        full = f"{_qi(q.schema_name)}.{_qi(q.table)}"
         probe = self.server.rows(
-            f"SELECT MIN({q.key_column}) AS mn, MAX({q.key_column}) AS mx, "
+            f"SELECT MIN({_qi(q.key_column)}) AS mn, MAX({_qi(q.key_column)}) AS mx, "
             f"COUNT(*) AS c FROM {full}"
         )[0]
         cnt = int(probe["c"])
@@ -334,22 +381,27 @@ class PostgresCdcSource:
             preds = ["1=1"]
         else:
             ranges = plan_chunks(int(probe["mn"]), int(probe["mx"]), cnt, q.chunk_size)
-            preds = chunk_predicates(ranges, q.key_column)
+            preds = chunk_predicates(ranges, _qi(q.key_column))
         schema = self.discover_schema()
         # postgres CSV booleans are t/f; Spark's reader wants true/false
         select_list = ", ".join(
-            f"CASE WHEN {c.name} THEN 'true' WHEN NOT {c.name} THEN 'false' END"
-            f" AS {c.name}"
+            f"CASE WHEN {_qi(c.name)} THEN 'true' WHEN NOT {_qi(c.name)} THEN 'false' END"
+            f" AS {_qi(c.name)}"
             if c.type.root == "BOOLEAN"
-            else c.name
+            else _qi(c.name)
             for c in schema.columns
         )
-        for i, pred in enumerate(preds):
+
+        def export(i_pred):
+            i, pred = i_pred
             path = os.path.join(out_dir, f"chunk-{i:05d}.csv")
             self.server.sql(
-                f"COPY (SELECT {select_list} FROM {full} WHERE {pred}) TO '{path}' "
+                f"COPY (SELECT {select_list} FROM {full} WHERE {pred}) TO {_ql(path)} "
                 "WITH (FORMAT csv, NULL '\\N')"
             )
+
+        with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+            list(pool.map(export, enumerate(preds)))
         return self.spark.read.csv(
             out_dir,
             schema=schema.to_spark_struct(),
