@@ -210,18 +210,27 @@ class PostgresCdcPipeline:
         )
 
     def poll_once(self) -> int:
+        """One micro-batch under the flush-then-confirm contract: capture a
+        WAL cap, PEEK the slot up to it, merge, and only then advance the
+        slot's confirmed position to the cap (Debezium flushes records
+        before confirming the LSN). A crash between merge and advance
+        replays the same window on restart — safe, because the keyed
+        last-image merge is idempotent (at-least-once delivery,
+        exactly-once state)."""
         events, new_schema = self._detect_ddl()
         if events:
             for ev in events:
                 self.schema = apply_schema_change_event(self.schema, ev)
             self.state.set_schema(self.table, self.schema.to_spark_struct())
-        env = self.source.read_changes(peek=False)  # consumes = advances slot
+        cap = self.source.current_lsn()
+        env = self.source.read_changes(peek=True, upto_lsn=cap)
         n = env.count()
         if n:
             self.state.merge(
                 self.table, env, self.schema.to_spark_struct(),
                 list(self.schema.primary_keys),
             )
+        self.source.advance_slot(cap)  # confirm only after the merge landed
         return n
 
     def _detect_ddl(self):

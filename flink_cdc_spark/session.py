@@ -36,3 +36,34 @@ def get_spark(app_name: str = "flink_cdc_spark", shuffle_partitions: int | None 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_PKG_SHIPPED: set = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship the flink_cdc_spark package to executors (addPyFile), so
+    cloudpickle's by-reference closures (mapInPandas bodies that call
+    module-level parsers) import cleanly in Python workers — the
+    ``spark-submit --py-files`` contract, done programmatically. On
+    local[*] this also unpins the driver's cwd; on a 1000-executor
+    cluster it is simply required. Idempotent per SparkContext."""
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _PKG_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"flink_cdc_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    _PKG_SHIPPED.add(key)

@@ -29,22 +29,27 @@ Pieces:
     **executor-side** with ``mapInPandas``: the ``test_decoding`` text
     format is parsed into the changelog envelope (INSERT after-image,
     UPDATE old-key/new-tuple with REPLICA IDENTITY FULL, DELETE
-    before-image) — the MySqlEventDeserializer analog for Postgres. One
-    reader per slot is the replication protocol's own constraint
-    (Debezium reads the same way), but the server does that read once
-    into files; parse and cast then scale with executors, and no change
-    row ever materializes on the driver.
+    before-image) — the MySqlEventDeserializer analog for Postgres
+    (deserialization runs in task managers, never the JobManager:
+    MySqlEventDeserializer.java:57-106). One reader per slot is the
+    replication protocol's own constraint (Debezium reads the same way),
+    but the server does that read once into a file; parse and cast then
+    scale with executors, and no change row ever materializes on the
+    driver.
   * ``advance_slot`` — explicit confirmed-position advance
     (``pg_replication_slot_advance``) so a consumer can peek → merge →
     advance: the slot moves only after the downstream commit succeeds,
     the same contract as Debezium advancing the confirmed LSN after
-    records are flushed.
+    records are flushed. ``PostgresCdcPipeline.poll_once`` drives this
+    loop (peek up to a captured ``pg_current_wal_lsn()``, merge, then
+    advance to that cap), so a crash between merge and advance replays
+    the window instead of losing it.
 
 LSN ordering: test_decoding emits rows in commit order; the envelope's
 ``__seq`` is the row's position in that order (LSNs repeat within a
 transaction, so position, not LSN, is the tiebreaker) — stamped
 server-side by ``row_number() OVER ()`` over the slot function's
-emission order.
+emission order, so ordering survives the distributed file read.
 """
 
 from __future__ import annotations
@@ -241,6 +246,49 @@ def _parse_cells(text: str) -> dict:
     return cells
 
 
+_COPY_ESCAPES = {
+    "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t", "v": "\v",
+    "\\": "\\",
+}
+
+
+def copy_text_unescape(s: str) -> str:
+    """Undo COPY TO ... (FORMAT text) escaping: \\n, \\t, \\\\ et al plus
+    octal/hex digit escapes. The spool file stays one-line-per-change even
+    when payload text contains newlines/tabs — that is what makes the file
+    splittable for a parallel Spark read."""
+    if "\\" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt in _COPY_ESCAPES:
+            out.append(_COPY_ESCAPES[nxt])
+            i += 2
+        elif nxt == "x" and i + 2 < n and s[i + 2] in "0123456789abcdefABCDEF":
+            j = i + 2
+            while j < min(i + 4, n) and s[j] in "0123456789abcdefABCDEF":
+                j += 1
+            out.append(chr(int(s[i + 2 : j], 16)))
+            i = j
+        elif nxt in "01234567":
+            j = i + 1
+            while j < min(i + 4, n) and s[j] in "01234567":
+                j += 1
+            out.append(chr(int(s[i + 1 : j], 8)))
+            i = j
+        else:
+            out.append(nxt)
+            i += 2
+    return "".join(out)
+
+
 def parse_test_decoding_line(line: str):
     """One test_decoding data row -> (table_id, op, before_cells,
     after_cells) or None for BEGIN/COMMIT/messages."""
@@ -314,7 +362,10 @@ class PostgresCdcSource:
             "SELECT a.attname FROM pg_index i "
             "JOIN pg_attribute a ON a.attrelid = i.indrelid "
             "AND a.attnum = ANY(i.indkey) "
-            f"WHERE i.indrelid = {_ql(self.cfg.schema_name + '.' + self.cfg.table)}::regclass "
+            # identifiers quoted INSIDE the literal, else regclass
+            # case-folds / splits on embedded dots (mixed-case tables)
+            f"WHERE i.indrelid = "
+            f"{_ql(_qi(self.cfg.schema_name) + '.' + _qi(self.cfg.table))}::regclass "
             "AND i.indisprimary"
         )
         return Schema(
@@ -351,12 +402,19 @@ class PostgresCdcSource:
         """Move the slot's confirmed position forward to `upto_lsn` —
         called AFTER the downstream merge commits, so a crash in between
         replays the peeked window instead of losing it (Debezium's
-        flush-then-confirm contract). pg_replication_slot_advance never
-        moves a slot backwards, so a replayed advance is a no-op."""
-        self.server.sql(
-            f"SELECT pg_replication_slot_advance({_ql(self.cfg.slot)}, "
-            f"{_ql(upto_lsn)}::pg_lsn)"
-        )
+        flush-then-confirm contract). A same-LSN replay is a no-op; an
+        advance with an LSN *older* than the confirmed position errors
+        server-side ("cannot advance replication slot ... minimum is"),
+        which for a replayed confirm means the work is already done — so
+        that specific failure is swallowed here."""
+        try:
+            self.server.sql(
+                f"SELECT pg_replication_slot_advance({_ql(self.cfg.slot)}, "
+                f"{_ql(upto_lsn)}::pg_lsn)"
+            )
+        except RuntimeError as e:
+            if "cannot advance replication slot" not in str(e):
+                raise
 
     # -- snapshot: chunked COPY exports -----------------------------------
     def snapshot(self, out_dir: str, parallelism: int = 8) -> DataFrame:
@@ -411,50 +469,111 @@ class PostgresCdcSource:
         )
 
     # -- changelog: the slot ----------------------------------------------
-    def read_changes(self, peek: bool = True, limit: Optional[int] = None) -> DataFrame:
-        """Consume (or peek) the slot and decode into the envelope."""
+    def spool_changes(
+        self,
+        peek: bool = True,
+        limit: Optional[int] = None,
+        upto_lsn: Optional[str] = None,
+    ) -> str:
+        """Spool the slot server-side into ONE file:
+
+            COPY (SELECT row_number() OVER () AS seq, data
+                  FROM pg_logical_slot_{peek,get}_changes(slot, upto, lim))
+            TO <file>   -- COPY text format: splittable, one line per change
+
+        The single slot read (the replication protocol's constraint) is
+        done by the server itself, writing a file — nothing rows through
+        psql or the driver. ``seq`` is stamped server-side by row_number()
+        over the slot's emission order, so commit ordering survives a
+        parallel, out-of-order Spark read of the file. Returns the path.
+        """
+        import tempfile
+        import uuid
+
         fn = "pg_logical_slot_peek_changes" if peek else "pg_logical_slot_get_changes"
         lim = "NULL" if limit is None else str(int(limit))
-        rows = self.server.rows(
-            f"SELECT data FROM {fn}('{self.cfg.slot}', NULL, {lim})"
+        upto = "NULL" if upto_lsn is None else f"{_ql(upto_lsn)}::pg_lsn"
+        out_dir = tempfile.mkdtemp(prefix="pgslot_", dir="/tmp")
+        _open_for_server(out_dir)
+        path = os.path.join(out_dir, f"changes-{uuid.uuid4().hex[:8]}.tsv")
+        self.server.sql(
+            f"COPY (SELECT row_number() OVER () AS seq, data "
+            f"FROM {fn}({_ql(self.cfg.slot)}, {upto}, {lim})) TO {_ql(path)}"
         )
+        return path
+
+    def read_changes(
+        self,
+        peek: bool = True,
+        limit: Optional[int] = None,
+        upto_lsn: Optional[str] = None,
+    ) -> DataFrame:
+        """Decode the slot into the changelog envelope, executor-side.
+
+        Spool (server-side COPY, one eager pass — so the returned frame is
+        stable even for the destructive ``get_changes``) -> splittable
+        ``spark.read.csv`` of (seq, data) -> ``mapInPandas`` parse of the
+        test_decoding grammar -> ``from_json`` + cast to the discovered
+        schema. Every per-row step runs in executors; the driver only
+        issues the COPY and holds the file path."""
+        from ..session import ensure_package_on_executors
+
+        ensure_package_on_executors(self.spark)
+        path = self.spool_changes(peek=peek, limit=limit, upto_lsn=upto_lsn)
         schema = self.discover_schema()
         payload = schema.to_spark_struct()
         names = [f.name for f in payload.fields]
+        table_match = f"{self.cfg.schema_name}.{self.cfg.table}"
 
-        def cast_cells(cells):
-            if cells is None:
-                return None
-            return tuple(cells.get(n) for n in names)
+        raw = self.spark.read.csv(
+            path,
+            sep="\t",
+            schema="seq LONG, data STRING",
+            quote="",  # pass COPY text format through verbatim
+        )
 
-        data = []
-        seq = 0
-        for r in rows:
-            parsed = parse_test_decoding_line(r["data"])
-            if parsed is None:
-                continue
-            tid, op, before, after = parsed
-            if tid != f"{self.cfg.schema_name}.{self.cfg.table}":
-                continue
-            data.append(
-                (self.table_id, op, cast_cells(before), cast_cells(after), {}, seq)
-            )
-            seq += 1
+        def decode(batches):
+            import json as _json
+
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for seq, data in zip(pdf["seq"], pdf["data"]):
+                    if data is None:
+                        continue
+                    parsed = parse_test_decoding_line(copy_text_unescape(data))
+                    if parsed is None:
+                        continue
+                    tid, op, before, after = parsed
+                    if tid != table_match:
+                        continue
+                    out.append(
+                        (
+                            int(seq),
+                            op,
+                            None
+                            if before is None
+                            else _json.dumps({n: before.get(n) for n in names}),
+                            None
+                            if after is None
+                            else _json.dumps({n: after.get(n) for n in names}),
+                        )
+                    )
+                yield pd.DataFrame(
+                    out, columns=["seq", "op", "before_json", "after_json"]
+                )
+
+        dec = raw.mapInPandas(
+            decode,
+            schema="seq LONG, op STRING, before_json STRING, after_json STRING",
+        )
         str_payload = T.StructType(
             [T.StructField(n, T.StringType(), True) for n in names]
         )
-        env_schema = T.StructType(
-            [
-                T.StructField("__table_id", T.StringType(), False),
-                T.StructField("__op", T.StringType(), False),
-                T.StructField("before", str_payload, True),
-                T.StructField("after", str_payload, True),
-                T.StructField("__meta", T.MapType(T.StringType(), T.StringType()), True),
-                T.StructField("__seq", T.LongType(), False),
-            ]
-        )
-        env = self.spark.createDataFrame(data, env_schema)
-        # decode string cells to the discovered types (executor-side cast)
+        parsed = dec.withColumn(
+            "__b", F.from_json("before_json", str_payload)
+        ).withColumn("__a", F.from_json("after_json", str_payload))
         cast_struct = lambda side: F.when(
             F.col(side).isNotNull(),
             F.struct(
@@ -464,13 +583,13 @@ class PostgresCdcSource:
                 ]
             ),
         )
-        return env.select(
-            "__table_id",
-            "__op",
-            cast_struct("before").alias("before"),
-            cast_struct("after").alias("after"),
-            "__meta",
-            "__seq",
+        return parsed.select(
+            F.lit(self.table_id).alias("__table_id"),
+            F.col("op").alias("__op"),
+            cast_struct("__b").alias("before"),
+            cast_struct("__a").alias("after"),
+            F.create_map().cast("map<string,string>").alias("__meta"),
+            (F.col("seq") - F.lit(1)).cast("long").alias("__seq"),
         )
 
 

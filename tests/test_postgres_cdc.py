@@ -179,6 +179,81 @@ def test_continuous_pipeline_slot_is_the_checkpoint(spark, items, tmp_path):
     assert tags[77] == "T" and tags[1] is None
 
 
+def test_change_decode_is_executor_side(spark, items):
+    """The changelog plan must be a distributed file scan + mapInPandas —
+    never a driver-built LocalTableScan (round-3 regression guard: the
+    docstring claimed this before the code did it)."""
+    src = PostgresCdcSource(spark, items, PostgresCdcConfig(table="items", key_column="id"))
+    src.create_slot()
+    items.sql("UPDATE items SET val = val + 1 WHERE id <= 3")
+    env = src.read_changes(peek=True)
+    plan = env._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "LocalTableScan" not in plan
+    assert "Scan csv" in plan or "FileScan csv" in plan
+    assert env.count() == 3
+
+
+def test_copy_text_unescape():
+    from flink_cdc_spark.sources.postgres_cdc import copy_text_unescape
+
+    assert copy_text_unescape("plain") == "plain"
+    assert copy_text_unescape("a\\tb\\nc") == "a\tb\nc"
+    assert copy_text_unescape("back\\\\slash") == "back\\slash"
+    assert copy_text_unescape("\\110i") == "Hi"[0] + "i"
+    assert copy_text_unescape("\\x41B") == "AB"
+
+
+def test_upto_lsn_bounds_the_peek(spark, items):
+    """Changes committed after the captured WAL cap are excluded — the
+    window a poll merges is exactly the window it later confirms."""
+    src = PostgresCdcSource(spark, items, PostgresCdcConfig(table="items", key_column="id"))
+    src.create_slot()
+    items.sql("UPDATE items SET val = 1 WHERE id = 5")
+    cap = src.current_lsn()
+    items.sql("UPDATE items SET val = 2 WHERE id = 6")
+    assert src.read_changes(peek=True, upto_lsn=cap).count() == 1
+    assert src.read_changes(peek=True).count() == 2
+
+
+def test_crash_between_merge_and_advance_replays(spark, items, tmp_path):
+    """Flush-then-confirm: a crash after the merge but before advance_slot
+    must REPLAY the window on restart (not lose it), and the idempotent
+    merge must land on the same state."""
+    from flink_cdc_spark.pipeline.cdc_pipeline import PostgresCdcPipeline
+
+    src = PostgresCdcSource(
+        spark, items, PostgresCdcConfig(table="items", key_column="id", chunk_size=15)
+    )
+    pipe = PostgresCdcPipeline(spark, src, str(tmp_path / "state"))
+    pipe.bootstrap()
+    items.sql("UPDATE items SET val = 777 WHERE id = 9")
+
+    class Boom(Exception):
+        pass
+
+    real_advance = src.advance_slot
+    src.advance_slot = lambda cap: (_ for _ in ()).throw(Boom())
+    with pytest.raises(Boom):
+        pipe.poll_once()  # merge landed, confirm "crashed"
+    src.advance_slot = real_advance
+    assert {r.val for r in pipe.current_state().where("id = 9").collect()} == {777.0}
+
+    # restart: a fresh pipeline re-peeks the unconfirmed window
+    src2 = PostgresCdcSource(
+        spark, items, PostgresCdcConfig(table="items", key_column="id", chunk_size=15)
+    )
+    pipe2 = PostgresCdcPipeline(spark, src2, str(tmp_path / "state"))
+    pipe2.bootstrap()
+    assert pipe2.poll_once() == 1  # the replayed (not lost) window
+    assert pipe2.poll_once() == 0  # now confirmed: drained
+    rows = {r.id: r.val for r in pipe2.current_state().collect()}
+    assert rows[9] == 777.0
+
+    # a replayed advance with a stale LSN is swallowed, not raised
+    src2.advance_slot("0/1")
+
+
 def test_full_types_roundtrip(spark, pg, tmp_path):
     """PostgresFullTypesITCase scope: scalar types survive snapshot CSV
     export + slot decode identically."""
