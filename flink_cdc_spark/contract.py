@@ -1036,7 +1036,10 @@ def jdbc_snapshot_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = JdbcLiveSource(spark, cfg)
     _, _, cnt = src._probe()
-    src.cfg.chunk_size = max(cnt // 6, 64)  # always a multi-chunk snapshot
+    # multi-chunk AND multi-wave: ~12 chunks in waves of 4, so the
+    # mid-scan write genuinely lands between two bracketed parallel waves
+    src.cfg.chunk_size = max(cnt // 12, 16)
+    src.cfg.snapshot_pool = 4
 
     def concurrent_touch():
         # value-idempotent concurrent write: real log events mid-snapshot,

@@ -362,6 +362,9 @@ class JdbcLiveSourceConfig:
     key_column: str
     table_id: Optional[str] = None
     chunk_size: int = DEFAULT_CHUNK_SIZE
+    # chunks read concurrently per wave (the reference's
+    # connection.pool.size, MySqlSourceOptions.java:125-127)
+    snapshot_pool: int = 8
     startup_mode: StartupMode = StartupMode.INITIAL
     startup_offset: int = 0  # SPECIFIC_OFFSETS
     startup_timestamp: Optional[str] = None  # TIMESTAMP mode ('yyyy-mm-dd hh:mm:ss')
@@ -423,30 +426,48 @@ class JdbcLiveSource:
         )
 
     def snapshot_chunks(self, mid_scan_hook=None):
-        """Chunked snapshot with real LW/HW bracketing: each chunk is
-        materialized (cache+count) between its two watermark reads, so the
-        recorded interval genuinely brackets the scan. ``mid_scan_hook``
-        (tests/contract) runs once after half the chunks — concurrent
-        writes landing mid-snapshot, the case the protocol exists for."""
+        """Chunked snapshot read in parallel WAVES with real LW/HW
+        bracketing. Each wave is ONE ``spark.read.jdbc`` call whose
+        predicates are the wave's chunks — one JDBC partition per chunk,
+        scanned concurrently by Spark's scheduler, the Spark rendition of
+        the reference's pooled parallel readers
+        (SnapshotSplitAssigner.java:70; connection.pool.size=20,
+        MySqlSourceOptions.java:125-127). The wave is materialized
+        (cache+count) between its two watermark reads, so the recorded
+        LW/HW interval genuinely brackets every chunk in it; because
+        plan_chunks emits contiguous half-open ranges, a wave's combined
+        key range is (first.lo, last.hi] and backfill applies per-wave.
+        Snapshot wall-time is Σ(waves) ≈ Σ(chunks)/pool, not Σ(chunks).
+
+        ``mid_scan_hook`` (tests/contract) runs once between two waves —
+        concurrent writes landing mid-snapshot, the case the LW/HW
+        protocol exists for (requires >= 2 waves to fire mid-scan)."""
         mn, mx, cnt = self._probe()
         ranges = plan_chunks(mn, mx, cnt, self.cfg.chunk_size)
         preds = chunk_predicates(ranges, self.cfg.key_column.upper())
+        pool = max(1, self.cfg.snapshot_pool)
+        wave_idx = [
+            list(range(i, min(i + pool, len(ranges))))
+            for i in range(0, len(ranges), pool)
+        ]
         chunks, wms = [], []
-        for i, (rng, pred) in enumerate(zip(ranges, preds)):
-            if mid_scan_hook is not None and i == (len(ranges) + 1) // 2:
+        for wi, idxs in enumerate(wave_idx):
+            if mid_scan_hook is not None and wi == max(1, (len(wave_idx) + 1) // 2):
                 mid_scan_hook()
             lw = self.current_offset()
             df = self.spark.read.jdbc(
                 self.cfg.url,
                 self.cfg.table.upper(),
-                predicates=[pred],
+                predicates=[preds[i] for i in idxs],
                 properties=self._props,
             )
             df = df.toDF(*[c.lower() for c in df.columns]).cache()
-            df.count()  # force the scan NOW, between LW and HW
+            df.count()  # force the parallel scan NOW, between LW and HW
             hw = self.current_offset()
             chunks.append(df)
-            wms.append(ChunkWatermarks(rng.lo, rng.hi, lw, hw))
+            wms.append(
+                ChunkWatermarks(ranges[idxs[0]].lo, ranges[idxs[-1]].hi, lw, hw)
+            )
         return chunks, wms
 
     def detect_schema_changes(self, known_schema: Optional[Schema] = None):

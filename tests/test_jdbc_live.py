@@ -37,7 +37,7 @@ def db(spark, tmp_path):
 def _source(spark, url, mode=StartupMode.INITIAL, **kw):
     cfg = JdbcLiveSourceConfig(
         url=url, table="items", key_column="id", table_id="app.items",
-        chunk_size=10, startup_mode=mode, **kw,
+        chunk_size=10, snapshot_pool=2, startup_mode=mode, **kw,
     )
     return JdbcLiveSource(spark, cfg)
 
