@@ -118,38 +118,28 @@ class JdbcCdcPipeline:
         self._store_offset(hw)
         return hw - last
 
+    # above this many touched keys the repair read switches from pushed
+    # IN-predicates to a chunked re-scan + executor-side semi join
+    repair_collect_cap = 10_000
+
     def _repair_touched_keys(self, env, target) -> None:
         from pyspark.sql import functions as F
 
         from ..sources.envelope import wrap_as_inserts
-        from ..sources.jdbc_live import DERBY_DRIVER
+        from ..sources.jdbc_live import fresh_rows_for_keys
 
         pk = self.cfg.key_column
-        keys = [
-            r[0]
-            for r in env.select(
-                F.coalesce(F.col(f"after.{pk}"), F.col(f"before.{pk}"))
+        keys_df = (
+            env.select(
+                F.coalesce(F.col(f"after.{pk}"), F.col(f"before.{pk}")).alias(pk)
             )
             .distinct()
-            .collect()
-        ]
-        if not keys:
-            return
-        preds = []
-        for i in range(0, len(keys), 1000):
-            chunk = keys[i : i + 1000]
-            vals = ", ".join(
-                str(k) if isinstance(k, (int, float)) else "'" + str(k).replace("'", "''") + "'"
-                for k in chunk
-            )
-            preds.append(f"{pk.upper()} IN ({vals})")
-        fresh = self.spark.read.jdbc(
-            self.cfg.url,
-            self.cfg.table.upper(),
-            predicates=preds,
-            properties={"driver": DERBY_DRIVER},
         )
-        fresh = fresh.toDF(*[c.lower() for c in fresh.columns])
+        fresh = fresh_rows_for_keys(
+            self.source, keys_df, pk, collect_cap=self.repair_collect_cap
+        )
+        if fresh is None:
+            return
         repair = wrap_as_inserts(fresh, self.table)
         # its own (later) commit: wins over the slice for keys still present;
         # deleted keys are absent here, so their tombstones stand

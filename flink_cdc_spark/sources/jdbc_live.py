@@ -532,6 +532,62 @@ class JdbcLiveSource:
         raise ValueError(f"unsupported startup mode: {mode}")
 
 
+def fresh_rows_for_keys(
+    source: "JdbcLiveSource",
+    keys_df: DataFrame,
+    key_column: str,
+    collect_cap: int = 10_000,
+) -> Optional[DataFrame]:
+    """Re-read the CURRENT rows for a set of touched keys (the post-DDL
+    repair path: trigger capture cannot retroactively fill new columns, so
+    the stale window is re-read from the live table).
+
+    Scale shape: small key sets collect to IN-predicates pushed to the
+    database (O(keys), the common case — the stale window is one poll
+    wide); above `collect_cap` the table is re-read chunked and
+    LEFT SEMI-joined to the key set executor-side — one bounded extra
+    scan on the rare DDL poll, never an unbounded driver collect."""
+    n = keys_df.count()
+    if n == 0:
+        return None
+    lower = key_column.lower()
+    if n <= collect_cap:
+        keys = [r[0] for r in keys_df.collect()]
+        preds = []
+        for i in range(0, len(keys), 1000):
+            chunk = keys[i : i + 1000]
+            vals = ", ".join(
+                str(k)
+                if isinstance(k, (int, float))
+                else "'" + str(k).replace("'", "''") + "'"
+                for k in chunk
+            )
+            preds.append(f"{key_column.upper()} IN ({vals})")
+        fresh = source.spark.read.jdbc(
+            source.cfg.url,
+            source.cfg.table.upper(),
+            predicates=preds,
+            properties=source._props,
+        )
+    else:
+        mn, mx, cnt = source._probe()
+        preds = chunk_predicates(
+            plan_chunks(mn, mx, cnt, source.cfg.chunk_size),
+            source.cfg.key_column.upper(),
+        )
+        full = source.spark.read.jdbc(
+            source.cfg.url,
+            source.cfg.table.upper(),
+            predicates=preds,
+            properties=source._props,
+        )
+        full = full.toDF(*[c.lower() for c in full.columns])
+        fresh = full.join(
+            keys_df.toDF(lower).distinct(), on=lower, how="left_semi"
+        )
+    return fresh.toDF(*[c.lower() for c in fresh.columns])
+
+
 def _normalized(chunk_df, log, key_column, wm, table_id):
     from .snapshot_backfill import normalize_chunk
 
