@@ -110,15 +110,47 @@ def sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(embs, queries)
 
 
-@register("dedup_connected_components", dedup.dedup_components_oracle_sql())
+# deterministic duplicate salting for the connected-components gate: the
+# raw corpus has no exact duplicates at small SF, which made the oracle
+# row vacuous (0 rows on both sides). Re-inserting copies of every
+# doc_id % SALT_MOD == 0 document under shifted ids yields 3-node chains,
+# so the fixpoint genuinely needs multi-hop propagation AND the oracle
+# compares real rows. Constants shared by both sides.
+_CC_SALT_MOD = 50
+_CC_SALT_COPIES = (10_000_000, 20_000_000)
+
+
+def _cc_salted_table_sql() -> str:
+    parts = ["SELECT doc_id, text FROM documents"] + [
+        f"SELECT doc_id + {off} AS doc_id, text FROM documents "
+        f"WHERE doc_id % {_CC_SALT_MOD} = 0"
+        for off in _CC_SALT_COPIES
+    ]
+    return "(" + " UNION ALL ".join(parts) + ") salted"
+
+
+@register(
+    "dedup_connected_components",
+    dedup.dedup_components_oracle_sql(table=_cc_salted_table_sql()),
+)
 def dedup_connected_components(spark, sf_dir):
     """Cluster-level dedup: duplicate groups resolved as connected
     components by iterative min-label propagation (multi-hop: the edge set
-    is sparse chains, so the fixpoint takes O(chain length) rounds). The
-    repo's iterative-algorithm representative — and still fully
-    oracle-gated, because the chain graph's components have a closed
-    form."""
-    edges = dedup.duplicate_chain_edges(_docs(spark, sf_dir))
+    is sparse chains of length 3, so the fixpoint takes O(chain length)
+    rounds). The repo's iterative-algorithm representative — fully
+    oracle-gated with NON-EMPTY results, because the chain graph's
+    components have a closed form over the salted corpus."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    salted = docs
+    for off in _CC_SALT_COPIES:
+        salted = salted.unionByName(
+            docs.where(F.col("doc_id") % _CC_SALT_MOD == 0).select(
+                (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
+            )
+        )
+    edges = dedup.duplicate_chain_edges(salted)
     return dedup.connected_components(edges)
 
 
