@@ -654,6 +654,155 @@ pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: LENIENT}
     return result.tables["db.customer"]
 
 
+@register(
+    "transform_soft_delete",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 20 = 7 THEN '-D'
+                WHEN o_orderkey % 10 = 3 THEN '+U'
+                ELSE '+I' END AS op_type
+    FROM orders
+    """,
+)
+def transform_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT_DELETE converter (transform/converter scope, transform.md:48-61):
+    DELETEs become INSERTs carrying the before image, so deleted keys stay
+    in the materialized state — tagged '-D' by the __data_event_type__
+    metadata column computed on that image before the conversion."""
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+transform:
+  - source-table: default.orders
+    projection: o_orderkey, o_totalprice, o_orderstatus, __data_event_type__ AS op_type
+    converter-after-transform: SOFT_DELETE
+pipeline: {execution.runtime-mode: BATCH}
+"""
+    return run_pipeline(
+        spark, sf_dir, yaml_text,
+        [("orders", "default.orders", ("o_orderkey",), _ORDERS_MUT)],
+        "default.orders",
+    )
+
+
+@register(
+    "schema_evolution_ignore",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+    """,
+)
+def schema_evolution_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE behavior (SchemaChangeBehavior.java:28-32): the sink schema
+    stays at v1; post-DDL rows still flow, their new column dropped by
+    coercion — upstream schema versions keep being tracked so decoding
+    stays correct."""
+    from .pipeline.composer import EventPipelineComposer
+
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: IGNORE}
+"""
+    composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
+    result = composer.run(_customer_evolution_events(spark, sf_dir))
+    return result.tables["db.customer"]
+
+
+@register(
+    "schema_evolution_exclude_add_column",
+    """
+    SELECT c_custkey, c_name AS full_name, c_nationkey, c_acctbal FROM customer
+    """,
+)
+def schema_evolution_exclude_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-side schema-change type filtering
+    (SinkDef.getIncludedSchemaEvolutionTypes): EVOLVE behavior with
+    ADD_COLUMN excluded — the mid-stream ADD is filtered while the RENAME
+    still evolves the sink, including redirection of rows written under
+    the old name."""
+    from .pipeline.composer import EventPipelineComposer
+
+    yaml_text = """
+source: {type: values}
+sink: {type: values, exclude.schema.changes: [add.column]}
+pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: EVOLVE}
+"""
+    composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
+    result = composer.run(_customer_evolution_events(spark, sf_dir, rename=True))
+    return result.tables["db.customer"]
+
+
+def _try_evolve_events(spark, sf_dir):
+    """Two source tables routed N->1 into one sink; both later ADD the same
+    column. The second ADD is valid on its own upstream schema but a
+    duplicate on the merged sink schema — exactly the divergence
+    TRY_EVOLVE exists for (apply what fits, swallow what doesn't; EVOLVE
+    raises on the same stream — pinned by pytest)."""
+    from .core.events import AddColumnEvent, CreateTableEvent, DataChangeEvent
+    from .core.schema import Column, new_schema
+    from .core import types as ct
+
+    t1, t2 = TableId.parse("db.t1"), TableId.parse("db.t2")
+
+    def _schema():
+        return (
+            new_schema()
+            .physical_column("k", "BIGINT NOT NULL")
+            .physical_column("v", "STRING")
+            .primary_key("k")
+            .build()
+        )
+
+    rows = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .collect()
+    )
+    events = [CreateTableEvent(t1, _schema()), CreateTableEvent(t2, _schema())]
+    for r in rows:
+        if r.c_custkey % 4 < 2:
+            tid = t1 if r.c_custkey % 2 == 0 else t2
+            events.append(DataChangeEvent.insert(tid, (r.c_custkey, r.c_name)))
+    events.append(AddColumnEvent.last(t1, Column("x", ct.int_())))
+    events.append(AddColumnEvent.last(t2, Column("x", ct.int_())))  # dup on sink
+    for r in rows:
+        if r.c_custkey % 4 >= 2:
+            tid = t1 if r.c_custkey % 2 == 0 else t2
+            events.append(
+                DataChangeEvent.insert(tid, (r.c_custkey, r.c_name, r.c_nationkey))
+            )
+    return events
+
+
+@register(
+    "schema_evolution_try_evolve",
+    """
+    SELECT c_custkey AS k, c_name AS v,
+           CASE WHEN c_custkey % 4 >= 2 THEN c_nationkey ELSE NULL END AS x
+    FROM customer
+    """,
+)
+def schema_evolution_try_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_EVOLVE behavior: the conflicting second ADD is swallowed, data
+    for the already-present sink column still lands by name."""
+    from .pipeline.composer import EventPipelineComposer
+
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+route:
+  - source-table: db.\\.*
+    sink-table: sink.merged
+pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: TRY_EVOLVE}
+"""
+    composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
+    result = composer.run(_try_evolve_events(spark, sf_dir))
+    return result.tables["sink.merged"]
+
+
 # ---------------------------------------------------------------------------
 # §2.2 Kafka changelog formats: envelope -> debezium-json -> envelope -> state
 # ---------------------------------------------------------------------------

@@ -75,6 +75,14 @@ def apply_schema_change_event(schema: Optional[Schema], event: SchemaChangeEvent
 def _apply_add_column(schema: Schema, event: AddColumnEvent) -> Schema:
     columns = list(schema.columns)
     for cwp in event.added_columns:
+        # the reference rejects re-adding an existing column
+        # (SchemaUtils.applyAddColumnEvent "already existed" check) — this
+        # is what makes TRY_EVOLVE vs EVOLVE observable on N->1 merges
+        if any(c.name == cwp.column.name for c in columns):
+            raise ValueError(
+                f"ADD COLUMN error: column {cwp.column.name} already exists "
+                f"in table {event.table_id}"
+            )
         if cwp.position == ColumnPosition.FIRST:
             columns.insert(0, cwp.column)
         elif cwp.position == ColumnPosition.LAST:

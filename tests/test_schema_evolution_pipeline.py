@@ -221,3 +221,43 @@ pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: EVOLVE}
     table = result.tables["db.t1"]
     assert "extra" not in table.columns
     assert {r.id for r in table.collect()} == {1, 2, 3}
+
+
+def test_try_evolve_swallows_conflicting_add_evolve_raises(spark):
+    """N->1 merge where both upstream tables ADD the same column: the
+    second ADD conflicts on the merged sink schema. TRY_EVOLVE applies
+    what fits and swallows the conflict; EVOLVE raises on the identical
+    stream (SchemaChangeBehavior.java:28-32)."""
+    t2 = TableId.parse("db.t2")
+    routes = """
+route:
+  - source-table: db.\\.*
+    sink-table: sink.merged
+"""
+    events = [
+        CreateTableEvent(TID, BASE),
+        CreateTableEvent(t2, BASE),
+        DataChangeEvent.insert(TID, (1, "a")),
+        DataChangeEvent.insert(t2, (2, "b")),
+        AddColumnEvent.last(TID, Column("x", ct.int_())),
+        AddColumnEvent.last(t2, Column("x", ct.int_())),  # dup on the sink
+        DataChangeEvent.insert(TID, (3, "c", 30)),
+        DataChangeEvent.insert(t2, (4, "d", 40)),
+    ]
+    composer = make_composer(spark, behavior="TRY_EVOLVE", routes=routes)
+    table = composer.run(events).tables["sink.merged"]
+    assert table.columns == ["id", "name", "x"]
+    got = {r.id: r.x for r in table.collect()}
+    assert got == {1: None, 2: None, 3: 30, 4: 40}
+
+    with pytest.raises(ValueError, match="already exists"):
+        make_composer(spark, behavior="EVOLVE", routes=routes).run(events)
+
+
+def test_duplicate_add_column_rejected(spark):
+    from flink_cdc_spark.core.schema_evolution import apply_schema_change_event
+
+    with pytest.raises(ValueError, match="already exists"):
+        apply_schema_change_event(
+            BASE, AddColumnEvent.last(TID, Column("name", ct.string()))
+        )
