@@ -230,6 +230,12 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
 
         composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
         result = composer.compose(postgres_streams(spark, pipeline.source.config))
+    elif source_type == "mysql":
+        from .pipeline.composer import BatchPipelineComposer
+        from .sources.mysql_source import mysql_streams
+
+        composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+        result = composer.compose(mysql_streams(spark, pipeline.source.config))
     else:
         raise SystemExit(f"unknown source type {pipeline.source.type!r}")
 

@@ -389,7 +389,7 @@ def _parse_inner(text: str, upper: str) -> DataType:
         inner = text[4:-1]
         k, v = _split_top_level(inner)
         return map_(parse_type(k), parse_type(v))
-    raise ValueError(f"Cannot parse CDC type: {s!r}")
+    raise ValueError(f"Cannot parse CDC type: {text!r}")
 
 
 def _split_top_level(s: str) -> tuple:

@@ -81,7 +81,7 @@ def _split_top_level(s: str, sep: str = ",") -> List[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _parse_column_def(defn: str) -> Optional[Column]:
+def _parse_column_def(defn: str, type_parser=None) -> Optional[Column]:
     m = re.match(rf"\s*{_IDENT}\s+(.+?)\s*$", defn, re.IGNORECASE)
     if not m:
         return None
@@ -93,13 +93,21 @@ def _parse_column_def(defn: str) -> Optional[Column]:
         rest = rest[: cm.start()] + rest[cm.end():]
     rest = re.sub(r"\bDEFAULT\s+\S+", "", rest, flags=re.IGNORECASE)
     type_str = rest.strip()
-    return Column(name, parse_type(type_str), comment)
+    return Column(name, (type_parser or parse_type)(type_str), comment)
 
 
-def parse_ddl(sql: str, default_table_id: Optional[str] = None) -> SchemaChangeEvent:
+def parse_ddl(
+    sql: str,
+    default_table_id: Optional[str] = None,
+    type_parser=None,
+) -> SchemaChangeEvent:
     """Parse one DDL statement into a SchemaChangeEvent. Raises ValueError
     for unsupported statements (callers decide whether to skip, as the
-    reference's parser ignores grammar it doesn't map)."""
+    reference's parser ignores grammar it doesn't map). ``type_parser``
+    overrides column-type resolution — the dialect hook a subclassed
+    parser provides in the reference (CustomMySqlAntlrDdlParser extends
+    the stock MySQL grammar; here the MySQL source passes mysql_type)."""
+    tp = type_parser or parse_type
     stmt = sql.strip().rstrip(";").strip()
 
     m = re.match(
@@ -117,9 +125,15 @@ def parse_ddl(sql: str, default_table_id: Optional[str] = None) -> SchemaChangeE
                 continue
             if re.match(r"(UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN)\b", item, re.IGNORECASE):
                 continue
-            col = _parse_column_def(item)
+            # inline `<col> <type> ... PRIMARY KEY` (MySQL-style)
+            inline_pk = re.search(r"\bPRIMARY\s+KEY\b", item, re.IGNORECASE)
+            if inline_pk:
+                item = item[: inline_pk.start()] + item[inline_pk.end():]
+            col = _parse_column_def(item, type_parser)
             if col is not None:
                 cols.append(col)
+                if inline_pk:
+                    pks.append(col.name)
         schema = Schema(columns=tuple(cols), primary_keys=tuple(pks)).ensure_pk_non_null()
         return CreateTableEvent(tid, schema)
 
@@ -143,7 +157,7 @@ def parse_ddl(sql: str, default_table_id: Optional[str] = None) -> SchemaChangeE
         re.IGNORECASE,
     )
     if m and re.match(r"ADD\b", body, re.IGNORECASE):
-        col = _parse_column_def(m.group(1))
+        col = _parse_column_def(m.group(1), type_parser)
         if col is None:
             raise ValueError(f"bad column definition in {sql!r}")
         if m.group(2):
@@ -166,14 +180,14 @@ def parse_ddl(sql: str, default_table_id: Optional[str] = None) -> SchemaChangeE
     if m:
         old, new, type_str = _unquote(m.group(1)), _unquote(m.group(2)), m.group(3)
         if old == new:
-            return AlterColumnTypeEvent(tid, ((old, parse_type(type_str)),))
+            return AlterColumnTypeEvent(tid, ((old, tp(type_str)),))
         # MySQL CHANGE = rename (+ possible retype); emit the rename — the
         # reference maps this the same way (rename carries the new type)
         return RenameColumnEvent(tid, ((old, new),))
 
     m = re.match(rf"MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+(.+?)\s*$", body, re.IGNORECASE)
     if m:
-        return AlterColumnTypeEvent(tid, ((_unquote(m.group(1)), parse_type(m.group(2))),))
+        return AlterColumnTypeEvent(tid, ((_unquote(m.group(1)), tp(m.group(2))),))
 
     m = re.match(
         rf"ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+(?:SET\s+DATA\s+TYPE|TYPE)\s+(.+?)\s*$",
@@ -181,7 +195,7 @@ def parse_ddl(sql: str, default_table_id: Optional[str] = None) -> SchemaChangeE
         re.IGNORECASE,
     )
     if m:
-        return AlterColumnTypeEvent(tid, ((_unquote(m.group(1)), parse_type(m.group(2))),))
+        return AlterColumnTypeEvent(tid, ((_unquote(m.group(1)), tp(m.group(2))),))
 
     raise ValueError(f"unsupported DDL: {sql!r}")
 
