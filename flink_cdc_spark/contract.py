@@ -472,12 +472,12 @@ pipeline: {execution.runtime-mode: BATCH}
     """
     SELECT c_custkey,
            (nullif(c_nationkey, 3) + 1) AS add_null,
-           ('x' || CAST(nullif(c_nationkey, 3) AS VARCHAR)) AS concat_null,
+           ('x' || COALESCE(CAST(nullif(c_nationkey, 3) AS VARCHAR), 'null')) AS concat_null,
            upper(CAST(NULL AS VARCHAR)) AS upper_null,
-           (nullif(c_nationkey, 3) BETWEEN 0 AND 10) AS between_3vl,
-           (nullif(c_nationkey, 3) > 1) AS cmp_3vl,
-           ((nullif(c_nationkey, 3) > 1) OR TRUE) AS or_true,
-           ((nullif(c_nationkey, 3) > 1) AND FALSE) AS and_false,
+           COALESCE(nullif(c_nationkey, 3) BETWEEN 0 AND 10, FALSE) AS between_3vl,
+           COALESCE(nullif(c_nationkey, 3) > 1, FALSE) AS cmp_3vl,
+           (COALESCE(nullif(c_nationkey, 3) > 1, FALSE) OR TRUE) AS or_true,
+           (COALESCE(nullif(c_nationkey, 3) > 1, FALSE) AND FALSE) AS and_false,
            coalesce(nullif(c_nationkey, 3), -1) AS coalesced,
            (nullif(c_nationkey, 3) IS NULL) AS isn,
            (nullif(c_nationkey, 3) IS NOT DISTINCT FROM NULL) AS notdist_null,
@@ -488,11 +488,13 @@ pipeline: {execution.runtime-mode: BATCH}
     """,
 )
 def fn_null_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-valued-logic / null-propagation parity (SURVEY.md §7 phase-2 risk
-    list): comparisons, BETWEEN, AND/OR short-circuit, CASE without ELSE,
-    string/arith propagation — the oracle pins SQL-standard semantics.
-    DuckDB's concat() skips NULLs, so the oracle uses `||` (propagating),
-    matching the reference's CONCAT-returns-NULL behavior."""
+    """Null-semantics parity (SURVEY.md §7 phase-2 risk list). The
+    reference's transform runtime is 2-VALUED on comparisons and BETWEEN
+    (SystemFunctionUtils: null operands -> FALSE; pinned verbatim by
+    specs/comparison.yaml null rows in tests/test_spec_corpus.py), and its
+    concat stringifies NULL operands as 'null' (specs/string.yaml). Arith,
+    CASE, IS NULL, COALESCE stay SQL 3VL. The oracle expresses the same
+    semantics in DuckDB via explicit COALESCE."""
     yaml_text = """
 source: {type: parquet}
 sink: {type: values}

@@ -90,6 +90,9 @@ class ExpressionContext:
     local_time_zone: str = "UTC"
     # names of registered user/AI functions that pass through untouched
     udf_names: frozenset = frozenset()
+    # column name -> True if integral-typed (drives Java integer-division
+    # semantics for `/`); absent names count as non-integral
+    integral_columns: frozenset = frozenset()
     # available physical columns; None disables the existence check
     known_columns: Optional[frozenset] = None
     # strict reference null semantics for bare comparisons (null -> FALSE)
@@ -168,14 +171,51 @@ class ExpressionCompiler:
     def _r_or(self, node) -> str:
         return f"({self.render(node[1])} OR {self.render(node[2])})"
 
+    def _null_str(self, sql: str) -> str:
+        """The reference's concat renders NULL operands as the string
+        'null' (SystemFunctionUtils.concat uses Objects.toString; pinned
+        by specs/string.yaml 'String Concat Operator': '<<'||null ->
+        '<<null>>')."""
+        return f"coalesce(cast({sql} AS string), 'null')"
+
+    def _is_integral(self, node) -> bool:
+        """Light static type check: is this expression integral-typed?
+        Drives Java division semantics (int/int -> truncating int div,
+        specs/arithmetic.yaml 'Divide Op': 3/2 == 1, -5/2 == -2)."""
+        kind = node[0]
+        if kind == "lit_num":
+            t = node[1].lower()
+            return "." not in t and "e" not in t
+        if kind == "col":
+            return node[1] in self.ctx.integral_columns
+        if kind == "neg":
+            return self._is_integral(node[1])
+        if kind == "binop" and node[1] in ("+", "-", "*", "%"):
+            return self._is_integral(node[2]) and self._is_integral(node[3])
+        if kind == "cast":
+            try:
+                return ct.parse_type(node[2]).root in (
+                    "TINYINT", "SMALLINT", "INT", "BIGINT"
+                )
+            except Exception:
+                return False
+        return False
+
     def _r_binop(self, node) -> str:
         _, op, l, r = node
         ls, rs = self.render(l), self.render(r)
         if op == "||":
-            return f"concat({ls}, {rs})"
-        if op in ("=", "<>", ">", ">=", "<", "<=") and self.ctx.strict_nulls:
+            return f"concat({self._null_str(ls)}, {self._null_str(rs)})"
+        if op == "/" and self._is_integral(l) and self._is_integral(r):
+            # Java integer division truncates toward zero; Spark's `/` is
+            # always fractional, `div` matches Java exactly
+            return f"({ls} div {rs})"
+        if op in ("=", ">", ">=", "<", "<=") and self.ctx.strict_nulls:
             # reference ComparisonFunctions: null operands -> FALSE, not NULL
             return f"ifnull(({ls} {op} {rs}), false)"
+        if op == "<>" and self.ctx.strict_nulls:
+            # notEquals = !equals, so null operands -> TRUE
+            return f"(NOT ifnull(({ls} = {rs}), false))"
         return f"({ls} {op} {rs})"
 
     def _r_is(self, node) -> str:
@@ -210,20 +250,24 @@ class ExpressionCompiler:
         if esc is None:
             # dialect LIKE = Java-regex substring match (find())
             core = f"({es} RLIKE {self.render(pat)})"
+        elif esc[0] != "lit_str":
+            # a non-literal escape is NULL-valued at best (Calcite requires
+            # a literal): the whole predicate is NULL (specs/comparison.yaml)
+            return "CAST(NULL AS BOOLEAN)"
         else:
-            if esc[0] != "lit_str":
-                raise CompileError("LIKE ESCAPE requires a literal escape string")
             core = f"({es} LIKE {self.render(pat)} ESCAPE {self.render(esc)})"
         return f"(NOT {core})" if negated else core
 
     def _r_similar(self, node) -> str:
         _, e, pat, esc, negated = node
         if pat[0] != "lit_str":
+            if pat[0] == "cast" or pat[0] == "lit_null":
+                return "CAST(NULL AS BOOLEAN)"  # NULL pattern -> NULL
             raise CompileError("SIMILAR TO requires a literal pattern")
         esc_ch = None
         if esc is not None:
             if esc[0] != "lit_str":
-                raise CompileError("SIMILAR TO ESCAPE requires a literal escape string")
+                return "CAST(NULL AS BOOLEAN)"  # NULL escape -> NULL
             esc_ch = esc[1]
         regex = "^(?:" + similar_to_regex(pat[1], esc_ch) + ")$"
         core = f"({self.render(e)} RLIKE {_sql_str(regex)})"
@@ -234,6 +278,8 @@ class ExpressionCompiler:
         es = self.render(e)
         inner = ", ".join(self.render(it) for it in items)
         core = f"({es} IN ({inner}))"
+        if self.ctx.strict_nulls:
+            core = f"ifnull({core}, false)"
         return f"(NOT {core})" if negated else core
 
     def _r_case_when(self, node) -> str:
@@ -271,8 +317,44 @@ class ExpressionCompiler:
         return f"({node[1]})"
 
     def _r_cast(self, node) -> str:
+        """Reference casts are lenient (SystemFunctionUtils.castTo*,
+        pinned by specs/casting.yaml): unparseable strings -> NULL
+        (BOOLEAN: FALSE), fractional strings truncate toward zero for
+        integral targets ('2.22' -> 2). Spark 4's ANSI CAST raises
+        instead, so compile to try_cast with the two special paths."""
         _, e, type_text = node
-        return f"CAST({self.render(e)} AS {_cast_type_sql(type_text)})"
+        es = self.render(e)
+        t = _cast_type_sql(type_text)
+        if t == "boolean":
+            return (
+                f"(CASE WHEN {es} IS NULL THEN CAST(NULL AS BOOLEAN) "
+                f"WHEN try_cast({es} AS boolean) IS NOT NULL THEN try_cast({es} AS boolean) "
+                f"WHEN try_cast({es} AS double) IS NOT NULL THEN (try_cast({es} AS double) <> 0.0) "
+                f"ELSE false END)"
+            )
+        if t in ("tinyint", "smallint", "int"):
+            # Java primitive narrowing WRAPS on overflow ((byte) 333 == 77,
+            # specs/casting.yaml); compute in bigint and take the low bits
+            # two's-complement
+            bits = {"tinyint": 8, "smallint": 16, "int": 32}[t]
+            mask, half = 1 << bits, 1 << (bits - 1)
+            base = (
+                f"coalesce(try_cast({es} AS bigint), "
+                f"try_cast(try_cast({es} AS double) AS bigint))"
+            )
+            return (
+                f"cast(((({base}) % {mask}) + {mask + half}) % {mask} - {half} AS {t})"
+            )
+        if t == "bigint":
+            return (
+                f"coalesce(try_cast({es} AS bigint), "
+                f"try_cast(try_cast({es} AS double) AS bigint))"
+            )
+        if t.startswith("timestamp") or t == "date":
+            # temporal casts DO raise on unparseable input in the reference
+            # (specs/casting.yaml 'Cast To Timestamp Failure' expects error)
+            return f"CAST({es} AS {t})"
+        return f"try_cast({es} AS {t})"
 
     def _r_subscript(self, node) -> str:
         _, e, idx = node
@@ -282,7 +364,12 @@ class ExpressionCompiler:
         # VARIANT operands (VariantAwareItemOperator.java:113) need
         # variant_get with a JSON path: detectable statically when the
         # operand is a PARSE_JSON / TRY_PARSE_JSON call.
-        if e[0] == "call" and e[1] in ("PARSE_JSON", "TRY_PARSE_JSON"):
+        def is_variant(x) -> bool:
+            return (
+                x[0] == "call" and x[1] in ("PARSE_JSON", "TRY_PARSE_JSON")
+            ) or (x[0] == "subscript" and is_variant(x[1]))
+
+        if is_variant(e):
             if idx[0] == "lit_str":
                 return f"variant_get({self.render(e)}, '$.{idx[1]}')"
             if idx[0] == "lit_num":
@@ -379,6 +466,14 @@ class ExpressionCompiler:
             if name == "REGEXP_EXTRACT" and n == 2:
                 # dialect default group = 0 (whole match); Spark default is 1
                 return f"regexp_extract({rendered[0]}, {rendered[1]}, 0)"
+            if name == "CONCAT":
+                # null operands stringify as 'null' (see _null_str)
+                return f"concat({', '.join(self._null_str(r) for r in rendered)})"
+            if name in ("LTRIM", "RTRIM") and n == 2:
+                # dialect arg order is (str, trimChars); express via the
+                # SQL TRIM spec so the order is unambiguous
+                spec = "LEADING" if name == "LTRIM" else "TRAILING"
+                return f"trim({spec} {rendered[1]} FROM {rendered[0]})"
             return f"{simple_string[name]}({', '.join(rendered)})"
         if name == "POSITION":
             return f"position({', '.join(rendered)})"
@@ -405,24 +500,56 @@ class ExpressionCompiler:
                 raise CompileError("DATE_FORMAT(ts, fmt) needs 2 arguments")
             return f"date_format({rendered[0]}, {self._fmt_arg(args[1])})"
         if name == "DATE_FORMAT_TZ":
+            # DATE_FORMAT_TZ(ts[, fmt], tz): a TIMESTAMP (no zone) formats
+            # identically in every zone (specs/temporal.yaml 'Formatting
+            # TIMESTAMP(0) with Timezone') — the zone only matters for the
+            # _ltz types, which this engine does not model
+            if n == 2:
+                return f"date_format({rendered[0]}, 'yyyy-MM-dd HH:mm:ss')"
             if n != 3:
-                raise CompileError("DATE_FORMAT_TZ(ts, fmt, tz) needs 3 arguments")
-            return (
-                f"date_format(convert_timezone({_sql_str(self.ctx.local_time_zone)}, "
-                f"{rendered[2]}, {rendered[0]}), {self._fmt_arg(args[1])})"
-            )
+                raise CompileError("DATE_FORMAT_TZ(ts[, fmt], tz) needs 2-3 arguments")
+            return f"date_format({rendered[0]}, {self._fmt_arg(args[1])})"
         if name == "TO_DATE":
-            if n == 1:
+            # strict-format parse, lenient failure: TO_DATE('1970-01-01
+            # 00:00:05') is NULL — the whole string must match the pattern
+            # (default yyyy-MM-dd); unparseable -> NULL, never an error
+            # (specs/temporal.yaml, specs/regression.yaml)
+            arg0 = args[0]
+            timestampish = (
+                arg0[0] == "call" and arg0[1] in ("TO_TIMESTAMP", "TO_TIMESTAMP_LTZ")
+            ) or (arg0[0] == "cast" and "TIMESTAMP" in str(arg0[2]).upper())
+            if timestampish and n == 1:
                 return f"to_date({rendered[0]})"
-            return f"to_date({rendered[0]}, {self._fmt_arg(args[1])})"
+            fmt = self._fmt_arg(args[1]) if n >= 2 else "'yyyy-MM-dd'"
+            return f"to_date(try_to_timestamp({rendered[0]}, {fmt}))"
         if name == "TO_TIMESTAMP":
             if n == 1:
                 return f"to_timestamp_ntz({rendered[0]})"
             return f"to_timestamp_ntz({rendered[0]}, {self._fmt_arg(args[1])})"
         if name == "TO_TIMESTAMP_LTZ":
-            if n == 1:
-                return f"to_timestamp_ltz({rendered[0]})"
-            return f"to_timestamp_ltz({rendered[0]}, {self._fmt_arg(args[1])})"
+            # epoch form: TO_TIMESTAMP_LTZ(numeric[, precision 0|3|6]),
+            # default precision 3 (millis); string form parses, with an
+            # optional source timezone (specs/temporal.yaml)
+            arg0 = args[0]
+            stringish = arg0[0] == "lit_str" or (
+                n >= 2 and args[1][0] == "lit_str"
+            )
+            if not stringish:
+                p = int(args[1][1]) if n >= 2 and args[1][0] == "lit_num" else 3
+                fn_by_p = {0: "timestamp_seconds", 3: "timestamp_millis",
+                           6: "timestamp_micros"}
+                f = fn_by_p.get(p)
+                if f is None:
+                    raise CompileError("TO_TIMESTAMP_LTZ precision must be 0, 3 or 6")
+                return f"{f}({rendered[0]})"
+            base = (
+                f"try_to_timestamp({rendered[0]})"
+                if n == 1
+                else f"try_to_timestamp({rendered[0]}, {self._fmt_arg(args[1])})"
+            )
+            if n == 3:
+                return f"to_utc_timestamp({base}, {rendered[2]})"
+            return base
         if name == "FROM_UNIXTIME":
             if n == 1:
                 return f"from_unixtime({rendered[0]})"
@@ -438,9 +565,11 @@ class ExpressionCompiler:
 
         # --- variant ---
         if name == "PARSE_JSON":
-            return f"parse_json({rendered[0]})"
+            # the dialect accepts any operand type (numbers parse as JSON
+            # scalars); Spark's parse_json requires STRING
+            return f"parse_json(cast({rendered[0]} AS string))"
         if name == "TRY_PARSE_JSON":
-            return f"try_parse_json({rendered[0]})"
+            return f"try_parse_json(cast({rendered[0]} AS string))"
 
         # unknown: pass through lowercased so registered UDFs and Spark
         # built-ins beyond the dialect remain callable

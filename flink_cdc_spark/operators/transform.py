@@ -134,12 +134,22 @@ class TransformProcessor:
         bindings = self._bindings(image)
         if extra_bindings:
             bindings.update(extra_bindings)
+        integral = frozenset(
+            f.name
+            for f in self.payload.fields
+            if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        )
         ctx = ExpressionContext(
             column_bindings=bindings,
             epoch_timestamp_sql=self._epoch_ts,
             local_time_zone=self._tz,
             udf_names=self._udfs,
             known_columns=frozenset(),  # everything resolves via bindings
+            # the reference's transform runtime is 2-valued on comparisons
+            # (SystemFunctionUtils: null operands -> FALSE, <> -> TRUE),
+            # pinned by specs/comparison.yaml null rows
+            strict_nulls=True,
+            integral_columns=integral,
         )
         return ExpressionCompiler(ctx)
 
@@ -316,6 +326,12 @@ class TransformProcessor:
         parts = tuple(self.rule.partition_keys) or (
             tuple(input_schema.partition_keys) if input_schema else ()
         )
+        # a projection may drop the upstream PK — the sink table is then
+        # key-less (specs/temporal.yaml items project no id_ and expect
+        # primaryKeys= empty), so only keep keys that survived
+        out_names = set(self.output_columns)
+        pks = tuple(k for k in pks if k in out_names)
+        parts = tuple(k for k in parts if k in out_names)
         from ..core.schema import Column
 
         deduced = self._deduce_output_types()

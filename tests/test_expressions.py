@@ -50,7 +50,12 @@ def test_strict_null_comparisons():
 
 
 def test_concat_operator():
-    assert c("a || b || 'x'") == "concat(concat(`a`, `b`), 'x')"
+    # reference concat stringifies NULL operands as 'null' (specs/string.yaml)
+    inner = "concat(coalesce(cast(`a` AS string), 'null'), coalesce(cast(`b` AS string), 'null'))"
+    assert c("a || b || 'x'") == (
+        f"concat(coalesce(cast({inner} AS string), 'null'), "
+        "coalesce(cast('x' AS string), 'null'))"
+    )
 
 
 def test_is_predicates():
@@ -92,10 +97,13 @@ def test_case_forms():
 
 
 def test_cast_type_names():
-    assert c("CAST(a AS BYTE)") == "CAST(`a` AS tinyint)"
-    assert c("CAST(a AS INTEGER)") == "CAST(`a` AS int)"
-    assert c("CAST(a AS DECIMAL(10, 2))") == "CAST(`a` AS decimal(10,2))"
-    assert c("CAST(a AS STRING)") == "CAST(`a` AS string)"
+    # casts are lenient (try_cast) with Java narrowing for integrals and
+    # strict temporal casts (specs/casting.yaml semantics)
+    assert "AS tinyint" in c("CAST(a AS BYTE)") and "% 256" in c("CAST(a AS BYTE)")
+    assert "% 4294967296" in c("CAST(a AS INTEGER)")
+    assert c("CAST(a AS DECIMAL(10, 2))") == "try_cast(`a` AS decimal(10,2))"
+    assert c("CAST(a AS STRING)") == "try_cast(`a` AS string)"
+    assert c("CAST(a AS TIMESTAMP)") == "CAST(`a` AS timestamp_ntz)"
 
 
 def test_subscript_one_based():
@@ -138,7 +146,10 @@ def test_metadata_bindings():
         }
     )
     comp = ExpressionCompiler(ctx)
-    assert comp.compile("__table_name__ || '!'") == "concat(`__tbl`, '!')"
+    assert comp.compile("__table_name__ || '!'") == (
+        "concat(coalesce(cast(`__tbl` AS string), 'null'), "
+        "coalesce(cast('!' AS string), 'null'))"
+    )
     with pytest.raises(CompileError):
         comp.compile("__unknown_meta__")
 
