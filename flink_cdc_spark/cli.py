@@ -236,6 +236,14 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
 
         composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
         result = composer.compose(mysql_streams(spark, pipeline.source.config))
+    elif source_type == "sqlserver":
+        from .sources.sqlserver_source import sqlserver_streams
+
+        list(sqlserver_streams(spark, pipeline.source.config))  # raises
+    elif source_type == "oracle":
+        from .sources.oracle_source import oracle_streams
+
+        list(oracle_streams(spark, pipeline.source.config))  # raises
     else:
         raise SystemExit(f"unknown source type {pipeline.source.type!r}")
 

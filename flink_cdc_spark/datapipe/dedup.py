@@ -467,7 +467,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     )
     sym = sym.persist()
     labels = labels.persist()
-    for _ in range(max_iter):
+    for i in range(max_iter):
+        if i > 0 and i % 5 == 0:
+            # truncate lineage every few rounds (Pregel-style checkpoint):
+            # without this the final plan embeds every round's joins and
+            # Catalyst analysis cost grows quadratically with iterations
+            labels = labels.localCheckpoint(eager=True)
         # every node's candidate = min(own label, neighbors' labels)
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")

@@ -1,0 +1,151 @@
+"""Oracle / SQL Server pipeline-source surfaces (sources/oracle_source.py,
+sources/sqlserver_source.py): type dialects (OracleTypeUtils /
+SqlServerTypeUtils scope), factory options, and change decode over canned
+fixtures (OracleEventDeserializer / SqlServerEventDeserializer scope,
+minus live servers)."""
+
+import json
+
+import pytest
+
+from flink_cdc_spark.sinks.materialize import materialize_changelog
+from flink_cdc_spark.sources.jdbc_snapshot import StartupMode
+from flink_cdc_spark.sources.oracle_source import (
+    OracleSourceConfig,
+    decode_logminer_records,
+    oracle_streams,
+    oracle_type,
+)
+from flink_cdc_spark.sources.sqlserver_source import (
+    SqlServerSourceConfig,
+    capture_instance_name,
+    decode_cdc_table,
+    sqlserver_streams,
+    sqlserver_type,
+)
+
+
+# -- type dialects -----------------------------------------------------------
+
+
+def test_oracle_number_resolution():
+    assert oracle_type("NUMBER", 10, 2).root == "DECIMAL"
+    assert oracle_type("NUMBER", 5, 0).root == "INT"
+    assert oracle_type("NUMBER", 12, 0).root == "BIGINT"
+    assert oracle_type("NUMBER", 30, 0).root == "DECIMAL"
+    # negative scale rounds into integer digits: NUMBER(8, -2) holds 10 digits
+    assert oracle_type("NUMBER", 8, -2).root == "BIGINT"
+    assert oracle_type("VARCHAR2(100)").root == "VARCHAR"
+    assert oracle_type("BINARY_DOUBLE").root == "DOUBLE"
+    assert oracle_type("DATE").root == "TIMESTAMP"  # Oracle DATE has time
+    assert oracle_type("RAW").root in ("BYTES", "VARBINARY", "BINARY")
+    assert not oracle_type("NUMBER", 5, 0, nullable=False).nullable
+
+
+def test_sqlserver_type_mapping():
+    assert sqlserver_type("money").root == "DECIMAL"
+    assert (sqlserver_type("money").precision, sqlserver_type("money").scale) == (19, 4)
+    assert sqlserver_type("smallmoney").precision == 10
+    assert sqlserver_type("tinyint").root == "SMALLINT"  # unsigned 0-255
+    assert sqlserver_type("datetime").root == "TIMESTAMP"
+    assert sqlserver_type("uniqueidentifier").root == "VARCHAR"
+    assert sqlserver_type("rowversion").root in ("BYTES", "VARBINARY", "BINARY")
+    assert sqlserver_type("nvarchar(50)").root == "VARCHAR"
+    assert sqlserver_type("decimal", 12, 3).root == "DECIMAL"
+
+
+def test_configs_and_urls():
+    o = OracleSourceConfig.from_dict(
+        {"hostname": "ora", "port": "1522", "database": "XE",
+         "connection.pool.size": "7", "scan.startup.mode": "latest-offset"}
+    )
+    assert o.jdbc_url() == "jdbc:oracle:thin:@ora:1522:XE"
+    live = o.to_live_config("app", "orders", "id")
+    assert live.snapshot_pool == 7 and live.startup_mode == StartupMode.LATEST_OFFSET
+    o2 = OracleSourceConfig.from_dict({"jdbc.url": "jdbc:oracle:thin:@//h/S"})
+    assert o2.jdbc_url() == "jdbc:oracle:thin:@//h/S"
+
+    s = SqlServerSourceConfig.from_dict(
+        {"hostname": "mssql", "scan.incremental.snapshot.chunk.key-column": "k2"}
+    )
+    assert "jdbc:sqlserver://mssql:1433" in s.jdbc_url("app")
+    assert s.to_live_config("app", "t", "id").key_column == "k2"
+    assert capture_instance_name("dbo", "orders") == "cdc.dbo_orders_CT"
+
+
+# -- SQL Server CT-table decode ---------------------------------------------
+
+
+def _ct_fixture(spark):
+    """One polled slice: insert id=1, insert id=2, update id=1 (3+4 pair),
+    delete id=2 — LSNs as sortable hex strings, the CT-table layout."""
+    rows = [
+        ("0A01", "01", 2, 1, "a", 10.0),
+        ("0A02", "01", 2, 2, "b", 20.0),
+        ("0A03", "01", 3, 1, "a", 10.0),   # update: before image
+        ("0A03", "01", 4, 1, "a2", 11.0),  # update: after image
+        ("0A04", "01", 1, 2, "b", 20.0),   # delete
+    ]
+    return spark.createDataFrame(
+        rows,
+        "`__$start_lsn` STRING, `__$seqval` STRING, `__$operation` INT, "
+        "id LONG, name STRING, val DOUBLE",
+    )
+
+
+def test_sqlserver_ct_decode(spark):
+    env = decode_cdc_table(_ct_fixture(spark), "dbo.items")
+    by_seq = sorted(env.collect(), key=lambda r: r["__seq"])
+    ops = [r["__op"] for r in by_seq]
+    assert ops == ["INSERT", "INSERT", "UPDATE", "DELETE"]
+    upd = by_seq[2]
+    assert (upd["before"].name, upd["after"].name) == ("a", "a2")
+    assert upd["after"].val == 11.0
+    state = materialize_changelog(env, ["id"])
+    rows = {r.id: (r.name, r.val) for r in state.collect()}
+    assert rows == {1: ("a2", 11.0)}  # 2 deleted
+
+
+def test_sqlserver_ct_decode_no_self_join(spark):
+    """The 3/4 pairing must be one aggregation, not a self-join (one
+    bounded shuffle per polled slice)."""
+    env = decode_cdc_table(_ct_fixture(spark), "dbo.items")
+    plan = env._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+# -- Oracle LogMiner-shape decode -------------------------------------------
+
+
+def test_oracle_logminer_decode(spark):
+    recs = [
+        {"op": "c", "before": None, "after": {"id": 1, "v": "x"},
+         "source": {"db": "ORCL", "table": "T", "scn": "1001"}, "ts_ms": 1},
+        {"op": "u", "before": {"id": 1, "v": "x"}, "after": {"id": 1, "v": "y"},
+         "source": {"db": "ORCL", "table": "T", "scn": "1002"}, "ts_ms": 2},
+        {"op": "d", "before": {"id": 1, "v": "y"}, "after": None,
+         "source": {"db": "ORCL", "table": "T", "scn": "1003"}, "ts_ms": 3},
+    ]
+    df = spark.createDataFrame([(json.dumps(r),) for r in recs], "value STRING")
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    env = decode_logminer_records(df, payload)
+    rows = sorted(env.collect(), key=lambda r: r["__seq"])
+    assert [r["__seq"] for r in rows] == [1001, 1002, 1003]  # SCN order
+    assert [r["__op"] for r in rows] == ["INSERT", "UPDATE", "DELETE"]
+    assert rows[1]["after"].v == "y"
+
+
+# -- CLI fail-fast -----------------------------------------------------------
+
+
+def test_live_modes_fail_fast(spark):
+    with pytest.raises(SystemExit, match="JDBC driver"):
+        list(sqlserver_streams(spark, {"hostname": "nope"}))
+    with pytest.raises(SystemExit, match="hostname"):
+        list(sqlserver_streams(spark, {}))
+    with pytest.raises(SystemExit, match="Oracle JDBC driver"):
+        list(oracle_streams(spark, {"hostname": "nope", "database": "XE"}))
