@@ -1407,6 +1407,231 @@ def pg_logical_decoding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dialect change decoders (mysql binlog / sqlserver CT table / oracle
+# LogMiner-shape), each replayed over deterministic fixtures derived from
+# the customer parquet with closed-form oracles
+# ---------------------------------------------------------------------------
+
+
+def _mysql_binlog_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Canned binlog for the customer table (cached per sf_dir): CREATE,
+    TABLE_MAP, chunked WRITE_ROWS for the snapshot, then UPDATE_ROWS for
+    c_custkey % 10 == 3 (+100 acctbal) and DELETE_ROWS for % 20 == 7.
+    Fixture *ingest* is driver-side by necessity (it writes the binlog
+    file the test replays); the engine's decode of it is executor-side."""
+    import hashlib
+    import json as _json
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/flink_cdc_spark_binlog/{key}/binlog.jsonl"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    cols = [
+        {"name": "c_custkey", "type": "BIGINT"},
+        {"name": "c_name", "type": "VARCHAR(200)"},
+        {"name": "c_acctbal", "type": "DOUBLE"},
+    ]
+    events = [
+        {"type": "QUERY", "pos": 10, "database": "app",
+         "sql": "CREATE TABLE customer (c_custkey BIGINT NOT NULL PRIMARY KEY, "
+                "c_name VARCHAR(200), c_acctbal DOUBLE)"},
+        {"type": "TABLE_MAP", "pos": 20, "table_id": 70, "database": "app",
+         "table": "customer", "columns": cols},
+    ]
+    pos = 100
+    for i in range(0, len(rows), 500):
+        chunk = [[r.c_custkey, r.c_name, r.c_acctbal] for r in rows[i : i + 500]]
+        events.append({"type": "EXT_WRITE_ROWS", "pos": pos, "table_id": 70,
+                       "rows": chunk})
+        pos += 1
+    upd_pos = 10_000_000
+    upd = [
+        {"before": [r.c_custkey, r.c_name, r.c_acctbal],
+         "after": [r.c_custkey, r.c_name, r.c_acctbal + 100]}
+        for r in rows
+        if r.c_custkey % 10 == 3
+    ]
+    events.append({"type": "EXT_UPDATE_ROWS", "pos": upd_pos, "table_id": 70,
+                   "rows": upd})
+    dels = [
+        [r.c_custkey, r.c_name, r.c_acctbal]
+        for r in rows
+        if r.c_custkey % 20 == 7
+    ]
+    events.append({"type": "EXT_DELETE_ROWS", "pos": upd_pos + 1, "table_id": 70,
+                   "rows": dels})
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for ev in events:
+            f.write(_json.dumps(ev) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "mysql_binlog_replay",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 20 <> 7
+    """,
+)
+def mysql_binlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binlog replay end-to-end (MySqlEventDeserializer.java:57-106
+    scope): canned binlog events -> TABLE_MAP-resolved executor-side row
+    decode -> envelope -> materialized state."""
+    from .sinks.materialize import materialize_changelog
+    from .sources.mysql_source import MySqlBinlogDecoder
+
+    pin_session(spark)
+    path = _mysql_binlog_fixture(spark, sf_dir)
+    dec = MySqlBinlogDecoder(spark)
+    _, _, schemas = dec.scan_control(path)
+    env = dec.read_envelope(
+        path, "app.customer", schemas["app.customer"].to_spark_struct()
+    )
+    final = materialize_changelog(env, ["c_custkey"])
+    return final.select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "sqlserver_cdc_table_decode",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 20 <> 7
+    """,
+)
+def sqlserver_cdc_table_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL Server change-capture decode (SqlServerEventDeserializer scope):
+    a cdc.*_CT slice SYNTHESIZED with pure DataFrame expressions from the
+    customer parquet (insert ops, 3/4 update pairs, delete ops — nothing
+    collected), decoded by decode_cdc_table and materialized."""
+    from .sinks.materialize import materialize_changelog
+    from .sources.sqlserver_source import decode_cdc_table
+
+    pin_session(spark)
+    base = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+    def ct(band, op, acct):
+        return base.select(
+            F.format_string(band + "%019d", F.col("c_custkey")).alias("__$start_lsn"),
+            F.lit("01").alias("__$seqval"),
+            F.lit(op).alias("__$operation"),
+            F.col("c_custkey"),
+            F.col("c_name"),
+            acct.alias("c_acctbal"),
+        )
+
+    bal = F.col("c_acctbal")
+    upd = F.col("c_custkey") % 10 == 3
+    dels = F.col("c_custkey") % 20 == 7
+    slice_df = (
+        ct("A", 2, bal)
+        .unionByName(ct("B", 3, bal).where(upd))
+        .unionByName(ct("B", 4, bal + 100).where(upd))
+        .unionByName(ct("C", 1, bal).where(dels))
+    )
+    env = decode_cdc_table(slice_df, "dbo.customer")
+    final = materialize_changelog(env, ["c_custkey"])
+    return final.select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "oracle_logminer_decode",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 9 = 4 THEN c_acctbal + 25 ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 17 <> 3
+    """,
+)
+def oracle_logminer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle LogMiner-shape decode (OracleEventDeserializer scope): redo
+    events ENCODED with pure to_json expressions from the customer parquet
+    (create/update/delete ops with SCN ordering), decoded through the
+    debezium-json codec and materialized."""
+    from pyspark.sql import types as T
+
+    from .sinks.materialize import materialize_changelog
+    from .sources.oracle_source import decode_logminer_records
+
+    pin_session(spark)
+    base = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    img = lambda acct: F.struct(
+        F.col("c_custkey"), F.col("c_name"), acct.alias("c_acctbal")
+    )
+    src = lambda scn: F.struct(
+        F.lit("ORCL").alias("db"),
+        F.lit("CUSTOMER").alias("table"),
+        scn.cast("string").alias("scn"),
+    )
+    bal = F.col("c_acctbal")
+    upd = F.col("c_custkey") % 9 == 4
+    dels = F.col("c_custkey") % 17 == 3
+    ins = base.select(
+        F.to_json(
+            F.struct(
+                F.lit("c").alias("op"),
+                F.lit(None).cast("struct<c_custkey:bigint,c_name:string,c_acctbal:double>").alias("before"),
+                img(bal).alias("after"),
+                src(F.col("c_custkey")).alias("source"),
+            )
+        ).alias("value")
+    )
+    updates = base.where(upd).select(
+        F.to_json(
+            F.struct(
+                F.lit("u").alias("op"),
+                img(bal).alias("before"),
+                img(bal + 25).alias("after"),
+                src(F.col("c_custkey") + F.lit(1_000_000_000)).alias("source"),
+            )
+        ).alias("value")
+    )
+    deletes = base.where(dels).select(
+        F.to_json(
+            F.struct(
+                F.lit("d").alias("op"),
+                img(bal).alias("before"),
+                F.lit(None).cast("struct<c_custkey:bigint,c_name:string,c_acctbal:double>").alias("after"),
+                src(F.col("c_custkey") + F.lit(2_000_000_000)).alias("source"),
+            )
+        ).alias("value")
+    )
+    records = ins.unionByName(updates).unionByName(deletes)
+    payload = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    env = decode_logminer_records(records, payload)
+    final = materialize_changelog(env, ["c_custkey"])
+    return final.select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
 # JDBC warehouse sink: real DDL + real MERGE INTO (sinks/jdbc_sink.py)
 # ---------------------------------------------------------------------------
 
