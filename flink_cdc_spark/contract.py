@@ -893,6 +893,51 @@ def kafka_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_changelog(decoded, ["o_orderkey"])
 
 
+@register(
+    "es_bulk_roundtrip",
+    """
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 10) = 3 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN (o_orderkey % 10) = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    WHERE (o_orderkey % 20) <> 7
+    """,
+)
+def es_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch sink path (ElasticsearchEventSerializer scope):
+    changelog -> _bulk NDJSON requests (index/delete ops, PK-joined _id)
+    -> decoded back -> materialized index state. The network half needs a
+    server; the wire bytes are what this gates — same strategy as the
+    Kafka codec roundtrips."""
+    from .sinks.elasticsearch_sink import decode_es_bulk, encode_es_bulk
+    from .sinks.materialize import materialize_changelog
+
+    def image(side):
+        return (
+            f"CASE WHEN {side} IS NULL THEN NULL ELSE "
+            f"struct({side}.o_orderkey, {side}.o_totalprice, {side}.o_orderstatus) END"
+        )
+
+    env = (
+        ParquetTableSource(spark, sf_dir)
+        .changelog("orders", "db.orders", _ORDERS_MUT)
+        .selectExpr(
+            "__table_id",
+            "__op",
+            image("before") + " AS before",
+            image("after") + " AS after",
+            "__meta",
+            "__seq",
+        )
+    )
+    from .sources.envelope import payload_struct
+
+    payload = payload_struct(env)
+    bulk = encode_es_bulk(env, pk_names=["o_orderkey"])
+    decoded = decode_es_bulk(bulk, payload, table_id="db.orders")
+    return materialize_changelog(decoded, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # §7 phase 4: Structured Streaming pipeline (foreachBatch + DDL barrier)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,119 @@
+"""Elasticsearch sink surface: bulk-API request encoding, executor-side.
+
+The Spark rendition of the reference's ES connector
+(pipeline-connector-elasticsearch/.../ElasticsearchEventSerializer.java):
+every change event becomes one `_bulk` NDJSON entry —
+
+  * INSERT / UPDATE / REPLACE -> an `index` operation carrying the full
+    after-image document (upsert-by-id gives last-image-wins),
+  * DELETE -> a `delete` operation,
+  * `_id` = primary-key values joined with `_`
+    (ElasticsearchEventSerializer.generateUniqueId),
+  * `_index` = the table id, optionally suffixed with a sharding value
+    (tableSharding: explicit sharding key, else first partition key).
+
+Everything is pure column expressions (`to_json` / `concat_ws`), so the
+encode runs wherever the envelope's partitions live — on a real cluster a
+`foreachPartition` HTTP POST of the prebuilt `bulk` strings is all that
+remains, batched per partition. The envelope's `__seq` rides along as the
+external version number a versioned ES index would use for out-of-order
+protection. No ES server ships in this sandbox, so the network half stays
+out of scope; the wire bytes are oracle-gated by a decode roundtrip
+(contract `es_bulk_roundtrip`), the same strategy as the Kafka codecs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..sources.envelope import (
+    ENVELOPE_META,
+    ENVELOPE_OP,
+    ENVELOPE_SEQ,
+    ENVELOPE_TABLE_ID,
+    OP_DELETE,
+)
+
+
+def _doc_id(pk_names: List[str]) -> F.Column:
+    side = F.when(F.col(ENVELOPE_OP) == OP_DELETE, F.col("before")).otherwise(
+        F.col("after")
+    )
+    return F.concat_ws(
+        "_", *[side.getField(k).cast("string") for k in pk_names]
+    )
+
+
+def encode_es_bulk(
+    env: DataFrame,
+    pk_names: List[str],
+    sharding_key: Optional[str] = None,
+    sharding_separator: str = "_",
+) -> DataFrame:
+    """Envelope -> (`bulk` NDJSON entry, `__seq` external version)."""
+    is_del = F.col(ENVELOPE_OP) == OP_DELETE
+    index = F.col(ENVELOPE_TABLE_ID)
+    if sharding_key:
+        shard = F.col(f"after.{sharding_key}").cast("string")
+        index = F.when(
+            ~is_del & shard.isNotNull(),
+            F.concat(index, F.lit(sharding_separator), shard),
+        ).otherwise(index)
+    action_body = F.to_json(
+        F.struct(
+            index.alias("_index"),
+            _doc_id(pk_names).alias("_id"),
+        )
+    )
+    delete_line = F.concat(F.lit('{"delete":'), action_body, F.lit("}"))
+    index_line = F.concat(
+        F.lit('{"index":'), action_body, F.lit("}\n"), F.to_json(F.col("after"))
+    )
+    return env.select(
+        F.when(is_del, delete_line).otherwise(index_line).alias("bulk"),
+        F.col(ENVELOPE_SEQ).alias("__seq"),
+    )
+
+
+def decode_es_bulk(
+    records: DataFrame, payload: T.StructType, table_id: Optional[str] = None
+) -> DataFrame:
+    """Bulk entries -> envelope (the sink's verification half: what an ES
+    index would hold after applying the requests). Delete entries carry no
+    document, so `before` holds only the `_id`-derived identity — callers
+    materialize by PK, which is exactly what the id encodes."""
+    action = F.coalesce(
+        F.get_json_object(F.col("bulk"), "$.index._index").alias("i"),
+        F.get_json_object(F.col("bulk"), "$.delete._index"),
+    )
+    is_del = F.get_json_object(F.col("bulk"), "$.delete._id").isNotNull()
+    doc_json = F.when(
+        ~is_del, F.element_at(F.split(F.col("bulk"), "\n", 2), 2)
+    )
+    doc = F.from_json(doc_json, payload)
+    # reconstruct the delete identity from _id (single-PK decode path)
+    del_id = F.get_json_object(F.col("bulk"), "$.delete._id")
+    pk_field = payload.fields[0]
+    before = F.when(
+        is_del,
+        F.struct(
+            *(
+                [del_id.cast(pk_field.dataType).alias(pk_field.name)]
+                + [
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in payload.fields[1:]
+                ]
+            )
+        ),
+    )
+    tid = F.lit(table_id) if table_id else F.split(action, "_", 2)[0]
+    return records.select(
+        tid.alias(ENVELOPE_TABLE_ID),
+        F.when(is_del, F.lit(OP_DELETE)).otherwise(F.lit("INSERT")).alias(ENVELOPE_OP),
+        before.alias("before"),
+        doc.alias("after"),
+        F.create_map(F.lit("sink"), F.lit("elasticsearch")).alias(ENVELOPE_META),
+        F.col("__seq"),
+    )
