@@ -1246,7 +1246,10 @@ def jdbc_snapshot_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     env = src.read(mid_scan_hook=concurrent_touch)
     final = materialize_changelog(env, ["c_custkey"])
-    return final.select(*_CUSTOMER_COLS)
+    rows = final.select(*_CUSTOMER_COLS).collect()
+    schema_out = final.select(*_CUSTOMER_COLS).schema
+    src.release_caches()  # collected above: the wave caches can go
+    return spark.createDataFrame(rows, schema_out)
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,7 @@ class JdbcCdcPipeline:
         hw = self.source.current_offset()
         env = self.source.read()  # startup-mode driven (INITIAL by default)
         self._merge_env(env, self.schema.to_spark_struct(), list(self.schema.primary_keys))
+        self.source.release_caches()  # merge materialized the snapshot
         self._store_offset(hw)
 
     def _merge_env(self, env, target_struct, pks) -> None:

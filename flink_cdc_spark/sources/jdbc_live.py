@@ -379,6 +379,19 @@ class JdbcLiveSource:
         self.ep = JdbcEndpoint(spark, cfg.url)
         self.table_id = cfg.table_id or f"app.{cfg.table.lower()}"
         self._props = {"driver": DERBY_DRIVER}
+        self._cached_chunks: List[DataFrame] = []
+
+    def release_caches(self) -> None:
+        """Unpersist snapshot-wave caches. The cache is load-bearing while
+        the hybrid read is alive (it freezes each wave at its LW/HW-bracketed
+        scan point — a JDBC re-read would see later data), so callers
+        release only after the snapshot result is fully materialized."""
+        for df in self._cached_chunks:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._cached_chunks = []
 
     # -- control plane -----------------------------------------------------
     def current_offset(self) -> int:
@@ -462,6 +475,7 @@ class JdbcLiveSource:
                 properties=self._props,
             )
             df = df.toDF(*[c.lower() for c in df.columns]).cache()
+            self._cached_chunks.append(df)
             df.count()  # force the parallel scan NOW, between LW and HW
             hw = self.current_offset()
             chunks.append(df)

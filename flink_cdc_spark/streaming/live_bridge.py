@@ -182,7 +182,8 @@ class JdbcLiveStreamBridge:
         hw = self.source.current_offset()
         env = self.source.read()  # startup-mode driven; INITIAL by default
         self._write_control(0, [self._create_event()])
-        self._export_env(env, 0)
+        self._export_env(env, 0)  # the write fully materializes the read
+        self.source.release_caches()
         self._store_meta(hw, 1)
         return 1
 
