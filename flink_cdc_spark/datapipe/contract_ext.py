@@ -237,3 +237,18 @@ def text_token_stats(spark, sf_dir):
 @register("text_fingerprint", textstats.fingerprint_oracle_sql())
 def text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+@register("text_repetition_stats", textstats.repetition_stats_oracle_sql())
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-family repetition quality signals (duplicate word/n-gram
+    fractions, most-common-word share) — map-only array expressions."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+@register("text_decontaminate", textstats.decontaminate_oracle_sql())
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing any word 3-gram
+    with the held-out benchmark slice are dropped (broadcast gram
+    semi-join + anti join — the pre-training test-set-leakage gate)."""
+    return textstats.decontaminate(_docs(spark, sf_dir))

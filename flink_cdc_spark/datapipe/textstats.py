@@ -136,3 +136,162 @@ def fingerprint_oracle_sql(table: str = "documents", key: str = "doc_id", text: 
            ('0x' || substr(md5({norm}), 1, {FINGERPRINT_HEX_CHARS}))::BIGINT AS fp64
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters) + decontamination
+# ---------------------------------------------------------------------------
+
+_WORDS = "split(lower(trim(regexp_replace({col}, '\\\\s+', ' '))), ' ')"
+
+
+def _ngram_expr(words: str, n: int) -> str:
+    """Word n-grams as an array expression (empty when the doc is shorter
+    than n). Built-ins only — stays in whole-stage codegen."""
+    if n == 1:
+        return words
+    return (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> array_join(slice({words}, i, {n}), ' ')) "
+        f"ELSE array()::array<string> END"
+    )
+
+
+def repetition_stats(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-document repetition signals (the Gopher quality-filter family:
+    duplicate word/n-gram fractions, most-common-word share). Map-only
+    built-in array expressions; ratios rounded to 6dp so the DuckDB oracle
+    hash-matches float-exactly."""
+    w = _WORDS.format(col=text)
+    g2, g3 = _ngram_expr(w, 2), _ngram_expr(w, 3)
+
+    def dup_frac(arr: str) -> str:
+        return (
+            f"round(CASE WHEN size({arr}) > 0 THEN "
+            f"1.0 - size(array_distinct({arr})) / cast(size({arr}) AS double) "
+            f"ELSE 0.0 END, 6)"
+        )
+
+    top_word = (
+        f"round(CASE WHEN size({w}) > 0 THEN "
+        f"array_max(transform(array_distinct({w}), "
+        f"x -> size(filter({w}, y -> y = x)))) / cast(size({w}) AS double) "
+        f"ELSE 0.0 END, 6)"
+    )
+    return df.selectExpr(
+        key,
+        f"size({w}) AS n_words",
+        f"{dup_frac(w)} AS dup_word_frac",
+        f"{top_word} AS top_word_frac",
+        f"{dup_frac(g2)} AS dup_2gram_frac",
+        f"{dup_frac(g3)} AS dup_3gram_frac",
+    )
+
+
+def repetition_stats_oracle_sql(
+    table: str = "documents", key: str = "doc_id", text: str = "text"
+) -> str:
+    w = (
+        f"string_split(lower(trim(regexp_replace({text}, '\\s+', ' ', 'g'))), ' ')"
+    )
+
+    def grams(n: int) -> str:
+        if n == 1:
+            return "w"
+        joined = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+        return (
+            f"CASE WHEN len(w) >= {n} THEN "
+            f"list_transform(generate_series(1, len(w) - {n - 1}), i -> {joined}) "
+            f"ELSE [] END"
+        )
+
+    def dup_frac(arr: str) -> str:
+        return (
+            f"round(CASE WHEN len({arr}) > 0 THEN "
+            f"1.0 - len(list_distinct({arr})) / CAST(len({arr}) AS DOUBLE) "
+            f"ELSE 0.0 END, 6)"
+        )
+
+    top_word = (
+        "round(CASE WHEN len(w) > 0 THEN "
+        "list_max(list_transform(list_distinct(w), "
+        "x -> len(list_filter(w, y -> y = x)))) / CAST(len(w) AS DOUBLE) "
+        "ELSE 0.0 END, 6)"
+    )
+    return f"""
+    WITH words AS (SELECT {key}, {w} AS w FROM {table})
+    SELECT {key},
+           len(w) AS n_words,
+           {dup_frac('w')} AS dup_word_frac,
+           {top_word} AS top_word_frac,
+           {dup_frac(grams(2))} AS dup_2gram_frac,
+           {dup_frac(grams(3))} AS dup_3gram_frac
+    FROM words
+    """
+
+
+DECONTAMINATE_NGRAM = 3
+DECONTAMINATE_BENCH_MOD = 97  # doc_id % 97 == 0 plays the benchmark set
+
+
+def decontaminate(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = DECONTAMINATE_NGRAM,
+    bench_mod: int = DECONTAMINATE_BENCH_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents sharing any word
+    n-gram with the benchmark set (the standard pre-training hygiene step
+    against test-set leakage).
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus —
+    distinct grams of the benchmark docs broadcast into a hash semi-join
+    against the corpus' exploded grams; contaminated ids then LEFT
+    ANTI-join back. The corpus explode is map-side; the only wide ops are
+    keyed by gram (broadcast) and by id (anti join)."""
+    w = _WORDS.format(col=text)
+    grams = _ngram_expr(w, n)
+    bench = (
+        df.where(f"{key} % {bench_mod} = 0")
+        .selectExpr(f"explode({grams}) AS gram")
+        .distinct()
+    )
+    corpus = df.where(f"{key} % {bench_mod} <> 0")
+    corpus_grams = corpus.selectExpr(key, f"explode({grams}) AS gram")
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench), "gram", "left_semi")
+        .select(key)
+        .distinct()
+    )
+    return corpus.join(contaminated, key, "left_anti").select(
+        key, "lang", "source", "n_chars"
+    )
+
+
+def decontaminate_oracle_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = DECONTAMINATE_NGRAM,
+    bench_mod: int = DECONTAMINATE_BENCH_MOD,
+) -> str:
+    w = f"string_split(lower(trim(regexp_replace({text}, '\\s+', ' ', 'g'))), ' ')"
+    joined = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    grams = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n - 1}), i -> {joined}) "
+        f"ELSE [] END"
+    )
+    return f"""
+    WITH words AS (SELECT {key}, {grams} AS g
+                   FROM (SELECT {key}, {w} AS w FROM {table})),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM words WHERE {key} % {bench_mod} = 0),
+    corpus_grams AS (SELECT {key}, unnest(g) AS gram FROM words WHERE {key} % {bench_mod} <> 0),
+    contaminated AS (SELECT DISTINCT c.{key} FROM corpus_grams c JOIN bench b ON c.gram = b.gram)
+    SELECT d.{key}, d.lang, d.source, d.n_chars
+    FROM {table} d
+    WHERE d.{key} % {bench_mod} <> 0
+      AND d.{key} NOT IN (SELECT {key} FROM contaminated)
+    """

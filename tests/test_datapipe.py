@@ -166,3 +166,44 @@ def test_ivf_candidates_are_probed_cells_only(embs):
         rows.sort(key=lambda r: r.rank)
         cos = [r.cosine for r in rows]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_repetition_stats_signals(spark):
+    from flink_cdc_spark.datapipe import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),              # one word repeated
+            (2, "w x y z"),              # all distinct
+            (3, "a b a b a b"),          # repeated 2-grams
+            (4, "solo"),                 # shorter than any n-gram
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert rows[1].n_words == 4 and rows[1].dup_word_frac == 0.75
+    assert rows[1].top_word_frac == 1.0
+    assert rows[2].dup_word_frac == 0.0 and rows[2].top_word_frac == 0.25
+    # "a b a b a b": 5 bigrams, 2 distinct -> dup fraction 0.6
+    assert rows[3].dup_2gram_frac == 0.6
+    assert rows[4].dup_2gram_frac == 0.0 and rows[4].dup_3gram_frac == 0.0
+
+
+def test_decontaminate_removes_ngram_overlap(spark):
+    from flink_cdc_spark.datapipe import textstats
+
+    df = spark.createDataFrame(
+        [
+            (0, "secret held out benchmark phrase", "en", "s", 10),   # benchmark (id%97==0)
+            (1, "totally unrelated text here now", "en", "s", 10),
+            (2, "contains the secret held out benchmark words", "en", "s", 10),
+            (3, "held out benchmark", "en", "s", 10),                 # exact 3-gram hit
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT",
+    )
+    kept = {r.doc_id for r in textstats.decontaminate(df).collect()}
+    assert kept == {1}  # 2 and 3 share a 3-gram with the benchmark doc
+
+    # the gram join must broadcast (tiny benchmark side)
+    plan = textstats.decontaminate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
