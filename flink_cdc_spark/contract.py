@@ -1002,6 +1002,51 @@ pipeline: {schema.change.behavior: EVOLVE}
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _wm_oracle():
+    from .streaming.windowed import windowed_watermark_oracle_sql
+
+    return windowed_watermark_oracle_sql()
+
+
+@register("streaming_windowed_watermark", _wm_oracle())
+def streaming_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-day windowed aggregation over a deterministically
+    replayed event stream (brief: 'watermarks + windowed aggs for late
+    data'): three time-striped replay batches with salted late stragglers,
+    maxFilesPerTrigger=1 micro-batch order, delay-0 watermark drops, append
+    mode emits finalized windows — all reproduced closed-form by the
+    oracle."""
+    import tempfile
+
+    from .streaming.windowed import (
+        windowed_watermark_aggregate,
+        write_replay_batches,
+    )
+
+    import hashlib
+    import os
+
+    pin_session(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = f"/tmp/flink_cdc_spark_wm/{key}/src"
+    marker = f"{staged}/_READY"
+    if not os.path.exists(marker):
+        events = (
+            ParquetTableSource(spark, sf_dir)
+            .snapshot("events")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+        write_replay_batches(events, staged)
+        with open(marker, "w") as f:
+            f.write("ok")
+    # the streaming run itself is per-invocation: fresh checkpoint, same
+    # deterministic replay
+    work = tempfile.mkdtemp(prefix="cdc_wm_", dir="/tmp")
+    result = windowed_watermark_aggregate(spark, staged, f"{work}/run")
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
 @register(
     "distributed_schema_reduction",
     """

@@ -217,3 +217,48 @@ pipeline: {schema.change.behavior: EVOLVE}
     assert runner.state.read("db.users") is None
     rows = {r.id: r for r in runner.state.read("lake.users_v2").collect()}
     assert set(rows) == {1, 3}
+
+
+def test_windowed_watermark_drops_late_rows(spark, tmp_path):
+    """Crafted replay: batch 1 carries one event for a window the
+    watermark (from batch 0) has already passed -> dropped; one event for
+    a still-open window -> kept. Append mode emits exactly the windows the
+    final watermark passed."""
+    import json
+    import os
+
+    from flink_cdc_spark.streaming.windowed import windowed_watermark_aggregate
+
+    def write_batch(b, rows):
+        d = tmp_path / "src" / f"b{b}"
+        os.makedirs(d)
+        with open(d / "part.json", "w") as f:
+            for eid, us, val in rows:
+                f.write(json.dumps({"event_id": eid, "ts_us": us,
+                                    "user_id": 1, "event_type": "t",
+                                    "value": val}) + "\n")
+
+    day = 86_400_000_000  # one day in micros
+    # batch 0: events on day0 and day2 -> watermark ends at day2+1h
+    write_batch(0, [(1, 1 * 3600_000_000, 1.0), (2, 2 * day + 3600_000_000, 2.0)])
+    # batch 1: late event for day0 (window end day1 <= wm -> DROPPED),
+    # event for day2 (window end day3 > wm -> kept)
+    write_batch(1, [(3, 2 * 3600_000_000, 100.0), (4, 2 * day + 7200_000_000, 4.0)])
+    # batch 2: advance the watermark past day2 so its window finalizes
+    write_batch(2, [(5, 3 * day + 3600_000_000, 5.0)])
+
+    import flink_cdc_spark.streaming.windowed as wm
+
+    old = wm.N_BATCHES
+    wm.N_BATCHES = 3
+    try:
+        res = windowed_watermark_aggregate(spark, str(tmp_path / "src"), str(tmp_path / "run"))
+        rows = {str(r.window_start)[:10]: (r.cnt, r.total) for r in res.collect()}
+    finally:
+        wm.N_BATCHES = old
+    # day0 window: only the on-time event (late one dropped)
+    assert rows["1970-01-01"] == (1, 1.0)
+    # day2 window: batch-0 event + batch-1 on-time event
+    assert rows["1970-01-03"] == (2, 6.0)
+    # day3 window never finalized (watermark == its last event) -> absent
+    assert "1970-01-04" not in rows
