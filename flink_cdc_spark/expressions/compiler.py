@@ -190,7 +190,9 @@ class ExpressionCompiler:
             return node[1] in self.ctx.integral_columns
         if kind == "neg":
             return self._is_integral(node[1])
-        if kind == "binop" and node[1] in ("+", "-", "*", "%"):
+        if kind == "binop" and node[1] in ("+", "-", "*", "%", "/"):
+            # '/' over integral operands is itself integral under Java
+            # semantics (7/2/2 == 1, int div applied at each level)
             return self._is_integral(node[2]) and self._is_integral(node[3])
         if kind == "cast":
             try:

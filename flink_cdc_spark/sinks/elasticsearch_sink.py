@@ -24,6 +24,7 @@ out of scope; the wire bytes are oracle-gated by a decode roundtrip
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -78,12 +79,23 @@ def encode_es_bulk(
 
 
 def decode_es_bulk(
-    records: DataFrame, payload: T.StructType, table_id: Optional[str] = None
+    records: DataFrame,
+    payload: T.StructType,
+    table_id: Optional[str] = None,
+    sharding_separator: Optional[str] = None,
 ) -> DataFrame:
     """Bulk entries -> envelope (the sink's verification half: what an ES
     index would hold after applying the requests). Delete entries carry no
     document, so `before` holds only the `_id`-derived identity — callers
-    materialize by PK, which is exactly what the id encodes."""
+    materialize by PK, which is exactly what the id encodes.
+
+    Table-id derivation: pass ``table_id`` explicitly when known. Without
+    it, the full ``_index`` is used verbatim (correct for unsharded
+    streams, including table ids that contain underscores like
+    ``db.order_items``); if the encoder sharded with a separator, pass the
+    same ``sharding_separator`` and the shard suffix after its LAST
+    occurrence is stripped — a separator that also appears inside the
+    table id itself cannot be distinguished, so prefer ``table_id``."""
     action = F.coalesce(
         F.get_json_object(F.col("bulk"), "$.index._index").alias("i"),
         F.get_json_object(F.col("bulk"), "$.delete._index"),
@@ -108,7 +120,16 @@ def decode_es_bulk(
             )
         ),
     )
-    tid = F.lit(table_id) if table_id else F.split(action, "_", 2)[0]
+    if table_id:
+        tid = F.lit(table_id)
+    elif sharding_separator:
+        # sharding appends separator+value as a suffix -> strip from the
+        # LAST separator to the end; unsharded entries (deletes never get
+        # a shard suffix) pass through unchanged
+        sep = re.escape(sharding_separator)
+        tid = F.regexp_replace(action, f"{sep}(?:(?!{sep}).)*$", "")
+    else:
+        tid = action
     return records.select(
         tid.alias(ENVELOPE_TABLE_ID),
         F.when(is_del, F.lit(OP_DELETE)).otherwise(F.lit("INSERT")).alias(ENVELOPE_OP),

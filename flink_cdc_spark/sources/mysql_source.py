@@ -29,8 +29,9 @@ reference itself does:
     connector thread does), never row data.
 
 Ordering: binlog position is the total order; the envelope's ``__seq`` is
-``(pos << 16) + row_index`` so multi-row events stay ordered and the
-distributed file read cannot reorder commits.
+``(pos << 20) + row_index`` so multi-row events stay ordered and the
+distributed file read cannot reorder commits; an event with >= 2^20 rows
+fails loudly rather than bleeding into the next position's band.
 """
 
 from __future__ import annotations
@@ -55,6 +56,13 @@ _WRITE = {"WRITE_ROWS", "EXT_WRITE_ROWS"}
 _UPDATE = {"UPDATE_ROWS", "EXT_UPDATE_ROWS"}
 _DELETE = {"DELETE_ROWS", "EXT_DELETE_ROWS"}
 _CONTROL = ("TABLE_MAP", "QUERY", "ROTATE", "FORMAT_DESCRIPTION")
+_ROW_KINDS = _WRITE | _UPDATE | _DELETE
+
+# Rows-within-event band of the __seq total order: a single rows-event may
+# carry at most 2^20 rows; beyond that we fail loudly instead of silently
+# overflowing into the next binlog position's band.
+_SEQ_SHIFT = 20
+_SEQ_BAND = 1 << _SEQ_SHIFT
 
 
 def quote_identifier(name: str) -> str:
@@ -309,10 +317,13 @@ class MySqlBinlogDecoder:
             for pdf in batches:
                 out = []
                 for line in pdf["value"]:
-                    if any(f'"{t}"' in line for t in _CONTROL) or '"XID"' in line:
-                        continue
+                    # Control-vs-row is decided from the parsed event type, not
+                    # a substring test: a row payload containing e.g. "QUERY"
+                    # would otherwise be silently dropped.
                     ev = json.loads(line)
                     kind = ev.get("type")
+                    if kind not in _ROW_KINDS:
+                        continue
                     pos = int(ev["pos"])
                     mapped = resolve(pos, int(ev.get("table_id", -1)))
                     if mapped is None or mapped[0] != want:
@@ -322,17 +333,24 @@ class MySqlBinlogDecoder:
                     def obj(values):
                         return json.dumps(dict(zip(cols, values)))
 
+                    if len(ev["rows"]) >= _SEQ_BAND:
+                        raise ValueError(
+                            f"rows-event at pos {pos} carries "
+                            f"{len(ev['rows'])} rows (>= {_SEQ_BAND}); "
+                            "__seq band would overflow"
+                        )
+                    base = pos << _SEQ_SHIFT
                     if kind in _WRITE:
                         for i, row in enumerate(ev["rows"]):
-                            out.append(((pos << 16) + i, OP_INSERT, None, obj(row)))
+                            out.append((base + i, OP_INSERT, None, obj(row)))
                     elif kind in _DELETE:
                         for i, row in enumerate(ev["rows"]):
-                            out.append(((pos << 16) + i, OP_DELETE, obj(row), None))
-                    elif kind in _UPDATE:
+                            out.append((base + i, OP_DELETE, obj(row), None))
+                    else:
                         for i, pair in enumerate(ev["rows"]):
                             out.append(
                                 (
-                                    (pos << 16) + i,
+                                    base + i,
                                     OP_UPDATE,
                                     obj(pair["before"]),
                                     obj(pair["after"]),

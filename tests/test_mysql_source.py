@@ -7,6 +7,7 @@ scope), and binlog replay decode over canned fixtures
 import json
 
 import pytest
+from pyspark.sql import types as T
 
 from flink_cdc_spark.sinks.materialize import materialize_changelog
 from flink_cdc_spark.sources.jdbc_snapshot import StartupMode
@@ -130,6 +131,34 @@ def test_binlog_replay_envelope_and_state(spark, tmp_path):
         2: ("pear", 5, True, None),   # update applied
         4: ("plum", 2, True, "rush"),  # second epoch, 5-column image
     }  # 3 deleted
+
+
+def test_binlog_row_payload_containing_control_tokens_not_dropped(spark, tmp_path):
+    """A row whose string value serializes a control-token substring
+    ('QUERY', 'XID', ...) must still decode: control-vs-row is decided
+    from the parsed event type, never a substring heuristic."""
+    events = [
+        {"type": "TABLE_MAP", "pos": 10, "table_id": 7, "database": "app",
+         "table": "logs", "columns": [
+             {"name": "id", "type": "BIGINT"}, {"name": "msg", "type": "VARCHAR(64)"}]},
+        {"type": "EXT_WRITE_ROWS", "pos": 20, "table_id": 7,
+         "rows": [[1, 'slow "QUERY" seen'], [2, 'txn "XID" retry'],
+                  [3, '"TABLE_MAP" and "ROTATE" and "FORMAT_DESCRIPTION"']]},
+    ]
+    path = tmp_path / "binlog_payload.jsonl"
+    with open(path, "w") as f:
+        for ev in events:
+            f.write(json.dumps(ev) + "\n")
+    dec = MySqlBinlogDecoder(spark)
+    payload = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("msg", T.StringType())])
+    env = dec.read_envelope(str(path), "app.logs", payload)
+    rows = {r["after"]["id"]: r["after"]["msg"] for r in env.collect()}
+    assert rows == {
+        1: 'slow "QUERY" seen',
+        2: 'txn "XID" retry',
+        3: '"TABLE_MAP" and "ROTATE" and "FORMAT_DESCRIPTION"',
+    }
 
 
 def test_mysql_streams_binlog_replay_and_errors(spark, tmp_path):
