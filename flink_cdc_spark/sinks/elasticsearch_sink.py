@@ -124,10 +124,13 @@ def decode_es_bulk(
         tid = F.lit(table_id)
     elif sharding_separator:
         # sharding appends separator+value as a suffix -> strip from the
-        # LAST separator to the end; unsharded entries (deletes never get
-        # a shard suffix) pass through unchanged
+        # LAST separator to the end. Deletes are never sharded by the
+        # encoder, so their _index is the table id verbatim — stripping
+        # would corrupt separator-bearing ids (db.order_items -> db.order).
         sep = re.escape(sharding_separator)
-        tid = F.regexp_replace(action, f"{sep}(?:(?!{sep}).)*$", "")
+        tid = F.when(
+            ~is_del, F.regexp_replace(action, f"{sep}(?:(?!{sep}).)*$", "")
+        ).otherwise(action)
     else:
         tid = action
     return records.select(

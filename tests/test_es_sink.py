@@ -69,3 +69,39 @@ def test_roundtrip_materializes_index_state(spark):
     state = {r.id: (r.region, r.v) for r in
              materialize_changelog(decoded, ["id"]).collect()}
     assert state == {1: ("us", 2.0)}  # updated doc kept, id=2 deleted
+
+
+def test_sharded_decode_strips_suffix_but_not_on_deletes(spark):
+    """A table id that itself contains the sharding separator must decode
+    verbatim for delete entries (the encoder never shards deletes), while
+    sharded index entries get exactly the shard suffix stripped."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("region", T.StringType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("__table_id", T.StringType()),
+            T.StructField("__op", T.StringType()),
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+            T.StructField("__meta", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("__seq", T.LongType()),
+        ]
+    )
+    rows = [
+        ("db.order_items", OP_INSERT, None, (1, "eu"), {}, 1),
+        ("db.order_items", OP_DELETE, (2, "us"), None, {}, 2),
+    ]
+    env = spark.createDataFrame(rows, schema)
+    encoded = encode_es_bulk(env, ["id"], sharding_key="region")
+    decoded = decode_es_bulk(encoded, payload, sharding_separator="_")
+    tids = {r["__seq"]: r["__table_id"] for r in decoded.collect()}
+    # index entry was sharded to db.order_items_eu -> suffix stripped back
+    assert tids[1] == "db.order_items"
+    # delete entry was never sharded -> must NOT lose its _items suffix
+    assert tids[2] == "db.order_items"

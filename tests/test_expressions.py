@@ -192,3 +192,16 @@ def test_parse_projection_implicit_alias():
 def test_parse_projection_computed_requires_alias():
     with pytest.raises(ParseError):
         parse_projection("UPPER(name)")
+
+
+def test_nested_integer_division_java_semantics():
+    """Round-5 fix pin: '/' over integral operands is itself integral, so
+    nested divisions apply Java int-div at EVERY level (7/2/2 == 1)."""
+    ic = frozenset({"a", "b"})
+    assert c("a / b / 2", integral_columns=ic) == "((`a` div `b`) div 2)"
+    assert c("7 / 2 / 2", integral_columns=ic) == "((7 div 2) div 2)"
+    # negation keeps integrality
+    assert c("-a / 2", integral_columns=ic) == "((- `a`) div 2)"
+    # a fractional operand anywhere poisons the whole chain to `/`
+    assert c("a / 2.0 / 2", integral_columns=ic) == "((`a` / 2.0) / 2)"
+    assert c("a / b / 2.0", integral_columns=ic) == "((`a` div `b`) / 2.0)"

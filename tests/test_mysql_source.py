@@ -206,3 +206,26 @@ pipeline:
     written = spark.read.parquet(str(out / "app.orders"))
     rows = {r.id: (r.item_u, r.qty) for r in written.collect()}
     assert rows == {1: ("APPLE", 3), 2: ("PEAR", 5), 4: ("PLUM", 2)}
+
+
+def test_binlog_rows_event_exceeding_seq_band_fails_loudly(spark, tmp_path):
+    """Round-5 fix pin: a single rows-event with >= 2^20 rows would overflow
+    the per-position __seq band into the next binlog position's band — the
+    decoder must raise instead of silently mis-ordering."""
+    path = tmp_path / "binlog.jsonl"
+    big = [[i] for i in range(1 << 20)]
+    events = [
+        {"type": "TABLE_MAP", "pos": 200, "table_id": 7, "database": "app",
+         "table": "t", "columns": [{"name": "id", "type": "BIGINT"}]},
+        {"type": "EXT_WRITE_ROWS", "pos": 210, "table_id": 7, "rows": big},
+    ]
+    with open(path, "w") as f:
+        for ev in events:
+            f.write(json.dumps(ev) + "\n")
+    from pyspark.sql import types as T
+
+    payload = T.StructType([T.StructField("id", T.LongType())])
+    dec = MySqlBinlogDecoder(spark)
+    env = dec.read_envelope(str(path), "app.t", payload)
+    with pytest.raises(Exception, match="band would overflow"):
+        env.collect()
