@@ -93,6 +93,11 @@ class ExpressionContext:
     # column name -> True if integral-typed (drives Java integer-division
     # semantics for `/`); absent names count as non-integral
     integral_columns: frozenset = frozenset()
+    # column name -> (precision, scale) for DECIMAL-typed columns; enables
+    # the reference's decimal arithmetic semantics (Calcite p<=19 clamp,
+    # BigDecimal natural-scale computation, unscaled-long storage
+    # reinterpretation — see compile_stored)
+    decimal_columns: dict = field(default_factory=dict)
     # available physical columns; None disables the existence check
     known_columns: Optional[frozenset] = None
     # strict reference null semantics for bare comparisons (null -> FALSE)
@@ -203,15 +208,245 @@ class ExpressionCompiler:
                 return False
         return False
 
+    # -- dialect decimal arithmetic ------------------------------------------
+    # The reference derives expression types through Calcite (max numeric
+    # precision 19 — values are long-backed DecimalData), computes values as
+    # Java BigDecimals at their natural scale (ArithmeticFunctions.java:
+    # divide uses RoundingMode.DOWN at the lhs scale, round is HALF_UP), and
+    # stores results into the declared column type by REINTERPRETING the
+    # unscaled long at the declared scale (BinaryRecordData.getDecimal +
+    # AbstractBinaryWriter.writeDecimal for compact p<=18 — no overflow
+    # check), while p=19 results round-trip DecimalDataSerializer ->
+    # DecimalData.fromBigDecimal, which nulls when digits exceed the
+    # precision. All pinned by specs/decimal.yaml (e.g. ROUND(DECIMAL(10,0)
+    # col, 1) keeps an 11-digit value ×10, and DECIMAL(20,2)+1 is NULL).
+
+    _DEC_MAX = 19
+
+    def _calcite_decimal(self, node):
+        """Declared Calcite DECIMAL (precision, scale) of a node under the
+        dialect schema, or None when the node is not statically
+        decimal-typed. Operand column types are clamped to p<=19 the way
+        Calcite's type factory clamps them."""
+        kind = node[0]
+        if kind == "col":
+            t = self.ctx.decimal_columns.get(node[1])
+            if t is None:
+                return None
+            return (min(int(t[0]), self._DEC_MAX), int(t[1]))
+        if kind == "lit_num":
+            txt = node[1].lower()
+            if "e" in txt:
+                return None
+            digits = txt.lstrip("-").replace(".", "").lstrip("0") or "0"
+            scale = len(txt.split(".")[1]) if "." in txt else 0
+            return (max(len(digits), 1), scale)
+        if kind == "neg":
+            return self._calcite_decimal(node[1])
+        if kind == "cast":
+            try:
+                dt = ct.parse_type(node[2])
+            except Exception:
+                return None
+            if dt.root == "DECIMAL":
+                return (min(dt.precision, self._DEC_MAX), dt.scale)
+            return None
+        if kind == "binop" and node[1] in ("+", "-", "*", "/"):
+            lt = self._calcite_decimal(node[2])
+            rt = self._calcite_decimal(node[3])
+            if lt is None or rt is None:
+                return None
+            return self._derive_decimal(node[1], lt, rt)
+        if kind == "call":
+            name, args = node[1], node[2]
+            if name == "ABS" and len(args) == 1:
+                return self._calcite_decimal(args[0])
+            if name in ("CEIL", "CEILING", "FLOOR") and len(args) == 1:
+                t = self._calcite_decimal(args[0])
+                return None if t is None else (t[0], 0)
+            if name == "ROUND" and len(args) == 2 and args[1][0] == "lit_num":
+                t = self._calcite_decimal(args[0])
+                if t is None:
+                    return None
+                p, s = t
+                r = int(args[1][1])
+                # LogicalTypeMerging.findRoundDecimalType
+                if r >= s:
+                    return (p, s)
+                return (min(p - s + r + 1, self._DEC_MAX), r)
+        return None
+
+    def _derive_decimal(self, op, lt, rt):
+        """Calcite decimal binary type derivation with the 19-precision
+        clamp (scale is reduced on divide when the precision clamps, per
+        the declared types in specs/decimal.yaml)."""
+        (p1, s1), (p2, s2) = lt, rt
+        if op in ("+", "-"):
+            s = max(s1, s2)
+            p = max(p1 - s1, p2 - s2) + s + 1
+            return (min(p, self._DEC_MAX), s)
+        if op == "*":
+            return (min(p1 + p2, self._DEC_MAX), s1 + s2)
+        # divide
+        int_digits = p1 - s1 + s2
+        s = max(6, s1 + p2 + 1)
+        p = int_digits + s
+        if p > self._DEC_MAX:
+            p = self._DEC_MAX
+            s = max(self._DEC_MAX - int_digits, 0)
+        return (p, s)
+
+    def _java_scale(self, node):
+        """Natural scale of the Java BigDecimal the reference computes for
+        this node (ArithmeticFunctions semantics), or None if unknown."""
+        kind = node[0]
+        if kind == "col":
+            t = self.ctx.decimal_columns.get(node[1])
+            return None if t is None else int(t[1])
+        if kind == "lit_num":
+            txt = node[1].lower()
+            if "e" in txt:
+                return None
+            return len(txt.split(".")[1]) if "." in txt else 0
+        if kind == "neg":
+            return self._java_scale(node[1])
+        if kind == "cast":
+            try:
+                dt = ct.parse_type(node[2])
+            except Exception:
+                return None
+            return dt.scale if dt.root == "DECIMAL" else None
+        if kind == "binop":
+            sl, sr = self._java_scale(node[2]), self._java_scale(node[3])
+            if sl is None or sr is None:
+                return None
+            if node[1] in ("+", "-"):
+                return max(sl, sr)
+            if node[1] == "*":
+                return sl + sr
+            if node[1] == "/":
+                # BigDecimal.divide(rhs, RoundingMode.DOWN) keeps lhs scale
+                return sl
+            return None
+        if kind == "call":
+            name, args = node[1], node[2]
+            if name == "ABS" and len(args) == 1:
+                return self._java_scale(args[0])
+            if name in ("CEIL", "CEILING", "FLOOR") and len(args) == 1:
+                return 0 if self._java_scale(args[0]) is not None else None
+            if name == "ROUND" and len(args) == 2 and args[1][0] == "lit_num":
+                # setScale(r, HALF_UP): natural scale is r even when r > s
+                return int(args[1][1]) if self._java_scale(args[0]) is not None else None
+        return None
+
+    def _decimal_applies(self, node) -> bool:
+        """Both operands statically decimal AND at least one side is a real
+        decimal (column / cast / fractional literal) — pure-integer
+        expressions keep Java int semantics."""
+        if self._is_integral(node[2]) and self._is_integral(node[3]):
+            return False
+        return (
+            self._calcite_decimal(node) is not None
+            and self._java_scale(node) is not None
+        )
+
+    @staticmethod
+    def _frac_lit(scale: int) -> str:
+        """Exact 10^-scale as a decimal literal (typed DECIMAL(scale+1, scale))."""
+        return "0." + "0" * (scale - 1) + "1"
+
+    def _unscaled_sql(self, node) -> Optional[str]:
+        """Spark SQL for the exact unscaled integer of the node's Java
+        BigDecimal value (value * 10^java_scale), as DECIMAL(38,0)/BIGINT."""
+        s_j = self._java_scale(node)
+        if s_j is None:
+            return None
+        if node[0] == "binop" and node[1] == "/":
+            # Java: lhs.divide(rhs, DOWN) at lhs scale -> truncate toward
+            # zero of (lhs * 10^s1 / rhs). Spark's `div` would be exact but
+            # returns BIGINT and WRAPS past 2^63 (20-digit unscaled values
+            # are real here) — compute in decimals: sign-split floor of the
+            # absolute quotient. Spark's decimal division carries >= 6
+            # fractional guard digits, so the floor is exact except for
+            # quotients within 5e-7 of an integer boundary.
+            ls, rs = self.render(node[2]), self.render(node[3])
+            pow_l = 10 ** s_j
+            num = f"({ls} * {pow_l})" if s_j else f"({ls})"
+            q = f"floor(abs({num}) / abs({rs}))"
+            return (
+                f"(CASE WHEN (({ls}) < 0) != (({rs}) < 0) "
+                f"THEN CAST(-{q} AS DECIMAL(38, 0)) "
+                f"ELSE CAST({q} AS DECIMAL(38, 0)) END)"
+            )
+        body = self.render(node)
+        if s_j == 0:
+            return f"CAST({body} AS DECIMAL(38, 0))"
+        return f"CAST({body} * {10 ** s_j} AS DECIMAL(38, 0))"
+
+    def _stored_decimal_sql(self, node) -> Optional[str]:
+        """Render a decimal expression the way the reference STORES it:
+        unscaled value reinterpreted at the declared Calcite scale; for
+        p=19 (non-compact) NULL when the digits exceed the precision."""
+        declared = self._calcite_decimal(node)
+        u = self._unscaled_sql(node)
+        if declared is None or u is None:
+            return None
+        p_d, s_d = declared
+        if s_d > 0:
+            value = f"CAST({u} * {self._frac_lit(s_d)} AS DECIMAL(38, {s_d}))"
+        else:
+            value = f"CAST({u} AS DECIMAL(38, 0))"
+        if p_d > 18:
+            # DecimalDataSerializer round-trip -> fromBigDecimal precision
+            # check: digits(unscaled) > p -> NULL
+            return f"(CASE WHEN abs({u}) >= {10 ** p_d} THEN NULL ELSE {value} END)"
+        return value
+
+    def compile_stored(self, text: str) -> str:
+        """Compile a projection expression applying the reference's
+        storage-boundary semantics for decimal results. Non-decimal (or
+        statically untypeable) expressions compile exactly as compile()."""
+        return self.render_stored(parse(text))
+
+    def render_stored(self, ast) -> str:
+        """render() plus the decimal storage-boundary reinterpretation for
+        top-level decimal arithmetic (see _stored_decimal_sql)."""
+        if ast[0] == "binop" and ast[1] in ("+", "-", "*", "/"):
+            if self._decimal_applies(ast):
+                out = self._stored_decimal_sql(ast)
+                if out is not None:
+                    return out
+        elif ast[0] in ("neg",) or (
+            ast[0] == "call" and ast[1] in ("ABS", "CEIL", "CEILING", "FLOOR", "ROUND")
+        ):
+            if (
+                self._calcite_decimal(ast) is not None
+                and self._java_scale(ast) is not None
+            ):
+                out = self._stored_decimal_sql(ast)
+                if out is not None:
+                    return out
+        return self.render(ast)
+
     def _r_binop(self, node) -> str:
         _, op, l, r = node
-        ls, rs = self.render(l), self.render(r)
-        if op == "||":
-            return f"concat({self._null_str(ls)}, {self._null_str(rs)})"
         if op == "/" and self._is_integral(l) and self._is_integral(r):
             # Java integer division truncates toward zero; Spark's `/` is
             # always fractional, `div` matches Java exactly
-            return f"({ls} div {rs})"
+            return f"({self.render(l)} div {self.render(r)})"
+        if op == "/" and self._decimal_applies(node):
+            # inner decimal division: Java value semantics (truncated at
+            # the lhs scale) WITHOUT the storage reinterpretation — that
+            # applies only at the projection boundary (compile_stored)
+            u = self._unscaled_sql(node)
+            s_j = self._java_scale(node)
+            if u is not None and s_j is not None:
+                if s_j == 0:
+                    return f"CAST({u} AS DECIMAL(38, 0))"
+                return f"CAST({u} * {self._frac_lit(s_j)} AS DECIMAL(38, {s_j}))"
+        ls, rs = self.render(l), self.render(r)
+        if op == "||":
+            return f"concat({self._null_str(ls)}, {self._null_str(rs)})"
         if op in ("=", ">", ">=", "<", "<=") and self.ctx.strict_nulls:
             # reference ComparisonFunctions: null operands -> FALSE, not NULL
             return f"ifnull(({ls} {op} {rs}), false)"
@@ -465,6 +700,24 @@ class ExpressionCompiler:
             "ENDSWITH": "endswith",
         }
         if name in simple_string:
+            if name in ("SUBSTRING", "SUBSTR") and n == 3:
+                # the reference raises on a negative length
+                # (StringFunctions substring precondition, pinned by
+                # specs/string.yaml 'Substring with Index OOB'); Spark's
+                # substring is total — guard with raise_error
+                larg = args[2]
+                nonneg_literal = larg[0] == "lit_num"
+                if not nonneg_literal:
+                    msg = _sql_str(
+                        "length of 'substring(str, beginIndex, length)' "
+                        "must be >= 0 and Int type, but length = "
+                    )
+                    return (
+                        f"(CASE WHEN ({rendered[2]}) < 0 THEN "
+                        f"CAST(raise_error(concat({msg}, "
+                        f"CAST({rendered[2]} AS STRING))) AS STRING) "
+                        f"ELSE substring({rendered[0]}, {rendered[1]}, {rendered[2]}) END)"
+                    )
             if name == "REGEXP_EXTRACT" and n == 2:
                 # dialect default group = 0 (whole match); Spark default is 1
                 return f"regexp_extract({rendered[0]}, {rendered[1]}, 0)"

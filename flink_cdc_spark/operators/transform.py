@@ -139,6 +139,11 @@ class TransformProcessor:
             for f in self.payload.fields
             if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
         )
+        decimals = {
+            f.name: (f.dataType.precision, f.dataType.scale)
+            for f in self.payload.fields
+            if isinstance(f.dataType, T.DecimalType)
+        }
         ctx = ExpressionContext(
             column_bindings=bindings,
             epoch_timestamp_sql=self._epoch_ts,
@@ -150,6 +155,7 @@ class TransformProcessor:
             # pinned by specs/comparison.yaml null rows
             strict_nulls=True,
             integral_columns=integral,
+            decimal_columns=decimals,
         )
         return ExpressionCompiler(ctx)
 
@@ -198,7 +204,9 @@ class TransformProcessor:
                         raise CompileError(f"Column '{src}' not found in table {rule.source_table}")
                     cols.append((name, comp.ctx.column_bindings.get(src, f"`{image}`.`{src}`")))
                 else:
-                    cols.append((name, comp.render(ast)))
+                    # projection boundary: decimal arithmetic stores with
+                    # the reference's declared-type reinterpretation
+                    cols.append((name, comp.render_stored(ast)))
             self._proj_sql[image] = cols
 
         # ---- filter ------------------------------------------------------------

@@ -263,20 +263,11 @@ def _value_eq(expected: str, ours) -> bool:
 
 
 # Documented engine/reference divergences — each one a deliberate choice,
-# asserted here so a behavior change surfaces as a test delta:
-DIVERGENCES = {
-    # The reference transform clamps DECIMAL arithmetic results to
-    # precision 19 (long-backed DecimalData) and overflows to NULL;
-    # Spark widens precision per SQL rules and keeps the exact value.
-    "decimal::Add Op": "DECIMAL(20,2) arithmetic: reference clamps to p=19 and nulls on overflow; Spark widens and keeps the value",
-    "decimal::Subtract Op": "same DECIMAL p=19 clamp divergence",
-    "decimal::Divide Op": "same DECIMAL p=19 clamp divergence",
-    "decimal::Abs Op": "same DECIMAL p=19 clamp divergence",
-    "decimal::Round Op": "same DECIMAL p=19 clamp divergence",
-    # Flink's SUBSTRING raises on out-of-bounds indices; Spark's (and this
-    # engine's) substring is total and returns ''.
-    "string::Substring with Index OOB": "Spark SUBSTRING is total (returns ''), reference raises",
-}
+# asserted here so a behavior change surfaces as a test delta.
+# (The DECIMAL p=19 clamp and SUBSTRING OOB divergences were closed in
+# round 6: the compiler now implements the reference's storage-boundary
+# decimal semantics and the negative-length substring guard.)
+DIVERGENCES: dict = {}
 
 
 # -- the runner -------------------------------------------------------------
@@ -316,7 +307,11 @@ def test_spec_corpus(spark, fname, item):
     if key in DIVERGENCES:
         pytest.skip(f"documented divergence: {DIVERGENCES[key]}")
     proj, filt = item.get("projection") or "", item.get("filter") or ""
-    if "*" in proj.replace("COUNT(*)", ""):
+    # a projection ITEM that is exactly `*` (true wildcard) expands the
+    # unsupported-type columns; `*` inside expressions (multiplication,
+    # regex/LIKE pattern strings) is fine
+    proj_items = [p.strip() for p in re.split(r"[,\n]", proj)]
+    if "*" in proj_items:
         pytest.skip("wildcard projection expands the unsupported-type columns")
     if _references_unsupported(proj) or _references_unsupported(filt):
         pytest.skip("references a column type outside the bit-exact subset")
