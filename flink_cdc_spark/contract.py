@@ -369,7 +369,7 @@ transform:
       DATE_FORMAT(o_orderdate, 'yyyy/MM') AS fmt_month,
       CAST(TIMESTAMPADD(DAY, 30, o_orderdate) AS TIMESTAMP) AS plus_30d,
       CAST(TIMESTAMPDIFF(DAY, o_orderdate, TO_TIMESTAMP('1998-01-01 00:00:00')) AS BIGINT) AS days_to_98,
-      UNIX_TIMESTAMP(CAST(o_orderdate AS STRING)) AS unix_s,
+      UNIX_TIMESTAMP(DATE_FORMAT(o_orderdate, 'yyyy-MM-dd HH:mm:ss')) AS unix_s,
       TO_DATE(DATE_FORMAT(o_orderdate, 'yyyy-MM-dd')) AS just_date,
       CAST(DATE_FORMAT(o_orderdate, 'yyyy') AS INTEGER) AS yr
 pipeline: {execution.runtime-mode: BATCH}
@@ -1781,6 +1781,168 @@ def jdbc_warehouse_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 PK-hash prepartition: per-key consistency survives the shuffle
+# (RegularPrePartitionOperator.java:85-121 scope)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "prepartition_pk_hash",
+    """
+    SELECT c_custkey,
+           CASE WHEN (c_custkey % 10) = 3 THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal,
+           c_nationkey
+    FROM customer
+    WHERE (c_custkey % 20) <> 7
+    """,
+)
+def prepartition_pk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-hash prepartition (RegularPrePartitionOperator analog): the
+    changelog is explicitly repartitioned on the primary key into a small
+    fixed channel count — all changes of one key land in one partition —
+    and the materialized state must be identical to the unpartitioned
+    oracle. The sink's per-key __seq merge makes the result invariant
+    under AQE re-planning of this shuffle; this row pins that contract."""
+    from .operators.partition import repartition_by_primary_key
+    from .sinks.materialize import materialize_changelog
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    mut = MutationSpec(
+        key_column="c_custkey", update_exprs={"c_acctbal": "c_acctbal + 500"}
+    )
+    env = src.changelog("customer", "default.customer", mut)
+    env = repartition_by_primary_key(env, ["c_custkey"], num_partitions=8)
+    state = materialize_changelog(env, ["c_custkey"])
+    return state.select("c_custkey", "c_acctbal", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 DDL statement parser: raw SQL DDL drives schema evolution
+# (CustomMySqlAntlrDdlParser scope)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ddl_statement_pipeline",
+    """
+    SELECT n_nationkey, n_name, n_regionkey,
+           CASE WHEN n_nationkey >= 15 THEN length(n_name) END AS name_len
+    FROM nation
+    """,
+)
+def ddl_statement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL DDL (CREATE TABLE + ALTER TABLE ADD COLUMN) parsed by the
+    DDL statement parser and driven through the event pipeline to a
+    materialized table: rows arriving before the ALTER read back with the
+    added column NULL, rows after it carry values."""
+    from .core.events import DataChangeEvent
+    from .pipeline.composer import EventPipelineComposer
+    from .pipeline.definition import (
+        PipelineConfig,
+        PipelineDef,
+        SinkDef,
+        SourceDef,
+    )
+    from .sinks.materialize import materialize_changelog
+    from .sources.ddl_parser import parse_ddl
+
+    pin_session(spark)
+    tid = TableId.parse("app.nation")
+    create = parse_ddl(
+        "CREATE TABLE app.nation ("
+        " n_nationkey BIGINT NOT NULL PRIMARY KEY,"
+        " n_name VARCHAR(25), n_regionkey BIGINT)"
+    )
+    alter = parse_ddl("ALTER TABLE app.nation ADD COLUMN name_len INT")
+    rows = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )  # DDL is control-plane: nation is a 25-row dimension table
+    events = [create]
+    events += [
+        DataChangeEvent.insert(tid, (r.n_nationkey, r.n_name, r.n_regionkey))
+        for r in rows
+        if r.n_nationkey < 15
+    ]
+    events.append(alter)
+    events += [
+        DataChangeEvent.insert(
+            tid, (r.n_nationkey, r.n_name, r.n_regionkey, len(r.n_name))
+        )
+        for r in rows
+        if r.n_nationkey >= 15
+    ]
+    pipeline = PipelineDef(
+        source=SourceDef(type="values"),
+        sink=SinkDef(type="values"),
+        config=PipelineConfig(runtime_mode="BATCH", schema_change_behavior="EVOLVE"),
+    )
+    result = EventPipelineComposer(spark, pipeline).run(events)
+    env = result.changelogs["app.nation"]
+    state = materialize_changelog(env, ["n_nationkey"])
+    return state.select("n_nationkey", "n_name", "n_regionkey", "name_len")
+
+
+# ---------------------------------------------------------------------------
+# §3.1 CLI end-to-end: YAML in, parquet sink out
+# (CliFrontend scope)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cli_pipeline_e2e",
+    """
+    SELECT n_nationkey, n_name, UPPER(n_name) AS upper_name
+    FROM nation
+    WHERE n_regionkey > 1
+    """,
+)
+def cli_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI surface end-to-end: YAML pipeline definition -> run_pipeline
+    -> parquet sink on disk -> read back. Pins that the CLI wiring (YAML
+    parse, source/sink factories, transform route) produces the same rows
+    as the plain SQL oracle."""
+    import shutil
+    import tempfile
+
+    from .cli import run_pipeline as cli_run
+    from .pipeline.yaml_parser import parse_pipeline_yaml
+
+    pin_session(spark)
+    out_dir = tempfile.mkdtemp(prefix="cli_e2e_")
+    try:
+        pipeline = parse_pipeline_yaml(
+            f"""
+source:
+  type: parquet
+  path: {sf_dir}
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: parquet
+  path: {out_dir}
+transform:
+  - source-table: default.nation
+    projection: n_nationkey, n_name, UPPER(n_name) AS upper_name
+    filter: n_regionkey > 1
+    primary-key: n_nationkey
+pipeline:
+  name: cli-e2e
+  execution.runtime-mode: BATCH
+"""
+        )
+        cli_run(spark, pipeline)
+        written = spark.read.parquet(f"{out_dir}/default.nation")
+        rows = written.select("n_nationkey", "n_name", "upper_name").collect()
+        return spark.createDataFrame(rows, written.select(
+            "n_nationkey", "n_name", "upper_name").schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queries)

@@ -345,6 +345,25 @@ def parse_type(s: str) -> DataType:
 def _parse_inner(text: str, upper: str) -> DataType:
     if upper in _SIMPLE:
         return _SIMPLE[upper]()
+    # SQL-standard spelling: TIMESTAMP(p) WITH [LOCAL] TIME ZONE
+    if upper.endswith("WITH TIME ZONE"):
+        inner = parse_type(text[: len(text) - len("WITH TIME ZONE")].strip())
+        return timestamp_tz(inner.precision if inner.precision is not None else 6)
+    if upper.endswith("WITH LOCAL TIME ZONE"):
+        inner = parse_type(text[: len(text) - len("WITH LOCAL TIME ZONE")].strip())
+        return timestamp_ltz(inner.precision if inner.precision is not None else 6)
+    if upper.startswith("ROW<") and upper.endswith(">"):
+        fields_ = []
+        for part in _split_all_top_level(text[4:-1]):
+            # `name` TYPE  (backticks optional)
+            part = part.strip()
+            if part.startswith("`"):
+                close = part.index("`", 1)
+                fname, ftype = part[1:close], part[close + 1 :].strip()
+            else:
+                fname, ftype = part.split(None, 1)
+            fields_.append((fname, parse_type(ftype)))
+        return row(*fields_)
     if upper in ("TIMESTAMP", "DATETIME"):
         return timestamp()
     if upper == "TIMESTAMP_LTZ":
@@ -390,6 +409,21 @@ def _parse_inner(text: str, upper: str) -> DataType:
         k, v = _split_top_level(inner)
         return map_(parse_type(k), parse_type(v))
     raise ValueError(f"Cannot parse CDC type: {text!r}")
+
+
+def _split_all_top_level(s: str) -> list:
+    """Split on every top-level comma (ROW field lists)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return parts
 
 
 def _split_top_level(s: str) -> tuple:

@@ -98,6 +98,24 @@ class ExpressionContext:
     # BigDecimal natural-scale computation, unscaled-long storage
     # reinterpretation — see compile_stored)
     decimal_columns: dict = field(default_factory=dict)
+    # physical-kind sets driving the reference's temporal/nested semantics
+    # (TransformSpecsITCase corpus): TIMESTAMP_TZ columns are ISO-8601
+    # strings with offset, TIME columns are millis-of-day ints,
+    # TIMESTAMP_LTZ columns are Spark TimestampType (instants; the session
+    # time zone is pinned UTC engine-wide, so NTZ-casting one yields the
+    # UTC local datetime), TIMESTAMP columns are TimestampNTZ
+    tz_columns: frozenset = frozenset()
+    time_columns: frozenset = frozenset()
+    ltz_columns: frozenset = frozenset()
+    ntz_columns: frozenset = frozenset()
+    # column name -> tuple of field names for ROW-typed columns (1-based
+    # subscript resolves to a field statically)
+    row_columns: dict = field(default_factory=dict)
+    # VARIANT-typed columns (subscript compiles to variant_get)
+    variant_columns: frozenset = frozenset()
+    # ARRAY-typed columns (subscript index 0 is NULL in the dialect;
+    # Spark's try_element_at raises on it)
+    array_columns: frozenset = frozenset()
     # available physical columns; None disables the existence check
     known_columns: Optional[frozenset] = None
     # strict reference null semantics for bare comparisons (null -> FALSE)
@@ -428,6 +446,40 @@ class ExpressionCompiler:
                     return out
         return self.render(ast)
 
+    # -- dialect temporal kinds ----------------------------------------------
+    def _temporal_kind(self, node) -> Optional[str]:
+        """'tz' | 'ltz' | 'ntz' | 'time' for column references of the
+        special temporal kinds, else None."""
+        if node[0] != "col":
+            return None
+        name = node[1]
+        if name in self.ctx.tz_columns:
+            return "tz"
+        if name in self.ctx.ltz_columns:
+            return "ltz"
+        if name in self.ctx.ntz_columns:
+            return "ntz"
+        if name in self.ctx.time_columns:
+            return "time"
+        return None
+
+    def _ltz_local(self, sql: str, tz: Optional[str] = None) -> str:
+        """UTC-instant TimestampType -> naive local datetime in tz
+        (defaults to the pipeline's local time zone). Relies on the
+        engine-wide session timeZone=UTC pin for the NTZ cast."""
+        zone = tz if tz is not None else _sql_str(self.ctx.local_time_zone)
+        return f"convert_timezone('UTC', {zone}, CAST({sql} AS TIMESTAMP_NTZ))"
+
+    def _time_as_ntz(self, sql: str) -> str:
+        """millis-of-day int -> TimestampNTZ on the epoch day (lets
+        date_format patterns apply to TIME columns)."""
+        return (
+            f"timestampadd(MILLISECOND, {sql}, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        )
+
+    _ISO_T = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
     def _r_binop(self, node) -> str:
         _, op, l, r = node
         if op == "/" and self._is_integral(l) and self._is_integral(r):
@@ -562,6 +614,38 @@ class ExpressionCompiler:
         _, e, type_text = node
         es = self.render(e)
         t = _cast_type_sql(type_text)
+        kind = self._temporal_kind(e)
+        if kind is not None:
+            if t.startswith("timestamp"):
+                # castToTimestamp: TZ strings carry their offset (parse to
+                # instant), LTZ are instants — both land in the pipeline's
+                # local time zone; NTZ is zone-less and passes through
+                # (specs/casting.yaml 'Cast To Timestamp (Asia/Shanghai)')
+                if kind == "tz":
+                    return self._ltz_local(f"CAST({es} AS TIMESTAMP)")
+                if kind == "ltz":
+                    return self._ltz_local(es)
+                if kind == "time":
+                    return self._time_as_ntz(es)
+                return es
+            if t == "string":
+                # castToString renders java.time toString: ISO with 'T'
+                if kind == "tz":
+                    return es  # already the ISO-8601 offset string
+                if kind == "ltz":
+                    return (
+                        f"date_format(CAST({es} AS TIMESTAMP_NTZ), "
+                        f"{_sql_str(self._ISO_T)})"
+                    )
+                if kind == "ntz":
+                    return f"date_format({es}, {_sql_str(self._ISO_T)})"
+                if kind == "time":
+                    return f"date_format({self._time_as_ntz(es)}, 'HH:mm:ss')"
+            if t == "date":
+                if kind == "tz":
+                    return f"to_date(substring({es}, 1, 10))"
+                if kind == "ltz":
+                    return f"to_date(CAST({es} AS TIMESTAMP_NTZ))"
         if t == "boolean":
             return (
                 f"(CASE WHEN {es} IS NULL THEN CAST(NULL AS BOOLEAN) "
@@ -603,8 +687,10 @@ class ExpressionCompiler:
         # operand is a PARSE_JSON / TRY_PARSE_JSON call.
         def is_variant(x) -> bool:
             return (
-                x[0] == "call" and x[1] in ("PARSE_JSON", "TRY_PARSE_JSON")
-            ) or (x[0] == "subscript" and is_variant(x[1]))
+                (x[0] == "call" and x[1] in ("PARSE_JSON", "TRY_PARSE_JSON"))
+                or (x[0] == "col" and x[1] in self.ctx.variant_columns)
+                or (x[0] == "subscript" and is_variant(x[1]))
+            )
 
         if is_variant(e):
             if idx[0] == "lit_str":
@@ -612,6 +698,25 @@ class ExpressionCompiler:
             if idx[0] == "lit_num":
                 # 1-based variant array access -> 0-based JSON path
                 return f"variant_get({self.render(e)}, '$[{int(idx[1]) - 1}]')"
+        if e[0] == "col" and e[1] in self.ctx.row_columns:
+            # ROW subscripting resolves to a field STATICALLY — the
+            # reference refuses non-literal / out-of-range indices at
+            # plan time (specs/nested.yaml 'Record Subscripting With
+            # Invalid Index' / 'Computed Index')
+            fields_ = self.ctx.row_columns[e[1]]
+            pos = int(idx[1]) if idx[0] == "lit_num" else None
+            if pos is None or not (1 <= pos <= len(fields_)):
+                raise CompileError(
+                    f"Cannot infer type of field at position {pos} within "
+                    f"ROW type: {fields_}"
+                )
+            return f"{self.render(e)}.{_q(fields_[pos - 1])}"
+        if e[0] == "col" and e[1] in self.ctx.array_columns:
+            # 1-based with NULL on ANY out-of-bounds index including 0
+            # (specs/nested.yaml 'Array OOB Subscripting'); Spark's
+            # try_element_at still raises on index 0
+            es, idxs = self.render(e), self.render(idx)
+            return f"if(({idxs}) = 0, NULL, try_element_at({es}, {idxs}))"
         return f"try_element_at({self.render(e)}, {self.render(idx)})"
 
     # -- function calls ----------------------------------------------------------
@@ -645,8 +750,19 @@ class ExpressionCompiler:
             unit = unit_node[1] if unit_node[0] in ("col", "lit_str") else None
             if unit is None:
                 raise CompileError(f"{name} unit must be an identifier")
-            f = "timestampadd" if name in ("TIMESTAMPADD", "TIMESTAMP_ADD") else "timestampdiff"
-            return f"{f}({unit.upper()}, {self.render(args[1])}, {self.render(args[2])})"
+            if name in ("TIMESTAMPADD", "TIMESTAMP_ADD"):
+                # the reference's TIMESTAMPADD computes in epoch millis and
+                # returns a precision-3 TimestampData — sub-millisecond
+                # digits are dropped (specs/regression.yaml FLINK-39682
+                # expects .789, not .789123)
+                return (
+                    f"date_trunc('MILLISECOND', timestampadd({unit.upper()}, "
+                    f"{self.render(args[1])}, {self.render(args[2])}))"
+                )
+            return (
+                f"timestampdiff({unit.upper()}, {self.render(args[1])}, "
+                f"{self.render(args[2])})"
+            )
 
         rendered = [self.render(x) for x in args]
 
@@ -753,17 +869,28 @@ class ExpressionCompiler:
         if name == "DATE_FORMAT":
             if n < 2:
                 raise CompileError("DATE_FORMAT(ts, fmt) needs 2 arguments")
-            return f"date_format({rendered[0]}, {self._fmt_arg(args[1])})"
+            kind = self._temporal_kind(args[0])
+            target = rendered[0]
+            if kind == "ltz":
+                # LTZ instants format in the pipeline's local time zone
+                # (specs/temporal.yaml 'Date Format Function (Asia/Shanghai)')
+                target = self._ltz_local(target)
+            elif kind == "time":
+                target = self._time_as_ntz(target)
+            return f"date_format({target}, {self._fmt_arg(args[1])})"
         if name == "DATE_FORMAT_TZ":
             # DATE_FORMAT_TZ(ts[, fmt], tz): a TIMESTAMP (no zone) formats
             # identically in every zone (specs/temporal.yaml 'Formatting
-            # TIMESTAMP(0) with Timezone') — the zone only matters for the
-            # _ltz types, which this engine does not model
-            if n == 2:
-                return f"date_format({rendered[0]}, 'yyyy-MM-dd HH:mm:ss')"
-            if n != 3:
+            # TIMESTAMP(0) with Timezone'); LTZ instants convert to the
+            # given zone
+            if n not in (2, 3):
                 raise CompileError("DATE_FORMAT_TZ(ts[, fmt], tz) needs 2-3 arguments")
-            return f"date_format({rendered[0]}, {self._fmt_arg(args[1])})"
+            target = rendered[0]
+            if self._temporal_kind(args[0]) == "ltz":
+                target = self._ltz_local(target, tz=rendered[-1])
+            if n == 2:
+                return f"date_format({target}, 'yyyy-MM-dd HH:mm:ss')"
+            return f"date_format({target}, {self._fmt_arg(args[1])})"
         if name == "TO_DATE":
             # strict-format parse, lenient failure: TO_DATE('1970-01-01
             # 00:00:05') is NULL — the whole string must match the pattern
@@ -771,8 +898,18 @@ class ExpressionCompiler:
             # (specs/temporal.yaml, specs/regression.yaml)
             arg0 = args[0]
             timestampish = (
-                arg0[0] == "call" and arg0[1] in ("TO_TIMESTAMP", "TO_TIMESTAMP_LTZ")
-            ) or (arg0[0] == "cast" and "TIMESTAMP" in str(arg0[2]).upper())
+                (
+                    arg0[0] == "call"
+                    and arg0[1]
+                    in ("TO_TIMESTAMP", "TO_TIMESTAMP_LTZ", "TIMESTAMPADD", "TIMESTAMP_ADD")
+                )
+                or (arg0[0] == "cast" and "TIMESTAMP" in str(arg0[2]).upper())
+                or self._temporal_kind(arg0) in ("ntz", "ltz")
+            )
+            if self._temporal_kind(arg0) == "tz" and n == 1:
+                # TO_DATE of a zoned timestamp takes the date of ITS OWN
+                # local part (FLINK-39682 regression corpus)
+                return f"to_date(substring({rendered[0]}, 1, 10))"
             if timestampish and n == 1:
                 return f"to_date({rendered[0]})"
             fmt = self._fmt_arg(args[1]) if n >= 2 else "'yyyy-MM-dd'"
@@ -819,12 +956,31 @@ class ExpressionCompiler:
             return f"date_add({rendered[0]}, {rendered[1]})"
 
         # --- variant ---
-        if name == "PARSE_JSON":
+        if name in ("PARSE_JSON", "TRY_PARSE_JSON"):
             # the dialect accepts any operand type (numbers parse as JSON
-            # scalars); Spark's parse_json requires STRING
-            return f"parse_json(cast({rendered[0]} AS string))"
-        if name == "TRY_PARSE_JSON":
-            return f"try_parse_json(cast({rendered[0]} AS string))"
+            # scalars); Spark's parse_json requires STRING. Spark matches
+            # the reference's duplicate-key behavior natively (parse_json
+            # raises, try_parse_json -> NULL). The 2-arg allowDuplicateKeys
+            # form keeps the LAST value — for literal inputs we dedup at
+            # compile time (json.loads keeps the last key).
+            f = "parse_json" if name == "PARSE_JSON" else "try_parse_json"
+            if (
+                n == 2
+                and args[1][0] == "lit_bool"
+                and args[1][1]
+                and args[0][0] == "lit_str"
+            ):
+                import json as _json
+
+                try:
+                    deduped = _json.dumps(
+                        _json.loads(args[0][1]), ensure_ascii=False,
+                        separators=(",", ":"),
+                    )
+                except ValueError:
+                    deduped = args[0][1]
+                return f"{f}({_sql_str(deduped)})"
+            return f"{f}(cast({rendered[0]} AS string))"
 
         # unknown: pass through lowercased so registered UDFs and Spark
         # built-ins beyond the dialect remain callable

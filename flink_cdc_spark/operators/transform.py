@@ -111,6 +111,7 @@ class TransformProcessor:
         epoch_timestamp_sql: str = "current_timestamp()",
         local_time_zone: str = "UTC",
         udf_names: frozenset = frozenset(),
+        logical_schema=None,
     ):
         self.rule = rule
         self.payload = payload
@@ -119,6 +120,18 @@ class TransformProcessor:
         self._epoch_ts = epoch_timestamp_sql
         self._tz = local_time_zone
         self._udfs = udf_names
+        # TIMESTAMP_TZ (ISO offset string) and TIME (millis int) are not
+        # distinguishable from their physical Spark types — the logical
+        # CDC schema disambiguates when available
+        self._tz_cols: frozenset = frozenset()
+        self._time_cols: frozenset = frozenset()
+        if logical_schema is not None:
+            self._tz_cols = frozenset(
+                c.name for c in logical_schema.columns if c.type.root == "TIMESTAMP_TZ"
+            )
+            self._time_cols = frozenset(
+                c.name for c in logical_schema.columns if c.type.root == "TIME"
+            )
         self._compile()
 
     # -- compilation -----------------------------------------------------------
@@ -144,6 +157,28 @@ class TransformProcessor:
             for f in self.payload.fields
             if isinstance(f.dataType, T.DecimalType)
         }
+        ntz = frozenset(
+            f.name for f in self.payload.fields
+            if isinstance(f.dataType, T.TimestampNTZType)
+        )
+        ltz = frozenset(
+            f.name for f in self.payload.fields
+            if isinstance(f.dataType, T.TimestampType)
+        )
+        rows = {
+            f.name: tuple(sf.name for sf in f.dataType.fields)
+            for f in self.payload.fields
+            if isinstance(f.dataType, T.StructType)
+        }
+        variant_t = getattr(T, "VariantType", None)
+        variants = frozenset(
+            f.name for f in self.payload.fields
+            if variant_t is not None and isinstance(f.dataType, variant_t)
+        )
+        arrays = frozenset(
+            f.name for f in self.payload.fields
+            if isinstance(f.dataType, T.ArrayType)
+        )
         ctx = ExpressionContext(
             column_bindings=bindings,
             epoch_timestamp_sql=self._epoch_ts,
@@ -156,6 +191,13 @@ class TransformProcessor:
             strict_nulls=True,
             integral_columns=integral,
             decimal_columns=decimals,
+            tz_columns=self._tz_cols,
+            time_columns=self._time_cols,
+            ltz_columns=ltz,
+            ntz_columns=ntz,
+            row_columns=rows,
+            variant_columns=variants,
+            array_columns=arrays,
         )
         return ExpressionCompiler(ctx)
 
@@ -328,6 +370,10 @@ class TransformProcessor:
         """Schema of the transformed payload, with reassigned PKs forced
         non-null. Passthrough columns keep the input column definition;
         computed columns get their Catalyst-deduced type."""
+        # rule-declared keys win; otherwise the upstream schema's keys pass
+        # through (PreTransformOperator.transformSchemaMetaData:363-375 —
+        # the corpus' input schema declares NO primary key, so items
+        # without a primary-key rule expect primaryKeys empty)
         pks = tuple(self.rule.primary_keys) or (
             tuple(input_schema.primary_keys) if input_schema else ()
         )

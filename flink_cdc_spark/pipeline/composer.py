@@ -152,6 +152,7 @@ class EventPipelineComposer:
                         proc = TransformProcessor(
                             rule, payload, udf_names=self.udf_names,
                             local_time_zone=self.pipeline.config.local_time_zone,
+                            logical_schema=item.schema,
                         )
                         item = CreateTableEvent(item.table_id, proc.output_schema(item.schema))
                     self.coordinator.process_schema_change(item)
@@ -185,6 +186,7 @@ class EventPipelineComposer:
                 proc = TransformProcessor(
                     rule, payload, udf_names=self.udf_names,
                     local_time_zone=self.pipeline.config.local_time_zone,
+                    logical_schema=schema,
                 )
                 df = proc.apply(df)
             for target in self.router.route(epoch.table_id):
@@ -263,6 +265,7 @@ class BatchPipelineComposer:
                     payload,
                     local_time_zone=self.pipeline.config.local_time_zone,
                     udf_names=self.udf_names,
+                    logical_schema=schema,
                 )
                 df = proc.apply(df)
                 schema = proc.output_schema(schema)

@@ -89,8 +89,8 @@ def windowed_watermark_aggregate(
 
     active = os.path.join(work_dir, "active")
     ckpt = os.path.join(work_dir, "ckpt")
+    emit_dir = os.path.join(work_dir, "emitted")
     os.makedirs(active, exist_ok=True)
-    emitted = []
     schema = None
     for b in range(N_BATCHES):
         src = os.path.join(staged_dir, f"b{b}")
@@ -116,18 +116,24 @@ def windowed_watermark_aggregate(
         )
         schema = agged.schema
 
-        def collect_emission(batch_df, epoch_id):
-            emitted.extend(batch_df.collect())
+        # emission stays distributed: each epoch's finalized windows are
+        # written executor-side as parquet — nothing funnels through the
+        # driver (at scale the emission is itself big)
+        def write_emission(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(emit_dir)
 
         q = (
             agged.writeStream.outputMode("append")
-            .foreachBatch(collect_emission)
+            .foreachBatch(write_emission)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-    return spark.createDataFrame(emitted, schema)
+    try:
+        return spark.read.schema(schema).parquet(emit_dir)
+    except Exception:  # no window finalized -> no files written
+        return spark.createDataFrame([], schema)
 
 
 def windowed_watermark_oracle_sql(table: str = "events") -> str:
