@@ -87,14 +87,22 @@ def _bench_selectors():
     for tid in ids:  # warm the memo + regex engine
         sel.is_match(tid)
 
-    def run(build_each_op: bool, ops: int) -> float:
+    def run_once(build_each_op: bool, ops: int) -> float:
         t0 = time.perf_counter()
         for _ in range(ops):
             s = Selectors(patterns) if build_each_op else sel
             for tid in ids:
                 s.is_match(tid)
         dt = time.perf_counter() - t0
-        return round(ops / (dt * 1000), 1)  # ops per millisecond
+        return ops / (dt * 1000)  # ops per millisecond
+
+    def run(build_each_op: bool, ops: int) -> float:
+        # median of 5 after a warmup rep: single-rep numbers swung 702-1230
+        # across rounds from CPU contention with the JVM; the median holds
+        # a tight interval
+        run_once(build_each_op, max(ops // 10, 1))
+        reps = sorted(run_once(build_each_op, ops) for _ in range(5))
+        return round(reps[2], 1)
 
     return {"cached": run(False, 200_000), "uncached": run(True, 20_000)}
 

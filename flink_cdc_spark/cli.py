@@ -122,14 +122,28 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
             summary.tables[table] = df.count()
         elif sink_type == "values":
             summary.tables[table] = df.count()
-        elif sink_type == "jdbc":
+        elif sink_type in ("jdbc", "oceanbase"):
             from .core.events import CreateTableEvent
             from .core.table_id import TableId
             from .sinks.jdbc_sink import JdbcWarehouseSink
 
-            url = pipeline.sink.config.get("url")
-            if not url:
-                raise SystemExit("sink.type=jdbc requires 'url'")
+            if sink_type == "oceanbase":
+                # MySQL-dialect factory option surface; the write path is
+                # the shared warehouse-sink contract (sinks/oceanbase_sink.py)
+                from .sinks.oceanbase_sink import (
+                    jdbc_url,
+                    validate_oceanbase_options,
+                )
+
+                try:
+                    ob = validate_oceanbase_options(pipeline.sink.config)
+                except ValueError as e:
+                    raise SystemExit(str(e))
+                url = jdbc_url(ob)
+            else:
+                url = pipeline.sink.config.get("url")
+                if not url:
+                    raise SystemExit("sink.type=jdbc requires 'url'")
             sink = JdbcWarehouseSink(spark, url)
             tid = TableId.parse(table)
             schema = result.schemas[table].ensure_pk_non_null()

@@ -1889,6 +1889,80 @@ def ddl_statement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.2 Fluss / MaxCompute sink wire formats: oracle-gated roundtrips
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fluss_log_roundtrip",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN (c_custkey % 10) = 3 THEN c_acctbal + 250 ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE (c_custkey % 20) <> 7
+    """,
+)
+def fluss_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluss sink roundtrip (FlussEventSerializationSchema scope): envelope
+    -> bucketed UPSERT/DELETE log records -> tablet-style apply -> state."""
+    from .sinks.fluss_sink import decode_fluss, encode_fluss
+    from .sinks.materialize import materialize_changelog
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    mut = MutationSpec(
+        key_column="c_custkey", update_exprs={"c_acctbal": "c_acctbal + 250"}
+    )
+    env = src.changelog("customer", "default.customer", mut)
+    payload = None
+    for f in env.schema.fields:
+        if f.name == "after":
+            payload = f.dataType
+    log = encode_fluss(env, ["c_custkey"], bucket_num=4)
+    decoded = decode_fluss(log, payload, "default.customer")
+    state = materialize_changelog(decoded, ["c_custkey"])
+    return state.select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "maxcompute_tunnel_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN (o_orderkey % 10) = 3 THEN 'F' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    WHERE (o_orderkey % 20) <> 7
+    """,
+)
+def maxcompute_tunnel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxCompute sink roundtrip (MaxComputeEventWriter scope): envelope ->
+    per-(table, partition) tunnel-session upsert/delete records ->
+    transactional-table apply -> state."""
+    from .sinks.materialize import materialize_changelog
+    from .sinks.maxcompute_sink import decode_maxcompute, encode_maxcompute
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    mut = MutationSpec(
+        key_column="o_orderkey", update_exprs={"o_orderstatus": "'F'"}
+    )
+    env = src.changelog("orders", "default.orders", mut)
+    payload = None
+    for f in env.schema.fields:
+        if f.name == "after":
+            payload = f.dataType
+    records = encode_maxcompute(
+        env,
+        ["o_orderkey"],
+        partition_expr=F.coalesce(
+            F.col("after.o_orderpriority"), F.col("before.o_orderpriority")
+        ),
+    )
+    decoded = decode_maxcompute(records, payload, "default.orders")
+    state = materialize_changelog(decoded, ["o_orderkey"])
+    return state.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
 # §3.1 CLI end-to-end: YAML in, parquet sink out
 # (CliFrontend scope)
 # ---------------------------------------------------------------------------

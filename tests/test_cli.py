@@ -109,3 +109,63 @@ sink:
         pipeline = parse_pipeline_yaml(f.read())
     with pytest.raises(SystemExit):
         run_pipeline(spark, pipeline)
+
+
+def test_oceanbase_sink_option_surface(tmp_path, spark):
+    """sink type: oceanbase — MySQL-dialect factory options validate and
+    route onto the JDBC warehouse sink (OceanBaseDataSinkFactory scope)."""
+    import pytest as _pytest
+
+    from flink_cdc_spark.sinks.oceanbase_sink import (
+        validate_oceanbase_options,
+    )
+    from flink_cdc_spark.sources.jdbc_live import derby_url
+
+    # required options enforced
+    with _pytest.raises(ValueError, match="requires option"):
+        validate_oceanbase_options({"url": "jdbc:mysql://ob:2881/db"})
+    # unknown options rejected (factory required/optionalOptions contract)
+    with _pytest.raises(ValueError, match="unsupported option"):
+        validate_oceanbase_options(
+            {"url": "u", "username": "a", "password": "b", "bogus": "1"}
+        )
+    ob = validate_oceanbase_options(
+        {
+            "url": "jdbc:mysql://ob:2881/db",
+            "username": "root",
+            "password": "pw",
+            "memstore-check.threshold": "0.8",
+            "partition.enabled": "true",
+            "buffer-flush.buffer-size": "500",
+        }
+    )
+    assert ob.memstore_check_threshold == 0.8
+    assert ob.partition_enabled is True
+    assert ob.buffer_size == 500
+    assert ob.driver_class_name == "com.mysql.cj.jdbc.Driver"
+
+    # end-to-end: YAML with type: oceanbase runs through the warehouse sink
+    url = derby_url(str(tmp_path / "obdb"))
+    y = tmp_path / "ob.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: region
+  primary-key.region: r_regionkey
+sink:
+  type: oceanbase
+  url: {url}
+  username: root
+  password: pw
+  sync-write: true
+pipeline:
+  name: ob-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    with open(y) as f:
+        pipeline = parse_pipeline_yaml(f.read())
+    summary = run_pipeline(spark, pipeline)
+    assert summary.tables["default.region"] == 5

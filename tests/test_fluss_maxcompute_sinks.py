@@ -1,0 +1,99 @@
+"""Fluss / MaxCompute sink wire formats (sinks/fluss_sink.py,
+sinks/maxcompute_sink.py): serializer conventions over the bucketed
+upsert/delete log shapes."""
+
+import json
+
+from pyspark.sql import functions as F, types as T
+
+from flink_cdc_spark.sinks.fluss_sink import decode_fluss, encode_fluss
+from flink_cdc_spark.sinks.materialize import materialize_changelog
+from flink_cdc_spark.sinks.maxcompute_sink import (
+    decode_maxcompute,
+    encode_maxcompute,
+)
+from flink_cdc_spark.sources.envelope import OP_DELETE, OP_INSERT, OP_UPDATE
+
+
+def _env(spark):
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("__table_id", T.StringType()),
+            T.StructField("__op", T.StringType()),
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+            T.StructField("__meta", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("__seq", T.LongType()),
+        ]
+    )
+    rows = [
+        ("db.sch.t", OP_INSERT, None, (1, "eu", 1.0), {}, 1),
+        ("db.sch.t", OP_UPDATE, (1, "eu", 1.0), (1, "us", 2.0), {}, 2),
+        ("db.sch.t", OP_DELETE, (2, "eu", 9.0), None, {}, 3),
+    ]
+    return spark.createDataFrame(rows, schema), payload
+
+
+def test_fluss_ops_and_table_path(spark):
+    env, _ = _env(spark)
+    recs = {r["__seq"]: r for r in encode_fluss(env, ["id"]).collect()}
+    # INSERT/UPDATE -> UPSERT of the after image; DELETE -> before image
+    assert recs[1]["op"] == "UPSERT" and json.loads(recs[1]["row"])["region"] == "eu"
+    assert recs[2]["op"] == "UPSERT" and json.loads(recs[2]["row"])["region"] == "us"
+    assert recs[3]["op"] == "DELETE" and json.loads(recs[3]["row"])["id"] == 2
+    # TablePath.of(schemaName, tableName): last two parts of the table id
+    assert recs[1]["table_path"] == "sch.t"
+
+
+def test_fluss_bucket_is_key_stable(spark):
+    env, _ = _env(spark)
+    recs = encode_fluss(env, ["id"], bucket_num=8).collect()
+    buckets = {}
+    for r in recs:
+        key = json.loads(r["row"])["id"]
+        buckets.setdefault(key, set()).add(r["bucket"])
+    # every change of one key lands in exactly one bucket
+    assert all(len(b) == 1 for b in buckets.values())
+    assert all(0 <= r["bucket"] < 8 for r in recs)
+
+
+def test_fluss_roundtrip_materializes_state(spark):
+    env, payload = _env(spark)
+    decoded = decode_fluss(
+        encode_fluss(env, ["id"]), payload, "db.sch.t"
+    )
+    state = {r.id: (r.region, r.v) for r in
+             materialize_changelog(decoded, ["id"]).collect()}
+    assert state == {1: ("us", 2.0)}
+
+
+def test_maxcompute_sessions_group_table_partition(spark):
+    env, _ = _env(spark)
+    recs = encode_maxcompute(
+        env, ["id"], partition_expr=F.coalesce(
+            F.col("after.region"), F.col("before.region"))
+    ).collect()
+    by_seq = {r["__seq"]: r for r in recs}
+    assert by_seq[1]["session_id"] == "db.sch.t/eu"
+    assert by_seq[2]["session_id"] == "db.sch.t/us"  # partition follows image
+    assert by_seq[3]["op"] == "DELETE" and by_seq[3]["partition_name"] == "eu"
+
+
+def test_maxcompute_roundtrip_materializes_state(spark):
+    env, payload = _env(spark)
+    decoded = decode_maxcompute(
+        encode_maxcompute(env, ["id"]), payload, "db.sch.t"
+    )
+    rows = materialize_changelog(decoded, ["id"]).collect()
+    state = {r.id: (r.region, r.v) for r in rows}
+    assert state == {1: ("us", 2.0)}
+    # partition rides through meta like the reference's event meta
+    meta = {r["__meta"]["partition"] for r in decoded.collect()}
+    assert meta == {"__default__"}
