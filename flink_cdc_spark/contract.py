@@ -60,7 +60,12 @@ def run_pipeline(spark, sf_dir, yaml_text, tables, sink_table) -> DataFrame:
     """tables: list[(table, table_id, pk_tuple, mutations_or_None)]"""
     pin_session(spark)
     pipeline = parse_pipeline_yaml(yaml_text)
-    composer = BatchPipelineComposer(spark, pipeline)
+    udf_names = frozenset()
+    if pipeline.udfs:
+        from .functions import register_pipeline_udfs
+
+        udf_names = register_pipeline_udfs(spark, pipeline.udfs)
+    composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
     streams = [
         _stream(spark, sf_dir, t, tid, pk, mut) for t, tid, pk, mut in tables
     ]
@@ -625,6 +630,37 @@ def schema_evolution_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     yaml_text = """
 source: {type: values}
 sink: {type: values}
+pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: EVOLVE}
+"""
+    composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
+    result = composer.run(_customer_evolution_events(spark, sf_dir))
+    return result.tables["db.customer"]
+
+
+@register(
+    "schema_evolution_through_projection",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def schema_evolution_through_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-change rewriting THROUGH an active wildcard projection
+    (PostTransformOperator cached-processor invalidation scope): the
+    mid-stream ADD COLUMN must propagate into the `*`-expanded output
+    alongside the computed column, and rows from both schema versions
+    coexist in the materialized table."""
+    from .pipeline.composer import EventPipelineComposer
+
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+transform:
+  - source-table: db.customer
+    projection: "*, CHAR_LENGTH(c_name) AS name_len"
+    primary-key: c_custkey
 pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: EVOLVE}
 """
     composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
@@ -1297,6 +1333,75 @@ def jdbc_snapshot_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema_out)
 
 
+@register(
+    "jdbc_startup_latest_offset",
+    """
+    SELECT s_suppkey, s_name, CAST(999.5 AS DOUBLE) AS s_acctbal
+    FROM supplier
+    WHERE (s_suppkey % 5) = 2 AND (s_suppkey % 7) <> 3
+    """,
+)
+def jdbc_startup_latest_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATEST_OFFSET startup against a live database (StartupMode.java
+    scope): no snapshot — the source captures the current log offset at
+    startup and the envelope holds ONLY changes written after it. The
+    mutations are value-idempotent (absolute SET, re-deleting deleted rows
+    emits nothing), so repeated runs against the shared Derby db yield the
+    same materialized state."""
+    import hashlib
+    import os
+    import shutil
+
+    from .sinks.materialize import materialize_changelog
+    from .sources.jdbc_live import (
+        JdbcEndpoint,
+        JdbcLiveSource,
+        JdbcLiveSourceConfig,
+        derby_url,
+        install_capture,
+    )
+    from .sources.jdbc_snapshot import StartupMode
+
+    pin_session(spark)
+    cols = ["s_suppkey", "s_name", "s_acctbal"]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/flink_cdc_spark_jdbclatest/{key}"
+    db, marker = f"{root}/db", f"{root}/_READY"
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        ep0 = JdbcEndpoint(spark, derby_url(db))
+        ep0.execute(
+            "CREATE TABLE SUPPLIER (S_SUPPKEY BIGINT NOT NULL PRIMARY KEY, "
+            "S_NAME VARCHAR(64), S_ACCTBAL DOUBLE)"
+        )
+        install_capture(ep0, "supplier", cols)
+        snap = ParquetTableSource(spark, sf_dir).snapshot("supplier")
+        rows = [tuple(r) for r in snap.select(*cols).collect()]
+        ep0.insert_rows("SUPPLIER", [c.upper() for c in cols], rows)
+        with open(marker, "w") as f:
+            f.write("ok")
+    cfg = JdbcLiveSourceConfig(
+        url=derby_url(db, create=False),
+        table="supplier",
+        key_column="s_suppkey",
+        table_id="app.supplier",
+        startup_mode=StartupMode.LATEST_OFFSET,
+    )
+    src = JdbcLiveSource(spark, cfg)
+    # read() captures the current log offset (the startup point); the scan
+    # itself is lazy, so writes landing before materialization are exactly
+    # the post-startup tail — and the ONLY events the envelope may contain
+    env = src.read()
+    src.ep.execute_update(
+        "UPDATE SUPPLIER SET S_ACCTBAL = 999.5 WHERE MOD(S_SUPPKEY, 5) = 2"
+    )
+    src.ep.execute_update("DELETE FROM SUPPLIER WHERE MOD(S_SUPPKEY, 7) = 3")
+    state = materialize_changelog(env, ["s_suppkey"]).select(*cols)
+    rows = state.collect()
+    return spark.createDataFrame(rows, state.schema)
+
+
 # ---------------------------------------------------------------------------
 # live CDC as a checkpointed Structured Streaming job (streaming/live_bridge)
 # ---------------------------------------------------------------------------
@@ -1886,6 +1991,44 @@ def ddl_statement_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = result.changelogs["app.nation"]
     state = materialize_changelog(env, ["n_nationkey"])
     return state.select("n_nationkey", "n_name", "n_regionkey", "name_len")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 user-defined function surface: YAML-registered UDFs in projections
+# (UserDefinedFunctionDescriptor / flink-cdc-pipeline-udf-examples scope)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_projection_pipeline",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier,
+           '$' || printf('%.2f', c_acctbal) AS money
+    FROM customer
+    """,
+)
+def udf_projection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML-registered UDFs (a lifecycle-hooked class and a plain function,
+    functions/examples.py) called from a transform projection — the
+    reference's user-defined-function pipeline block end to end."""
+    yaml_text = """
+source: {type: parquet}
+sink: {type: values}
+transform:
+  - source-table: default.customer
+    projection: c_custkey, TIER(c_acctbal) AS tier, FORMAT_MONEY(c_acctbal) AS money
+pipeline:
+  execution.runtime-mode: BATCH
+  user-defined-function:
+    - {name: tier, classpath: "flink_cdc_spark.functions.examples:TierClassifier"}
+    - {name: format_money, classpath: "flink_cdc_spark.functions.examples:format_money"}
+"""
+    return run_pipeline(
+        spark, sf_dir, yaml_text,
+        [("customer", "default.customer", ("c_custkey",), None)],
+        "default.customer",
+    )
 
 
 # ---------------------------------------------------------------------------
