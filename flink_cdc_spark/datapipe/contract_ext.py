@@ -252,3 +252,24 @@ def text_decontaminate(spark, sf_dir):
     with the held-out benchmark slice are dropped (broadcast gram
     semi-join + anti join — the pre-training test-set-leakage gate)."""
     return textstats.decontaminate(_docs(spark, sf_dir))
+
+
+from . import sampling  # noqa: E402
+
+
+@register("data_mix_hash_sample", sampling.hash_sample_oracle_sql())
+def data_mix_hash_sample(spark, sf_dir):
+    """Deterministic stratified mixture sampling: per-language keep rates
+    decided by an md5-prefix threshold — map-only, RNG-free, reproducible
+    across reruns (the 100-TB data-mixing primitive)."""
+    return sampling.stratified_hash_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register("text_vocab_topk", sampling.vocab_topk_oracle_sql())
+def text_vocab_topk(spark, sf_dir):
+    """Corpus-level vocabulary top-k (occurrences + document frequency):
+    explode -> map-side-combined hash aggregation -> top-k, the
+    tokenizer-training wordcount shape."""
+    return sampling.vocab_topk(_docs(spark, sf_dir))

@@ -1,0 +1,105 @@
+"""Data-mixing operators for training-corpus construction: deterministic
+stratified hash sampling and corpus-level vocabulary statistics.
+
+Scale shapes:
+  * hash sampling is MAP-ONLY — the per-stratum keep/drop decision is a
+    pure function of (key hash, stratum rate), so a 100-TB mixture pass
+    touches each row once with zero shuffle, is reproducible across
+    reruns/retries, and composes with partition pruning;
+  * vocabulary counting is explode -> partial-aggregate -> final
+    aggregate: Spark's hash aggregation does the map-side combine, so the
+    shuffle carries one row per (partition, token), not per occurrence —
+    the classic wordcount shape that survives a 1000-executor corpus.
+
+Hash discipline: md5 on the stringified key, compared as an 8-hex-char
+prefix against a threshold string. md5 renders identical lowercase hex in
+Spark and DuckDB, making the oracle exact.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+# default mixture: downsample the dominant language, keep the rest
+DEFAULT_RATES: Tuple[Tuple[str, float], ...] = (
+    ("en", 0.5),
+    ("zh", 0.8),
+)
+DEFAULT_RATE = 1.0
+
+
+def _threshold_hex(rate: float) -> str:
+    """rate in [0,1] -> 8-hex-char threshold: keep iff md5-prefix < it."""
+    return format(min(int(rate * 0x100000000), 0xFFFFFFFF), "08x")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str = "doc_id",
+    stratum: str = "lang",
+    rates: Tuple[Tuple[str, float], ...] = DEFAULT_RATES,
+    default_rate: float = DEFAULT_RATE,
+) -> DataFrame:
+    """Keep each row iff the md5 prefix of its key falls under its
+    stratum's rate — deterministic mixture weighting with no RNG state."""
+    prefix = F.substring(F.md5(F.col(key).cast("string")), 1, 8)
+    thresh = F.lit(_threshold_hex(default_rate))
+    for value, rate in rates:
+        thresh = F.when(
+            F.col(stratum) == value, F.lit(_threshold_hex(rate))
+        ).otherwise(thresh)
+    return df.where(prefix < thresh)
+
+
+def hash_sample_oracle_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    stratum: str = "lang",
+    rates: Tuple[Tuple[str, float], ...] = DEFAULT_RATES,
+    default_rate: float = DEFAULT_RATE,
+) -> str:
+    cases = " ".join(
+        f"WHEN {stratum} = '{v}' THEN '{_threshold_hex(r)}'" for v, r in rates
+    )
+    thresh = f"CASE {cases} ELSE '{_threshold_hex(default_rate)}' END"
+    return f"""
+    SELECT {key}, {stratum}, source, n_chars
+    FROM {table}
+    WHERE substr(md5(CAST({key} AS VARCHAR)), 1, 8) < {thresh}
+    """
+
+
+def vocab_topk(
+    df: DataFrame, text: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus-level token statistics: occurrence count and document
+    frequency per whitespace token, top-k by count (token breaks ties).
+    The tokenizer-training precursor at corpus scale."""
+    tokens = df.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    agg = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return (
+        agg.orderBy(F.col("occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def vocab_topk_oracle_sql(table: str = "documents", text: str = "text", k: int = 50) -> str:
+    return f"""
+    SELECT token, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+        SELECT doc_id, unnest(string_split({text}, ' ')) AS token
+        FROM {table}
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY occurrences DESC, token
+    LIMIT {k}
+    """

@@ -207,3 +207,34 @@ def test_decontaminate_removes_ngram_overlap(spark):
     # the gram join must broadcast (tiny benchmark side)
     plan = textstats.decontaminate(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_hash_sample_deterministic(spark):
+    from flink_cdc_spark.datapipe.sampling import (
+        _threshold_hex,
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id for r in stratified_hash_sample(docs).collect()}
+    b = {r.doc_id for r in stratified_hash_sample(docs).collect()}
+    assert a == b and 0 < len(a) < docs.count()  # reproducible, non-trivial
+    # rate monotonicity: a higher rate keeps a superset
+    half = {r.doc_id for r in stratified_hash_sample(
+        docs, rates=(("en", 0.3), ("zh", 0.3)), default_rate=0.3).collect()}
+    full = {r.doc_id for r in stratified_hash_sample(
+        docs, rates=(("en", 0.9), ("zh", 0.9)), default_rate=0.9).collect()}
+    assert half <= full
+    assert _threshold_hex(1.0) == "ffffffff" and _threshold_hex(0.5) == "80000000"
+
+
+def test_vocab_topk_counts(spark):
+    from flink_cdc_spark.datapipe.sampling import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")], "doc_id LONG, text STRING"
+    )
+    rows = vocab_topk(docs, k=2).collect()
+    assert [(r.token, r.occurrences, r.doc_freq) for r in rows] == [
+        ("a", 3, 2), ("b", 2, 2)
+    ]
