@@ -273,3 +273,13 @@ def text_vocab_topk(spark, sf_dir):
     explode -> map-side-combined hash aggregation -> top-k, the
     tokenizer-training wordcount shape."""
     return sampling.vocab_topk(_docs(spark, sf_dir))
+
+
+@register("text_pii_scrub", sampling.pii_scrub_oracle_sql(table=sampling.PII_SALTED_ORACLE_CTE))
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/phones/IPv4) with per-kind hit counts —
+    map-only regexp expressions in the RE2/Java dialect intersection.
+    The synthetic corpus carries no PII, so deterministic emails/phones/
+    IPs are salted into every third document on BOTH sides first — the
+    gate is non-vacuous (hundreds of real redactions)."""
+    return sampling.pii_scrub(sampling.salt_pii(_docs(spark, sf_dir)))

@@ -103,3 +103,73 @@ def vocab_topk_oracle_sql(table: str = "documents", text: str = "text", k: int =
     ORDER BY occurrences DESC, token
     LIMIT {k}
     """
+
+
+# -- PII scrubbing -----------------------------------------------------------
+# Patterns restricted to the Java-regex / RE2 dialect intersection so the
+# DuckDB oracle replays them exactly. Order matters: emails before the
+# phone pattern (an email's digit runs must not half-match as a phone).
+PII_PATTERNS: Tuple[Tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses and count the hits
+    per kind — map-only regexp expressions, the pre-training privacy
+    scrub pass. Returns (key, scrubbed text, per-kind hit counts)."""
+    scrubbed = F.col(text)
+    cols: List = [F.col(key)]
+    for kind, pat, token in PII_PATTERNS:
+        cols.append(
+            F.expr(f"regexp_count({text}, '{pat}')".replace("\\", "\\\\")).alias(
+                f"n_{kind}"
+            )
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    cols.insert(1, scrubbed.alias("text"))
+    return df.select(*cols)
+
+
+def pii_scrub_oracle_sql(table: str = "documents", key: str = "doc_id", text: str = "text") -> str:
+    scrub = text
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        counts.append(
+            f"len(regexp_extract_all({text}, '{esc}')) AS n_{kind}"
+        )
+        scrub = f"regexp_replace({scrub}, '{esc}', '{token}', 'g')"
+    return f"""
+    SELECT {key}, {scrub} AS text, {', '.join(counts)}
+    FROM {table}
+    """
+
+
+def salt_pii(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Salt deterministic PII into every third document (the synthetic
+    corpus has none): an email, a phone and an IPv4 derived from the key,
+    so the scrub gate redacts real occurrences."""
+    k = F.col(key)
+    salted = F.concat(
+        F.col(text),
+        F.lit(" contact user"), k.cast("string"),
+        F.lit("@example.com or +1-555-01"), (k % 90 + 10).cast("string"),
+        F.lit("-22"), (k % 90 + 10).cast("string"),
+        F.lit(" ip 10.0.0."), (k % 200).cast("string"),
+    )
+    return df.withColumn(text, F.when(k % 3 == 0, salted).otherwise(F.col(text)))
+
+
+PII_SALTED_ORACLE_CTE = """(
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                  || '-22' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                  || ' ip 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+           ELSE text END AS text
+    FROM documents
+)"""

@@ -238,3 +238,21 @@ def test_vocab_topk_counts(spark):
     assert [(r.token, r.occurrences, r.doc_freq) for r in rows] == [
         ("a", 3, 2), ("b", 2, 2)
     ]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from flink_cdc_spark.datapipe.sampling import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c@d.org plus +1-555-0123-4567 at 10.1.2.3"),
+            (2, "clean text no pii"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_phone == 1 and rows[1].n_ipv4 == 1
+    assert "<EMAIL>" in rows[1].text and "<PHONE>" in rows[1].text
+    assert "a@b.com" not in rows[1].text and "10.1.2.3" not in rows[1].text
+    assert rows[2].text == "clean text no pii"
+    assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (0, 0, 0)
