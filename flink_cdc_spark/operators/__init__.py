@@ -1,5 +1,9 @@
 from .transform import TransformRule, TransformProcessor, apply_transform
-from .partition import repartition_by_primary_key, repartition_by_table_id
+from .partition import (
+    repartition_by_primary_key,
+    repartition_by_table_id,
+    repartition_distributed,
+)
 
 __all__ = [
     "TransformRule",
@@ -7,4 +11,5 @@ __all__ = [
     "apply_transform",
     "repartition_by_primary_key",
     "repartition_by_table_id",
+    "repartition_distributed",
 ]
