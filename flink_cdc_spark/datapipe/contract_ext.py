@@ -8,7 +8,7 @@ equivalent generated from the same constants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..contract import register
 from . import dedup, similarity, textstats
@@ -283,3 +283,65 @@ def text_pii_scrub(spark, sf_dir):
     IPs are salted into every third document on BOTH sides first — the
     gate is non-vacuous (hundreds of real redactions)."""
     return sampling.pii_scrub(sampling.salt_pii(_docs(spark, sf_dir)))
+
+
+def _mm_salted_docs(spark, sf_dir):
+    """Documents with planted duplicate payloads: ids with doc_id%10 in
+    (0,1) take their group base's text, so identical fake-decode phashes
+    exist and the near-dup gate is non-vacuous."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    )
+    joined = d.join(
+        base, F.expr("b_id = doc_id - (doc_id % 10)"), "left"
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 2, F.col("b_text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_MM_SALTED_SQL = """(
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 10 < 2 THEN b.text ELSE d.text END AS text
+    FROM documents d
+    JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 10)
+)"""
+
+
+def _phash_near_dup_oracle():
+    from . import multimodal as mm
+
+    feats = mm.image_features_oracle_sql(table=_MM_SALTED_SQL)
+    half = "CAST('0x' || substr({side}.phash, {lo}, 8) AS BIGINT)"
+    h = " + ".join(
+        f"bit_count(xor({half.format(side='a', lo=lo)}, {half.format(side='b', lo=lo)}))"
+        for lo in (1, 9)
+    )
+    return f"""
+    WITH feats AS ({feats})
+    SELECT a.media_id AS media_a, b.media_id AS media_b, {h} AS hamming
+    FROM feats a JOIN feats b ON a.media_id < b.media_id
+    WHERE {h} <= 3
+    """
+
+
+@register("mm_phash_near_dup", _phash_near_dup_oracle())
+def mm_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection over the media pipeline:
+    banded self-join on phash nibbles (pigeonhole-LOSSLESS at hamming<=3
+    with 4 bands: some band must match exactly) + exact hamming re-rank.
+    The oracle recomputes every phash closed-form in SQL and does the
+    exact all-pairs join — candidates-only vs all-pairs must agree."""
+    from . import multimodal as mm
+
+    media = mm.media_from_documents(
+        _mm_salted_docs(spark, sf_dir).withColumn(
+            "lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+            "n_chars", F.length("text"))
+    )
+    feats = mm.extract_image_features(media)
+    return mm.near_dup_by_phash(feats, max_hamming=3)
