@@ -329,6 +329,73 @@ def _phash_near_dup_oracle():
     """
 
 
+@register(
+    "streaming_stateful_dedup",
+    f"""
+    SELECT MIN(doc_id) AS doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM {_MM_SALTED_SQL}
+    GROUP BY 2
+    """,
+)
+def streaming_stateful_dedup(spark, sf_dir):
+    """Cross-micro-batch stateful dedup (applyInPandasWithState): the
+    salted corpus streams through THREE doc-id-ordered micro-batches with
+    first-seen-wins state in the checkpoint; the survivor per content
+    fingerprint is the minimum doc_id, which the oracle computes closed
+    form. Emission is executor-side parquet per epoch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.stateful import streaming_exact_dedup
+
+    _pin(spark)
+    docs = _mm_salted_docs(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = f"/tmp/flink_cdc_spark_sdedup/{key}"
+    marker = f"{staged}/_READY"
+    if not os.path.exists(marker):
+        shutil.rmtree(staged, ignore_errors=True)
+        os.makedirs(staged, exist_ok=True)
+        hi = docs.agg(F.max("doc_id")).collect()[0][0]
+        third = (hi + 3) // 3
+        now = time.time()
+        for b in range(3):
+            d = os.path.join(staged, f"b{b}")
+            docs.where(
+                (F.col("doc_id") >= b * third) & (F.col("doc_id") < (b + 1) * third)
+            ).coalesce(1).write.mode("overwrite").json(d)
+            for fn in os.listdir(d):
+                if fn.endswith(".json"):
+                    os.utime(os.path.join(d, fn), (now + b, now + b))
+        with open(marker, "w") as f:
+            f.write("ok")
+    work = tempfile.mkdtemp(prefix="cdc_sdedup_")
+    emit = os.path.join(work, "emitted")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .json(os.path.join(staged, "b*"))
+    )
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, _id: bdf.write.mode("append").parquet(emit))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.schema("doc_id LONG, fingerprint STRING").parquet(emit)
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 @register("mm_phash_near_dup", _phash_near_dup_oracle())
 def mm_phash_near_dup(spark, sf_dir):
     """Perceptual-hash near-duplicate detection over the media pipeline:
