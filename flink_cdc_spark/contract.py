@@ -1703,6 +1703,87 @@ def mysql_binlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mysql_binlog_wire_replay",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE (c_custkey % 20) <> 7
+    """,
+)
+def mysql_binlog_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binlog replay over the REAL v4 BINARY wire format
+    (mysql_binlog_wire.py): two rotated segments — snapshot WRITE_ROWS in
+    segment 1, UPDATE/DELETE_ROWS in segment 2 — parsed from raw bytes
+    executor-side (one task per segment), TABLE_MAP column names resolved
+    from the in-stream CREATE TABLE DDL (the binlog carries only type
+    codes), materialized to the same closed-form state as the JSONL
+    replay."""
+    import hashlib
+    import os
+
+    from .sinks.materialize import materialize_changelog
+    from .sources.mysql_binlog_wire import BinlogWriter
+    from .sources.mysql_source import MySqlBinaryBinlogDecoder
+
+    pin_session(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/flink_cdc_spark_binlogwire/{key}"
+    glob_path = f"{root}/bin.*"
+    if not os.path.exists(f"{root}/_READY"):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            ParquetTableSource(spark, sf_dir)
+            .snapshot("customer")
+            .select("c_custkey", "c_name", "c_acctbal")
+            .orderBy("c_custkey")
+            .collect()
+        )
+        types = ["BIGINT", "VARCHAR(200)", "DOUBLE"]
+        w1 = BinlogWriter()
+        w1.query(
+            "app",
+            "CREATE TABLE customer (c_custkey BIGINT NOT NULL PRIMARY KEY, "
+            "c_name VARCHAR(200), c_acctbal DOUBLE)",
+        )
+        w1.table_map(70, "app", "customer", types)
+        for i in range(0, len(rows), 500):
+            w1.write_rows(
+                70, types,
+                [[r.c_custkey, r.c_name, r.c_acctbal] for r in rows[i:i + 500]],
+            )
+        w1.xid()
+        with open(f"{root}/bin.000001", "wb") as f:
+            f.write(w1.to_bytes())
+        w2 = BinlogWriter()
+        w2.table_map(70, "app", "customer", types)
+        w2.update_rows(
+            70, types,
+            [([r.c_custkey, r.c_name, r.c_acctbal],
+              [r.c_custkey, r.c_name, r.c_acctbal + 100])
+             for r in rows if r.c_custkey % 10 == 3],
+        )
+        w2.delete_rows(
+            70, types,
+            [[r.c_custkey, r.c_name,
+              r.c_acctbal + (100 if r.c_custkey % 10 == 3 else 0)]
+             for r in rows if r.c_custkey % 20 == 7],
+        )
+        w2.xid()
+        with open(f"{root}/bin.000002", "wb") as f:
+            f.write(w2.to_bytes())
+        with open(f"{root}/_READY", "w") as f:
+            f.write("ok")
+    dec = MySqlBinaryBinlogDecoder(spark)
+    _, _, schemas = dec.scan_control(glob_path)
+    env = dec.read_envelope(
+        glob_path, "app.customer", schemas["app.customer"].to_spark_struct()
+    )
+    final = materialize_changelog(env, ["c_custkey"])
+    return final.select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
     "sqlserver_cdc_table_decode",
     """
     SELECT c_custkey, c_name,

@@ -1,0 +1,430 @@
+"""MySQL binlog v4 BINARY wire format: writer + parser.
+
+The JSONL replay decoder (mysql_source.MySqlBinlogDecoder) covers the
+semantic contract of MySqlEventDeserializer; this module adds the actual
+wire layout per the public MySQL replication protocol documentation
+(binary log event format, v4):
+
+  file     = magic '\\xfebin' , event*
+  header   = timestamp(4 LE) type(1) server_id(4) event_size(4)
+             log_pos(4) flags(2)                                  [19 bytes]
+  QUERY    = thread_id(4) exec_time(4) schema_len(1) error(2)
+             status_len(2) status schema '\\0' sql
+  TABLE_MAP= table_id(6) flags(2) schema_len(1) schema '\\0'
+             table_len(1) table '\\0' n_cols(lenenc) types(n)
+             meta_len(lenenc) meta null_bitmap((n+7)/8)
+  ROWS v2  = table_id(6) flags(2) extra_len(2) n_cols(lenenc)
+             included_bitmap [, included_bitmap_after for UPDATE]
+             row*  where row = null_bitmap , values
+
+TABLE_MAP carries column TYPES but NO NAMES — names come from parsed DDL
+(QUERY events), exactly why the reference embeds a DDL parser
+(CustomMySqlAntlrDdlParser). The parser here emits the same event-dict
+shape the JSONL decoder consumes, with TABLE_MAP names resolved from the
+DDL-tracked schema, so every downstream piece (epoch resolution,
+executor-side row decode, schema evolution) is shared.
+
+Column types supported (the dialect subset the engine maps): TINY, SHORT,
+LONG, LONGLONG, FLOAT, DOUBLE, VARCHAR. Signedness is a DDL property (the
+binlog does not record it); values decode signed, matching the engine's
+type coercion.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple
+
+MAGIC = b"\xfebin"
+HEADER_LEN = 19
+
+# event type codes (binlog_event.h)
+FORMAT_DESCRIPTION_EVENT = 15
+ROTATE_EVENT = 4
+QUERY_EVENT = 2
+XID_EVENT = 16
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT_V2 = 30
+UPDATE_ROWS_EVENT_V2 = 31
+DELETE_ROWS_EVENT_V2 = 32
+
+# column type codes (enum_field_types)
+MYSQL_TYPE_TINY = 1
+MYSQL_TYPE_SHORT = 2
+MYSQL_TYPE_LONG = 3
+MYSQL_TYPE_FLOAT = 4
+MYSQL_TYPE_DOUBLE = 5
+MYSQL_TYPE_LONGLONG = 8
+MYSQL_TYPE_VARCHAR = 15
+
+_TYPE_BY_DDL = {
+    "TINYINT": MYSQL_TYPE_TINY,
+    "SMALLINT": MYSQL_TYPE_SHORT,
+    "INT": MYSQL_TYPE_LONG,
+    "INTEGER": MYSQL_TYPE_LONG,
+    "BIGINT": MYSQL_TYPE_LONGLONG,
+    "FLOAT": MYSQL_TYPE_FLOAT,
+    "DOUBLE": MYSQL_TYPE_DOUBLE,
+    "VARCHAR": MYSQL_TYPE_VARCHAR,
+}
+
+
+def type_code_for_ddl(ddl_type: str) -> int:
+    """'VARCHAR(64)' / 'TINYINT(1)' / 'BIGINT' -> wire type code."""
+    base = ddl_type.split("(", 1)[0].strip().upper()
+    if base not in _TYPE_BY_DDL:
+        raise ValueError(f"unsupported wire type: {ddl_type!r}")
+    return _TYPE_BY_DDL[base]
+
+
+def _varchar_max(ddl_type: str) -> int:
+    if "(" in ddl_type:
+        return int(ddl_type.split("(", 1)[1].rstrip(") "))
+    return 255
+
+
+def _lenenc(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes([n])
+    if n < 0x10000:
+        return b"\xfc" + struct.pack("<H", n)
+    return b"\xfd" + struct.pack("<I", n)[:3]
+
+
+def _read_lenenc(data: bytes, off: int) -> Tuple[int, int]:
+    b0 = data[off]
+    if b0 < 0xFB:
+        return b0, off + 1
+    if b0 == 0xFC:
+        return struct.unpack_from("<H", data, off + 1)[0], off + 3
+    if b0 == 0xFD:
+        return int.from_bytes(data[off + 1:off + 4], "little"), off + 4
+    return struct.unpack_from("<Q", data, off + 1)[0], off + 9
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture half: the engine's tests and canned replays)
+# ---------------------------------------------------------------------------
+
+
+class BinlogWriter:
+    """Serializes events into the v4 wire format (checksum off)."""
+
+    def __init__(self, server_id: int = 1):
+        self.server_id = server_id
+        self.buf = bytearray(MAGIC)
+        self._write_format_description()
+
+    @property
+    def pos(self) -> int:
+        return len(self.buf)
+
+    def _event(self, type_code: int, body: bytes, timestamp: int = 0) -> int:
+        size = HEADER_LEN + len(body)
+        log_pos = len(self.buf) + size
+        self.buf += struct.pack(
+            "<IB4sII H".replace(" ", ""),
+            timestamp,
+            type_code,
+            struct.pack("<I", self.server_id),
+            size,
+            log_pos,
+            0,
+        )
+        self.buf += body
+        return log_pos
+
+    def _write_format_description(self):
+        body = struct.pack("<H", 4)                       # binlog version
+        body += b"8.0.0-mock".ljust(50, b"\x00")          # server version
+        body += struct.pack("<I", 0)                      # create ts
+        body += bytes([HEADER_LEN])                       # header length
+        body += bytes(39)                                 # post-header lens
+        body += b"\x00"                                   # checksum alg: off
+        self._event(FORMAT_DESCRIPTION_EVENT, body)
+
+    def query(self, database: str, sql: str) -> int:
+        db = database.encode()
+        body = struct.pack("<IIBHH", 0, 0, len(db), 0, 0)
+        body += db + b"\x00" + sql.encode()
+        return self._event(QUERY_EVENT, body)
+
+    def xid(self, xid: int = 1) -> int:
+        return self._event(XID_EVENT, struct.pack("<Q", xid))
+
+    def table_map(
+        self, table_num: int, database: str, table: str, ddl_types: List[str]
+    ) -> int:
+        db, tb = database.encode(), table.encode()
+        n = len(ddl_types)
+        body = struct.pack("<Q", table_num)[:6] + struct.pack("<H", 1)
+        body += bytes([len(db)]) + db + b"\x00"
+        body += bytes([len(tb)]) + tb + b"\x00"
+        body += _lenenc(n)
+        codes = [type_code_for_ddl(t) for t in ddl_types]
+        body += bytes(codes)
+        meta = b""
+        for code, t in zip(codes, ddl_types):
+            if code == MYSQL_TYPE_VARCHAR:
+                meta += struct.pack("<H", _varchar_max(t))
+            elif code in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE):
+                meta += bytes([4 if code == MYSQL_TYPE_FLOAT else 8])
+        body += _lenenc(len(meta)) + meta
+        body += b"\xff" * ((n + 7) // 8)  # all columns nullable
+        return self._event(TABLE_MAP_EVENT, body)
+
+    def _encode_value(self, code: int, meta: int, v) -> bytes:
+        if code == MYSQL_TYPE_TINY:
+            return struct.pack("<b", int(v))
+        if code == MYSQL_TYPE_SHORT:
+            return struct.pack("<h", int(v))
+        if code == MYSQL_TYPE_LONG:
+            return struct.pack("<i", int(v))
+        if code == MYSQL_TYPE_LONGLONG:
+            return struct.pack("<q", int(v))
+        if code == MYSQL_TYPE_FLOAT:
+            return struct.pack("<f", float(v))
+        if code == MYSQL_TYPE_DOUBLE:
+            return struct.pack("<d", float(v))
+        if code == MYSQL_TYPE_VARCHAR:
+            raw = str(v).encode()
+            if meta < 256:
+                return bytes([len(raw)]) + raw
+            return struct.pack("<H", len(raw)) + raw
+        raise ValueError(f"unsupported type code {code}")
+
+    def _row_image(self, codes, metas, values) -> bytes:
+        n = len(codes)
+        null_bitmap = bytearray((n + 7) // 8)
+        payload = b""
+        for i, v in enumerate(values):
+            if v is None:
+                null_bitmap[i // 8] |= 1 << (i % 8)
+            else:
+                payload += self._encode_value(codes[i], metas[i], v)
+        return bytes(null_bitmap) + payload
+
+    def _rows(self, type_code, table_num, codes, metas, images) -> int:
+        n = len(codes)
+        body = struct.pack("<Q", table_num)[:6] + struct.pack("<H", 1)
+        body += struct.pack("<H", 2)  # extra-data length (2 = empty)
+        body += _lenenc(n)
+        body += b"\xff" * ((n + 7) // 8)  # all columns included
+        if type_code == UPDATE_ROWS_EVENT_V2:
+            body += b"\xff" * ((n + 7) // 8)
+        for img in images:
+            if type_code == UPDATE_ROWS_EVENT_V2:
+                before, after = img
+                body += self._row_image(codes, metas, before)
+                body += self._row_image(codes, metas, after)
+            else:
+                body += self._row_image(codes, metas, img)
+        return self._event(type_code, body)
+
+    def write_rows(self, table_num, ddl_types, rows) -> int:
+        codes = [type_code_for_ddl(t) for t in ddl_types]
+        metas = [_varchar_max(t) if c == MYSQL_TYPE_VARCHAR else 0
+                 for c, t in zip(codes, ddl_types)]
+        return self._rows(WRITE_ROWS_EVENT_V2, table_num, codes, metas, rows)
+
+    def update_rows(self, table_num, ddl_types, pairs) -> int:
+        codes = [type_code_for_ddl(t) for t in ddl_types]
+        metas = [_varchar_max(t) if c == MYSQL_TYPE_VARCHAR else 0
+                 for c, t in zip(codes, ddl_types)]
+        return self._rows(UPDATE_ROWS_EVENT_V2, table_num, codes, metas, pairs)
+
+    def delete_rows(self, table_num, ddl_types, rows) -> int:
+        codes = [type_code_for_ddl(t) for t in ddl_types]
+        metas = [_varchar_max(t) if c == MYSQL_TYPE_VARCHAR else 0
+                 for c, t in zip(codes, ddl_types)]
+        return self._rows(DELETE_ROWS_EVENT_V2, table_num, codes, metas, rows)
+
+    def to_bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _decode_value(code: int, meta: int, data: bytes, off: int):
+    if code == MYSQL_TYPE_TINY:
+        return struct.unpack_from("<b", data, off)[0], off + 1
+    if code == MYSQL_TYPE_SHORT:
+        return struct.unpack_from("<h", data, off)[0], off + 2
+    if code == MYSQL_TYPE_LONG:
+        return struct.unpack_from("<i", data, off)[0], off + 4
+    if code == MYSQL_TYPE_LONGLONG:
+        return struct.unpack_from("<q", data, off)[0], off + 8
+    if code == MYSQL_TYPE_FLOAT:
+        return struct.unpack_from("<f", data, off)[0], off + 4
+    if code == MYSQL_TYPE_DOUBLE:
+        return struct.unpack_from("<d", data, off)[0], off + 8
+    if code == MYSQL_TYPE_VARCHAR:
+        if meta < 256:
+            ln = data[off]
+            off += 1
+        else:
+            ln = struct.unpack_from("<H", data, off)[0]
+            off += 2
+        return data[off:off + ln].decode(), off + ln
+    raise ValueError(f"unsupported type code {code}")
+
+
+def _parse_row_image(data: bytes, off: int, codes, metas):
+    n = len(codes)
+    bm = data[off:off + (n + 7) // 8]
+    off += (n + 7) // 8
+    values = []
+    for i in range(n):
+        if bm[i // 8] & (1 << (i % 8)):
+            values.append(None)
+        else:
+            v, off = _decode_value(codes[i], metas[i], data, off)
+            values.append(v)
+    return values, off
+
+
+def parse_binlog_bytes(data: bytes, base_pos: int = 0) -> Iterator[dict]:
+    """Parse one binlog file into event dicts (the JSONL decoder's shape).
+
+    TABLE_MAP events carry ``col_codes``/``col_metas`` instead of column
+    names — callers resolve names from DDL (resolve_table_maps).
+
+    ``base_pos`` globalizes positions across rotated segments: segment k
+    passes k << 30 (a segment is at most 1 GiB — MySQL's max_binlog_size
+    ceiling — so in-file positions never spill into the next band) and
+    the stream's total order is simply the globalized position."""
+    if data[:4] != MAGIC:
+        raise ValueError("not a binlog file (bad magic)")
+    off = 4
+    # binlog table_num -> (codes, metas) for rows-event decoding
+    tmaps: Dict[int, Tuple[List[int], List[int]]] = {}
+    while off + HEADER_LEN <= len(data):
+        ts, type_code = struct.unpack_from("<IB", data, off)
+        size, log_pos, _flags = struct.unpack_from("<IIH", data, off + 9)
+        body = data[off + HEADER_LEN:off + size]
+        end = len(body)
+        if log_pos >= 1 << 30:
+            raise ValueError(
+                f"binlog position {log_pos} exceeds the 1 GiB segment band"
+            )
+        pos = base_pos + log_pos  # globalized end-position: the order key
+        if type_code == QUERY_EVENT:
+            _tid, _et, schema_len, _err, status_len = struct.unpack_from(
+                "<IIBHH", body, 0
+            )
+            p = 13 + status_len
+            db = body[p:p + schema_len].decode()
+            p += schema_len + 1  # nul
+            sql = body[p:].decode()
+            yield {"type": "QUERY", "pos": pos, "database": db, "sql": sql}
+        elif type_code == TABLE_MAP_EVENT:
+            tnum = int.from_bytes(body[0:6], "little")
+            p = 8
+            dblen = body[p]; p += 1
+            db = body[p:p + dblen].decode(); p += dblen + 1
+            tblen = body[p]; p += 1
+            tb = body[p:p + tblen].decode(); p += tblen + 1
+            n, p = _read_lenenc(body, p)
+            codes = list(body[p:p + n]); p += n
+            mlen, p = _read_lenenc(body, p)
+            metas = []
+            mp = p
+            for c in codes:
+                if c == MYSQL_TYPE_VARCHAR:
+                    metas.append(struct.unpack_from("<H", body, mp)[0]); mp += 2
+                elif c in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE):
+                    metas.append(body[mp]); mp += 1
+                else:
+                    metas.append(0)
+            tmaps[tnum] = (codes, metas)
+            yield {
+                "type": "TABLE_MAP", "pos": pos, "table_id": tnum,
+                "database": db, "table": tb,
+                "col_codes": codes, "col_metas": metas,
+            }
+        elif type_code in (
+            WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2, DELETE_ROWS_EVENT_V2
+        ):
+            tnum = int.from_bytes(body[0:6], "little")
+            p = 8
+            extra = struct.unpack_from("<H", body, p)[0]
+            p += extra  # extra_len includes its own 2 bytes
+            n, p = _read_lenenc(body, p)
+            codes, metas = tmaps[tnum]
+            p += (n + 7) // 8  # included bitmap (always all columns here)
+            if type_code == UPDATE_ROWS_EVENT_V2:
+                p += (n + 7) // 8
+            rows = []
+            while p < end:
+                if type_code == UPDATE_ROWS_EVENT_V2:
+                    before, p = _parse_row_image(body, p, codes, metas)
+                    after, p = _parse_row_image(body, p, codes, metas)
+                    rows.append({"before": before, "after": after})
+                else:
+                    img, p = _parse_row_image(body, p, codes, metas)
+                    rows.append(img)
+            kind = {
+                WRITE_ROWS_EVENT_V2: "EXT_WRITE_ROWS",
+                UPDATE_ROWS_EVENT_V2: "EXT_UPDATE_ROWS",
+                DELETE_ROWS_EVENT_V2: "EXT_DELETE_ROWS",
+            }[type_code]
+            yield {"type": kind, "pos": pos, "table_id": tnum, "rows": rows}
+        elif type_code == XID_EVENT:
+            yield {"type": "XID", "pos": pos}
+        elif type_code == FORMAT_DESCRIPTION_EVENT:
+            yield {"type": "FORMAT_DESCRIPTION", "pos": pos}
+        off += size
+
+
+def resolve_table_maps(events, schemas_by_table: Optional[dict] = None):
+    """Fill TABLE_MAP column names from DDL-derived schemas (the binlog
+    itself has none — Debezium does the same resolution). ``schemas`` is
+    built incrementally from the stream's own QUERY DDL when not given."""
+    from ..core.schema_evolution import apply_schema_change_event
+    from .ddl_parser import parse_ddl
+    from .mysql_source import mysql_type
+
+    schemas = dict(schemas_by_table or {})
+    out = []
+    for ev in events:
+        if ev["type"] == "QUERY":
+            sql = ev.get("sql", "")
+            if sql and not sql.upper().startswith(("BEGIN", "COMMIT")):
+                try:
+                    event = parse_ddl(sql, type_parser=mysql_type)
+                except ValueError:
+                    out.append(ev)
+                    continue
+                tid = event.table_id
+                if tid.schema_name is None and ev.get("database"):
+                    key = f"{ev['database']}.{tid.table_name}"
+                else:
+                    key = str(tid)
+                schemas[key] = apply_schema_change_event(schemas.get(key), event)
+            out.append(ev)
+        elif ev["type"] == "TABLE_MAP":
+            key = f"{ev['database']}.{ev['table']}"
+            schema = schemas.get(key)
+            if schema is None:
+                raise ValueError(
+                    f"TABLE_MAP for {key} precedes its DDL — column names "
+                    "unresolvable (the binlog carries only types)"
+                )
+            names = [c.name for c in schema.columns]
+            if len(names) != len(ev["col_codes"]):
+                raise ValueError(
+                    f"TABLE_MAP column count {len(ev['col_codes'])} != DDL "
+                    f"schema width {len(names)} for {key}"
+                )
+            enriched = dict(ev)
+            enriched["columns"] = [
+                {"name": n, "type": str(c.type)}
+                for n, c in zip(names, schema.columns)
+            ]
+            out.append(enriched)
+        else:
+            out.append(ev)
+    return out, schemas

@@ -1,0 +1,137 @@
+"""MySQL binlog v4 BINARY wire format (sources/mysql_binlog_wire.py):
+writer/parser roundtrip, DDL-based TABLE_MAP name resolution, and
+equivalence with the JSONL replay decoder's envelope."""
+
+import pytest
+from pyspark.sql import types as T
+
+from flink_cdc_spark.sinks.materialize import materialize_changelog
+from flink_cdc_spark.sources.mysql_binlog_wire import (
+    BinlogWriter,
+    parse_binlog_bytes,
+    resolve_table_maps,
+)
+from flink_cdc_spark.sources.mysql_source import MySqlBinaryBinlogDecoder
+
+TYPES = ["BIGINT", "VARCHAR(64)", "INT", "TINYINT(1)"]
+
+
+def _write_fixture(path):
+    """Same logical stream as the JSONL fixture in test_mysql_source:
+    CREATE, writes, update, delete, mid-stream ALTER + re-mapped table."""
+    w = BinlogWriter()
+    w.query(
+        "app",
+        "CREATE TABLE orders (id BIGINT NOT NULL PRIMARY KEY, "
+        "item VARCHAR(64), qty INT, flag TINYINT(1))",
+    )
+    w.table_map(109, "app", "orders", TYPES)
+    w.write_rows(109, TYPES, [
+        [1, "apple", 3, 1], [2, "pear", 1, 0], [3, "fig", 9, 1],
+    ])
+    w.update_rows(109, TYPES, [
+        ([2, "pear", 1, 0], [2, "pear", 5, 1]),
+    ])
+    w.delete_rows(109, TYPES, [[3, "fig", 9, 1]])
+    w.xid()
+    w.query("app", "ALTER TABLE orders ADD COLUMN note VARCHAR(32)")
+    types2 = TYPES + ["VARCHAR(32)"]
+    w.table_map(110, "app", "orders", types2)
+    w.write_rows(110, types2, [[4, "plum", 2, 1, "rush"]])
+    w.xid()
+    with open(path, "wb") as f:
+        f.write(w.to_bytes())
+    return str(path)
+
+
+def test_wire_parse_roundtrip(tmp_path):
+    path = _write_fixture(tmp_path / "bin.000001")
+    events = list(parse_binlog_bytes(open(path, "rb").read()))
+    kinds = [e["type"] for e in events]
+    assert kinds == [
+        "FORMAT_DESCRIPTION", "QUERY", "TABLE_MAP", "EXT_WRITE_ROWS",
+        "EXT_UPDATE_ROWS", "EXT_DELETE_ROWS", "XID", "QUERY", "TABLE_MAP",
+        "EXT_WRITE_ROWS", "XID",
+    ]
+    # positions strictly increase (event END positions)
+    poss = [e["pos"] for e in events]
+    assert poss == sorted(poss) and len(set(poss)) == len(poss)
+    wr = events[3]
+    assert wr["rows"] == [[1, "apple", 3, 1], [2, "pear", 1, 0], [3, "fig", 9, 1]]
+    up = events[4]
+    assert up["rows"] == [{"before": [2, "pear", 1, 0], "after": [2, "pear", 5, 1]}]
+    # TABLE_MAP has types but NO names until DDL resolution
+    assert "columns" not in events[2] and len(events[2]["col_codes"]) == 4
+
+
+def test_null_bitmap_and_wide_varchar(tmp_path):
+    w = BinlogWriter()
+    types = ["BIGINT", "VARCHAR(300)", "DOUBLE"]
+    w.query("db", "CREATE TABLE t (a BIGINT PRIMARY KEY, b VARCHAR(300), c DOUBLE)")
+    w.table_map(7, "db", "t", types)
+    long_text = "x" * 280  # forces the 2-byte varchar length (meta >= 256)
+    w.write_rows(7, types, [[1, long_text, 2.5], [2, None, None]])
+    events = list(parse_binlog_bytes(w.to_bytes()))
+    rows = [e for e in events if e["type"] == "EXT_WRITE_ROWS"][0]["rows"]
+    assert rows[0] == [1, long_text, 2.5]
+    assert rows[1] == [2, None, None]
+
+
+def test_table_map_names_resolve_from_ddl(tmp_path):
+    path = _write_fixture(tmp_path / "bin.000001")
+    events = list(parse_binlog_bytes(open(path, "rb").read()))
+    resolved, schemas = resolve_table_maps(events)
+    tm1, tm2 = [e for e in resolved if e["type"] == "TABLE_MAP"]
+    assert [c["name"] for c in tm1["columns"]] == ["id", "item", "qty", "flag"]
+    assert [c["name"] for c in tm2["columns"]] == [
+        "id", "item", "qty", "flag", "note",
+    ]
+    # a TABLE_MAP before its DDL is unresolvable — loud failure
+    w = BinlogWriter()
+    w.table_map(5, "db", "unknown", ["BIGINT"])
+    with pytest.raises(ValueError, match="precedes its DDL"):
+        resolve_table_maps(list(parse_binlog_bytes(w.to_bytes())))
+
+
+def test_binary_decoder_matches_jsonl_semantics(spark, tmp_path):
+    """The wire decoder's materialized state equals the JSONL decoder's on
+    the same logical stream (tinyInt1isBit booleans included)."""
+    path = _write_fixture(tmp_path / "bin.000001")
+    dec = MySqlBinaryBinlogDecoder(spark)
+    epochs, ddls, schemas = dec.scan_control(path)
+    assert [type(e).__name__ for _, e in ddls] == [
+        "CreateTableEvent", "AddColumnEvent",
+    ]
+    schema = schemas["app.orders"]
+    assert schema.get_column("flag").type.root == "BOOLEAN"
+    env = dec.read_envelope(path, "app.orders", schema.to_spark_struct())
+    plan = env._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "LocalTableScan" not in plan
+    state = materialize_changelog(env, ["id"])
+    rows = {r.id: (r.item, r.qty, r.flag, r.note) for r in state.collect()}
+    assert rows == {
+        1: ("apple", 3, True, None),
+        2: ("pear", 5, True, None),
+        4: ("plum", 2, True, "rush"),
+    }
+
+
+def test_multi_segment_glob(spark, tmp_path):
+    """Rotated segments parse as one stream: per-FILE executor tasks, DDL
+    from segment 1 resolving TABLE_MAPs in segment 2."""
+    w1 = BinlogWriter()
+    w1.query("app", "CREATE TABLE t (id BIGINT PRIMARY KEY, v INT)")
+    w1.table_map(9, "app", "t", ["BIGINT", "INT"])
+    w1.write_rows(9, ["BIGINT", "INT"], [[1, 10], [2, 20]])
+    (tmp_path / "bin.000001").write_bytes(w1.to_bytes())
+    w2 = BinlogWriter()
+    w2.table_map(9, "app", "t", ["BIGINT", "INT"])
+    w2.write_rows(9, ["BIGINT", "INT"], [[3, 30]])
+    (tmp_path / "bin.000002").write_bytes(w2.to_bytes())
+
+    dec = MySqlBinaryBinlogDecoder(spark)
+    glob = str(tmp_path / "bin.*")
+    _, _, schemas = dec.scan_control(glob)
+    env = dec.read_envelope(glob, "app.t", schemas["app.t"].to_spark_struct())
+    state = {r.id: r.v for r in materialize_changelog(env, ["id"]).collect()}
+    assert state == {1: 10, 2: 20, 3: 30}
