@@ -604,7 +604,22 @@ def mysql_streams(spark: SparkSession, config: dict):
 
     cfg = MySqlSourceConfig.from_dict(config)
     if cfg.binlog_file:
-        decoder = MySqlBinlogDecoder(
+        # auto-detect the wire format: real v4 binary segments start with
+        # the \xfebin magic; otherwise the JSONL replay shape
+        probe = cfg.binlog_file
+        if any(ch in probe for ch in "*?["):
+            import glob as _glob
+
+            matches = sorted(_glob.glob(probe))
+            probe = matches[0] if matches else probe
+        is_binary = False
+        try:
+            with open(probe, "rb") as fh:
+                is_binary = fh.read(4) == b"\xfebin"
+        except OSError:
+            pass
+        decoder_cls = MySqlBinaryBinlogDecoder if is_binary else MySqlBinlogDecoder
+        decoder = decoder_cls(
             spark,
             tinyint1_is_bit=cfg.tinyint1_is_bit,
             include_schema_changes=cfg.include_schema_changes,

@@ -135,3 +135,36 @@ def test_multi_segment_glob(spark, tmp_path):
     env = dec.read_envelope(glob, "app.t", schemas["app.t"].to_spark_struct())
     state = {r.id: r.v for r in materialize_changelog(env, ["id"]).collect()}
     assert state == {1: 10, 2: 20, 3: 30}
+
+
+def test_cli_auto_detects_binary_binlog(spark, tmp_path):
+    """source.type=mysql with a BINARY binlog-file routes to the wire
+    decoder by magic-byte sniffing."""
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    path = _write_fixture(tmp_path / "bin.000001")
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: mysql
+  binlog-file: {path}
+  tables: app.orders
+sink:
+  type: parquet
+  path: {out}
+transform:
+  - source-table: app.orders
+    projection: id, UPPER(item) AS item_u, qty
+    filter: qty >= 2
+    primary-key: id
+pipeline:
+  name: mysql-wire-replay
+  execution.runtime-mode: BATCH
+"""
+    )
+    run_pipeline(spark, pipeline)
+    written = spark.read.parquet(str(out / "app.orders"))
+    rows = {r.id: (r.item_u, r.qty) for r in written.collect()}
+    assert rows == {1: ("APPLE", 3), 2: ("PEAR", 5), 4: ("PLUM", 2)}
