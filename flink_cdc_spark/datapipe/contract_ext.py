@@ -412,3 +412,12 @@ def mm_phash_near_dup(spark, sf_dir):
     )
     feats = mm.extract_image_features(media)
     return mm.near_dup_by_phash(feats, max_hamming=3)
+
+
+@register("text_unigram_logprob", sampling.unigram_logprob_oracle_sql())
+def text_unigram_logprob(spark, sf_dir):
+    """CCNet-style corpus-model quality proxy: mean add-one-smoothed
+    unigram negative log-probability per document — token counts via
+    map-side-combined aggregation, scoring via a token-key join, DECIMAL
+    aggregation for cross-engine float determinism."""
+    return sampling.unigram_logprob(_docs(spark, sf_dir))

@@ -173,3 +173,71 @@ PII_SALTED_ORACLE_CTE = """(
            ELSE text END AS text
     FROM documents
 )"""
+
+
+# -- corpus-model quality scoring (CCNet-style) ------------------------------
+
+
+def unigram_logprob(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-document mean unigram negative log-probability under the
+    corpus's own add-one-smoothed unigram model — the CCNet-style
+    perplexity proxy used to bucket training data by "typicality".
+
+    Two passes at scale: (1) token counts via map-side-combined hash
+    aggregation (vocabulary ≪ corpus, so the model table is small);
+    (2) per-doc scoring as an explode → token-key join → per-doc
+    aggregate. Per-token logprobs round to 6dp and aggregate through
+    DECIMAL so partial-aggregation order cannot change the result, and
+    the last-ulp ln() differences between engines vanish."""
+    tokens = df.select(
+        F.col(key), F.explode(F.split(F.col(text), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            -F.log((F.col("cnt") + 1) / (F.col("n_tokens") + F.col("vocab"))), 6
+        ).cast("decimal(18,6)").alias("nll"),
+    )
+    scored = (
+        tokens.join(model, "token")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("nll").alias("nll_sum"),
+        )
+    )
+    return scored.select(
+        F.col(key),
+        F.col("n_scored"),
+        F.round(F.col("nll_sum").cast("double") / F.col("n_scored"), 6).alias(
+            "mean_nll"
+        ),
+    )
+
+
+def unigram_logprob_oracle_sql(table: str = "documents", key: str = "doc_id", text: str = "text") -> str:
+    return f"""
+    WITH tokens AS (
+      SELECT {key}, unnest(string_split({text}, ' ')) AS token
+      FROM {table}
+    ), toks AS (
+      SELECT * FROM tokens WHERE token <> ''
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ), totals AS (
+      SELECT SUM(cnt) AS n_tokens, COUNT(*) AS vocab FROM counts
+    ), model AS (
+      SELECT token,
+             CAST(round(-ln((cnt + 1.0) / (n_tokens + vocab)), 6)
+                  AS DECIMAL(18,6)) AS nll
+      FROM counts, totals
+    )
+    SELECT t.{key}, COUNT(*) AS n_scored,
+           round(CAST(SUM(m.nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+    FROM toks t JOIN model m ON m.token = t.token
+    GROUP BY t.{key}
+    """

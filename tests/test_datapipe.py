@@ -256,3 +256,20 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "a@b.com" not in rows[1].text and "10.1.2.3" not in rows[1].text
     assert rows[2].text == "clean text no pii"
     assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (0, 0, 0)
+
+
+def test_unigram_logprob_properties(spark):
+    from flink_cdc_spark.datapipe.sampling import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b"), (3, "z z")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert rows[1].n_scored == 4 and rows[2].n_scored == 2
+    # a document of common tokens scores lower (more typical) than one of
+    # rarer tokens: 'a' appears 4x, 'z' 2x
+    assert rows[1].mean_nll < rows[3].mean_nll
+    # deterministic across re-evaluation
+    again = {r.doc_id: r.mean_nll for r in unigram_logprob(docs).collect()}
+    assert again == {k: v.mean_nll for k, v in rows.items()}
