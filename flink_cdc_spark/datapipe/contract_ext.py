@@ -421,3 +421,17 @@ def text_unigram_logprob(spark, sf_dir):
     map-side-combined aggregation, scoring via a token-key join, DECIMAL
     aggregation for cross-engine float determinism."""
     return sampling.unigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "sim_quantized_topk",
+    similarity.quantized_topk_oracle_sql(n_queries=N_SIM_QUERIES),
+)
+def sim_quantized_topk(spark, sf_dir):
+    """int8-quantized cosine top-k: byte codes + integer dot products
+    rescaled per vector — the memory/bandwidth shape of billion-vector
+    scans; the quantization grid is deterministic so the oracle replays
+    quantized ranks exactly."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
+    return similarity.quantized_topk(embs, queries)

@@ -357,3 +357,94 @@ def ann_topk_oracle_sql(
     )
     SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# int8-quantized top-k
+# --------------------------------------------------------------------------
+
+
+def _quant_expr(unit: str) -> str:
+    """Unit vector -> int8 codes: q_i = round(u_i * 127 / max|u|). The
+    per-vector scale keeps full dynamic range; codes fit a byte — the
+    4x memory/bandwidth cut that makes billion-vector scans tractable."""
+    scale = f"(127.0 / aggregate({unit}, cast(0 AS double), (m, x) -> greatest(m, abs(x))))"
+    return f"transform({unit}, x -> cast(round(x * {scale}) AS int))"
+
+
+def _inv_scale_expr(unit: str) -> str:
+    return f"(aggregate({unit}, cast(0 AS double), (m, x) -> greatest(m, abs(x))) / 127.0)"
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8-quantized cosine: integer dot products over byte
+    codes, rescaled by the two per-vector scales. Deterministic (the
+    quantization grid is fixed), so the oracle replays it exactly —
+    quantized ranks, not float ranks."""
+    int_dot = (
+        "aggregate(zip_with(cq, qq, (x, y) -> x * y), 0, (acc, v) -> acc + v)"
+    )
+    c = corpus.selectExpr(
+        f"{key} AS nbr_id",
+        f"{_quant_expr(_unit_expr(vec))} AS cq",
+        f"{_inv_scale_expr(_unit_expr(vec))} AS cs",
+    )
+    q = queries.selectExpr(
+        f"{key} AS query_id",
+        f"{_quant_expr(_unit_expr(vec))} AS qq",
+        f"{_inv_scale_expr(_unit_expr(vec))} AS qs",
+    )
+    scored = c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id")).select(
+        "query_id",
+        "nbr_id",
+        F.round(F.expr(int_dot) * F.col("cs") * F.col("qs"), 4).alias("qcosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "qcosine")
+    )
+
+
+def quantized_topk_oracle_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    maxabs = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(u, x -> abs(x))), (m, x) -> greatest(m, x))"
+    )
+    return f"""
+    WITH normed AS (
+      SELECT {key}, {_unit_duck(vec)} AS u FROM {table}
+    ), quant AS (
+      SELECT {key},
+             list_transform(u, x -> CAST(round(x * 127.0 / {maxabs}) AS INTEGER)) AS qv,
+             {maxabs} / 127.0 AS s
+      FROM normed
+    ),
+    q AS (SELECT {key} AS query_id, qv AS qq, s AS qs FROM quant WHERE {key} < {n_queries}),
+    scored AS (
+      SELECT q.query_id, c.{key} AS nbr_id,
+             round(list_reduce(list_prepend(0,
+               list_transform(range(1, {EMBED_DIM} + 1), i -> c.qv[i] * q.qq[i])),
+               (acc, v) -> acc + v) * c.s * q.qs, 4) AS qcosine
+      FROM quant c, q WHERE c.{key} <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, nbr_id, qcosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY qcosine DESC, nbr_id ASC) AS rank
+      FROM ranked_src
+    )
+    SELECT query_id, nbr_id, rank, qcosine FROM ranked WHERE rank <= {k}
+    """.replace("FROM ranked_src", "FROM scored")

@@ -273,3 +273,19 @@ def test_unigram_logprob_properties(spark):
     # deterministic across re-evaluation
     again = {r.doc_id: r.mean_nll for r in unigram_logprob(docs).collect()}
     assert again == {k: v.mean_nll for k, v in rows.items()}
+
+
+def test_quantized_topk_tracks_float_ranking(spark):
+    """int8 quantization preserves neighbor quality: the top-1 neighbor
+    per query matches the float cosine top-1 on the test embeddings (the
+    grid error is ~1/127, far below typical neighbor gaps)."""
+    from flink_cdc_spark.datapipe import similarity
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.where("vec_id < 5")
+    exact = {(r.query_id, r.rank): r.nbr_id
+             for r in similarity.cosine_topk(embs, queries, k=1).collect()}
+    quant = {(r.query_id, r.rank): r.nbr_id
+             for r in similarity.quantized_topk(embs, queries, k=1).collect()}
+    agree = sum(1 for k in exact if quant.get(k) == exact[k])
+    assert agree >= 4  # at most one flip among 5 queries
