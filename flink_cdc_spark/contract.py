@@ -1535,7 +1535,7 @@ def _pg_customer_server(spark: SparkSession, sf_dir: str):
     from .sources.postgres_cdc import PostgresServer
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"/tmp/flink_cdc_spark_pg/{key}"
+    root = f"/tmp/flink_cdc_spark_pg/{key}-v2"  # v2: + pgoutput slot/publication
     marker = f"{root}/_READY"
     srv = PostgresServer(f"{root}/srv")
     if os.path.exists(marker):
@@ -1567,6 +1567,10 @@ def _pg_customer_server(spark: SparkSession, sf_dir: str):
     )
     srv.sql(f"COPY customer FROM '{load_dir}/customer.csv' WITH (FORMAT csv)")
     srv.sql("SELECT pg_create_logical_replication_slot('cdc_slot', 'test_decoding')")
+    # the production-protocol twin: a pgoutput slot + publication created
+    # before the mutations, so both protocols decode the same changelog
+    srv.sql("CREATE PUBLICATION cdc_pub FOR TABLE customer")
+    srv.sql("SELECT pg_create_logical_replication_slot('cdc_slot_pgout', 'pgoutput')")
     for sql in _PG_MUTATIONS:
         srv.sql(sql)
     with open(marker, "w") as f:
@@ -1598,6 +1602,38 @@ def pg_logical_decoding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_dir = tempfile.mkdtemp(prefix="pgsnap_", dir="/tmp")
     snap = src.snapshot(snap_dir)
     env = src.read_changes(peek=True)  # repeatable across invocations
+    base = wrap_as_inserts(snap, "public.customer")
+    env = env.withColumn("__seq", F.col("__seq") + (1 << 40))
+    final = materialize_changelog(base.unionByName(env), ["c_custkey"])
+    return final.select(*_CUSTOMER_COLS)
+
+
+@register("pg_pgoutput_pipeline", _PG_ORACLE)
+def pg_pgoutput_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same live-server pipeline decoded from the PRODUCTION pgoutput
+    BINARY protocol (pgoutput_wire.py) instead of test_decoding text:
+    publication-scoped slot, hex-spooled binary messages, Relation-map
+    control pass, executor-side row decode — landing on the identical
+    oracle state as the text-protocol row."""
+    import tempfile
+
+    from .sinks.materialize import materialize_changelog
+    from .sources.envelope import wrap_as_inserts
+    from .sources.postgres_cdc import PostgresCdcConfig, PostgresCdcSource
+
+    pin_session(spark)
+    srv = _pg_customer_server(spark, sf_dir)
+    src = PostgresCdcSource(
+        spark,
+        srv,
+        PostgresCdcConfig(
+            table="customer", key_column="c_custkey",
+            slot="cdc_slot_pgout", chunk_size=2048,
+        ),
+    )
+    snap_dir = tempfile.mkdtemp(prefix="pgsnap_", dir="/tmp")
+    snap = src.snapshot(snap_dir)
+    env = src.read_changes_pgoutput(publication="cdc_pub", peek=True)
     base = wrap_as_inserts(snap, "public.customer")
     env = env.withColumn("__seq", F.col("__seq") + (1 << 40))
     final = materialize_changelog(base.unionByName(env), ["c_custkey"])

@@ -385,15 +385,28 @@ class PostgresCdcSource:
         )
 
     # -- replication slot --------------------------------------------------
-    def create_slot(self) -> None:
+    def create_slot(self, plugin: str = "test_decoding") -> None:
         exists = self.server.rows(
             f"SELECT 1 FROM pg_replication_slots WHERE slot_name = {_ql(self.cfg.slot)}"
         )
         if not exists:
             self.server.sql(
                 f"SELECT pg_create_logical_replication_slot("
-                f"{_ql(self.cfg.slot)}, 'test_decoding')"
+                f"{_ql(self.cfg.slot)}, {_ql(plugin)})"
             )
+
+    def create_publication(self, name: str = "cdc_pub") -> str:
+        """Publication for the pgoutput protocol (production logical
+        replication requires one; pgoutput filters rows by it)."""
+        exists = self.server.rows(
+            f"SELECT 1 FROM pg_publication WHERE pubname = {_ql(name)}"
+        )
+        if not exists:
+            self.server.sql(
+                f"CREATE PUBLICATION {_qi(name)} FOR TABLE "
+                f"{_qi(self.cfg.schema_name)}.{_qi(self.cfg.table)}"
+            )
+        return name
 
     def current_lsn(self) -> str:
         return self.server.rows("SELECT pg_current_wal_lsn() AS l")[0]["l"]
@@ -501,6 +514,143 @@ class PostgresCdcSource:
             f"FROM {fn}({_ql(self.cfg.slot)}, {upto}, {lim})) TO {_ql(path)}"
         )
         return path
+
+    def spool_binary_changes(
+        self,
+        publication: str,
+        peek: bool = True,
+        limit: Optional[int] = None,
+        upto_lsn: Optional[str] = None,
+    ) -> str:
+        """pgoutput variant of spool_changes: the slot's BINARY messages
+        hex-encoded server-side (COPY of bytea would escape anyway; hex is
+        splittable and trivially decodable in executors)."""
+        import tempfile
+        import uuid
+
+        fn = (
+            "pg_logical_slot_peek_binary_changes"
+            if peek
+            else "pg_logical_slot_get_binary_changes"
+        )
+        lim = "NULL" if limit is None else str(int(limit))
+        upto = "NULL" if upto_lsn is None else f"{_ql(upto_lsn)}::pg_lsn"
+        out_dir = tempfile.mkdtemp(prefix="pgout_", dir="/tmp")
+        _open_for_server(out_dir)
+        path = os.path.join(out_dir, f"changes-{uuid.uuid4().hex[:8]}.tsv")
+        self.server.sql(
+            f"COPY (SELECT row_number() OVER () AS seq, encode(data, 'hex') "
+            f"FROM {fn}({_ql(self.cfg.slot)}, {upto}, {lim}, "
+            f"'proto_version', '1', 'publication_names', {_ql(publication)})) "
+            f"TO {_ql(path)}"
+        )
+        return path
+
+    def read_changes_pgoutput(
+        self,
+        publication: str = "cdc_pub",
+        peek: bool = True,
+        limit: Optional[int] = None,
+        upto_lsn: Optional[str] = None,
+    ) -> DataFrame:
+        """Changelog envelope decoded from the PRODUCTION pgoutput binary
+        protocol (pgoutput_wire.py): the slot spools hex-encoded messages
+        server-side; 'R' Relation messages resolve column names in a
+        driver-side control pass (the two-plane TABLE_MAP shape); row
+        messages decode executor-side via mapInPandas. The slot must have
+        been created with plugin='pgoutput'."""
+        import json as _json
+
+        from ..session import ensure_package_on_executors
+        from .pgoutput_wire import relation_map
+
+        ensure_package_on_executors(self.spark)
+        path = self.spool_binary_changes(
+            publication, peek=peek, limit=limit, upto_lsn=upto_lsn
+        )
+        schema = self.discover_schema()
+        payload = schema.to_spark_struct()
+        names = [f.name for f in payload.fields]
+        with open(path, "r", encoding="utf-8") as f:
+            rels = relation_map(
+                line.split("\t", 1)[1].strip() for line in f if "\t" in line
+            )
+        want_oids = {
+            oid
+            for oid, r in rels.items()
+            if r["namespace"] == self.cfg.schema_name
+            and r["relation"] == self.cfg.table
+        }
+        col_names_by_oid = {
+            oid: [c["name"] for c in rels[oid]["columns"]] for oid in want_oids
+        }
+
+        raw = self.spark.read.csv(
+            path, sep="\t", schema="seq LONG, data STRING", quote=""
+        )
+
+        def decode(batches):
+            import pandas as pd
+
+            from flink_cdc_spark.sources.pgoutput_wire import (
+                parse_pgoutput_message,
+            )
+
+            for pdf in batches:
+                out = []
+                for seq, hx in zip(pdf["seq"], pdf["data"]):
+                    if hx is None or hx[:2] not in ("49", "55", "44"):
+                        continue  # only I/U/D rows decode here
+                    msg = parse_pgoutput_message(bytes.fromhex(hx))
+                    oid = msg["oid"]
+                    if oid not in col_names_by_oid:
+                        continue
+                    cols = col_names_by_oid[oid]
+
+                    def obj(cells):
+                        if cells is None:
+                            return None
+                        return _json.dumps(dict(zip(cols, cells)))
+
+                    if msg["type"] == "INSERT":
+                        out.append((int(seq), "INSERT", None, obj(msg["new"])))
+                    elif msg["type"] == "UPDATE":
+                        out.append(
+                            (int(seq), "UPDATE", obj(msg["old"]), obj(msg["new"]))
+                        )
+                    else:
+                        out.append((int(seq), "DELETE", obj(msg["old"]), None))
+                yield pd.DataFrame(
+                    out, columns=["seq", "op", "before_json", "after_json"]
+                )
+
+        dec = raw.mapInPandas(
+            decode,
+            schema="seq LONG, op STRING, before_json STRING, after_json STRING",
+        )
+        str_payload = T.StructType(
+            [T.StructField(n, T.StringType(), True) for n in names]
+        )
+        parsed = dec.withColumn(
+            "__b", F.from_json("before_json", str_payload)
+        ).withColumn("__a", F.from_json("after_json", str_payload))
+        cast_struct = lambda side: F.when(
+            F.col(side).isNotNull(),
+            F.struct(
+                *[
+                    F.col(f"{side}.{f.name}").cast(f.dataType).alias(f.name)
+                    for f in payload.fields
+                ]
+            ),
+        )
+        return parsed.select(
+            F.lit(self.table_id).alias("__table_id"),
+            F.col("op").alias("__op"),
+            cast_struct("__b").alias("before"),
+            cast_struct("__a").alias("after"),
+            F.create_map().cast("map<string,string>").alias("__meta"),
+            (F.col("seq") - F.lit(1)).cast("long").alias("__seq"),
+        )
 
     def read_changes(
         self,

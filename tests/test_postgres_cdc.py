@@ -293,3 +293,46 @@ def test_full_types_roundtrip(spark, pg, tmp_path):
     assert (a.id, a.b, a.si, a.i) == (2, False, -1, -2)
     assert a.r == 0.5 and a.d == 0.25 and float(a.n) == -9.001
     assert a.t is None and a.dt is None and a.ts is None
+
+
+def test_pgoutput_binary_protocol(spark, pg, tmp_path):
+    """The PRODUCTION pgoutput protocol end-to-end on the live server:
+    publication + pgoutput slot -> binary message spool -> Relation-map
+    control pass -> executor-side row decode -> materialized state equals
+    the table."""
+    from flink_cdc_spark.sinks.materialize import materialize_changelog
+    from flink_cdc_spark.sources.pgoutput_wire import parse_pgoutput_message
+
+    pg.sql("DROP TABLE IF EXISTS pout")
+    pg.sql(
+        "SELECT pg_drop_replication_slot(slot_name) FROM pg_replication_slots "
+        "WHERE slot_name = 'pgout_slot'"
+    )
+    pg.sql("DROP PUBLICATION IF EXISTS pgout_pub")
+    pg.sql("CREATE TABLE pout (id bigint primary key, name text, val double precision)")
+    pg.sql("ALTER TABLE pout REPLICA IDENTITY FULL")
+    cfg = PostgresCdcConfig(table="pout", key_column="id", slot="pgout_slot")
+    src = PostgresCdcSource(spark, pg, cfg)
+    pub = src.create_publication("pgout_pub")
+    src.create_slot(plugin="pgoutput")
+    # post-slot changes: the binary stream carries exactly these
+    pg.sql("INSERT INTO pout SELECT g, 'n'||g, g*1.5 FROM generate_series(1,20) g")
+    pg.sql("UPDATE pout SET val = val + 100 WHERE id % 5 = 0")
+    pg.sql("DELETE FROM pout WHERE id % 7 = 0")
+
+    env = src.read_changes_pgoutput(publication=pub)
+    plan = env._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "LocalTableScan" not in plan
+    ops = {r["__op"] for r in env.collect()}
+    assert ops == {"INSERT", "UPDATE", "DELETE"}
+    state = {r.id: (r.name, r.val) for r in
+             materialize_changelog(env, ["id"]).collect()}
+    live = {int(r["id"]): (r["name"], float(r["val"]))
+            for r in pg.rows("SELECT id, name, val FROM pout")}
+    assert state == live
+    # UPDATE carries a FULL before image under REPLICA IDENTITY FULL
+    upd = [r for r in env.collect() if r["__op"] == "UPDATE"][0]
+    assert upd["before"]["name"] is not None
+
+    # wire-level sanity: unknown tags surface as OTHER, not a crash
+    assert parse_pgoutput_message(b"Yxxxx")["type"] == "OTHER"
