@@ -151,6 +151,53 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
             sink.write_batch(tid, result.changelogs[table], schema)
             summary.tables[table] = sink.read_table(tid).count()
             summary.sink_paths[table] = url
+        elif sink_type in ("doris", "starrocks"):
+            # Stream-load sinks: validate the factory option surface, then
+            # spool the exact stream-load bodies (no FE/BE is reachable in
+            # this environment; 'spool-dir' stands in for the load endpoint).
+            cfg = {
+                k: v
+                for k, v in pipeline.sink.config.items()
+                if k != "spool-dir"  # harness-local, not a factory option
+            }
+            if sink_type == "doris":
+                from .sinks.doris_sink import encode_doris, validate_doris_options
+
+                try:
+                    opts = validate_doris_options(cfg)
+                except ValueError as e:
+                    raise SystemExit(str(e))
+                encode = lambda env: encode_doris(  # noqa: E731
+                    env, label_prefix=opts.label_prefix
+                )
+            else:
+                from .sinks.starrocks_sink import (
+                    encode_starrocks,
+                    validate_starrocks_options,
+                )
+
+                try:
+                    validate_starrocks_options(cfg)
+                except ValueError as e:
+                    raise SystemExit(str(e))
+                encode = encode_starrocks
+            spool = pipeline.sink.config.get("spool-dir")
+            if not spool:
+                raise SystemExit(
+                    f"sink.type={sink_type}: no FE endpoint is reachable in "
+                    "this environment; set 'spool-dir' to write the "
+                    "stream-load request bodies"
+                )
+            records = encode(result.changelogs[table])
+            out = os.path.join(spool, table.replace("/", "_"))
+            (
+                records.orderBy("__seq")
+                .select("row")
+                .write.mode("overwrite")
+                .text(out)
+            )
+            summary.tables[table] = spark.read.text(out).count()
+            summary.sink_paths[table] = out
         else:
             raise SystemExit(f"unknown sink type {pipeline.sink.type!r}")
 

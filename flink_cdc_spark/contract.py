@@ -2296,6 +2296,65 @@ def maxcompute_tunnel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
+@register(
+    "doris_stream_load_roundtrip",
+    """
+    SELECT event_id, ts,
+           CASE WHEN (event_id % 10) = 3 THEN value + 1.5 ELSE value END AS value,
+           event_type
+    FROM events
+    WHERE (event_id % 20) <> 7
+    """,
+)
+def doris_stream_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doris sink roundtrip (DorisEventSerializer.java:60-150 scope):
+    envelope -> stream-load JSON bodies with __DORIS_DELETE_SIGN__ and the
+    micros timestamp render -> UNIQUE-model apply -> state. Microsecond
+    timestamps survive the wire exactly (DATE_TIME_FORMATTER .SSSSSS)."""
+    from .sinks.doris_sink import decode_doris, encode_doris
+    from .sinks.materialize import materialize_changelog
+    from .sources.envelope import payload_struct
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    mut = MutationSpec(key_column="event_id", update_exprs={"value": "value + 1.5"})
+    env = src.changelog("events", "default.events", mut)
+    records = encode_doris(env, label_prefix="r7")
+    decoded = decode_doris(records, payload_struct(env), "default.events")
+    state = materialize_changelog(decoded, ["event_id"])
+    return state.select("event_id", "ts", "value", "event_type")
+
+
+@register(
+    "starrocks_stream_load_roundtrip",
+    """
+    SELECT event_id, date_trunc('second', ts) AS ts,
+           CASE WHEN (event_id % 10) = 3 THEN 'mutated' ELSE event_type END AS event_type,
+           user_id
+    FROM events
+    WHERE (event_id % 20) <> 7
+    """,
+)
+def starrocks_stream_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarRocks sink roundtrip (EventRecordSerializationSchema scope):
+    envelope -> stream-load JSON rows with integer __op -> primary-key-table
+    apply -> state. The oracle truncates ts to seconds because the wire
+    format renders DATETIME at second precision (StarRocksUtils
+    DATETIME_FORMATTER) — a real, pinned divergence from Doris."""
+    from .sinks.materialize import materialize_changelog
+    from .sinks.starrocks_sink import decode_starrocks, encode_starrocks
+    from .sources.envelope import payload_struct
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    mut = MutationSpec(key_column="event_id", update_exprs={"event_type": "'mutated'"})
+    env = src.changelog("events", "default.events", mut)
+    records = encode_starrocks(env)
+    decoded = decode_starrocks(records, payload_struct(env), "default.events")
+    state = materialize_changelog(decoded, ["event_id"])
+    return state.select("event_id", "ts", "event_type", "user_id")
+
+
 # ---------------------------------------------------------------------------
 # §3.1 CLI end-to-end: YAML in, parquet sink out
 # (CliFrontend scope)

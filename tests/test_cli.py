@@ -169,3 +169,91 @@ pipeline:
         pipeline = parse_pipeline_yaml(f.read())
     summary = run_pipeline(spark, pipeline)
     assert summary.tables["default.region"] == 5
+
+
+def test_doris_sink_spools_stream_load_bodies(tmp_path, spark):
+    """sink type: doris — factory options validate; the stream-load JSON
+    bodies (delete-sign rows) land in spool-dir, one line per event."""
+    spool = tmp_path / "doris_spool"
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: doris
+  fenodes: "fe:8030"
+  username: root
+  sink.label-prefix: cdc
+  spool-dir: {spool}
+pipeline:
+  name: doris-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["run", str(y), "--json"]) == 0
+    lines = [
+        json.loads(l)
+        for l in spark.read.text(str(spool / "default.nation"))
+        .toPandas()["value"]
+    ]
+    assert len(lines) == 25
+    assert all(l["__DORIS_DELETE_SIGN__"] == "0" for l in lines)
+    assert {l["n_nationkey"] for l in lines} == set(range(25))
+
+
+def test_doris_sink_rejects_bad_options(tmp_path):
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: doris
+  username: root
+pipeline:
+  name: doris-bad
+  execution.runtime-mode: BATCH
+"""
+    )
+    with pytest.raises(SystemExit, match="missing required"):
+        main(["run", str(y)])
+
+
+def test_starrocks_sink_spools_stream_load_bodies(tmp_path, spark):
+    """sink type: starrocks — __op rows spooled per table."""
+    spool = tmp_path / "sr_spool"
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: region
+  primary-key.region: r_regionkey
+sink:
+  type: starrocks
+  jdbc-url: "jdbc:mysql://fe:9030"
+  load-url: "fe:8080"
+  username: root
+  password: ""
+  spool-dir: {spool}
+pipeline:
+  name: sr-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["run", str(y), "--json"]) == 0
+    lines = [
+        json.loads(l)
+        for l in spark.read.text(str(spool / "default.region"))
+        .toPandas()["value"]
+    ]
+    assert len(lines) == 5
+    assert all(l["__op"] == 0 for l in lines)
