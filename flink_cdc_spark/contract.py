@@ -41,6 +41,20 @@ def register(name: str, oracle: str = None):
 # ---------------------------------------------------------------------------
 
 
+def _pin_state(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    """Freeze a result at a point in time WITHOUT routing rows through the
+    driver: write to a temp parquet and read back. Used where the input is
+    a live database whose later evaluation could observe new writes, or
+    where upstream caches must be released once the state is final. At
+    scale this is the engine's normal sink path (a distributed write),
+    unlike the old collect()/createDataFrame round-trip it replaces."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=f"contract_pin_{name}_")
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 def _stream(spark, sf_dir, table, table_id, pk, mutations=None) -> TableStream:
     src = ParquetTableSource(spark, sf_dir)
     df = src.changelog(table, table_id, mutations)
@@ -1401,10 +1415,9 @@ def jdbc_snapshot_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     env = src.read(mid_scan_hook=concurrent_touch)
     final = materialize_changelog(env, ["c_custkey"])
-    rows = final.select(*_CUSTOMER_COLS).collect()
-    schema_out = final.select(*_CUSTOMER_COLS).schema
-    src.release_caches()  # collected above: the wave caches can go
-    return spark.createDataFrame(rows, schema_out)
+    pinned = _pin_state(spark, final.select(*_CUSTOMER_COLS), "jdbc_handoff")
+    src.release_caches()  # state written out: the wave caches can go
+    return pinned
 
 
 @register(
@@ -1472,8 +1485,7 @@ def jdbc_startup_latest_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.ep.execute_update("DELETE FROM SUPPLIER WHERE MOD(S_SUPPKEY, 7) = 3")
     state = materialize_changelog(env, ["s_suppkey"]).select(*cols)
-    rows = state.collect()
-    return spark.createDataFrame(rows, state.schema)
+    return _pin_state(spark, state, "jdbc_latest")
 
 
 # ---------------------------------------------------------------------------

@@ -206,33 +206,41 @@ class StreamingPipelineRunner:
         """foreachBatch body: segment at DDL positions, merge each data
         segment before applying the DDL that follows it."""
         self.batches_seen += 1
-        if self.parallel_metadata:
-            self._reduce_batch_schemas(batch)
-        ddl_rows = (
-            batch.where(F.col("kind") == KIND_DDL)
-            .select("table_id", "seq", "ddl")
-            .orderBy("seq")
-            .collect()
-        )
-        data = batch.where(F.col("kind") == KIND_DATA)
-        # segment boundaries: (-inf, ddl1.seq), [ddl1.seq, ddl2.seq), ...
-        bounds = [r.seq for r in ddl_rows]
-        segments = []
-        lo = None
-        for i, hi in enumerate(bounds):
-            segments.append((lo, hi, ddl_rows[i]))
-            lo = hi
-        segments.append((lo, None, None))
+        # The batch is consumed once per (segment, table) below plus the
+        # DDL control pass — cache it so an N-table pipeline reads the wire
+        # source once, not N+1 times (SchemaOperator keeps the control
+        # plane driver-side, but the scans must all hit the cached batch).
+        batch = batch.cache()
+        try:
+            data = batch.where(F.col("kind") == KIND_DATA)
+            if self.parallel_metadata:
+                self._reduce_batch_schemas(data)
+            ddl_rows = (
+                batch.where(F.col("kind") == KIND_DDL)
+                .select("table_id", "seq", "ddl")
+                .orderBy("seq")
+                .collect()
+            )
+            # segment boundaries: (-inf, ddl1.seq), [ddl1.seq, ddl2.seq), ...
+            bounds = [r.seq for r in ddl_rows]
+            segments = []
+            lo = None
+            for i, hi in enumerate(bounds):
+                segments.append((lo, hi, ddl_rows[i]))
+                lo = hi
+            segments.append((lo, None, None))
 
-        for lo, hi, ddl_row in segments:
-            seg = data
-            if lo is not None:
-                seg = seg.where(F.col("seq") > lo)
-            if hi is not None:
-                seg = seg.where(F.col("seq") < hi)
-            self._merge_segment(seg)
-            if ddl_row is not None:
-                self._apply_ddl(self._decode_ddl(ddl_row))
+            for lo, hi, ddl_row in segments:
+                seg = data
+                if lo is not None:
+                    seg = seg.where(F.col("seq") > lo)
+                if hi is not None:
+                    seg = seg.where(F.col("seq") < hi)
+                self._merge_segment(seg)
+                if ddl_row is not None:
+                    self._apply_ddl(self._decode_ddl(ddl_row))
+        finally:
+            batch.unpersist()
 
     def _decode_ddl(self, ddl_row):
         """Wire DDL records carry either the engine's JSON event encoding
@@ -253,13 +261,16 @@ class StreamingPipelineRunner:
             event = dataclasses.replace(event, table_id=tid)
         return event
 
-    def _reduce_batch_schemas(self, batch: DataFrame) -> None:
+    def _reduce_batch_schemas(self, data: DataFrame) -> None:
         """Distributed schema reduction, live: every partition of the batch
         infers its payload schema executor-side (metadata-only pass — the
         payloads never reach the driver), the driver folds them to the
         least-common schema, and the delta vs the known schema is applied
         through the coordinator as ordinary DDL. The Spark rendition of the
-        distributed SchemaOperator/SchemaCoordinator RPC reduction."""
+        distributed SchemaOperator/SchemaCoordinator RPC reduction.
+
+        `data` is the already-filtered (kind == DATA) cached plane from
+        process_batch."""
         from ..core.events import CreateTableEvent
         from ..core.schema import Schema
         from ..core.schema_evolution import (
@@ -271,7 +282,6 @@ class StreamingPipelineRunner:
             merged_schema_for_table,
         )
 
-        data = batch.where(F.col("kind") == KIND_DATA)
         tables = [r.table_id for r in data.select("table_id").distinct().collect()]
         for table in sorted(tables):
             tid = TableId.parse(table)

@@ -262,3 +262,50 @@ def test_windowed_watermark_drops_late_rows(spark, tmp_path):
     assert rows["1970-01-03"] == (2, 6.0)
     # day3 window never finalized (watermark == its last event) -> absent
     assert "1970-01-04" not in rows
+
+
+def test_batch_data_plane_scanned_once_per_batch(spark, tmp_path):
+    """process_batch caches the data plane: an N-table batch must evaluate
+    the upstream source once, not once per (segment, table) filter. The
+    upstream scan count is observed with an accumulator inside a
+    mapInPandas stage feeding the batch."""
+    import json as _json
+
+    from flink_cdc_spark.streaming.wire import WIRE_SCHEMA, KIND_DATA
+
+    tables = ["db.t1", "db.t2", "db.t3"]
+    runner = _runner(spark, tmp_path)
+    for t in tables:
+        runner.coordinator.process_schema_change(
+            CreateTableEvent(TableId.parse(t), SCHEMA_V1)
+        )
+
+    rows = []
+    seq = 0
+    for t in tables:
+        for i in range(1, 4):
+            rows.append(
+                (
+                    KIND_DATA, t, "INSERT", None,
+                    _json.dumps({"id": i, "name": "n", "score": 1.0}),
+                    {}, seq, None,
+                )
+            )
+            seq += 1
+    raw = spark.createDataFrame(rows, WIRE_SCHEMA).coalesce(1)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(batches):
+        acc.add(1)  # once per upstream partition evaluation
+        for pdf in batches:
+            yield pdf
+
+    batch = raw.mapInPandas(tick, WIRE_SCHEMA)
+    runner.process_batch(batch, 0)
+
+    # 3 tables merged; a re-scan-per-table design would evaluate the
+    # upstream >= 4 times (distinct + one per table)
+    assert acc.value == 1
+    for t in tables:
+        assert runner.state.read(t).count() == 3
