@@ -293,8 +293,10 @@ def _mm_salted_docs(spark, sf_dir):
     base = d.select(
         F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
     )
+    # inner, matching _MM_SALTED_SQL's JOIN: the gate must not depend on
+    # whether every group-base doc_id exists in the corpus
     joined = d.join(
-        base, F.expr("b_id = doc_id - (doc_id % 10)"), "left"
+        base, F.expr("b_id = doc_id - (doc_id % 10)"), "inner"
     )
     return joined.select(
         "doc_id",

@@ -31,7 +31,13 @@ DEFAULT_RATE = 1.0
 
 
 def _threshold_hex(rate: float) -> str:
-    """rate in [0,1] -> 8-hex-char threshold: keep iff md5-prefix < it."""
+    """rate in [0,1] -> 8-char threshold: keep iff md5-prefix < it.
+
+    rate >= 1.0 must keep EVERY row, including prefixes of exactly
+    'ffffffff': 'g' sorts after every hex digit, so the sentinel makes the
+    strict < vacuously true in both Spark and the DuckDB oracle."""
+    if rate >= 1.0:
+        return "g0000000"
     return format(min(int(rate * 0x100000000), 0xFFFFFFFF), "08x")
 
 

@@ -77,9 +77,18 @@ def _vectorize(fn: Callable, rt: T.DataType):
     except ImportError:  # pragma: no cover - both are baked into the image
         return None
 
+    import inspect
+
+    try:
+        if not inspect.signature(fn).parameters:
+            # a scalar pandas UDF must return a Series matching the Arrow
+            # batch length; a 0-arg fn has no batch to size against, so it
+            # takes the plain row-UDF path instead
+            return None
+    except (TypeError, ValueError):  # builtins without signatures
+        pass
+
     def batched(*cols):
-        if not cols:
-            return pd.Series([fn()], dtype=object)
         # numeric NULLs arrive as NaN under pandas dtypes — eval() expects
         # None (the reference passes nulls through as null)
         plain = [c.astype(object).where(pd.notna(c), None) for c in cols]

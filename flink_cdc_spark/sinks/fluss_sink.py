@@ -48,9 +48,15 @@ def encode_fluss(
     is_del = F.col(ENVELOPE_OP) == OP_DELETE
     image = F.when(is_del, F.col("before")).otherwise(F.col("after"))
     keys = bucket_keys or pk_names
-    bucket = F.pmod(
-        F.hash(*[image.getField(k) for k in keys]), F.lit(bucket_num)
-    ).cast("int")
+    if keys:
+        bucket = F.pmod(
+            F.hash(*[image.getField(k) for k in keys]), F.lit(bucket_num)
+        ).cast("int")
+    else:
+        # log table without pk or bucket.key: Fluss appends round-robin
+        # across buckets — deterministic here via the source offset so a
+        # replayed batch lands records in the same buckets
+        bucket = F.pmod(F.col(ENVELOPE_SEQ), F.lit(bucket_num)).cast("int")
     parts = F.split(F.col(ENVELOPE_TABLE_ID), r"\.")
     n = F.size(parts)
     table_path = F.when(

@@ -86,7 +86,10 @@ def parse_pgoutput_message(data: bytes) -> dict:
         }
     if tag == "I":
         (oid,) = struct.unpack_from(">I", data, 1)
-        assert data[5:6] == b"N"
+        if data[5:6] != b"N":
+            raise ValueError(
+                f"pgoutput Insert: expected 'N' tuple marker, got {data[5:6]!r}"
+            )
         cells, _ = _tuple_data(data, 6)
         return {"type": "INSERT", "oid": oid, "new": cells}
     if tag == "U":
@@ -98,13 +101,15 @@ def parse_pgoutput_message(data: bytes) -> dict:
             off += 1
             old, off = _tuple_data(data, off)
             marker = data[off:off + 1]
-        assert marker == b"N", f"expected new tuple, got {marker!r}"
+        if marker != b"N":
+            raise ValueError(f"pgoutput Update: expected new tuple, got {marker!r}")
         new, _ = _tuple_data(data, off + 1)
         return {"type": "UPDATE", "oid": oid, "old": old, "new": new}
     if tag == "D":
         (oid,) = struct.unpack_from(">I", data, 1)
         marker = data[5:6]
-        assert marker in (b"K", b"O"), f"unexpected delete marker {marker!r}"
+        if marker not in (b"K", b"O"):
+            raise ValueError(f"pgoutput Delete: unexpected marker {marker!r}")
         old, _ = _tuple_data(data, 6)
         return {"type": "DELETE", "oid": oid, "old": old}
     return {"type": "OTHER", "tag": tag}

@@ -225,7 +225,7 @@ def test_stratified_hash_sample_deterministic(spark):
     full = {r.doc_id for r in stratified_hash_sample(
         docs, rates=(("en", 0.9), ("zh", 0.9)), default_rate=0.9).collect()}
     assert half <= full
-    assert _threshold_hex(1.0) == "ffffffff" and _threshold_hex(0.5) == "80000000"
+    assert _threshold_hex(1.0) == "g0000000" and _threshold_hex(0.5) == "80000000"
 
 
 def test_vocab_topk_counts(spark):
@@ -289,3 +289,17 @@ def test_quantized_topk_tracks_float_ranking(spark):
              for r in similarity.quantized_topk(embs, queries, k=1).collect()}
     agree = sum(1 for k in exact if quant.get(k) == exact[k])
     assert agree >= 4  # at most one flip among 5 queries
+
+
+def test_hash_sample_rate_one_keeps_all(spark):
+    """rate >= 1.0 is keep-all — including keys whose md5 prefix is
+    'ffffffff' (strict < against the 'g0000000' sentinel)."""
+    from flink_cdc_spark.datapipe.sampling import (
+        _threshold_hex,
+        stratified_hash_sample,
+    )
+
+    assert _threshold_hex(1.0) == "g0000000"
+    df = spark.range(500).selectExpr("id AS doc_id", "'xx' AS lang")
+    kept = stratified_hash_sample(df, rates=(), default_rate=1.0).count()
+    assert kept == 500

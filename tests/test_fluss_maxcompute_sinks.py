@@ -97,3 +97,18 @@ def test_maxcompute_roundtrip_materializes_state(spark):
     # partition rides through meta like the reference's event meta
     meta = {r["__meta"]["partition"] for r in decoded.collect()}
     assert meta == {"__default__"}
+
+
+def test_fluss_pk_less_table_appends(spark):
+    """A log table (no primary key, no bucket.key) must encode as APPEND
+    records with deterministic round-robin-by-offset buckets, not fail."""
+    env, _ = _env(spark)
+    inserts = env.where(F.col("__op") == "INSERT")
+    recs = inserts.transform(lambda d: encode_fluss(d, [], bucket_num=4)).collect()
+    assert recs and all(r["op"] == "APPEND" for r in recs)
+    assert all(0 <= r["bucket"] < 4 for r in recs)
+    # replay determinism: same offsets -> same buckets
+    again = inserts.transform(lambda d: encode_fluss(d, [], bucket_num=4)).collect()
+    assert sorted((r["__seq"], r["bucket"]) for r in recs) == sorted(
+        (r["__seq"], r["bucket"]) for r in again
+    )

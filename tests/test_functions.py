@@ -175,3 +175,14 @@ def test_model_stub_langchain_predict(spark):
     register_models(spark, [ModelDef(model_name="c2", class_name="OpenAIChatModel")])
     chat = df.select(F.expr("c2_chat_predict(txt)").alias("p")).collect()
     assert chat[0].p != out[0].p
+
+
+def test_zero_arg_udf_registers_and_runs(spark):
+    """A 0-arg registered UDF must evaluate per row (plain UDF path — a
+    scalar pandas UDF can't size its output batch with no input)."""
+    from flink_cdc_spark.functions.registry import UdfRegistry
+
+    reg = UdfRegistry(spark)
+    reg.register("answer_fn", lambda: 42, "INT")
+    out = spark.range(3).selectExpr("answer_fn() AS a").collect()
+    assert [r.a for r in out] == [42, 42, 42]
