@@ -2309,6 +2309,76 @@ def maxcompute_tunnel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_metadata_evolution",
+    """
+    SELECT 'head' AS at, p_partkey, p_name, p_brand AS brand,
+           CASE WHEN (p_partkey % 10) = 3 THEN p_retailprice + 10
+                ELSE p_retailprice END AS p_retailprice
+    FROM part
+    WHERE (p_partkey % 20) <> 7
+    UNION ALL
+    SELECT 'v1' AS at, p_partkey, p_name, p_brand AS brand, p_retailprice
+    FROM part
+    """,
+)
+def iceberg_metadata_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata model (IcebergMetadataApplier scope) executed
+    natively: snapshot-per-commit, equality deletes, field-id RENAME with
+    zero data rewrites, and time travel. Commit 1 = the snapshot inserts,
+    commit 2 = the mutation tail (updates become data + equality-delete
+    entries); then p_brand renames to `brand` as a pure metadata version.
+    The result unions the head read (current schema, mutated state) with
+    the time-travel read at snapshot 1 (pre-mutation state under the old
+    snapshot's column binding)."""
+    import shutil
+    import tempfile
+
+    from .core.events import RenameColumnEvent
+    from .sinks.iceberg_store import IcebergMetadataApplier, IcebergTableStore
+    from .sources.envelope import OP_INSERT, payload_struct
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    mut = MutationSpec(
+        key_column="p_partkey",
+        update_exprs={"p_retailprice": "p_retailprice + 10"},
+    )
+    env = src.changelog("part", "default.part", mut)
+    payload = payload_struct(env)
+    root = tempfile.mkdtemp(prefix="iceberg_contract_")
+    try:
+        store = IcebergTableStore(spark, root)
+        applier = IcebergMetadataApplier(store)
+        store.create_table("default.part", payload, ["p_partkey"])
+        s1 = store.commit(
+            "default.part", env.where(F.col("__op") == OP_INSERT), payload
+        )
+        store.commit(
+            "default.part", env.where(F.col("__op") != OP_INSERT), payload
+        )
+        applier.apply_schema_change(
+            "default.part",
+            RenameColumnEvent(
+                TableId.parse("default.part"), (("p_brand", "brand"),)
+            ),
+        )
+        cols = ["p_partkey", "p_name", "p_retailprice"]
+        head = store.read("default.part").select(
+            F.lit("head").alias("at"), *cols[:2], F.col("brand"), cols[2]
+        )
+        v1 = store.read("default.part", snapshot_id=s1).select(
+            F.lit("v1").alias("at"), *cols[:2], F.col("p_brand").alias("brand"),
+            cols[2],
+        )
+        out = head.unionByName(v1).select(
+            "at", "p_partkey", "p_name", "brand", "p_retailprice"
+        )
+        return _pin_state(spark, out, "iceberg")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "doris_stream_load_roundtrip",
     """
     SELECT event_id, ts,

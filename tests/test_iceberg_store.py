@@ -1,0 +1,214 @@
+"""Iceberg table-format analog (sinks/iceberg_store.py): immutable
+metadata versions, snapshot time travel, field-id renames, equality
+deletes."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from flink_cdc_spark.core import types as ct
+from flink_cdc_spark.core.events import (
+    AddColumnEvent,
+    CreateTableEvent,
+    RenameColumnEvent,
+)
+from flink_cdc_spark.core.schema import Column, new_schema
+from flink_cdc_spark.core.table_id import TableId
+from flink_cdc_spark.sinks.iceberg_store import (
+    IcebergMetadataApplier,
+    IcebergTableStore,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ]
+)
+
+ENV = T.StructType(
+    [
+        T.StructField("__table_id", T.StringType()),
+        T.StructField("__op", T.StringType()),
+        T.StructField("before", PAYLOAD),
+        T.StructField("after", PAYLOAD),
+        T.StructField("__meta", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("__seq", T.LongType()),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, ENV)
+
+
+def _store(spark, tmp_path):
+    st = IcebergTableStore(spark, str(tmp_path / "ice"))
+    st.create_table("db.t", PAYLOAD, ["id"])
+    return st
+
+
+def test_commit_read_roundtrip(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    s1 = st.commit(
+        "db.t",
+        _batch(
+            spark,
+            [
+                ("db.t", "INSERT", None, (1, "a", 1.0), {}, 1),
+                ("db.t", "INSERT", None, (2, "b", 2.0), {}, 2),
+            ],
+        ),
+        PAYLOAD,
+    )
+    assert s1 == 1
+    state = {r.id: r for r in st.read("db.t").collect()}
+    assert state[1].name == "a" and state[2].v == 2.0
+
+
+def test_equality_delete_and_update_semantics(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.commit(
+        "db.t",
+        _batch(
+            spark,
+            [
+                ("db.t", "INSERT", None, (1, "a", 1.0), {}, 1),
+                ("db.t", "INSERT", None, (2, "b", 2.0), {}, 2),
+                ("db.t", "INSERT", None, (3, "c", 3.0), {}, 3),
+            ],
+        ),
+        PAYLOAD,
+    )
+    st.commit(
+        "db.t",
+        _batch(
+            spark,
+            [
+                # update kills the seq-1 row but its own insert survives
+                ("db.t", "UPDATE", (1, "a", 1.0), (1, "a2", 10.0), {}, 4),
+                ("db.t", "DELETE", (2, "b", 2.0), None, {}, 5),
+            ],
+        ),
+        PAYLOAD,
+    )
+    state = {r.id: r for r in st.read("db.t").collect()}
+    assert set(state) == {1, 3}
+    assert state[1].name == "a2" and state[1].v == 10.0
+    # snapshot summary recorded the equality deletes
+    snaps = st.snapshots("db.t")
+    assert snaps[1]["summary"]["operation"] == "overwrite"
+    assert snaps[1]["summary"]["equality-delete-records"] == 2
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    s1 = st.commit(
+        "db.t",
+        _batch(spark, [("db.t", "INSERT", None, (1, "a", 1.0), {}, 1)]),
+        PAYLOAD,
+    )
+    st.commit(
+        "db.t",
+        _batch(
+            spark,
+            [("db.t", "UPDATE", (1, "a", 1.0), (1, "later", 9.0), {}, 2)],
+        ),
+        PAYLOAD,
+    )
+    old = st.read("db.t", snapshot_id=s1).collect()
+    assert len(old) == 1 and old[0].name == "a" and old[0].v == 1.0
+    assert st.read("db.t").collect()[0].name == "later"
+
+
+def test_rename_is_metadata_only_and_field_id_bound(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    s1 = st.commit(
+        "db.t",
+        _batch(spark, [("db.t", "INSERT", None, (1, "a", 1.0), {}, 1)]),
+        PAYLOAD,
+    )
+    ddir = str(tmp_path / "ice" / "db.t" / "data")
+    before = {
+        f: os.path.getmtime(os.path.join(ddir, f)) for f in os.listdir(ddir)
+    }
+    st.rename_column("db.t", "name", "full_name")
+    after = {
+        f: os.path.getmtime(os.path.join(ddir, f)) for f in os.listdir(ddir)
+    }
+    assert before == after  # no data file rewritten, none added
+    # current read resolves the OLD file's column through the field id
+    head = st.read("db.t").collect()[0]
+    assert head.full_name == "a"
+    # the old snapshot still reads under the schema it recorded
+    old = st.read("db.t", snapshot_id=s1).collect()[0]
+    assert old.name == "a"
+
+
+def test_add_column_gets_fresh_field_id_and_null_pads(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.commit(
+        "db.t",
+        _batch(spark, [("db.t", "INSERT", None, (1, "a", 1.0), {}, 1)]),
+        PAYLOAD,
+    )
+    st.add_column("db.t", "extra", T.IntegerType())
+    meta = st._load("db.t")
+    assert meta["last-column-id"] == 4
+    cur = st._current_schema(meta)
+    assert [f["name"] for f in cur["fields"]] == ["id", "name", "v", "extra"]
+    head = st.read("db.t").collect()[0]
+    assert head.extra is None  # old file null-pads the new field
+
+
+def test_metadata_versions_are_immutable(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.commit(
+        "db.t",
+        _batch(spark, [("db.t", "INSERT", None, (1, "a", 1.0), {}, 1)]),
+        PAYLOAD,
+    )
+    mdir = str(tmp_path / "ice" / "db.t" / "metadata")
+    v2 = open(os.path.join(mdir, "v2.metadata.json")).read()
+    st.commit(
+        "db.t",
+        _batch(spark, [("db.t", "INSERT", None, (2, "b", 2.0), {}, 2)]),
+        PAYLOAD,
+    )
+    st.rename_column("db.t", "v", "val")
+    assert open(os.path.join(mdir, "v2.metadata.json")).read() == v2
+    versions = st.metadata_versions("db.t")
+    assert versions == [
+        "v1.metadata.json", "v2.metadata.json",
+        "v3.metadata.json", "v4.metadata.json",
+    ]
+    assert int(open(os.path.join(mdir, "version-hint.text")).read()) == 4
+
+
+def test_metadata_applier_drives_store_and_records_sql(spark, tmp_path):
+    st = IcebergTableStore(spark, str(tmp_path / "ice2"))
+    app = IcebergMetadataApplier(st)
+    tid = TableId.parse("db.t2")
+    schema = (
+        new_schema()
+        .physical_column("id", "BIGINT NOT NULL")
+        .physical_column("name", "STRING")
+        .primary_key("id")
+        .build()
+    )
+    app.apply_schema_change("db.t2", CreateTableEvent(tid, schema))
+    app.apply_schema_change(
+        "db.t2", AddColumnEvent.last(tid, Column("age", ct.int_()))
+    )
+    app.apply_schema_change(
+        "db.t2", RenameColumnEvent(tid, (("name", "full_name"),))
+    )
+    meta = st._load("db.t2")
+    cur = st._current_schema(meta)
+    assert [f["name"] for f in cur["fields"]] == ["id", "full_name", "age"]
+    # the catalog DDL a bound engine would execute was generated alongside
+    joined = " ".join(app.applied_sql).upper()
+    assert "CREATE TABLE" in joined and "RENAME" in joined and "ADD COLUMN" in joined
