@@ -198,6 +198,35 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
             )
             summary.tables[table] = spark.read.text(out).count()
             summary.sink_paths[table] = out
+        elif sink_type == "hudi":
+            from .sinks.hudi_sink import (
+                HudiTableConfig,
+                HudiTableStore,
+                validate_hudi_options,
+            )
+
+            try:
+                opts = validate_hudi_options(pipeline.sink.config)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            store = HudiTableStore(spark, opts.path)
+            schema = result.schemas[table].ensure_pk_non_null()
+            store.create_table(
+                table,
+                schema.to_spark_struct(),
+                HudiTableConfig(
+                    list(schema.primary_keys),
+                    table_type=opts.table_type,
+                    num_buckets=opts.num_buckets,
+                    ordering_field=opts.ordering_fields,
+                    properties=opts.table_properties,
+                ),
+            )
+            store.upsert(
+                table, result.changelogs[table], schema.to_spark_struct()
+            )
+            summary.tables[table] = store.read(table).count()
+            summary.sink_paths[table] = opts.path
         else:
             raise SystemExit(f"unknown sink type {pipeline.sink.type!r}")
 

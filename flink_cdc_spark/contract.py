@@ -2379,6 +2379,61 @@ def iceberg_metadata_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hudi_upsert_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_nationkey,
+           CASE WHEN (s_suppkey % 10) = 3 THEN s_acctbal * 2
+                ELSE s_acctbal END AS s_acctbal
+    FROM supplier
+    WHERE (s_suppkey % 20) <> 7
+    """,
+)
+def hudi_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi sink analog (RowDataUtils/BucketAssignOperator scope): the
+    changelog upserts into a MERGE_ON_READ table — BucketIdentifier
+    bucketing by record key, per-bucket log files, one timeline instant
+    per commit, tombstone deletes — and a snapshot read merges back the
+    exact final state."""
+    import shutil
+    import tempfile
+
+    from .sinks.hudi_sink import (
+        MERGE_ON_READ,
+        HudiTableConfig,
+        HudiTableStore,
+    )
+    from .sources.envelope import OP_INSERT, payload_struct
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    mut = MutationSpec(
+        key_column="s_suppkey", update_exprs={"s_acctbal": "s_acctbal * 2"}
+    )
+    env = src.changelog("supplier", "default.supplier", mut)
+    payload = payload_struct(env)
+    root = tempfile.mkdtemp(prefix="hudi_contract_")
+    try:
+        store = HudiTableStore(spark, root)
+        store.create_table(
+            "default.supplier",
+            payload,
+            HudiTableConfig(["s_suppkey"], table_type=MERGE_ON_READ, num_buckets=4),
+        )
+        store.upsert(
+            "default.supplier", env.where(F.col("__op") == OP_INSERT), payload
+        )
+        store.upsert(
+            "default.supplier", env.where(F.col("__op") != OP_INSERT), payload
+        )
+        out = store.read("default.supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        )
+        return _pin_state(spark, out, "hudi")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "doris_stream_load_roundtrip",
     """
     SELECT event_id, ts,

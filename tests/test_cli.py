@@ -257,3 +257,33 @@ pipeline:
     ]
     assert len(lines) == 5
     assert all(l["__op"] == 0 for l in lines)
+
+
+def test_hudi_sink_writes_table_layout(tmp_path, spark):
+    """sink type: hudi — option surface validates; the changelog lands in
+    a Hudi-style table (timeline + bucketed file groups) and reads back."""
+    path = tmp_path / "hudi_out"
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: hudi
+  path: {path}
+  table.type: MERGE_ON_READ
+pipeline:
+  name: hudi-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["run", str(y), "--json"]) == 0
+    assert os.path.isdir(path / "default.nation" / ".hoodie")
+    from flink_cdc_spark.sinks.hudi_sink import HudiTableStore
+
+    st = HudiTableStore(spark, str(path))
+    assert st.read("default.nation").count() == 25
+    assert st.timeline("default.nation")[0]["action"] == "deltacommit"
