@@ -198,6 +198,26 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
             )
             summary.tables[table] = spark.read.text(out).count()
             summary.sink_paths[table] = out
+        elif sink_type == "iceberg":
+            # hadoop-catalog convention: catalog.properties.warehouse is
+            # the table root (IcebergDataSinkOptions prefix surface)
+            from .sinks.iceberg_store import IcebergTableStore
+
+            warehouse = pipeline.sink.config.get(
+                "catalog.properties.warehouse"
+            ) or pipeline.sink.config.get("path")
+            if not warehouse:
+                raise SystemExit(
+                    "sink.type=iceberg requires 'catalog.properties.warehouse'"
+                )
+            store = IcebergTableStore(spark, warehouse)
+            schema = result.schemas[table].ensure_pk_non_null()
+            store.create_table(
+                table, schema.to_spark_struct(), list(schema.primary_keys)
+            )
+            store.commit(table, result.changelogs[table], schema.to_spark_struct())
+            summary.tables[table] = store.read(table).count()
+            summary.sink_paths[table] = warehouse
         elif sink_type == "hudi":
             from .sinks.hudi_sink import (
                 HudiTableConfig,

@@ -287,7 +287,7 @@ class IcebergTableStore:
         read_struct = self._struct_from_fields(schema["fields"])
         name_by_id = {f["id"]: f["name"] for f in schema["fields"]}
         type_by_id = {f["id"]: f["type"] for f in schema["fields"]}
-        if snap is None:
+        if snap is None or not snap["manifests"]:
             return self.spark.createDataFrame([], read_struct)
         ddir = self._dir(table)
 
@@ -351,6 +351,30 @@ class IcebergTableStore:
                 .drop("__rn")
             )
         return data.select(*[f.name for f in read_struct.fields])
+
+    def truncate(self, table: str) -> None:
+        """TRUNCATE TABLE as a delete-all snapshot: a new snapshot with an
+        EMPTY manifest list (operation "delete"). Data files stay on disk,
+        referenced by older snapshots — time travel across the truncate
+        still works, exactly like an Iceberg `DELETE FROM t` commit."""
+        meta = self._load(table)
+        if meta is None:
+            raise ValueError(f"iceberg table {table} does not exist")
+        seq = meta["last-sequence-number"] + 1
+        meta["snapshots"].append(
+            {
+                "snapshot-id": seq,
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "schema-id": meta["current-schema-id"],
+                "manifests": [],
+                "summary": {"operation": "delete", "added-records": 0},
+            }
+        )
+        meta["current-snapshot-id"] = seq
+        meta["last-sequence-number"] = seq
+        meta["snapshot-log"].append({"snapshot-id": seq})
+        self._store(table, meta)
 
     def snapshots(self, table: str) -> List[dict]:
         meta = self._load(table)
@@ -469,8 +493,6 @@ class IcebergMetadataApplier:
             for name, dt in event.type_mapping:
                 self.store.alter_column_type(table, name, to_spark_type(dt))
         elif isinstance(event, TruncateTableEvent):
-            raise NotImplementedError(
-                "iceberg truncate: delete-all snapshot not modeled yet"
-            )
+            self.store.truncate(table)
         else:
             raise ValueError(f"unsupported schema change {type(event).__name__}")

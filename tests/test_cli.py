@@ -287,3 +287,32 @@ pipeline:
     st = HudiTableStore(spark, str(path))
     assert st.read("default.nation").count() == 25
     assert st.timeline("default.nation")[0]["action"] == "deltacommit"
+
+
+def test_iceberg_sink_writes_table_format(tmp_path, spark):
+    """sink type: iceberg — hadoop-catalog warehouse layout with versioned
+    metadata and a snapshot, readable back through the store."""
+    wh = tmp_path / "warehouse"
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: region
+  primary-key.region: r_regionkey
+sink:
+  type: iceberg
+  catalog.properties.warehouse: {wh}
+pipeline:
+  name: iceberg-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["run", str(y), "--json"]) == 0
+    from flink_cdc_spark.sinks.iceberg_store import IcebergTableStore
+
+    st = IcebergTableStore(spark, str(wh))
+    assert st.read("default.region").count() == 5
+    assert len(st.snapshots("default.region")) == 1
+    assert os.path.isdir(wh / "default.region" / "metadata")

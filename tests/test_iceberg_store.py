@@ -212,3 +212,27 @@ def test_metadata_applier_drives_store_and_records_sql(spark, tmp_path):
     # the catalog DDL a bound engine would execute was generated alongside
     joined = " ".join(app.applied_sql).upper()
     assert "CREATE TABLE" in joined and "RENAME" in joined and "ADD COLUMN" in joined
+
+
+def test_truncate_is_delete_all_snapshot(spark, tmp_path):
+    from flink_cdc_spark.core.events import TruncateTableEvent
+
+    st = _store(spark, tmp_path)
+    s1 = st.commit(
+        "db.t",
+        _batch(spark, [("db.t", "INSERT", None, (1, "a", 1.0), {}, 1)]),
+        PAYLOAD,
+    )
+    app = IcebergMetadataApplier(st)
+    app.apply_schema_change("db.t", TruncateTableEvent(TableId.parse("db.t")))
+    assert st.read("db.t").count() == 0
+    # old snapshot still time-travels across the truncate
+    assert st.read("db.t", snapshot_id=s1).count() == 1
+    assert st.snapshots("db.t")[-1]["summary"]["operation"] == "delete"
+    # a commit after truncate starts from the empty manifest list
+    st.commit(
+        "db.t",
+        _batch(spark, [("db.t", "INSERT", None, (9, "z", 9.0), {}, 9)]),
+        PAYLOAD,
+    )
+    assert [r.id for r in st.read("db.t").collect()] == [9]
