@@ -354,6 +354,10 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
         from .sources.oracle_source import oracle_streams
 
         list(oracle_streams(spark, pipeline.source.config))  # raises
+    elif source_type == "mongodb":
+        from .sources.mongodb_source import mongodb_streams
+
+        mongodb_streams(spark, pipeline.source.config)  # raises
     else:
         raise SystemExit(f"unknown source type {pipeline.source.type!r}")
 

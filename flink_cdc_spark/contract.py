@@ -2434,6 +2434,82 @@ def hudi_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mongodb_change_stream_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN (o_orderkey % 7) = 2 THEN o_totalprice + 5.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 13) <> 5
+    """,
+)
+def mongodb_change_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB change-stream decode roundtrip
+    (MongoDBConnectorDeserializationSchema.java:129-166 updateLookup
+    scope): canonical-extended-JSON change-stream documents SYNTHESIZED
+    with pure format_string expressions from the orders parquet — insert
+    docs with $oid/$numberLong/$numberDouble/$date wrappers and KeyString
+    resume tokens, post-image-only updates, documentKey-only deletes —
+    decoded by decode_change_stream and materialized by _id."""
+    from pyspark.sql import types as T
+
+    from .sinks.materialize import materialize_changelog
+    from .sources.mongodb_source import decode_change_stream
+
+    pin_session(spark)
+    base = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    key = F.col("o_orderkey")
+    oid = F.format_string("%024x", key)
+
+    def doc(op, t, full):
+        token = F.format_string("82%08x%08x", F.lit(t), key)
+        head = F.format_string(
+            '{"_id": {"_data": "%s"}, "operationType": "%s", '
+            '"clusterTime": {"$timestamp": {"t": %d, "i": %d}}, '
+            '"ns": {"db": "app", "coll": "orders"}, '
+            '"documentKey": {"_id": {"$oid": "%s"}}',
+            token, F.lit(op), F.lit(t), key, oid,
+        )
+        if full is None:
+            return F.concat(head, F.lit("}"))
+        return F.concat(head, F.lit(', "fullDocument": '), full, F.lit("}"))
+
+    def img(price):
+        return F.format_string(
+            '{"_id": {"$oid": "%s"}, "o_orderkey": {"$numberLong": "%d"}, '
+            '"o_orderstatus": "%s", "o_totalprice": {"$numberDouble": "%s"}}',
+            oid, key, F.col("o_orderstatus"), price,
+        )
+
+    price = F.col("o_totalprice")
+    ins = base.select(doc("insert", 1000, img(price)).alias("value"))
+    upd = base.where(key % 7 == 2).select(
+        doc("update", 1001, img(price + 5.0)).alias("value")
+    )
+    dels = base.where(key % 13 == 5).select(
+        doc("delete", 1002, None).alias("value")
+    )
+    raw = ins.unionByName(upd).unionByName(dels)
+    payload = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    env = decode_change_stream(
+        raw, "app.orders", payload, database="app", collection="orders"
+    )
+    final = materialize_changelog(env, ["_id"])
+    return final.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
     "doris_stream_load_roundtrip",
     """
     SELECT event_id, ts,
@@ -2571,6 +2647,7 @@ _PRIORITY = [
     "starrocks_stream_load_roundtrip",
     "iceberg_metadata_evolution",
     "hudi_upsert_roundtrip",
+    "mongodb_change_stream_roundtrip",
 ]
 
 

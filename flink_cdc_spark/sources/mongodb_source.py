@@ -1,0 +1,366 @@
+"""MongoDB CDC source surface: change-stream decode, resume tokens, modes.
+
+The Spark rendition of the reference's MongoDB connector
+(flink-cdc-source-connectors/flink-connector-mongodb-cdc). No MongoDB
+server or driver ships in this environment, so the live branch fails
+fast; the substantive pieces — the change-stream *document* decode the
+reference's deserializers perform — are real and tested over canned
+extended-JSON fixtures:
+
+* ``decode_change_stream`` is the analog of
+  ``MongoDBConnectorDeserializationSchema.java:129-166`` (updateLookup
+  mode: insert/delete/update/replace with after-image only) and
+  ``MongoDBConnectorFullChangelogDeserializationSchema.java:68-127``
+  (pre-/post-image mode: ``fullDocumentBeforeChange`` becomes the before
+  image). Envelope field names follow ``MongoDBEnvelope.java:47-93``
+  (operationType / ns.db / ns.coll / documentKey / fullDocument /
+  fullDocumentBeforeChange / clusterTime).
+* ``decode_resume_token`` mirrors ``ResumeTokenUtils.decodeTimestamp``
+  (KeyString kType 130 then big-endian int32 t, int32 i; hex-string v0/v1
+  and BinData forms both accepted).
+* drop / rename / invalidate / dropDatabase / other operations are
+  skipped, exactly as the reference's deserializer case arms do.
+* MongoDB documents arrive as BSON rendered to *canonical extended JSON*
+  (``{"$numberLong": "5"}`` wrappers); the decoder unwraps the typed
+  wrappers executor-side (the ``BsonUtils`` convert-by-declared-type
+  analog) and the declared schema's casts run JVM-side via
+  ``from_json`` + ``cast``.
+
+Execution shape (Spark-first): one ``mapInPandas`` pass over the raw
+change-stream lines does envelope parse + wrapper unwrap and emits plain
+JSON images; Catalyst's ``from_json``/``cast`` produce the typed payload
+struct, so schema projection and downstream pruning stay in the JVM. A
+change stream is a totally ordered log (like one binlog file); parallel
+units are per-collection streams, which is how the reference scales too
+(one change stream per source subtask).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import json
+import struct as _struct
+from dataclasses import dataclass
+from typing import Iterable, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..core import types as ct
+from .envelope import (
+    ENVELOPE_META,
+    ENVELOPE_OP,
+    ENVELOPE_SEQ,
+    ENVELOPE_TABLE_ID,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+)
+
+MONGODB_SCHEME = "mongodb"
+MONGODB_SRV_SCHEME = "mongodb+srv"
+
+# ResumeTokenUtils.java:33 — KeyString type byte for Timestamp
+_K_TIMESTAMP = 130
+
+# MongoDBConnectorDeserializationSchema.java:137-166 case arms
+_OPS_EMITTED = {"insert", "delete", "update", "replace"}
+_OPS_SKIPPED = {"drop", "rename", "invalidate", "dropDatabase", "other"}
+
+
+def decode_resume_token(data) -> Tuple[int, int]:
+    """Resume token -> (t, i) cluster timestamp.
+
+    ``ResumeTokenUtils.decodeTimestamp``: the ``_data`` field is either
+    BinData (raw bytes) or a hex string (v0/v1); the KeyString starts
+    with kType 130 followed by big-endian int32 seconds and int32
+    ordinal."""
+    if isinstance(data, str):
+        data = bytes.fromhex(data)
+    if not isinstance(data, (bytes, bytearray)):
+        raise ValueError(f"Unknown resume token format: {data!r}")
+    if len(data) < 9:
+        raise ValueError("resume token too short for a KeyString timestamp")
+    k_type = data[0]
+    if k_type != _K_TIMESTAMP:
+        raise ValueError(f"Unknown keyType of timestamp: {k_type}")
+    t, i = _struct.unpack_from(">ii", data, 1)
+    return t, i
+
+
+def encode_resume_token(t: int, i: int) -> str:
+    """Hex resume token carrying (t, i) — the test-fixture inverse of
+    ``decode_resume_token`` (same KeyString prefix the real tokens use)."""
+    return _struct.pack(">Bii", _K_TIMESTAMP, t, i).hex()
+
+
+# ---------------------------------------------------------------------------
+# canonical extended JSON -> plain JSON values (BsonUtils convert analog)
+# ---------------------------------------------------------------------------
+
+_WRAPPER_KEYS = {
+    "$oid", "$numberLong", "$numberInt", "$numberDouble", "$numberDecimal",
+    "$date", "$timestamp", "$binary", "$symbol", "$code", "$regularExpression",
+    "$minKey", "$maxKey", "$undefined",
+}
+
+
+def _unwrap(value):
+    """Recursively replace canonical-extended-JSON type wrappers with plain
+    JSON values (numbers stay strings where precision demands — the declared
+    schema's cast does the final conversion, as BsonUtils converts by the
+    declared Flink type)."""
+    if isinstance(value, list):
+        return [_unwrap(v) for v in value]
+    if not isinstance(value, dict):
+        return value
+    keys = set(value.keys())
+    if keys & _WRAPPER_KEYS:
+        if "$oid" in value:
+            return value["$oid"]
+        if "$numberLong" in value:
+            return int(value["$numberLong"])
+        if "$numberInt" in value:
+            return int(value["$numberInt"])
+        if "$numberDouble" in value:
+            v = value["$numberDouble"]
+            return {"Infinity": float("inf"), "-Infinity": float("-inf"),
+                    "NaN": float("nan")}.get(v, None) or float(v)
+        if "$numberDecimal" in value:
+            # kept textual: DECIMAL casts parse the string exactly
+            return value["$numberDecimal"]
+        if "$date" in value:
+            v = value["$date"]
+            if isinstance(v, dict):  # {"$date": {"$numberLong": "millis"}}
+                millis = int(v["$numberLong"])
+                return (
+                    datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(milliseconds=millis)
+                ).strftime("%Y-%m-%d %H:%M:%S.%f")
+            # ISO-8601 with Z/offset -> SQL timestamp text (UTC local part)
+            return str(v).replace("T", " ").replace("Z", "")
+        if "$timestamp" in value:
+            ts = value["$timestamp"]
+            return (int(ts["t"]) << 32) | int(ts["i"])
+        if "$binary" in value:
+            return value["$binary"].get("base64", "")
+        if "$symbol" in value:
+            return value["$symbol"]
+        if "$code" in value:
+            return value["$code"]
+        if "$regularExpression" in value:
+            return value["$regularExpression"].get("pattern", "")
+        if "$minKey" in value:
+            return "MinKey"
+        if "$maxKey" in value:
+            return "MaxKey"
+        if "$undefined" in value:
+            return None
+    return {k: _unwrap(v) for k, v in value.items()}
+
+
+# ---------------------------------------------------------------------------
+# options surface (MongoDBSourceOptions.java key names)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MongoDBSourceConfig:
+    """`type: mongodb` options (MongoDBSourceOptions.java:31-178)."""
+
+    scheme: str = MONGODB_SCHEME
+    hosts: str = ""
+    username: str = ""
+    password: str = ""
+    database: str = ""
+    collection: str = ""
+    connection_options: str = ""
+    batch_size: int = 1024
+    poll_max_batch_size: int = 1024
+    poll_await_time_ms: int = 1000
+    heartbeat_interval_ms: int = 0
+    incremental_snapshot_enabled: bool = False
+    incremental_snapshot_chunk_size_mb: int = 64
+    incremental_snapshot_chunk_samples: int = 20
+    full_changelog: bool = False  # scan.full-changelog (pre-/post-images)
+    cursor_no_timeout: bool = True
+
+    @classmethod
+    def from_dict(cls, config: dict) -> "MongoDBSourceConfig":
+        scheme = config.get("scheme", MONGODB_SCHEME)
+        if scheme not in (MONGODB_SCHEME, MONGODB_SRV_SCHEME):
+            raise ValueError(
+                f"scheme must be {MONGODB_SCHEME} or {MONGODB_SRV_SCHEME}, "
+                f"got {scheme!r}"
+            )
+        as_bool = lambda k, d: str(config.get(k, d)).lower() == "true"
+        return cls(
+            scheme=scheme,
+            hosts=config.get("hosts", ""),
+            username=config.get("username", ""),
+            password=config.get("password", ""),
+            database=config.get("database", ""),
+            collection=config.get("collection", ""),
+            connection_options=config.get("connection.options", ""),
+            batch_size=int(config.get("batch.size", 1024)),
+            poll_max_batch_size=int(config.get("poll.max.batch.size", 1024)),
+            poll_await_time_ms=int(config.get("poll.await.time.ms", 1000)),
+            heartbeat_interval_ms=int(config.get("heartbeat.interval.ms", 0)),
+            incremental_snapshot_enabled=as_bool(
+                "scan.incremental.snapshot.enabled", "false"
+            ),
+            incremental_snapshot_chunk_size_mb=int(
+                config.get("scan.incremental.snapshot.chunk.size.mb", 64)
+            ),
+            incremental_snapshot_chunk_samples=int(
+                config.get("scan.incremental.snapshot.chunk.samples", 20)
+            ),
+            full_changelog=as_bool("scan.full-changelog", "false"),
+            cursor_no_timeout=as_bool("scan.cursor.no-timeout", "true"),
+        )
+
+    def connection_uri(self) -> str:
+        auth = (
+            f"{self.username}:***@" if self.username else ""
+        )
+        opts = f"/?{self.connection_options}" if self.connection_options else ""
+        return f"{self.scheme}://{auth}{self.hosts}{opts}"
+
+
+# ---------------------------------------------------------------------------
+# change-stream decode
+# ---------------------------------------------------------------------------
+
+
+def decode_change_stream(
+    raw: DataFrame,
+    table_id: str,
+    payload: T.StructType,
+    *,
+    full_changelog: bool = False,
+    database: Optional[str] = None,
+    collection: Optional[str] = None,
+) -> DataFrame:
+    """Decode change-stream documents (one canonical-extended-JSON doc per
+    row in column ``value``) into the changelog envelope.
+
+    updateLookup mode (``full_changelog=False``,
+    MongoDBConnectorDeserializationSchema.java:137-166): INSERT carries the
+    fullDocument; UPDATE/REPLACE emit only the post-image (before=null —
+    the reference emits a lone UPDATE_AFTER); DELETE's before image is
+    reconstructed from ``documentKey`` (only the key fields are known).
+
+    Pre-/post-image mode (``full_changelog=True``,
+    MongoDBConnectorFullChangelogDeserializationSchema.java:68-127):
+    ``fullDocumentBeforeChange`` becomes the before image of UPDATE /
+    REPLACE / DELETE when present.
+
+    ``__seq`` is the resume-token cluster timestamp ``(t << 32) | i`` —
+    the change stream's own total order; ``__meta`` carries the
+    MongoDBReadableMetadata surface (database_name, collection_name,
+    op_ts millis)."""
+    names = [f.name for f in payload.fields]
+    want_db, want_coll = database, collection
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for line in pdf["value"]:
+                if not line or not line.strip():
+                    continue
+                doc = json.loads(line)
+                op = doc.get("operationType")
+                if op not in _OPS_EMITTED:
+                    continue  # drop/rename/invalidate/... case arms
+                ns = doc.get("ns") or {}
+                if want_db is not None and ns.get("db") != want_db:
+                    continue
+                if want_coll is not None and ns.get("coll") != want_coll:
+                    continue
+                token = (doc.get("_id") or {}).get("_data")
+                if token is not None:
+                    t, i = decode_resume_token(token)
+                else:
+                    cl = _unwrap(doc.get("clusterTime"))
+                    t, i = (cl >> 32, cl & 0xFFFFFFFF) if cl else (0, 0)
+                seq = (t << 32) | (i & 0xFFFFFFFF)
+                op_ts_ms = t * 1000
+
+                full = _unwrap(doc.get("fullDocument")) if doc.get("fullDocument") else None
+                before_full = (
+                    _unwrap(doc.get("fullDocumentBeforeChange"))
+                    if full_changelog and doc.get("fullDocumentBeforeChange")
+                    else None
+                )
+                key = _unwrap(doc.get("documentKey")) if doc.get("documentKey") else None
+
+                def image(d):
+                    if d is None:
+                        return None
+                    return json.dumps(
+                        {n: d.get(n) for n in names}, default=str
+                    )
+
+                if op == "insert":
+                    out.append((seq, OP_INSERT, None, image(full), op_ts_ms))
+                elif op == "delete":
+                    out.append(
+                        (seq, OP_DELETE, image(before_full or key), None, op_ts_ms)
+                    )
+                else:  # update | replace -> UPDATE_AFTER (+ before if images on)
+                    out.append(
+                        (seq, OP_UPDATE, image(before_full), image(full), op_ts_ms)
+                    )
+            yield pd.DataFrame(
+                out, columns=["seq", "op", "before_json", "after_json", "op_ts"]
+            )
+
+    dec = raw.mapInPandas(
+        decode,
+        schema="seq LONG, op STRING, before_json STRING, after_json STRING, "
+               "op_ts LONG",
+    )
+    str_payload = T.StructType(
+        [T.StructField(n, T.StringType(), True) for n in names]
+    )
+    parsed = dec.withColumn(
+        "__b", F.from_json("before_json", str_payload)
+    ).withColumn("__a", F.from_json("after_json", str_payload))
+    cast_struct = lambda side: F.when(
+        F.col(side).isNotNull(),
+        F.struct(
+            *[
+                F.col(f"{side}.{f.name}").cast(f.dataType).alias(f.name)
+                for f in payload.fields
+            ]
+        ),
+    )
+    db_name, coll_name = (table_id.split(".", 1) + [""])[:2]
+    return parsed.select(
+        F.lit(table_id).alias(ENVELOPE_TABLE_ID),
+        F.col("op").alias(ENVELOPE_OP),
+        cast_struct("__b").alias("before"),
+        cast_struct("__a").alias("after"),
+        F.create_map(
+            F.lit("database_name"), F.lit(db_name),
+            F.lit("collection_name"), F.lit(coll_name),
+            F.lit("op_ts"), F.col("op_ts").cast("string"),
+        ).alias(ENVELOPE_META),
+        F.col("seq").alias(ENVELOPE_SEQ),
+    )
+
+
+def mongodb_streams(spark: SparkSession, config: dict):
+    """CLI resolver for `type: mongodb`: live mode needs a reachable
+    MongoDB deployment and the mongodb-driver — neither ships here."""
+    cfg = MongoDBSourceConfig.from_dict(config)
+    if not cfg.hosts:
+        raise SystemExit("source.type=mongodb requires 'hosts'")
+    raise SystemExit(
+        "source.type=mongodb live mode needs a reachable MongoDB replica "
+        f"set at {cfg.connection_uri()} and the MongoDB driver; neither "
+        "ships in this environment. The change-stream decoder "
+        "(decode_change_stream) is available for offline use."
+    )

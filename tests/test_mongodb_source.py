@@ -1,0 +1,211 @@
+"""MongoDB change-stream source: resume tokens, extended-JSON decode,
+updateLookup vs full-changelog semantics (flink-connector-mongodb-cdc
+MongoDBConnectorDeserializationSchema / ...FullChangelogDeserializationSchema
+/ ResumeTokenUtils scope)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from flink_cdc_spark.sources.mongodb_source import (
+    MongoDBSourceConfig,
+    decode_change_stream,
+    decode_resume_token,
+    encode_resume_token,
+    mongodb_streams,
+    _unwrap,
+)
+from flink_cdc_spark.sinks.materialize import materialize_changelog
+
+
+# -- resume tokens ----------------------------------------------------------
+
+
+def test_resume_token_roundtrip():
+    hexed = encode_resume_token(1700000000, 42)
+    assert decode_resume_token(hexed) == (1700000000, 42)
+    # BinData form (raw bytes) accepted too
+    assert decode_resume_token(bytes.fromhex(hexed)) == (1700000000, 42)
+
+
+def test_resume_token_rejects_bad_ktype():
+    bad = "7f" + "00" * 8
+    with pytest.raises(ValueError, match="keyType"):
+        decode_resume_token(bad)
+
+
+def test_resume_token_rejects_short_and_nonbytes():
+    with pytest.raises(ValueError):
+        decode_resume_token("82" + "00" * 3)
+    with pytest.raises(ValueError):
+        decode_resume_token(12345)
+
+
+# -- extended JSON unwrap ---------------------------------------------------
+
+
+def test_unwrap_wrappers():
+    doc = {
+        "_id": {"$oid": "64e000000000000000000001"},
+        "n_long": {"$numberLong": "9007199254740993"},
+        "n_int": {"$numberInt": "7"},
+        "n_double": {"$numberDouble": "2.5"},
+        "n_decimal": {"$numberDecimal": "123456789012345678.90"},
+        "when": {"$date": "1996-01-02T03:04:05.678Z"},
+        "when_ms": {"$date": {"$numberLong": "86400000"}},
+        "blob": {"$binary": {"base64": "aGk=", "subType": "00"}},
+        "nested": {"a": [{"$numberInt": "1"}, {"$numberInt": "2"}]},
+    }
+    u = _unwrap(doc)
+    assert u["_id"] == "64e000000000000000000001"
+    assert u["n_long"] == 9007199254740993
+    assert u["n_int"] == 7
+    assert u["n_double"] == 2.5
+    assert u["n_decimal"] == "123456789012345678.90"  # textual, cast parses
+    assert u["when"] == "1996-01-02 03:04:05.678"
+    assert u["when_ms"] == "1970-01-02 00:00:00.000000"
+    assert u["blob"] == "aGk="
+    assert u["nested"]["a"] == [1, 2]
+
+
+# -- change-stream decode ---------------------------------------------------
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("qty", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+def _doc(op, t, i, oid, full=None, before=None, db="app", coll="orders"):
+    d = {
+        "_id": {"_data": encode_resume_token(t, i)},
+        "operationType": op,
+        "clusterTime": {"$timestamp": {"t": t, "i": i}},
+        "ns": {"db": db, "coll": coll},
+        "documentKey": {"_id": {"$oid": oid}},
+    }
+    if full is not None:
+        d["fullDocument"] = full
+    if before is not None:
+        d["fullDocumentBeforeChange"] = before
+    return json.dumps(d)
+
+
+def _img(oid, qty, price):
+    return {
+        "_id": {"$oid": oid},
+        "qty": {"$numberLong": str(qty)},
+        "price": {"$numberDouble": str(price)},
+    }
+
+
+OID1 = "64e000000000000000000001"
+OID2 = "64e000000000000000000002"
+OID3 = "64e000000000000000000003"
+
+
+@pytest.fixture()
+def stream_lines(spark):
+    lines = [
+        _doc("insert", 100, 1, OID1, full=_img(OID1, 5, 1.5)),
+        _doc("insert", 100, 2, OID2, full=_img(OID2, 7, 2.5)),
+        _doc("insert", 100, 3, OID3, full=_img(OID3, 9, 3.5)),
+        # update with both images present in the stream
+        _doc("update", 101, 1, OID1, full=_img(OID1, 6, 1.75),
+             before=_img(OID1, 5, 1.5)),
+        # replace
+        _doc("replace", 102, 1, OID2, full=_img(OID2, 70, 2.5),
+             before=_img(OID2, 7, 2.5)),
+        # delete (documentKey only in updateLookup; before image available)
+        _doc("delete", 103, 1, OID3, before=_img(OID3, 9, 3.5)),
+        # control ops the deserializer skips
+        _doc("drop", 104, 1, OID1),
+        _doc("invalidate", 104, 2, OID1),
+        # a different collection, filtered out
+        _doc("insert", 105, 1, OID1, full=_img(OID1, 1, 1.0), coll="other"),
+    ]
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_update_lookup_mode(spark, stream_lines):
+    env = decode_change_stream(
+        stream_lines, "app.orders", PAYLOAD,
+        database="app", collection="orders",
+    )
+    rows = {(r[0], r[1]): r for r in (
+        (r["__op"], r["__seq"], r["before"], r["after"], r["__meta"])
+        for r in env.collect()
+    )}
+    assert len(rows) == 6  # drop/invalidate/other-collection skipped
+    upd = rows[("UPDATE", (101 << 32) | 1)]
+    assert upd[2] is None  # updateLookup: post-image only
+    assert upd[3]["qty"] == 6 and upd[3]["price"] == 1.75
+    dele = rows[("DELETE", (103 << 32) | 1)]
+    assert dele[3] is None
+    assert dele[2]["_id"] == OID3 and dele[2]["qty"] is None  # key-only image
+    repl = rows[("UPDATE", (102 << 32) | 1)]
+    assert repl[3]["qty"] == 70
+    meta = rows[("INSERT", (100 << 32) | 1)][4]
+    assert meta["database_name"] == "app"
+    assert meta["collection_name"] == "orders"
+    assert meta["op_ts"] == "100000"
+
+
+def test_full_changelog_mode(spark, stream_lines):
+    env = decode_change_stream(
+        stream_lines, "app.orders", PAYLOAD,
+        full_changelog=True, database="app", collection="orders",
+    )
+    by_key = {(r["__op"], r["__seq"]): r for r in env.collect()}
+    upd = by_key[("UPDATE", (101 << 32) | 1)]
+    assert upd["before"]["qty"] == 5 and upd["after"]["qty"] == 6
+    dele = by_key[("DELETE", (103 << 32) | 1)]
+    assert dele["before"]["qty"] == 9  # fullDocumentBeforeChange image
+
+
+def test_materialized_state(spark, stream_lines):
+    env = decode_change_stream(
+        stream_lines, "app.orders", PAYLOAD,
+        database="app", collection="orders",
+    )
+    final = materialize_changelog(env, ["_id"])
+    state = {r["_id"]: (r["qty"], r["price"]) for r in final.collect()}
+    assert state == {OID1: (6, 1.75), OID2: (70, 2.5)}
+
+
+# -- options / resolver -----------------------------------------------------
+
+
+def test_config_from_dict():
+    cfg = MongoDBSourceConfig.from_dict(
+        {
+            "hosts": "rs0:27017,rs1:27017",
+            "database": "app",
+            "collection": "orders",
+            "scan.full-changelog": "true",
+            "scan.incremental.snapshot.enabled": "true",
+            "scan.incremental.snapshot.chunk.size.mb": "128",
+            "poll.max.batch.size": "2048",
+        }
+    )
+    assert cfg.full_changelog is True
+    assert cfg.incremental_snapshot_enabled is True
+    assert cfg.incremental_snapshot_chunk_size_mb == 128
+    assert cfg.poll_max_batch_size == 2048
+    assert "rs0:27017" in cfg.connection_uri()
+
+
+def test_config_rejects_bad_scheme():
+    with pytest.raises(ValueError, match="scheme"):
+        MongoDBSourceConfig.from_dict({"scheme": "http", "hosts": "x"})
+
+
+def test_live_resolver_fails_fast(spark):
+    with pytest.raises(SystemExit, match="hosts"):
+        mongodb_streams(spark, {})
+    with pytest.raises(SystemExit, match="change-stream decoder"):
+        mongodb_streams(spark, {"hosts": "rs0:27017"})
