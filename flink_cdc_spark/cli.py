@@ -358,6 +358,10 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
         from .sources.mongodb_source import mongodb_streams
 
         mongodb_streams(spark, pipeline.source.config)  # raises
+    elif source_type == "db2":
+        from .sources.db2_source import db2_streams
+
+        db2_streams(spark, pipeline.source.config)  # raises
     else:
         raise SystemExit(f"unknown source type {pipeline.source.type!r}")
 

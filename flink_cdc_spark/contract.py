@@ -2434,6 +2434,58 @@ def hudi_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "db2_asn_cd_decode",
+    """
+    SELECT p_partkey, p_name,
+           CASE WHEN (p_partkey % 8) = 5 THEN p_retailprice + 10.0
+                ELSE p_retailprice END AS p_retailprice
+    FROM part
+    WHERE (p_partkey % 15) <> 4
+    """,
+)
+def db2_asn_cd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Db2 ASN change-data decode (Db2Connection.GET_ALL_CHANGES_FOR_TABLE
+    scope): an ASNCDC.*_CD slice SYNTHESIZED with pure DataFrame
+    expressions from the part parquet — inserts, updates stored as Db2's
+    D-then-I pairs inside one IBMSNAP_COMMITSEQ, lone deletes — decoded by
+    decode_cd_table's LEAD/LAG rewrite and materialized."""
+    from .sinks.materialize import materialize_changelog
+    from .sources.db2_source import decode_cd_table
+
+    pin_session(spark)
+    base = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("part")
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    key = F.col("p_partkey")
+
+    def cd(band, intent, op, price):
+        return base.select(
+            F.format_string(band + "%019d", key).alias("IBMSNAP_COMMITSEQ"),
+            F.lit(intent).alias("IBMSNAP_INTENTSEQ"),
+            F.lit(op).alias("IBMSNAP_OPERATION"),
+            key,
+            F.col("p_name"),
+            price.alias("p_retailprice"),
+        )
+
+    price = F.col("p_retailprice")
+    upd = key % 8 == 5
+    dels = key % 15 == 4
+    slice_df = (
+        cd("A", "01", "I", price)
+        # Db2 stores an update as D(old) then I(new) in one commit
+        .unionByName(cd("B", "01", "D", price).where(upd))
+        .unionByName(cd("B", "02", "I", price + 10.0).where(upd))
+        .unionByName(cd("C", "01", "D", price + F.when(upd, 10.0).otherwise(0.0)).where(dels))
+    )
+    env = decode_cd_table(slice_df, "DB2INST1.PART")
+    final = materialize_changelog(env, ["p_partkey"])
+    return final.select("p_partkey", "p_name", "p_retailprice")
+
+
+@register(
     "mongodb_change_stream_roundtrip",
     """
     SELECT o_orderkey, o_orderstatus,
@@ -2648,6 +2700,7 @@ _PRIORITY = [
     "iceberg_metadata_evolution",
     "hudi_upsert_roundtrip",
     "mongodb_change_stream_roundtrip",
+    "db2_asn_cd_decode",
 ]
 
 

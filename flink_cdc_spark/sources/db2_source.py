@@ -1,0 +1,238 @@
+"""Db2 CDC source surface: dialect, options, ASN capture-table decode.
+
+The Spark rendition of the reference's Db2 connector
+(flink-cdc-source-connectors/flink-connector-db2-cdc). No Db2 server (or
+its JDBC driver) ships in this environment, so the live branch fails
+fast; the substantive piece — decoding Db2's *ASN SQL-Replication change
+tables* — is real and tested over canned fixtures.
+
+Db2's ASN Capture program materializes changes into ``ASNCDC.<CD
+table>`` rows carrying ``IBMSNAP_COMMITSEQ`` / ``IBMSNAP_INTENTSEQ``
+(binary LSNs, lexicographically ordered) and ``IBMSNAP_OPERATION``
+('I'/'D'). An UPDATE is stored as a DELETE immediately followed by an
+INSERT *within the same commit sequence*; the reference's change query
+(Db2Connection.java:62-73 GET_ALL_CHANGES_FOR_TABLE) rewrites the pair
+with LEAD/LAG window functions into the four op codes the streaming
+source consumes (3=update-before, 4=update-after, 1=delete, 2=insert —
+Db2StreamingChangeEventSource.java:294-318 then requires every 3 to be
+followed by its 4).
+
+``decode_cd_table`` reproduces that rewrite with the same window
+expressions on Spark — including the reference's heuristic that ANY
+D-then-I adjacency inside one commit is an update — then reassembles
+each update pair with a single conditional aggregation, exactly like the
+SQL Server decoder (one bounded-slice window + one hash aggregation; no
+self-join).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..core import types as ct
+from .envelope import (
+    ENVELOPE_META,
+    ENVELOPE_OP,
+    ENVELOPE_SEQ,
+    ENVELOPE_TABLE_ID,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+)
+from .jdbc_snapshot import DEFAULT_CHUNK_SIZE, StartupMode
+
+DB2_DRIVER = "com.ibm.db2.jcc.DB2Driver"
+CDC_SCHEMA = "ASNCDC"  # Db2Connection.java:47
+
+# Db2ChangeRecordEmitter op codes (via GET_ALL_CHANGES_FOR_TABLE CASE arms)
+OP_CODE_DELETE = 1
+OP_CODE_INSERT = 2
+OP_CODE_UPDATE_BEFORE = 3
+OP_CODE_UPDATE_AFTER = 4
+
+_DB2_TYPE_MAP = {
+    # Db2TypeUtils.fromDbzColumn JDBC-type cases, keyed by Db2 type name
+    "char": ct.string,
+    "varchar": ct.string,
+    "clob": ct.string,
+    "xml": ct.string,
+    "graphic": ct.string,
+    "vargraphic": ct.string,
+    "blob": ct.bytes_,
+    "binary": ct.bytes_,
+    "varbinary": ct.bytes_,
+    "smallint": ct.smallint,
+    "integer": ct.int_,
+    "int": ct.int_,
+    "bigint": ct.bigint,
+    "real": ct.float_,
+    "float": ct.float_,  # Db2 FLOAT is REAL-or-DOUBLE; Types.FLOAT -> FLOAT
+    "double": ct.double,
+    "date": ct.date,
+    "time": ct.time,
+    "boolean": ct.boolean,
+}
+
+
+def db2_type(type_name: str, precision: int = 0, scale: int = 0,
+             nullable: bool = True):
+    """Db2 type name -> CDC type (Db2TypeUtils.fromDbzColumn analog)."""
+    name = (type_name or "").strip().lower().split("(", 1)[0]
+    if name in ("decimal", "numeric", "decfloat"):
+        t = ct.decimal(precision or 31, scale)
+    elif name == "timestamp":
+        t = ct.timestamp(precision if precision >= 0 else 6)
+    else:
+        factory = _DB2_TYPE_MAP.get(name)
+        t = factory() if factory else ct.string()
+    return t if nullable else t.not_null()
+
+
+@dataclass
+class Db2SourceConfig:
+    """`db2-cdc` options (Db2TableSourceFactory / Db2SourceConfigFactory)."""
+
+    hostname: str = ""
+    port: int = 50000
+    username: str = ""
+    password: str = ""
+    database: str = ""
+    schema_name: str = ""
+    table_name: str = ""
+    server_time_zone: str = "UTC"
+    chunk_key_column: Optional[str] = None
+    chunk_size: int = DEFAULT_CHUNK_SIZE
+    connection_pool_size: int = 20
+    startup_mode: StartupMode = StartupMode.INITIAL
+
+    @classmethod
+    def from_dict(cls, config: dict) -> "Db2SourceConfig":
+        return cls(
+            hostname=config.get("hostname", ""),
+            port=int(config.get("port", 50000)),
+            username=config.get("username", ""),
+            password=config.get("password", ""),
+            database=config.get("database-name", ""),
+            schema_name=config.get("schema-name", ""),
+            table_name=config.get("table-name", ""),
+            server_time_zone=config.get("server-time-zone", "UTC"),
+            chunk_key_column=config.get(
+                "scan.incremental.snapshot.chunk.key-column"
+            ),
+            chunk_size=int(
+                config.get("scan.incremental.snapshot.chunk.size",
+                           DEFAULT_CHUNK_SIZE)
+            ),
+            connection_pool_size=int(config.get("connection.pool.size", 20)),
+            startup_mode=StartupMode(
+                str(config.get("scan.startup.mode", "initial"))
+            ),
+        )
+
+    def jdbc_url(self) -> str:
+        return f"jdbc:db2://{self.hostname}:{self.port}/{self.database}"
+
+
+def cd_table_name(schema: str, table: str) -> str:
+    """ASN change-data table naming: ASNCDC.<SCHEMA>_<TABLE> (the CD_OWNER /
+    CD_TABLE pair registered in IBMSNAP_REGISTER)."""
+    return f"{CDC_SCHEMA}.{schema}_{table}"
+
+
+def decode_cd_table(cd_df: DataFrame, table_id: str) -> DataFrame:
+    """Decode one polled slice of an ASN change-data table into the
+    changelog envelope.
+
+    Expected columns: ``IBMSNAP_COMMITSEQ`` / ``IBMSNAP_INTENTSEQ``
+    (sortable — binary or hex string) and ``IBMSNAP_OPERATION`` ('I'/'D'),
+    plus the captured payload columns.
+
+    Stage 1 replays GET_ALL_CHANGES_FOR_TABLE's CASE over LEAD/LAG
+    (Db2Connection.java:62-73) verbatim: a 'D' whose successor within the
+    same COMMITSEQ is 'I' becomes update-before, that 'I' update-after.
+    Stage 2 pairs 3/4 rows by (COMMITSEQ, before-row INTENTSEQ) with one
+    conditional aggregation — the update-after row keys to its
+    predecessor's INTENTSEQ via the same window, so both halves land in
+    one group and no self-join shuffle is needed. The dense rank runs
+    over the *bounded per-poll slice* (the same per-cycle read the
+    reference's ChangeTablePointer cursor performs)."""
+    payload_cols = [c for c in cd_df.columns if not c.startswith("IBMSNAP_")]
+    payload = F.struct(*[F.col(f"`{c}`") for c in payload_cols])
+    op_raw = F.col("IBMSNAP_OPERATION")
+
+    w = Window.partitionBy("IBMSNAP_COMMITSEQ").orderBy("IBMSNAP_INTENTSEQ")
+    opcode = (
+        F.when(
+            (op_raw == "D") & (F.lead(op_raw, 1, "X").over(w) == "I"),
+            F.lit(OP_CODE_UPDATE_BEFORE),
+        )
+        .when(
+            (op_raw == "I") & (F.lag(op_raw, 1, "X").over(w) == "D"),
+            F.lit(OP_CODE_UPDATE_AFTER),
+        )
+        .when(op_raw == "D", F.lit(OP_CODE_DELETE))
+        .when(op_raw == "I", F.lit(OP_CODE_INSERT))
+    )
+    pair_seq = F.when(
+        opcode == OP_CODE_UPDATE_AFTER,
+        F.lag("IBMSNAP_INTENTSEQ", 1).over(w),
+    ).otherwise(F.col("IBMSNAP_INTENTSEQ"))
+
+    coded = cd_df.select(
+        F.col("IBMSNAP_COMMITSEQ").alias("__commit"),
+        pair_seq.alias("__pair"),
+        F.col("IBMSNAP_INTENTSEQ").alias("__intent"),
+        opcode.alias("__opc"),
+        payload.alias("__img"),
+    )
+    wr = Window.orderBy("__commit", "__intent")
+    ranked = coded.withColumn("__rank", F.dense_rank().over(wr))
+    grouped = ranked.groupBy("__commit", "__pair").agg(
+        F.min("__rank").alias("__rank"),
+        F.max("__opc").alias("__op_hi"),
+        F.first(
+            F.when(
+                F.col("__opc").isin(OP_CODE_DELETE, OP_CODE_UPDATE_BEFORE),
+                F.col("__img"),
+            ),
+            ignorenulls=True,
+        ).alias("__before"),
+        F.first(
+            F.when(
+                F.col("__opc").isin(OP_CODE_INSERT, OP_CODE_UPDATE_AFTER),
+                F.col("__img"),
+            ),
+            ignorenulls=True,
+        ).alias("__after"),
+    )
+    op_out = (
+        F.when(F.col("__op_hi") == OP_CODE_INSERT, F.lit(OP_INSERT))
+        .when(F.col("__op_hi") == OP_CODE_DELETE, F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE))
+    )
+    return grouped.select(
+        F.lit(table_id).alias(ENVELOPE_TABLE_ID),
+        op_out.alias(ENVELOPE_OP),
+        F.col("__before").alias("before"),
+        F.col("__after").alias("after"),
+        F.create_map(F.lit("source"), F.lit("db2-cdc")).alias(ENVELOPE_META),
+        F.col("__rank").cast("long").alias(ENVELOPE_SEQ),
+    )
+
+
+def db2_streams(spark: SparkSession, config: dict):
+    """CLI resolver for `type: db2`: live mode needs the Db2 JDBC driver
+    and a reachable server — neither ships here."""
+    cfg = Db2SourceConfig.from_dict(config)
+    if not cfg.hostname:
+        raise SystemExit("source.type=db2 requires 'hostname'")
+    raise SystemExit(
+        "source.type=db2 live mode needs the Db2 JDBC driver "
+        f"({DB2_DRIVER}) on the Spark classpath and a reachable server at "
+        f"{cfg.jdbc_url()}; neither ships in this environment. The ASN "
+        "change-table decoder (decode_cd_table) is available for offline "
+        "use."
+    )
