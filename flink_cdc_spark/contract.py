@@ -2701,6 +2701,8 @@ _PRIORITY = [
     "hudi_upsert_roundtrip",
     "mongodb_change_stream_roundtrip",
     "db2_asn_cd_decode",
+    "mm_audio_feature_stats",
+    "mm_video_frame_sample",
 ]
 
 

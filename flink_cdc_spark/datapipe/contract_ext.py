@@ -173,6 +173,40 @@ def mm_image_feature_pipeline(spark, sf_dir):
     return mm.extract_image_features(media)
 
 
+def _mm_audio_oracle():
+    from . import multimodal as mm
+
+    return mm.audio_features_oracle_sql()
+
+
+@register("mm_audio_feature_stats", _mm_audio_oracle())
+def mm_audio_feature_stats(spark, sf_dir):
+    """Audio media columns -> Arrow-batched fake-PCM decode -> loudness
+    features (n_samples / duration / mean / peak / rms). Exact integer
+    sums then one IEEE division/sqrt, so DuckDB compares bit-for-bit."""
+    from . import multimodal as mm
+
+    media = mm.audio_from_documents(_docs(spark, sf_dir))
+    return mm.extract_audio_features(media)
+
+
+def _mm_frames_oracle():
+    from . import multimodal as mm
+
+    return mm.frame_sample_stats_oracle_sql()
+
+
+@register("mm_video_frame_sample", _mm_frames_oracle())
+def mm_video_frame_sample(spark, sf_dir):
+    """Video-style frame sampling fused with per-frame stats in one
+    mapInPandas pass (1->N fan-out never leaves the task): frame_sum
+    checks the decode, first_byte pins the per-frame temporal shift."""
+    from . import multimodal as mm
+
+    media = mm.media_from_documents(_docs(spark, sf_dir))
+    return mm.frame_sample_stats(media)
+
+
 _PIPE_QUALITY_MIN = 0.15
 
 

@@ -235,6 +235,189 @@ def image_features_oracle_sql(table: str = "documents") -> str:
     """
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("mean_amp", T.DoubleType(), False),
+        T.StructField("peak_amp", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sum", T.LongType(), False),
+        T.StructField("first_byte", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_from_documents(docs: DataFrame) -> DataFrame:
+    """Build an audio MEDIA_SCHEMA frame from the documents table: the
+    md5 digest of the text stands in for an encoded audio payload
+    (16 "codec bytes" the fake decoder tiles into PCM samples);
+    sample_rate and the sample count derive from doc_id. Pure built-in
+    expressions, so a DuckDB oracle sees identical inputs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5(F.encode(F.col("text"), "UTF-8"))).alias("payload"),
+        F.lit(None).cast("string").alias("uri"),
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("fake-pcm8").alias("codec"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _decode_audio_backend(payload: bytes, media_id: int) -> np.ndarray:
+    """FAKE deterministic PCM decode: the payload bytes tiled to
+    ``256 + (media_id % 7) * 64`` unsigned 8-bit samples.
+
+    Replace with e.g. soundfile.read(io.BytesIO(payload)) in a real
+    deployment (no audio codecs in this container)."""
+    if payload is None:
+        raise NotImplementedError("pointer fetch (uri) not implemented in the stub")
+    n = 256 + (media_id % 7) * 64
+    raw = bytes(payload)
+    reps = -(-n // len(raw))
+    return np.frombuffer(raw * reps, dtype=np.uint8)[:n]
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """decode -> per-clip loudness features, one Arrow batch at a time.
+
+    mean/peak/rms are computed from exact integer sums then one IEEE
+    division/sqrt, so a SQL oracle over the same integer sums compares
+    bit-for-bit."""
+    import math
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                m = r["meta"]
+                pcm = _decode_audio_backend(r["payload"], r["media_id"])
+                n = int(pcm.shape[0])
+                sr = int(m["sample_rate"])
+                s = int(pcm.astype(np.int64).sum())
+                sq = int((pcm.astype(np.int64) ** 2).sum())
+                out.append(
+                    (
+                        r["media_id"],
+                        n,
+                        (n * 1000) // sr,
+                        s / n,
+                        int(pcm.max()),
+                        math.sqrt(sq / n),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "duration_ms",
+                    "mean_amp", "peak_amp", "rms",
+                ],
+            )
+
+    return media.mapInPandas(stage, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def audio_features_oracle_sql(table: str = "documents") -> str:
+    """DuckDB SQL reproducing extract_audio_features(audio_from_documents):
+    md5-digest bytes tiled to n samples; exact int sums then IEEE
+    division/sqrt."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sr,
+             CAST(256 + (doc_id % 7) * 64 AS INTEGER) AS n,
+             list_transform(range(16),
+               k -> CAST('0x' || substr(md5(text), CAST(2*k+1 AS INTEGER), 2) AS BIGINT)) AS b
+      FROM {table}
+    ), s AS (
+      SELECT media_id, sr, n,
+             list_transform(range(n), i -> b[CAST(i % 16 AS INTEGER) + 1]) AS pcm
+      FROM m
+    )
+    SELECT media_id,
+           n AS n_samples,
+           CAST((n * 1000) // sr AS BIGINT) AS duration_ms,
+           CAST(list_sum(pcm) AS DOUBLE) / n AS mean_amp,
+           CAST(list_max(pcm) AS INTEGER) AS peak_amp,
+           sqrt(CAST(list_sum(list_transform(pcm, x -> x * x)) AS DOUBLE) / n) AS rms
+    FROM s
+    """
+
+
+def frame_sample_stats(media: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFrame:
+    """Frame sampling followed by per-frame stats in ONE mapInPandas pass
+    (the decode->sample->reduce fusion a real video pipeline wants: frames
+    never round-trip through the shuffle). frame_sum is roll-invariant;
+    first_byte pins the temporal shift, so together they verify both the
+    fan-out and the frame order."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                m = r["meta"]
+                base = _decode_backend(r["payload"], m["width"], m["height"])
+                total = int(base.astype(np.int64).sum())
+                h = base.shape[0]
+                for k in range(max_frames):
+                    frame = np.roll(base, k * every_n, axis=0)
+                    out.append(
+                        (
+                            r["media_id"],
+                            k * every_n,
+                            total,
+                            int(frame[0, 0]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_sum", "first_byte"]
+            )
+
+    return media.mapInPandas(stage, schema=FRAME_STATS_SCHEMA)
+
+
+def frame_sample_stats_oracle_sql(
+    table: str = "documents", every_n: int = 4, max_frames: int = 3
+) -> str:
+    """DuckDB SQL reproducing frame_sample_stats(media_from_documents):
+    np.roll(base, s, axis=0)[0,0] == base[(h - s) % h, 0] ==
+    digest[(((h - s) % h) * w) % 16]."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(8 + (doc_id % 5) * 4 AS INTEGER) AS w,
+             CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS h,
+             list_transform(range(16),
+               k -> CAST('0x' || substr(md5(text), CAST(2*k+1 AS INTEGER), 2) AS BIGINT)) AS b
+      FROM {table}
+    ), f AS (
+      SELECT media_id, w, h, b,
+             CAST(list_sum(list_transform(range(w*h),
+               i -> b[CAST(i % 16 AS INTEGER) + 1])) AS BIGINT) AS frame_sum
+      FROM m
+    )
+    SELECT media_id,
+           CAST(k * {every_n} AS INTEGER) AS frame_idx,
+           frame_sum,
+           CAST(b[CAST((((h - (k * {every_n}) % h) % h) * w) % 16 AS INTEGER) + 1]
+                AS INTEGER) AS first_byte
+    FROM f, (SELECT unnest(range({max_frames})) AS k)
+    """
+
+
 def near_dup_by_phash(features: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Perceptual-hash near-dup: banded self-join on phash nibbles (same
     pigeonhole trick as SimHash dedup) then exact hamming filter."""

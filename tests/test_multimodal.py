@@ -84,3 +84,49 @@ def test_phash_near_dup_banding_matches_naive(spark, media):
     }
     naive3 = {(r.media_a, r.media_b) for r in naive_df.where("hamming <= 3").collect()}
     assert banded3 == naive3
+
+
+def test_audio_features_reference_model(spark):
+    import hashlib
+    import math
+
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"audio clip number {i}") for i in range(12)], "doc_id long, text string"
+    )
+    audio = mm.audio_from_documents(docs)
+    # schema: audio rows carry sample_rate, no width/height
+    row = audio.first()
+    assert row["meta"]["media_type"] == "audio"
+    assert row["meta"]["width"] is None and row["meta"]["sample_rate"] is not None
+
+    feats = {r.media_id: r for r in mm.extract_audio_features(audio).collect()}
+    assert len(feats) == 12
+    for i in range(12):
+        digest = hashlib.md5(f"audio clip number {i}".encode()).digest()
+        n = 256 + (i % 7) * 64
+        reps = -(-n // 16)
+        pcm = np.frombuffer(digest * reps, dtype=np.uint8)[:n].astype(np.int64)
+        sr = 8000 + (i % 4) * 4000
+        r = feats[i]
+        assert r.n_samples == n
+        assert r.duration_ms == (n * 1000) // sr
+        assert r.peak_amp == int(pcm.max())
+        assert r.mean_amp == int(pcm.sum()) / n
+        assert r.rms == math.sqrt(int((pcm ** 2).sum()) / n)
+
+
+def test_frame_sample_stats_matches_frames(media):
+    import numpy as np
+
+    stats = mm.frame_sample_stats(media, every_n=4, max_frames=3)
+    frames = mm.sample_frames(media, every_n=4, max_frames=3)
+    got = {(r.media_id, r.frame_idx): (r.frame_sum, r.first_byte)
+           for r in stats.collect()}
+    assert len(got) == 48 * 3
+    # cross-check against the materialized frame bytes
+    for r in frames.collect():
+        arr = np.frombuffer(bytes(r.frame), dtype=np.uint8)
+        assert got[(r.media_id, r.frame_idx)][0] == int(arr.astype(np.int64).sum())
+        assert got[(r.media_id, r.frame_idx)][1] == int(arr[0])
