@@ -362,6 +362,10 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
         from .sources.db2_source import db2_streams
 
         db2_streams(spark, pipeline.source.config)  # raises
+    elif source_type == "tidb":
+        from .sources.tidb_source import tidb_streams
+
+        tidb_streams(spark, pipeline.source.config)  # raises
     else:
         raise SystemExit(f"unknown source type {pipeline.source.type!r}")
 
