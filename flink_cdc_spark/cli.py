@@ -366,6 +366,10 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
         from .sources.tidb_source import tidb_streams
 
         tidb_streams(spark, pipeline.source.config)  # raises
+    elif source_type == "vitess":
+        from .sources.vitess_source import vitess_streams
+
+        vitess_streams(spark, pipeline.source.config)  # raises
     else:
         raise SystemExit(f"unknown source type {pipeline.source.type!r}")
 

@@ -2572,6 +2572,85 @@ def tidb_kv_event_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vitess_vstream_decode",
+    """
+    WITH flags AS (
+      SELECT event_id, user_id, value,
+             ((event_id % 4) = 1 AND event_id <= 5000) AS insert_skipped,
+             ((event_id % 9) = 2) AS updated,
+             ((event_id % 21) = 13) AS deleted
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN updated THEN value + 7.5 ELSE value END AS value
+    FROM flags
+    WHERE NOT deleted AND (updated OR NOT insert_skipped)
+    """,
+)
+def vitess_vstream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vitess VStream decode with VGTID resume (Debezium Vitess envelope +
+    VitessSource VGTID semantics): sharded change records SYNTHESIZED with
+    to_json from the events parquet (shard = event_id % 4, per-shard gtid
+    txids), decoded by decode_vstream with a start VGTID that already
+    covers shard s1's inserts up to txid 5000 — those events are skipped,
+    so keys reappear only if a later (uncovered) update upserts them."""
+    from pyspark.sql import types as T
+
+    from .sinks.materialize import materialize_changelog
+    from .sources.vitess_source import GtidSet, Vgtid, decode_vstream
+
+    pin_session(spark)
+    base = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("events")
+        .select("event_id", "user_id", "value")
+    )
+    key = F.col("event_id")
+    shard = F.concat(F.lit("s"), (key % 4).cast("string"))
+    img = lambda value: F.struct(
+        key.alias("event_id"), F.col("user_id").alias("user_id"),
+        value.alias("value"),
+    )
+    src = lambda txid: F.struct(
+        F.lit("ks").alias("keyspace"),
+        F.lit("events").alias("table"),
+        shard.alias("shard"),
+        F.format_string("aaa:%d", txid).alias("gtid"),
+    )
+    null_img = F.lit(None).cast(
+        "struct<event_id:bigint,user_id:bigint,value:double>"
+    )
+    value = F.col("value")
+    rec = lambda op, before, after, txid: F.to_json(
+        F.struct(
+            before.alias("before"), after.alias("after"),
+            F.lit(op).alias("op"), src(txid).alias("source"),
+        )
+    ).alias("value")
+    ins = base.select(rec("c", null_img, img(value), key))
+    upd = base.where(key % 9 == 2).select(
+        rec("u", img(value), img(value + 7.5), key + F.lit(1_000_000))
+    )
+    dels = base.where(key % 21 == 13).select(
+        rec("d",
+            img(value + F.when(key % 9 == 2, 7.5).otherwise(0.0)),
+            null_img, key + F.lit(2_000_000))
+    )
+    raw = ins.unionByName(upd).unionByName(dels)
+    payload = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    start = Vgtid({"s1": GtidSet.parse("aaa:1-5000")}, keyspace="ks")
+    env = decode_vstream(raw, payload, start_vgtid=start)
+    final = materialize_changelog(env, ["event_id"])
+    return final.select("event_id", "user_id", "value")
+
+
+@register(
     "mongodb_change_stream_roundtrip",
     """
     SELECT o_orderkey, o_orderstatus,
@@ -2788,6 +2867,7 @@ _PRIORITY = [
     "mongodb_change_stream_roundtrip",
     "db2_asn_cd_decode",
     "tidb_kv_event_decode",
+    "vitess_vstream_decode",
     "mm_audio_feature_stats",
     "mm_video_frame_sample",
 ]

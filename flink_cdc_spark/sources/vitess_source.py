@@ -1,0 +1,305 @@
+"""Vitess CDC source surface: options, VGTID offset algebra, VStream decode.
+
+The Spark rendition of the reference's Vitess connector
+(flink-connector-vitess-cdc — a thin wrapper over the Debezium Vitess
+connector: VitessSource.java:258-276 builds Debezium properties,
+VitessTableFactory.java:43-129 the option surface). No vtgate ships in
+this environment, so the live branch fails fast; the substantive pieces
+are real and tested:
+
+* **VGTID offset algebra** — a Vitess position is a per-shard map of
+  GTID sets (`[{"keyspace":..,"shard":"-80","gtid":"MySQL56/uuid:1-5"}]`).
+  ``GtidSet`` implements interval-set parse/contains/union with MySQL's
+  semantics (sorted disjoint intervals per server-uuid); ``Vgtid``
+  wraps the per-shard map. This is what startup-from-VGTID filtering
+  and checkpoint resume depend on.
+* **VStream decode** — Debezium-vitess change records (before/after/op
+  with a source struct carrying keyspace/table/shard/vgtid and the
+  transaction gtid) decode to the changelog envelope with built-in
+  expressions only; events whose transaction is already contained in
+  the start VGTID are dropped (the resume contract), per shard.
+
+Sharded execution: each shard's stream is independently ordered —
+``__seq`` is (shard-local transaction id), and ``__meta`` carries the
+shard so per-key ordering stays within a shard exactly like VStream's
+per-shard delivery.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .envelope import (
+    ENVELOPE_META,
+    ENVELOPE_OP,
+    ENVELOPE_SEQ,
+    ENVELOPE_TABLE_ID,
+    OP_DELETE,
+    OP_INSERT,
+    OP_REPLACE,
+    OP_UPDATE,
+)
+
+TABLET_TYPES = ("MASTER", "REPLICA", "RDONLY")
+
+
+# ---------------------------------------------------------------------------
+# GTID set / VGTID algebra
+# ---------------------------------------------------------------------------
+
+_INTERVAL_RE = re.compile(r"^(\d+)(?:-(\d+))?$")
+
+
+class GtidSet:
+    """MySQL56-style GTID set: {server_uuid: sorted disjoint [lo, hi]}."""
+
+    def __init__(self, intervals: Optional[Dict[str, List[Tuple[int, int]]]] = None):
+        self.intervals: Dict[str, List[Tuple[int, int]]] = intervals or {}
+
+    @classmethod
+    def parse(cls, text: str) -> "GtidSet":
+        """Parse ``uuid:1-5:7,uuid2:9`` (optionally prefixed ``MySQL56/``)."""
+        text = (text or "").strip()
+        if "/" in text:
+            text = text.split("/", 1)[1]
+        out: Dict[str, List[Tuple[int, int]]] = {}
+        if not text:
+            return cls(out)
+        for part in text.split(","):
+            bits = part.strip().split(":")
+            uuid, ranges = bits[0], bits[1:]
+            if not uuid or not ranges:
+                raise ValueError(f"bad GTID set fragment: {part!r}")
+            ivs = out.setdefault(uuid, [])
+            for r in ranges:
+                m = _INTERVAL_RE.match(r)
+                if not m:
+                    raise ValueError(f"bad GTID interval: {r!r}")
+                lo = int(m.group(1))
+                hi = int(m.group(2) or lo)
+                if hi < lo:
+                    raise ValueError(f"inverted GTID interval: {r!r}")
+                ivs.append((lo, hi))
+        return cls({u: cls._normalize(ivs) for u, ivs in out.items()})
+
+    @staticmethod
+    def _normalize(ivs: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
+        merged: List[Tuple[int, int]] = []
+        for lo, hi in sorted(ivs):
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        return merged
+
+    def contains(self, uuid: str, txid: int) -> bool:
+        return any(lo <= txid <= hi for lo, hi in self.intervals.get(uuid, ()))
+
+    def union(self, other: "GtidSet") -> "GtidSet":
+        out = {u: list(ivs) for u, ivs in self.intervals.items()}
+        for u, ivs in other.intervals.items():
+            out[u] = self._normalize(out.get(u, []) + list(ivs))
+        return GtidSet(out)
+
+    def is_superset_of(self, other: "GtidSet") -> bool:
+        for u, ivs in other.intervals.items():
+            for lo, hi in ivs:
+                covered = any(l2 <= lo and hi <= h2 for l2, h2 in self.intervals.get(u, ()))
+                if not covered:
+                    return False
+        return True
+
+    def format(self) -> str:
+        parts = []
+        for u in sorted(self.intervals):
+            rs = ":".join(
+                f"{lo}-{hi}" if hi > lo else str(lo)
+                for lo, hi in self.intervals[u]
+            )
+            parts.append(f"{u}:{rs}")
+        return ",".join(parts)
+
+    def __eq__(self, other):
+        return isinstance(other, GtidSet) and self.intervals == other.intervals
+
+
+@dataclass
+class Vgtid:
+    """Per-shard GTID positions — the VStream resume token."""
+
+    shards: Dict[str, GtidSet] = field(default_factory=dict)
+    keyspace: str = ""
+
+    @classmethod
+    def parse(cls, text: str) -> "Vgtid":
+        data = json.loads(text)
+        if not isinstance(data, list):
+            raise ValueError("VGTID must be a JSON array of shard positions")
+        shards, keyspace = {}, ""
+        for entry in data:
+            keyspace = entry.get("keyspace", keyspace)
+            shards[entry["shard"]] = GtidSet.parse(entry.get("gtid", ""))
+        return cls(shards, keyspace)
+
+    def format(self) -> str:
+        return json.dumps(
+            [
+                {"keyspace": self.keyspace, "shard": s,
+                 "gtid": f"MySQL56/{g.format()}" if g.intervals else "current"}
+                for s, g in sorted(self.shards.items())
+            ]
+        )
+
+    def covers(self, shard: str, uuid: str, txid: int) -> bool:
+        g = self.shards.get(shard)
+        return g is not None and g.contains(uuid, txid)
+
+
+# ---------------------------------------------------------------------------
+# options
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VitessSourceConfig:
+    """`vitess-cdc` options (VitessTableFactory.java:43-129)."""
+
+    hostname: str = ""
+    port: int = 15991
+    keyspace: str = ""
+    username: str = ""
+    password: str = ""
+    shard: str = ""
+    gtid: str = "current"
+    stop_on_reshard: bool = False
+    tombstones_on_delete: bool = True
+    schema_name_adjustment_mode: str = "avro"
+    tablet_type: str = "RDONLY"
+    table_name: str = ""
+    decoding_plugin_name: str = "decoderbufs"
+    name: str = "flink"
+
+    @classmethod
+    def from_dict(cls, config: dict) -> "VitessSourceConfig":
+        tablet = str(config.get("tablet-type", "RDONLY")).upper()
+        if tablet not in TABLET_TYPES:
+            raise ValueError(
+                f"tablet-type must be one of {TABLET_TYPES}, got {tablet!r}"
+            )
+        return cls(
+            hostname=config.get("hostname", ""),
+            port=int(config.get("port", 15991)),
+            keyspace=config.get("keyspace", ""),
+            username=config.get("username", ""),
+            password=config.get("password", ""),
+            shard=config.get("vitess.shard", ""),
+            gtid=config.get("vitess.gtid", "current"),
+            stop_on_reshard=str(
+                config.get("vitess.stop_on_reshard", "false")
+            ).lower() == "true",
+            tombstones_on_delete=str(
+                config.get("tombstones.on.delete", "true")
+            ).lower() == "true",
+            schema_name_adjustment_mode=config.get(
+                "schema.name.adjustment.mode", "avro"
+            ),
+            tablet_type=tablet,
+            table_name=config.get("table-name", ""),
+            decoding_plugin_name=config.get("decoding.plugin.name", "decoderbufs"),
+            name=config.get("name", "flink"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# VStream decode
+# ---------------------------------------------------------------------------
+
+
+def decode_vstream(
+    records: DataFrame,
+    payload: T.StructType,
+    *,
+    start_vgtid: Optional[Vgtid] = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Debezium-vitess change records -> changelog envelope.
+
+    Value shape (Debezium Vitess connector): ``{"before":.., "after":..,
+    "op": c|u|d|r, "source": {"keyspace":.., "table":.., "shard":..,
+    "gtid": "uuid:txid"}}``. Events whose transaction the ``start_vgtid``
+    already contains are dropped per shard (resume semantics). Pure
+    built-in expressions: the VGTID filter compiles to a per-shard
+    interval predicate, not a UDF."""
+    doc_schema = T.StructType(
+        [
+            T.StructField("before", payload, True),
+            T.StructField("after", payload, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("keyspace", T.StringType(), True),
+                        T.StructField("table", T.StringType(), True),
+                        T.StructField("shard", T.StringType(), True),
+                        T.StructField("gtid", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    doc = F.from_json(F.col(value_col), doc_schema).alias("d")
+    parsed = records.select(doc)
+    uuid = F.split(F.col("d.source.gtid"), ":").getItem(0)
+    txid = F.split(F.col("d.source.gtid"), ":").getItem(1).cast("long")
+    if start_vgtid is not None and start_vgtid.shards:
+        covered = F.lit(False)
+        for shard, gset in start_vgtid.shards.items():
+            for u, ivs in gset.intervals.items():
+                for lo, hi in ivs:
+                    covered = covered | (
+                        (F.col("d.source.shard") == shard)
+                        & (uuid == u)
+                        & (txid >= lo)
+                        & (txid <= hi)
+                    )
+        parsed = parsed.where(~covered)
+    op = (
+        F.when(F.col("d.op") == "c", OP_INSERT)
+        .when(F.col("d.op") == "u", OP_UPDATE)
+        .when(F.col("d.op") == "d", OP_DELETE)
+        .otherwise(OP_REPLACE)
+    )
+    return parsed.select(
+        F.concat_ws(".", F.col("d.source.keyspace"), F.col("d.source.table")).alias(
+            ENVELOPE_TABLE_ID
+        ),
+        op.alias(ENVELOPE_OP),
+        F.col("d.before").alias("before"),
+        F.col("d.after").alias("after"),
+        F.create_map(
+            F.lit("shard"), F.col("d.source.shard"),
+            F.lit("gtid"), F.col("d.source.gtid"),
+        ).alias(ENVELOPE_META),
+        txid.alias(ENVELOPE_SEQ),
+    )
+
+
+def vitess_streams(spark: SparkSession, config: dict):
+    """CLI resolver for `type: vitess`: live mode needs a reachable vtgate
+    VStream gRPC endpoint — none ships here."""
+    cfg = VitessSourceConfig.from_dict(config)
+    if not cfg.hostname or not cfg.keyspace:
+        raise SystemExit("source.type=vitess requires 'hostname' and 'keyspace'")
+    raise SystemExit(
+        "source.type=vitess live mode needs a reachable vtgate VStream "
+        f"endpoint at {cfg.hostname}:{cfg.port} (keyspace {cfg.keyspace}); "
+        "none ships in this environment. The VStream decoder "
+        "(decode_vstream) is available for offline use."
+    )
