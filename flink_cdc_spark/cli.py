@@ -340,7 +340,11 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
 
         composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
         result = composer.compose(postgres_streams(spark, pipeline.source.config))
-    elif source_type == "mysql":
+    elif source_type in ("mysql", "oceanbase-cdc"):
+        # OceanBaseMySqlTableSourceFactory is an identifier-only subclass
+        # of the MySQL factory (OceanBase Binlog Service speaks the MySQL
+        # binlog protocol), so `oceanbase-cdc` routes through the MySQL
+        # source surface unchanged.
         from .pipeline.composer import BatchPipelineComposer
         from .sources.mysql_source import mysql_streams
 

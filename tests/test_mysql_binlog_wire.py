@@ -168,3 +168,31 @@ pipeline:
     written = spark.read.parquet(str(out / "app.orders"))
     rows = {r.id: (r.item_u, r.qty) for r in written.collect()}
     assert rows == {1: ("APPLE", 3), 2: ("PEAR", 5), 4: ("PLUM", 2)}
+
+
+def test_cli_oceanbase_cdc_routes_through_mysql_surface(spark, tmp_path):
+    """source.type=oceanbase-cdc (OceanBaseMySqlTableSourceFactory: an
+    identifier-only subclass — the OceanBase Binlog Service speaks MySQL
+    binlog) decodes the same wire fixture through the MySQL path."""
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    path = _write_fixture(tmp_path / "bin.000001")
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: oceanbase-cdc
+  binlog-file: {path}
+  tables: app.orders
+sink:
+  type: parquet
+  path: {out}
+pipeline:
+  name: oceanbase-binlog-replay
+  execution.runtime-mode: BATCH
+"""
+    )
+    run_pipeline(spark, pipeline)
+    written = spark.read.parquet(str(out / "app.orders"))
+    assert written.count() > 0
