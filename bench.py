@@ -59,7 +59,28 @@ def main():
         "selectors_ops_per_ms": selectors,
         "sf": sf,
     }
-    print(json.dumps(out))
+    # The complete record goes to BENCH_FULL.json; the printed line must
+    # stay under the driver's 2000-char stdout capture or it records an
+    # unparseable truncation (round-6 BENCH had parsed=null for exactly
+    # this reason). Budget the inline per-query dict slowest-first and
+    # summarize the fast remainder.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    line = json.dumps(out)
+    if len(line) > 1900:
+        ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+        shown = dict(ranked)
+        while ranked and len(json.dumps({**out, "queries": shown})) > 1800:
+            ranked.pop()
+            shown = dict(ranked)
+        omitted = {k: v for k, v in timings.items() if k not in shown}
+        out["queries"] = {k: round(v, 2) for k, v in shown.items()}
+        out["queries_omitted"] = len(omitted)
+        out["omitted_total_sec"] = round(sum(omitted.values()), 2)
+        out["full_record"] = "BENCH_FULL.json"
+        line = json.dumps(out)
+    print(line)
 
 
 def _bench_selectors():

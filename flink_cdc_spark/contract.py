@@ -2870,6 +2870,7 @@ _PRIORITY = [
     "vitess_vstream_decode",
     "mm_audio_feature_stats",
     "mm_video_frame_sample",
+    "dedup_semantic_cluster",
 ]
 
 

@@ -89,6 +89,14 @@ def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(_embs(spark, sf_dir))
 
 
+@register("dedup_semantic_cluster", dedup.semantic_dedup_oracle_sql())
+def dedup_semantic_cluster(spark, sf_dir):
+    """SemDeDup-style semantic dedup: one map pass assigns each embedding
+    to its nearest centroid, the quadratic near-dup search runs only
+    within cells (self-equi-join on cell id), keep-lowest-id policy."""
+    return dedup.semantic_dedup(_embs(spark, sf_dir))
+
+
 @register("sim_cosine_topk", similarity.cosine_topk_oracle_sql(n_queries=N_SIM_QUERIES))
 def sim_cosine_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)

@@ -706,3 +706,78 @@ def embedding_near_dup_oracle_sql(
     FROM normed a JOIN normed b ON a.{key} < b.{key}
     WHERE round({dot}, 4) >= {threshold}
     """
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster-bucketed embedding
+    near-dup with a keep-lowest-id policy.
+
+    Scale shape (the point of SemDeDup — Abbas et al. 2023): vectors are
+    assigned to their nearest centroid in ONE map pass (no shuffle), and
+    the quadratic similarity search runs only WITHIN each cluster — a
+    self-equi-join on the cell id, so total work is sum(|cell|^2), not
+    |corpus|^2, and each cell's pairs co-locate in one shuffle partition.
+    At 100 TB you raise the centroid count so cells stay bounded; the
+    documented approximation is that a dup pair straddling two cells is
+    missed (the paper's trade too). Centroids are the seeded unit vectors
+    the IVF index uses (similarity._centroids) — a production run k-means
+    a sample first; assignment/join mechanics are identical.
+
+    Returns the KEPT rows (vec_id, cell): a row is dropped iff a
+    lower-id row in the same cell has cosine >= threshold with it.
+    """
+    from .similarity import _dot, _ivf_scores_spark, _unit_expr
+
+    cells = (
+        df.selectExpr(f"{key} AS vec_id", f"{_unit_expr(vec)} AS u")
+        .withColumn("scores", F.expr(_ivf_scores_spark("u")))
+        .withColumn("cell", F.expr("array_position(scores, array_max(scores))").cast("int"))
+        .drop("scores")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(F.round(F.expr(_dot("a.u", "b.u")), 4) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(drops, "vec_id", "left_anti").select("vec_id", "cell")
+
+
+def semantic_dedup_oracle_sql(
+    table: str = "embeddings",
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> str:
+    """DuckDB mirror of semantic_dedup (same centroids, same rounding)."""
+    from .similarity import _dot_duck, _ivf_scores_duck, _unit_duck
+
+    scores = _ivf_scores_duck("u")
+    return f"""
+    WITH normed AS (
+      SELECT {key} AS vec_id, {_unit_duck(vec)} AS u FROM {table}
+    ),
+    cells AS (
+      SELECT vec_id, u,
+             CAST(list_position(s, list_aggregate(s, 'max')) AS INTEGER) AS cell
+      FROM (SELECT vec_id, u, {scores} AS s FROM normed)
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_dot_duck('a.u', 'b.u')}, 4) >= {threshold}
+    )
+    SELECT c.vec_id, c.cell FROM cells c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM drops)
+    """

@@ -303,3 +303,36 @@ def test_hash_sample_rate_one_keeps_all(spark):
     df = spark.range(500).selectExpr("id AS doc_id", "'xx' AS lang")
     kept = stratified_hash_sample(df, rates=(), default_rate=1.0).count()
     assert kept == 500
+
+
+def test_semantic_dedup_keep_policy(spark):
+    """SemDeDup cluster-bucketed dedup: a dropped row must have a kept
+    lower-id near-dup in ITS OWN cell; pairs across cells never drop."""
+    from flink_cdc_spark.datapipe import dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kept = dedup.semantic_dedup(df)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    all_ids = {r.vec_id for r in df.select("vec_id").collect()}
+    dropped = all_ids - kept_ids
+    assert kept_ids  # something survives
+    # dropped rows each have a lower-id same-cell neighbor above threshold
+    from flink_cdc_spark.datapipe.similarity import _dot, _ivf_scores_spark, _unit_expr
+    from pyspark.sql import functions as F
+
+    cells = (
+        df.selectExpr("vec_id", f"{_unit_expr('embedding')} AS u")
+        .withColumn("scores", F.expr(_ivf_scores_spark("u")))
+        .withColumn("cell", F.expr("array_position(scores, array_max(scores))"))
+        .drop("scores")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(F.round(F.expr(_dot("a.u", "b.u")), 4) >= dedup.COSINE_DUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("lo"), F.col("b.vec_id").alias("hi"))
+        .collect()
+    )
+    should_drop = {r.hi for r in pairs}
+    assert dropped == should_drop
