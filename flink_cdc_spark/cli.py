@@ -37,7 +37,7 @@ import os
 import sys
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from .pipeline.definition import PipelineDef
 from .pipeline.yaml_parser import parse_pipeline_yaml
@@ -193,6 +193,49 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
             (
                 records.orderBy("__seq")
                 .select("row")
+                .write.mode("overwrite")
+                .text(out)
+            )
+            summary.tables[table] = spark.read.text(out).count()
+            summary.sink_paths[table] = out
+        elif sink_type == "kafka":
+            # Producer-record assembly (topic routing / partitioning /
+            # keys / headers / include-schema); no broker is reachable in
+            # this environment, so 'spool-dir' stands in for the cluster
+            # and records spool as JSON lines per topic.
+            from .sinks.kafka_sink import (
+                KafkaSinkConfig,
+                debezium_connect_schema,
+                kafka_producer_records,
+            )
+
+            try:
+                kcfg = KafkaSinkConfig.from_dict(
+                    {k: v for k, v in pipeline.sink.config.items()
+                     if k != "spool-dir"}
+                )
+            except ValueError as e:
+                raise SystemExit(str(e))
+            spool = pipeline.sink.config.get("spool-dir")
+            if not spool:
+                raise SystemExit(
+                    "sink.type=kafka: no broker is reachable in this "
+                    "environment; set 'spool-dir' to write producer records"
+                )
+            schema = result.schemas[table].ensure_pk_non_null()
+            block = (
+                debezium_connect_schema(schema)
+                if kcfg.include_schema
+                else None
+            )
+            records = kafka_producer_records(
+                result.changelogs[table], kcfg, table,
+                list(schema.primary_keys), connect_schema_json=block,
+            )
+            out = os.path.join(spool, table.replace("/", "_"))
+            (
+                records.orderBy("__offset")
+                .select(F.to_json(F.struct("*")).alias("value"))
                 .write.mode("overwrite")
                 .text(out)
             )

@@ -2486,6 +2486,126 @@ def db2_asn_cd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kafka_producer_record_route",
+    """
+    SELECT 'sup_topic' AS topic, s_suppkey AS rec_key, s_name AS rec_name,
+           CASE WHEN (s_suppkey % 6) = 1 THEN s_acctbal + 12.5
+                ELSE s_acctbal END AS rec_val
+    FROM supplier
+    WHERE (s_suppkey % 14) <> 9
+    UNION ALL
+    SELECT 'misc_topic', n_nationkey, n_name, CAST(n_regionkey AS DOUBLE)
+    FROM nation
+    """,
+)
+def kafka_producer_record_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka producer-record roundtrip
+    (PipelineKafkaRecordSerializationSchema scope): two tables' changelogs
+    assemble into records with selector-based topic routing
+    (supplier -> sup_topic by exact rule, nation -> misc_topic by
+    wildcard), hash-by-key partitioning, per-PK JSON keys and the
+    debezium include-schema wrapping — then the consumer side strips the
+    schema block, decodes debezium-json per topic and materializes the
+    exact final states."""
+    from pyspark.sql import types as T
+
+    from .sinks.kafka_sink import (
+        KafkaSinkConfig,
+        debezium_connect_schema,
+        infer_topic,
+        kafka_producer_records,
+        strip_connect_schema,
+    )
+    from .sinks.materialize import materialize_changelog
+    from .sources.kafka_json import decode_debezium_json
+    from .core.schema import new_schema
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    cfg = KafkaSinkConfig.from_dict(
+        {
+            "partition.strategy": "hash-by-key",
+            "sink.tableId-to-topic.mapping":
+                "app.supplier:sup_topic;app.\\.*:misc_topic",
+            "debezium-json.include-schema.enabled": "true",
+            "sink.add-tableId-to-header-enabled": "true",
+        }
+    )
+
+    sup_env = src.changelog(
+        "supplier", "app.supplier",
+        MutationSpec(key_column="s_suppkey",
+                     update_exprs={"s_acctbal": "s_acctbal + 12.5"},
+                     update_mod=6, update_rem=1, delete_mod=14, delete_rem=9),
+    )
+    sup_schema = (
+        new_schema()
+        .physical_column("s_suppkey", "BIGINT NOT NULL")
+        .physical_column("s_name", "STRING")
+        .physical_column("s_nationkey", "BIGINT")
+        .physical_column("s_acctbal", "DOUBLE")
+        .primary_key("s_suppkey")
+        .build()
+    )
+    nat_env = src.changelog("nation", "app.nation", None)
+    nat_schema = (
+        new_schema()
+        .physical_column("n_nationkey", "BIGINT NOT NULL")
+        .physical_column("n_name", "STRING")
+        .physical_column("n_regionkey", "BIGINT")
+        .primary_key("n_nationkey")
+        .build()
+    )
+
+    def roundtrip(env, table_id, schema, pk, payload):
+        recs = kafka_producer_records(
+            env, cfg, table_id, [pk],
+            connect_schema_json=debezium_connect_schema(schema),
+        )
+        topic = infer_topic(cfg, table_id)  # control-plane, no action
+        consumed = strip_connect_schema(recs)
+        decoded = decode_debezium_json(consumed, payload)
+        final = materialize_changelog(decoded, [pk])
+        return final, topic
+
+    sup_payload = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.LongType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    nat_payload = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    sup_final, sup_topic = roundtrip(
+        sup_env, "app.supplier", sup_schema, "s_suppkey", sup_payload
+    )
+    nat_final, nat_topic = roundtrip(
+        nat_env, "app.nation", nat_schema, "n_nationkey", nat_payload
+    )
+    out = sup_final.select(
+        F.lit(sup_topic).alias("topic"),
+        F.col("s_suppkey").alias("rec_key"),
+        F.col("s_name").alias("rec_name"),
+        F.col("s_acctbal").alias("rec_val"),
+    ).unionByName(
+        nat_final.select(
+            F.lit(nat_topic).alias("topic"),
+            F.col("n_nationkey").alias("rec_key"),
+            F.col("n_name").alias("rec_name"),
+            F.col("n_regionkey").cast("double").alias("rec_val"),
+        )
+    )
+    return out
+
+
+@register(
     "tidb_kv_event_decode",
     """
     SELECT c_custkey, c_name,
@@ -2868,6 +2988,7 @@ _PRIORITY = [
     "db2_asn_cd_decode",
     "tidb_kv_event_decode",
     "vitess_vstream_decode",
+    "kafka_producer_record_route",
     "mm_audio_feature_stats",
     "mm_video_frame_sample",
     "dedup_semantic_cluster",

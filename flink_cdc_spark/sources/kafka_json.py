@@ -49,10 +49,11 @@ def _split_table_id():
     return db, F.element_at(parts, -1)
 
 
-def encode_debezium_json(env: DataFrame) -> DataFrame:
-    """Envelope -> (key, value) debezium-json records. The key is the
-    table id (a production sink keys by primary key for per-key ordering
-    into one partition; callers with PK knowledge should re-key)."""
+def debezium_value_expr(env: DataFrame):
+    """The debezium-json value as a Column over an envelope frame (shared
+    by the plain encoder and the producer-record assembly in
+    sinks/kafka_sink.py, which adds keys/topics in the SAME projection —
+    no self-join)."""
     db, table = _split_table_id()
     op = (
         F.when(F.col(ENVELOPE_OP) == OP_INSERT, "c")
@@ -63,7 +64,7 @@ def encode_debezium_json(env: DataFrame) -> DataFrame:
     ts = F.coalesce(
         F.element_at(F.col(ENVELOPE_META), "op_ts").cast("long"), F.lit(0)
     )
-    value = F.to_json(
+    return F.to_json(
         F.struct(
             F.col("before").alias("before"),
             F.col("after").alias("after"),
@@ -72,9 +73,15 @@ def encode_debezium_json(env: DataFrame) -> DataFrame:
             ts.alias("ts_ms"),
         )
     )
+
+
+def encode_debezium_json(env: DataFrame) -> DataFrame:
+    """Envelope -> (key, value) debezium-json records. The key is the
+    table id (a production sink keys by primary key for per-key ordering
+    into one partition; callers with PK knowledge should re-key)."""
     return env.select(
         F.col(ENVELOPE_TABLE_ID).alias("key"),
-        value.alias("value"),
+        debezium_value_expr(env).alias("value"),
         F.col(ENVELOPE_SEQ).alias("__offset"),
     )
 
@@ -134,8 +141,8 @@ def decode_debezium_json(
     )
 
 
-def encode_canal_json(env: DataFrame, pk_names: Sequence[str] = ()) -> DataFrame:
-    """Envelope -> (key, value) canal-json records."""
+def canal_value_expr(env: DataFrame, pk_names: Sequence[str] = ()):
+    """The canal-json value as a Column over an envelope frame."""
     db, table = _split_table_id()
     ctype = (
         F.when(F.col(ENVELOPE_OP) == OP_DELETE, "DELETE")
@@ -152,7 +159,7 @@ def encode_canal_json(env: DataFrame, pk_names: Sequence[str] = ()) -> DataFrame
     ts = F.coalesce(
         F.element_at(F.col(ENVELOPE_META), "op_ts").cast("long"), F.lit(0)
     )
-    value = F.to_json(
+    return F.to_json(
         F.struct(
             F.when(old_img.isNotNull(), F.array(old_img)).alias("old"),
             F.when(data_img.isNotNull(), F.array(data_img)).alias("data"),
@@ -163,9 +170,13 @@ def encode_canal_json(env: DataFrame, pk_names: Sequence[str] = ()) -> DataFrame
             ts.alias("ts"),
         )
     )
+
+
+def encode_canal_json(env: DataFrame, pk_names: Sequence[str] = ()) -> DataFrame:
+    """Envelope -> (key, value) canal-json records."""
     return env.select(
         F.col(ENVELOPE_TABLE_ID).alias("key"),
-        value.alias("value"),
+        canal_value_expr(env, pk_names).alias("value"),
         F.col(ENVELOPE_SEQ).alias("__offset"),
     )
 
