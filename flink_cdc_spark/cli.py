@@ -325,6 +325,9 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
         loop.run(
             polls=int(cfg.get("polls", 1)),
             interval_s=float(cfg.get("poll-interval", 0)),
+            rescan_new_tables=str(
+                cfg.get("scan.newly-added-table.enabled", "false")
+            ).lower() == "true",
         )
         summary = RunSummary(mode="STREAMING")
         for target in loop.sink_tables():

@@ -287,21 +287,48 @@ class MultiTableCdcPipeline:
             (_transform_rule_of(t), _transform_rule_of(t).selectors())
             for t in (pipeline_def.transforms if pipeline_def else [])
         ]
+        self.tables_selector = tables_selector
+        self.chunk_size = chunk_size
         ep = JdbcEndpoint(spark, url)
         self.pipes = {}
         self.sink_schemas = {}  # sink table str -> Schema (post-transform)
         for tid in ep.discover_tables(selectors=tables_selector):
-            schema = ep.discover_schema(tid.table_name)
-            if not schema.primary_keys:
+            self._add_pipe(ep, tid)
+
+    def _add_pipe(self, ep, tid) -> bool:
+        schema = ep.discover_schema(tid.table_name)
+        if not schema.primary_keys:
+            return False
+        cfg = JdbcLiveSourceConfig(
+            url=self.url,
+            table=tid.table_name,
+            key_column=schema.primary_keys[0],
+            table_id=str(tid),
+            chunk_size=self.chunk_size,
+        )
+        self.pipes[str(tid)] = _RoutedTablePipe(self, cfg)
+        return True
+
+    def capture_newly_added(self) -> list:
+        """`scan.newly-added-table.enabled` semantics
+        (base/source/assigner/SnapshotSplitAssigner.java:235-287): rescan
+        the live metadata for selector-matched tables not yet captured and
+        start each one with its own snapshot phase — existing pipes keep
+        streaming, exactly the reference's
+        suspend-free newly-added-tables process (each table's snapshot /
+        stream handoff is already per-pipe LW/HW-fenced, so a new table
+        joining late never disturbs captured ones)."""
+        from ..sources.jdbc_live import JdbcEndpoint
+
+        ep = JdbcEndpoint(self.spark, self.url)
+        added = []
+        for tid in ep.discover_tables(selectors=self.tables_selector):
+            if str(tid) in self.pipes:
                 continue
-            cfg = JdbcLiveSourceConfig(
-                url=url,
-                table=tid.table_name,
-                key_column=schema.primary_keys[0],
-                table_id=str(tid),
-                chunk_size=chunk_size,
-            )
-            self.pipes[str(tid)] = _RoutedTablePipe(self, cfg)
+            if self._add_pipe(ep, tid):
+                self.pipes[str(tid)].bootstrap()
+                added.append(str(tid))
+        return added
 
     def _rule_for(self, tid):
         for rule, selectors in self._transform_rules:
@@ -313,13 +340,16 @@ class MultiTableCdcPipeline:
         for pipe in self.pipes.values():
             pipe.bootstrap()
 
-    def poll_once(self) -> int:
+    def poll_once(self, rescan: bool = False) -> int:
+        if rescan:
+            self.capture_newly_added()
         return sum(pipe.poll_once() for pipe in self.pipes.values())
 
-    def run(self, polls: int, interval_s: float = 0.0) -> int:
+    def run(self, polls: int, interval_s: float = 0.0,
+            rescan_new_tables: bool = False) -> int:
         total = 0
         for _ in range(polls):
-            total += self.poll_once()
+            total += self.poll_once(rescan=rescan_new_tables)
             if interval_s:
                 time.sleep(interval_s)
         return total

@@ -148,3 +148,54 @@ def test_live_ddl_evolves_state_and_capture(spark, tmp_path):
     pipe.poll_once()
     rows = {r.id: r.score for r in pipe.current_state().collect()}
     assert rows[50] == 1.25
+
+
+def test_newly_added_table_captured_mid_stream(spark, tmp_path):
+    """scan.newly-added-table.enabled (SnapshotSplitAssigner:235-287): a
+    table created AFTER the pipeline entered its streaming phase is
+    discovered on rescan, snapshotted, and then streams — while the
+    original table keeps capturing without a re-snapshot."""
+    from flink_cdc_spark.pipeline.cdc_pipeline import MultiTableCdcPipeline
+
+    ep = JdbcEndpoint(spark, derby_url(str(tmp_path / "db")))
+    ep.execute(
+        "CREATE TABLE users (id BIGINT NOT NULL PRIMARY KEY, "
+        "name VARCHAR(50), val DOUBLE)"
+    )
+    install_capture(ep, "users", COLS)
+    ep.insert_rows("users", COLS, [(i, f"u{i}", float(i)) for i in range(1, 6)])
+
+    url = derby_url(str(tmp_path / "db"), create=False)
+    loop = MultiTableCdcPipeline(
+        spark, url, str(tmp_path / "state"), tables_selector=r"app.\.*",
+        chunk_size=3,
+    )
+    loop.bootstrap()
+    loop.poll_once()
+    assert set(loop.pipes) == {"app.users"}
+
+    # streaming phase: a new matching table appears + old table changes
+    ep.execute(
+        "CREATE TABLE invoices (id BIGINT NOT NULL PRIMARY KEY, "
+        "name VARCHAR(50), val DOUBLE)"
+    )
+    install_capture(ep, "invoices", COLS)
+    ep.insert_rows("invoices", COLS, [(i, f"inv{i}", 10.0 * i) for i in range(1, 4)])
+    ep.execute_update("UPDATE users SET name = 'moved' WHERE id = 4")
+
+    added = loop.capture_newly_added()
+    assert added == ["app.invoices"]
+    n = loop.poll_once(rescan=True)  # idempotent: nothing re-added
+    assert set(loop.pipes) == {"app.users", "app.invoices"}
+
+    inv = {r.id: (r.name, r.val) for r in loop.current_state("app.invoices").collect()}
+    assert inv == {1: ("inv1", 10.0), 2: ("inv2", 20.0), 3: ("inv3", 30.0)}
+    users = {r.id: r.name for r in loop.current_state("app.users").collect()}
+    assert users[4] == "moved" and len(users) == 5
+
+    # and the new table now STREAMS: post-snapshot writes flow on poll
+    ep.insert_rows("invoices", COLS, [(9, "inv9", 90.0)])
+    ep.execute_update("DELETE FROM invoices WHERE id = 2")
+    loop.poll_once()
+    inv = {r.id for r in loop.current_state("app.invoices").collect()}
+    assert inv == {1, 3, 9}
