@@ -1421,6 +1421,89 @@ def jdbc_snapshot_stream_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jdbc_newly_added_table",
+    """
+    SELECT 'app.region' AS src_table, r_regionkey AS rec_key,
+           CASE WHEN r_regionkey = 1 THEN 'MOVED' ELSE r_name END AS rec_name
+    FROM region
+    UNION ALL
+    SELECT 'app.nation', n_nationkey, n_name
+    FROM nation
+    WHERE (n_nationkey % 6) <> 2
+    """,
+)
+def jdbc_newly_added_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan.newly-added-table.enabled end-to-end on a live database
+    (SnapshotSplitAssigner.java:235-287 scope): the pipeline bootstraps
+    with only REGION captured; NATION is created AFTER the streaming
+    phase starts, gets discovered on rescan, snapshotted, and then
+    streams (post-snapshot deletes land) — while REGION's own stream
+    keeps flowing (a mid-phase update lands without a re-snapshot)."""
+    import shutil
+    import tempfile
+
+    from .pipeline.cdc_pipeline import MultiTableCdcPipeline
+    from .sources.jdbc_live import JdbcEndpoint, derby_url, install_capture
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="newtab_contract_")
+    try:
+        ep = JdbcEndpoint(spark, derby_url(f"{root}/db"))
+        ep.execute(
+            "CREATE TABLE REGION (R_REGIONKEY BIGINT NOT NULL PRIMARY KEY, "
+            "R_NAME VARCHAR(64))"
+        )
+        install_capture(ep, "region", ["r_regionkey", "r_name"])
+        ep.insert_rows(
+            "REGION", ["R_REGIONKEY", "R_NAME"],
+            [tuple(r) for r in src.snapshot("region")
+             .select("r_regionkey", "r_name").collect()],
+        )
+        url = derby_url(f"{root}/db", create=False)
+        loop = MultiTableCdcPipeline(
+            spark, url, f"{root}/state", tables_selector=r"app.\.*",
+            chunk_size=16,
+        )
+        loop.bootstrap()
+        loop.poll_once()
+
+        # streaming phase: NATION appears, REGION keeps changing
+        ep.execute(
+            "CREATE TABLE NATION (N_NATIONKEY BIGINT NOT NULL PRIMARY KEY, "
+            "N_NAME VARCHAR(64))"
+        )
+        install_capture(ep, "nation", ["n_nationkey", "n_name"])
+        ep.insert_rows(
+            "NATION", ["N_NATIONKEY", "N_NAME"],
+            [tuple(r) for r in src.snapshot("nation")
+             .select("n_nationkey", "n_name").collect()],
+        )
+        ep.execute_update("UPDATE REGION SET R_NAME = 'MOVED' WHERE R_REGIONKEY = 1")
+        added = loop.capture_newly_added()
+        if added != ["app.nation"]:
+            raise AssertionError(f"expected app.nation discovered, got {added}")
+        # post-snapshot stream traffic on the NEW table
+        ep.execute_update("DELETE FROM NATION WHERE MOD(N_NATIONKEY, 6) = 2")
+        loop.poll_once()
+
+        region = loop.current_state("app.region").select(
+            F.lit("app.region").alias("src_table"),
+            F.col("r_regionkey").alias("rec_key"),
+            F.col("r_name").alias("rec_name"),
+        )
+        nation = loop.current_state("app.nation").select(
+            F.lit("app.nation").alias("src_table"),
+            F.col("n_nationkey").alias("rec_key"),
+            F.col("n_name").alias("rec_name"),
+        )
+        out = region.unionByName(nation)
+        return _pin_state(spark, out, "newtab")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "jdbc_startup_latest_offset",
     """
     SELECT s_suppkey, s_name, CAST(999.5 AS DOUBLE) AS s_acctbal
@@ -2989,6 +3072,7 @@ _PRIORITY = [
     "tidb_kv_event_decode",
     "vitess_vstream_decode",
     "kafka_producer_record_route",
+    "jdbc_newly_added_table",
     "mm_audio_feature_stats",
     "mm_video_frame_sample",
     "dedup_semantic_cluster",
