@@ -128,9 +128,10 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                m = r["meta"]
-                img = _decode_backend(r["payload"], m["width"], m["height"])
+            # zip over column arrays, not iterrows (row-boxing dominates at
+            # Arrow batch sizes)
+            for media_id, payload, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                img = _decode_backend(payload, m["width"], m["height"])
                 # 8x8 downsample -> mean-threshold perceptual hash
                 ys = np.linspace(0, img.shape[0] - 1, 8).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, 8).astype(int)
@@ -141,13 +142,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                     for k in range(0, 64, 8)
                 )
                 out.append(
-                    (
-                        r["media_id"],
-                        img.shape[1],
-                        img.shape[0],
-                        float(img.mean()),
-                        phash,
-                    )
+                    (media_id, img.shape[1], img.shape[0], float(img.mean()), phash)
                 )
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "mean_luma", "phash"]
@@ -162,15 +157,17 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads, uris, metas = [], [], [], []
-            for _, r in pdf.iterrows():
-                m = dict(r["meta"])
-                img = _decode_backend(r["payload"], m["width"], m["height"])
+            for media_id, payload, uri, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["uri"], pdf["meta"]
+            ):
+                m = dict(meta)
+                img = _decode_backend(payload, m["width"], m["height"])
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, width).astype(int)
                 resized = img[np.ix_(ys, xs)]
-                ids.append(r["media_id"])
+                ids.append(media_id)
                 payloads.append(resized.tobytes())
-                uris.append(r["uri"])
+                uris.append(uri)
                 m.update({"width": width, "height": height, "codec": "raw"})
                 metas.append(m)
             yield pd.DataFrame(
@@ -187,13 +184,12 @@ def sample_frames(media: DataFrame, every_n: int = 4, max_frames: int = 3) -> Da
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                m = r["meta"]
-                base = _decode_backend(r["payload"], m["width"], m["height"])
+            for media_id, payload, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                base = _decode_backend(payload, m["width"], m["height"])
                 for k in range(max_frames):
                     # fake temporal dimension: shift the seed per frame
                     frame = np.roll(base, k * every_n, axis=0)
-                    out.append((r["media_id"], k * every_n, frame.tobytes()))
+                    out.append((media_id, k * every_n, frame.tobytes()))
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return media.mapInPandas(stage, schema=FRAME_SCHEMA)
@@ -302,22 +298,15 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                m = r["meta"]
-                pcm = _decode_audio_backend(r["payload"], r["media_id"])
+            for media_id, payload, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                pcm = _decode_audio_backend(payload, media_id)
                 n = int(pcm.shape[0])
                 sr = int(m["sample_rate"])
                 s = int(pcm.astype(np.int64).sum())
                 sq = int((pcm.astype(np.int64) ** 2).sum())
                 out.append(
-                    (
-                        r["media_id"],
-                        n,
-                        (n * 1000) // sr,
-                        s / n,
-                        int(pcm.max()),
-                        math.sqrt(sq / n),
-                    )
+                    (media_id, n, (n * 1000) // sr, s / n, int(pcm.max()),
+                     math.sqrt(sq / n))
                 )
             yield pd.DataFrame(
                 out,
@@ -367,20 +356,15 @@ def frame_sample_stats(media: DataFrame, every_n: int = 4, max_frames: int = 3) 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                m = r["meta"]
-                base = _decode_backend(r["payload"], m["width"], m["height"])
+            for media_id, payload, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                base = _decode_backend(payload, m["width"], m["height"])
                 total = int(base.astype(np.int64).sum())
                 h = base.shape[0]
                 for k in range(max_frames):
-                    frame = np.roll(base, k * every_n, axis=0)
+                    shift = (k * every_n) % h
                     out.append(
-                        (
-                            r["media_id"],
-                            k * every_n,
-                            total,
-                            int(frame[0, 0]),
-                        )
+                        (media_id, k * every_n, total,
+                         int(base[(h - shift) % h, 0]))
                     )
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "frame_sum", "first_byte"]
