@@ -1989,6 +1989,89 @@ def mysql_binlog_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mysql_gtid_startup_replay",
+    """
+    SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal
+    FROM customer
+    WHERE (c_custkey % 10) = 3 AND (c_custkey % 20) <> 7
+    """,
+)
+def mysql_gtid_startup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan.startup.specific-offset.gtid-set over REAL binlog wire bytes
+    (MySqlDataSourceOptions.java:147): three GTID-framed transactions —
+    snapshot inserts, +100 updates on key%10=3, deletes on key%20=7. The
+    start set covers the INSERT transaction, so only the update/delete
+    transactions stream; the materialized state is exactly the upserted
+    surviving keys."""
+    import hashlib
+    import os
+
+    from .sinks.materialize import materialize_changelog
+    from .sources.mysql_binlog_wire import BinlogWriter
+    from .sources.mysql_source import MySqlBinaryBinlogDecoder
+
+    pin_session(spark)
+    sid = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/flink_cdc_spark_binloggtid/{key}"
+    glob_path = f"{root}/bin.*"
+    if not os.path.exists(f"{root}/_READY"):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            ParquetTableSource(spark, sf_dir)
+            .snapshot("customer")
+            .select("c_custkey", "c_name", "c_acctbal")
+            .orderBy("c_custkey")
+            .collect()
+        )
+        types = ["BIGINT", "VARCHAR(200)", "DOUBLE"]
+        w = BinlogWriter()
+        w.query(
+            "app",
+            "CREATE TABLE customer (c_custkey BIGINT NOT NULL PRIMARY KEY, "
+            "c_name VARCHAR(200), c_acctbal DOUBLE)",
+        )
+        w.gtid(sid, 1)  # covered by the start set -> whole txn skipped
+        w.table_map(70, "app", "customer", types)
+        for i in range(0, len(rows), 500):
+            w.write_rows(
+                70, types,
+                [[r.c_custkey, r.c_name, r.c_acctbal] for r in rows[i:i + 500]],
+            )
+        w.xid()
+        w.gtid(sid, 2)
+        w.table_map(70, "app", "customer", types)
+        w.update_rows(
+            70, types,
+            [([r.c_custkey, r.c_name, r.c_acctbal],
+              [r.c_custkey, r.c_name, r.c_acctbal + 100])
+             for r in rows if r.c_custkey % 10 == 3],
+        )
+        w.xid()
+        w.gtid(sid, 3)
+        w.table_map(70, "app", "customer", types)
+        w.delete_rows(
+            70, types,
+            [[r.c_custkey, r.c_name,
+              r.c_acctbal + (100 if r.c_custkey % 10 == 3 else 0)]
+             for r in rows if r.c_custkey % 20 == 7],
+        )
+        w.xid()
+        with open(f"{root}/bin.000001", "wb") as f:
+            f.write(w.to_bytes())
+        with open(f"{root}/_READY", "w") as f:
+            f.write("ok")
+    dec = MySqlBinaryBinlogDecoder(spark)
+    _, _, schemas = dec.scan_control(glob_path)
+    env = dec.read_envelope(
+        glob_path, "app.customer", schemas["app.customer"].to_spark_struct(),
+        start_gtid_set=f"MySQL56/{sid}:1",
+    )
+    final = materialize_changelog(env, ["c_custkey"])
+    return final.select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
     "sqlserver_cdc_table_decode",
     """
     SELECT c_custkey, c_name,
@@ -3073,6 +3156,7 @@ _PRIORITY = [
     "vitess_vstream_decode",
     "kafka_producer_record_route",
     "jdbc_newly_added_table",
+    "mysql_gtid_startup_replay",
     "mm_audio_feature_stats",
     "mm_video_frame_sample",
     "dedup_semantic_cluster",

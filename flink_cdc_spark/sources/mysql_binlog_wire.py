@@ -47,6 +47,7 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_EVENT_V2 = 30
 UPDATE_ROWS_EVENT_V2 = 31
 DELETE_ROWS_EVENT_V2 = 32
+GTID_LOG_EVENT = 33
 
 # column type codes (enum_field_types)
 MYSQL_TYPE_TINY = 1
@@ -148,6 +149,14 @@ class BinlogWriter:
         body = struct.pack("<IIBHH", 0, 0, len(db), 0, 0)
         body += db + b"\x00" + sql.encode()
         return self._event(QUERY_EVENT, body)
+
+    def gtid(self, sid_hex: str, gno: int) -> int:
+        """GTID_LOG_EVENT opening a transaction: commit-flag byte +
+        16-byte server uuid (SID) + signed 64-bit LE group number."""
+        sid = bytes.fromhex(sid_hex.replace("-", ""))
+        if len(sid) != 16:
+            raise ValueError("GTID SID must be a 16-byte uuid")
+        return self._event(GTID_LOG_EVENT, b"\x01" + sid + struct.pack("<q", gno))
 
     def xid(self, xid: int = 1) -> int:
         return self._event(XID_EVENT, struct.pack("<Q", xid))
@@ -372,6 +381,15 @@ def parse_binlog_bytes(data: bytes, base_pos: int = 0) -> Iterator[dict]:
                 DELETE_ROWS_EVENT_V2: "EXT_DELETE_ROWS",
             }[type_code]
             yield {"type": kind, "pos": pos, "table_id": tnum, "rows": rows}
+        elif type_code == GTID_LOG_EVENT:
+            sid = body[1:17]
+            (gno,) = struct.unpack_from("<q", body, 17)
+            sid_hex = sid.hex()
+            uuid = (
+                f"{sid_hex[:8]}-{sid_hex[8:12]}-{sid_hex[12:16]}-"
+                f"{sid_hex[16:20]}-{sid_hex[20:]}"
+            )
+            yield {"type": "GTID", "pos": pos, "sid": uuid, "gno": gno}
         elif type_code == XID_EVENT:
             yield {"type": "XID", "pos": pos}
         elif type_code == FORMAT_DESCRIPTION_EVENT:

@@ -159,6 +159,10 @@ class MySqlSourceConfig:
     tinyint1_is_bit: bool = True  # treat-tinyint1-as-boolean.enabled
     include_schema_changes: bool = True
     binlog_file: Optional[str] = None  # offline replay (no server needed)
+    # scan.startup.specific-offset.* (MySqlDataSourceOptions.java:135-160)
+    specific_offset_file: Optional[str] = None
+    specific_offset_pos: Optional[int] = None
+    specific_offset_gtid_set: Optional[str] = None
 
     @classmethod
     def from_dict(cls, config: dict) -> "MySqlSourceConfig":
@@ -182,6 +186,15 @@ class MySqlSourceConfig:
                 config.get("include-schema-changes", "true")
             ).lower() != "false",
             binlog_file=config.get("binlog-file"),
+            specific_offset_file=config.get("scan.startup.specific-offset.file"),
+            specific_offset_pos=(
+                int(config["scan.startup.specific-offset.pos"])
+                if config.get("scan.startup.specific-offset.pos") is not None
+                else None
+            ),
+            specific_offset_gtid_set=config.get(
+                "scan.startup.specific-offset.gtid-set"
+            ),
         )
 
     def jdbc_url(self, database: str = "") -> str:
@@ -477,18 +490,27 @@ class MySqlBinaryBinlogDecoder:
         return epochs, ddl_events, schemas
 
     def read_envelope(
-        self, path: str, table_id: str, payload: T.StructType
+        self, path: str, table_id: str, payload: T.StructType,
+        start_gtid_set: Optional[str] = None,
     ) -> DataFrame:
         """Row events for one table decoded into the envelope: binaryFile
         scan (one partition per segment file) -> mapInPandas parsing the
         wire bytes in executors -> typed envelope. __seq = (event end
         position << 20) + row index, the same total order the JSONL
-        decoder uses."""
+        decoder uses.
+
+        ``start_gtid_set`` implements `scan.startup.specific-offset.
+        gtid-set` (MySqlDataSourceOptions.java:147): transactions whose
+        GTID_LOG_EVENT the set already contains are skipped whole. The
+        per-file sequential parse carries the current-transaction flag —
+        sound because MySQL rotates segments only at transaction
+        boundaries, so a transaction never straddles files."""
         from ..session import ensure_package_on_executors
 
         import os as _os
 
         ensure_package_on_executors(self.spark)
+        gtid_filter = start_gtid_set
         epochs, _, _ = self.scan_control(path)
         epoch_pos = [e.pos for e in epochs]
         epoch_tables = [e.tables for e in epochs]
@@ -504,9 +526,12 @@ class MySqlBinaryBinlogDecoder:
             import os
             import pandas as pd
 
+            from flink_cdc_spark.sources.gtid import GtidSet
             from flink_cdc_spark.sources.mysql_binlog_wire import (
                 parse_binlog_bytes,
             )
+
+            skip_set = GtidSet.parse(gtid_filter) if gtid_filter else None
 
             def resolve(pos, tbl_id):
                 i = bisect_right(epoch_pos, pos) - 1
@@ -518,9 +543,17 @@ class MySqlBinaryBinlogDecoder:
                 out = []
                 for fpath, content in zip(pdf["path"], pdf["content"]):
                     base = base_by_name[os.path.basename(str(fpath))]
+                    skipping_txn = False
                     for ev in parse_binlog_bytes(bytes(content), base_pos=base):
                         kind = ev.get("type")
+                        if kind == "GTID" and skip_set is not None:
+                            skipping_txn = skip_set.contains(
+                                ev["sid"], int(ev["gno"])
+                            )
+                            continue
                         if kind not in _ROW_KINDS:
+                            continue
+                        if skipping_txn:
                             continue
                         pos = int(ev["pos"])
                         mapped = resolve(pos, int(ev.get("table_id", -1)))
@@ -626,13 +659,31 @@ def mysql_streams(spark: SparkSession, config: dict):
         )
         _, _, schemas = decoder.scan_control(cfg.binlog_file)
         sel = Selectors(cfg.tables)
+        gtid_set = None
+        if (
+            cfg.startup_mode == StartupMode.SPECIFIC_OFFSETS
+            and cfg.specific_offset_gtid_set
+        ):
+            if not is_binary:
+                raise SystemExit(
+                    "scan.startup.specific-offset.gtid-set needs binary "
+                    "binlog segments (GTID_LOG_EVENTs); the JSONL replay "
+                    "shape carries no GTIDs"
+                )
+            gtid_set = cfg.specific_offset_gtid_set
         for tid_str, schema in sorted(schemas.items()):
             tid = TableId.parse(tid_str)
             if not sel.is_match(tid):
                 continue
-            env = decoder.read_envelope(
-                cfg.binlog_file, tid_str, schema.to_spark_struct()
-            )
+            if gtid_set is not None:
+                env = decoder.read_envelope(
+                    cfg.binlog_file, tid_str, schema.to_spark_struct(),
+                    start_gtid_set=gtid_set,
+                )
+            else:
+                env = decoder.read_envelope(
+                    cfg.binlog_file, tid_str, schema.to_spark_struct()
+                )
             yield TableStream(
                 table_id=tid, df=env, schema=schema, insert_only=False
             )

@@ -196,3 +196,68 @@ pipeline:
     run_pipeline(spark, pipeline)
     written = spark.read.parquet(str(out / "app.orders"))
     assert written.count() > 0
+
+
+SID_A = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+SID_B = "11111111-2222-3333-4444-555555555555"
+
+
+def test_gtid_event_roundtrip():
+    w = BinlogWriter()
+    w.gtid(SID_A, 5)
+    w.query("app", "BEGIN")
+    events = list(parse_binlog_bytes(w.to_bytes()))
+    g = [e for e in events if e["type"] == "GTID"]
+    assert g == [{"type": "GTID", "pos": g[0]["pos"], "sid": SID_A, "gno": 5}]
+    with pytest.raises(ValueError, match="16-byte"):
+        w.gtid("abcd", 1)
+
+
+def test_gtid_startup_skips_contained_transactions(spark, tmp_path):
+    """scan.startup.specific-offset.gtid-set: transactions whose GTID the
+    start set contains are skipped WHOLE; later transactions stream."""
+    types = ["BIGINT", "VARCHAR(64)"]
+    w = BinlogWriter()
+    w.query(
+        "app",
+        "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(64))",
+    )
+    # txn 1 (covered): inserts 1,2
+    w.gtid(SID_A, 1)
+    w.table_map(5, "app", "t", types)
+    w.write_rows(5, types, [[1, "a"], [2, "b"]])
+    w.xid()
+    # txn 2 (covered, other uuid): insert 3
+    w.gtid(SID_B, 7)
+    w.table_map(5, "app", "t", types)
+    w.write_rows(5, types, [[3, "c"]])
+    w.xid()
+    # txn 3 (NOT covered): insert 4, update 1 -> would resurrect id=1
+    w.gtid(SID_A, 2)
+    w.table_map(5, "app", "t", types)
+    w.write_rows(5, types, [[4, "d"]])
+    w.update_rows(5, types, [([1, "a"], [1, "a2"])])
+    w.xid()
+    path = tmp_path / "bin.000001"
+    path.write_bytes(w.to_bytes())
+
+    dec = MySqlBinaryBinlogDecoder(spark)
+    _, _, schemas = dec.scan_control(str(path))
+    payload = schemas["app.t"].to_spark_struct()
+
+    # no filter: all five row events
+    env_all = dec.read_envelope(str(path), "app.t", payload)
+    assert env_all.count() == 5
+
+    env = dec.read_envelope(
+        str(path), "app.t", payload,
+        start_gtid_set=f"MySQL56/{SID_A}:1,{SID_B}:1-7",
+    )
+    rows = sorted(
+        (r["__op"], (r["after"] or r["before"])["id"]) for r in env.collect()
+    )
+    assert rows == [("INSERT", 4), ("UPDATE", 1)]
+
+    state = {r["id"]: r["v"] for r in
+             materialize_changelog(env, ["id"]).collect()}
+    assert state == {4: "d", 1: "a2"}
