@@ -3160,6 +3160,7 @@ _PRIORITY = [
     "mm_audio_feature_stats",
     "mm_video_frame_sample",
     "dedup_semantic_cluster",
+    "dedup_exact_substring",
 ]
 
 

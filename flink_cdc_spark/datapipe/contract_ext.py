@@ -89,6 +89,47 @@ def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(_embs(spark, sf_dir))
 
 
+_BOILER = (
+    "common boilerplate sentence repeated across many documents "
+    "to exercise the frequency cap guard"
+)
+
+_SUBSTR_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 2
+    UNION ALL
+    SELECT doc_id + 2000000, '{_BOILER}' FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@register(
+    "dedup_exact_substring",
+    dedup.exact_substring_oracle_sql(_SUBSTR_CORPUS_SQL),
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact duplicated-span pairs (Lee et al. 2022 scope): verbatim
+    8-token windows joined on their hash, with the boilerplate frequency
+    cap cutting the quadratic blowup — the planted identical-boilerplate
+    docs (freq >> cap) correctly yield NO pairs, the planted twins do."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 2)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 3 == 0)
+            .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.lit(_BOILER).alias("text"))
+        )
+    )
+    return dedup.exact_substring_pairs(corpus)
+
+
 @register("dedup_semantic_cluster", dedup.semantic_dedup_oracle_sql())
 def dedup_semantic_cluster(spark, sf_dir):
     """SemDeDup-style semantic dedup: one map pass assigns each embedding

@@ -781,3 +781,87 @@ def semantic_dedup_oracle_sql(
     SELECT c.vec_id, c.cell FROM cells c
     WHERE c.vec_id NOT IN (SELECT vec_id FROM drops)
     """
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    window: int = 8,
+    freq_cap: int = 50,
+) -> DataFrame:
+    """Exact duplicated-span detection (the dedup op of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): two docs
+    pair iff they share at least one VERBATIM window of `window`
+    consecutive tokens; reports the shared-window count per pair.
+
+    Scale shape: one map pass explodes each doc into its windows hashed
+    JVM-side (md5 over the joined tokens — chosen because the oracle can
+    compute the identical digest), then ONE self-equi-join on the window
+    hash. The classic blowup — boilerplate windows shared by thousands of
+    docs turning the join quadratic — is cut by the `freq_cap` guard: a
+    window seen in more than `freq_cap` distinct docs is dropped before
+    the join (the suffix-array implementations apply the same frequency
+    cut). At 100 TB the guard bounds every hash group, so the join stays
+    sum(freq²) with freq <= cap.
+    """
+    toks = F.split(F.col(text), " ")
+    n = F.size(toks)
+    windows = F.expr(
+        f"transform(sequence(0, size(split({text}, ' ')) - {window}), "
+        f"i -> md5(concat_ws(' ', slice(split({text}, ' '), i + 1, {window}))))"
+    )
+    win = (
+        df.where(n >= window)
+        .select(F.col(key).alias("doc"), F.explode(windows).alias("h"))
+        .distinct()  # a window repeated INSIDE one doc counts once
+    )
+    # drop boilerplate windows before the join (the quadratic guard)
+    rare = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") <= freq_cap)
+        .select("h")
+    )
+    w = win.join(rare, "h")
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared_windows"))
+    )
+
+
+def exact_substring_oracle_sql(
+    corpus_sql: str,
+    key: str = "doc_id",
+    text: str = "text",
+    window: int = 8,
+    freq_cap: int = 50,
+) -> str:
+    """DuckDB mirror of exact_substring_pairs over `corpus_sql` (a SELECT
+    producing the same key/text columns)."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    win AS (
+      SELECT DISTINCT {key} AS doc, h
+      FROM (
+        SELECT {key},
+               unnest(list_transform(
+                 range(len(string_split({text}, ' ')) - {window} + 1),
+                 i -> md5(array_to_string(
+                        string_split({text}, ' ')[i + 1 : i + {window}], ' '))
+               )) AS h
+        FROM corpus
+        WHERE len(string_split({text}, ' ')) >= {window}
+      )
+    ),
+    rare AS (
+      SELECT h FROM win GROUP BY h HAVING count(*) <= {freq_cap}
+    ),
+    w AS (SELECT win.doc, win.h FROM win JOIN rare USING (h))
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared_windows
+    FROM w a JOIN w b ON a.h = b.h AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    """

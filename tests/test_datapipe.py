@@ -336,3 +336,25 @@ def test_semantic_dedup_keep_policy(spark):
     )
     should_drop = {r.hi for r in pairs}
     assert dropped == should_drop
+
+
+def test_exact_substring_pairs_and_freq_cap(spark):
+    from flink_cdc_spark.datapipe import dedup
+
+    boiler = "x " * 12  # identical 12-token doc shared by many
+    rows = (
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+        + [(2, "alpha beta gamma delta epsilon zeta eta theta different tail")]
+        + [(3, "totally unrelated words that share no window with the others here")]
+        + [(100 + i, boiler.strip()) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_windows
+        for r in dedup.exact_substring_pairs(df, window=8, freq_cap=5).collect()
+    }
+    # docs 1 and 2 share exactly the first 8-token window
+    assert pairs == {(1, 2): 1}
+    # without the cap the 10 identical boiler docs pair quadratically
+    uncapped = dedup.exact_substring_pairs(df, window=8, freq_cap=1000)
+    assert uncapped.where("doc_a >= 100").count() == 45  # C(10,2)
