@@ -3161,6 +3161,7 @@ _PRIORITY = [
     "mm_video_frame_sample",
     "dedup_semantic_cluster",
     "dedup_exact_substring",
+    "cluster_kmeans_assign",
 ]
 
 

@@ -130,6 +130,24 @@ def dedup_exact_substring(spark, sf_dir):
     return dedup.exact_substring_pairs(corpus)
 
 
+def _km_oracle():
+    from . import clustering
+
+    return clustering.kmeans_oracle_sql()
+
+
+@register("cluster_kmeans_assign", _km_oracle())
+def cluster_kmeans_assign(spark, sf_dir):
+    """K-means (Lloyd) over the embedding column as a distributed
+    DataFrame loop: per iteration one broadcast-centroid scoring map pass
+    + one exact-integer hash aggregation; only the k*dim centroid matrix
+    crosses the driver. Integer-quantized centroid sums make the SQL
+    oracle bit-exact (float summation order cannot diverge)."""
+    from . import clustering
+
+    return clustering.kmeans_assign(_embs(spark, sf_dir))
+
+
 @register("dedup_semantic_cluster", dedup.semantic_dedup_oracle_sql())
 def dedup_semantic_cluster(spark, sf_dir):
     """SemDeDup-style semantic dedup: one map pass assigns each embedding

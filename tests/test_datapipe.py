@@ -358,3 +358,44 @@ def test_exact_substring_pairs_and_freq_cap(spark):
     # without the cap the 10 identical boiler docs pair quadratically
     uncapped = dedup.exact_substring_pairs(df, window=8, freq_cap=1000)
     assert uncapped.where("doc_a >= 100").count() == 45  # C(10,2)
+
+
+def test_kmeans_assign_properties(spark):
+    from flink_cdc_spark.datapipe import clustering
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = df.count()
+    out = clustering.kmeans_assign(df, k=4, iters=2)
+    rows = out.collect()
+    assert len(rows) == n  # every vector assigned, exactly once
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(4))
+    # deterministic: a second run assigns identically
+    again = {(r.vec_id, r.cluster) for r in
+             clustering.kmeans_assign(df, k=4, iters=2).collect()}
+    assert {(r.vec_id, r.cluster) for r in rows} == again
+    # iterating must not worsen the Lloyd objective (sum sq dist)
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in df.collect()}
+    for vid in vecs:
+        vecs[vid] = vecs[vid] / np.sqrt((vecs[vid] ** 2).sum())
+
+    def objective(assign):
+        by_c = {}
+        for vid, c in assign.items():
+            by_c.setdefault(c, []).append(vecs[vid])
+        total = 0.0
+        for c, vs in by_c.items():
+            m = np.mean(vs, axis=0)
+            total += sum(((v - m) ** 2).sum() for v in vs)
+        return total
+
+    a1 = {r.vec_id: r.cluster for r in
+          clustering.kmeans_assign(df, k=4, iters=1).collect()}
+    a3 = {r.vec_id: r.cluster for r in
+          clustering.kmeans_assign(df, k=4, iters=3).collect()}
+    assert objective(a3) <= objective(a1) + 1e-9
+
+    with pytest.raises(ValueError, match="at least k"):
+        clustering.kmeans_assign(df.limit(2), k=4)
