@@ -3162,6 +3162,7 @@ _PRIORITY = [
     "dedup_semantic_cluster",
     "dedup_exact_substring",
     "cluster_kmeans_assign",
+    "dedup_semantic_kmeans",
 ]
 
 

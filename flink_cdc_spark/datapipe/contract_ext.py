@@ -148,6 +148,22 @@ def cluster_kmeans_assign(spark, sf_dir):
     return clustering.kmeans_assign(_embs(spark, sf_dir))
 
 
+def _sem_km_oracle():
+    return dedup.semantic_dedup_kmeans_oracle_sql()
+
+
+@register("dedup_semantic_kmeans", _sem_km_oracle())
+def dedup_semantic_kmeans(spark, sf_dir):
+    """The FULL SemDeDup pipeline: fit k-means clusters (exact-oracle
+    Lloyd), then near-dup search only within fitted clusters with the
+    keep-lowest-id policy — clustering and dedup composed end-to-end."""
+    from . import clustering
+
+    embs = _embs(spark, sf_dir)
+    assignments = clustering.kmeans_assign(embs)
+    return dedup.semantic_dedup_with_clusters(embs, assignments)
+
+
 @register("dedup_semantic_cluster", dedup.semantic_dedup_oracle_sql())
 def dedup_semantic_cluster(spark, sf_dir):
     """SemDeDup-style semantic dedup: one map pass assigns each embedding

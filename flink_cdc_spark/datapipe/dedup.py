@@ -865,3 +865,65 @@ def exact_substring_oracle_sql(
     FROM w a JOIN w b ON a.h = b.h AND a.doc < b.doc
     GROUP BY a.doc, b.doc
     """
+
+
+def semantic_dedup_with_clusters(
+    df: DataFrame,
+    assignments: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup stage 2 over EXTERNAL cluster assignments — the full
+    paper pipeline when composed with clustering.kmeans_assign (fit
+    clusters, then near-dup only within clusters). Same join shape and
+    keep-lowest-id policy as semantic_dedup; returns kept (vec_id,
+    cluster)."""
+    from .similarity import _dot, _unit_expr
+
+    normed = df.selectExpr(f"{key} AS vec_id", f"{_unit_expr(vec)} AS u")
+    cells = normed.join(assignments, "vec_id").withColumnRenamed(
+        "cluster", "cell"
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(F.round(F.expr(_dot("a.u", "b.u")), 4) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(drops, "vec_id", "left_anti").select("vec_id", "cell")
+
+
+def semantic_dedup_kmeans_oracle_sql(
+    table: str = "embeddings",
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> str:
+    """DuckDB mirror of kmeans_assign |> semantic_dedup_with_clusters."""
+    from .clustering import kmeans_oracle_sql
+    from .similarity import _dot_duck, _unit_duck
+
+    return f"""
+    WITH assign AS (SELECT * FROM ({kmeans_oracle_sql(table, key, vec)})),
+    normed AS (
+      SELECT {key} AS vec_id, {_unit_duck(vec)} AS u FROM {table}
+    ),
+    cells AS (
+      SELECT n.vec_id, a.cluster AS cell, n.u
+      FROM normed n JOIN assign a ON a.vec_id = n.vec_id
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_dot_duck('a.u', 'b.u')}, 4) >= {threshold}
+    )
+    SELECT c.vec_id, c.cell FROM cells c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM drops)
+    """
