@@ -3163,6 +3163,7 @@ _PRIORITY = [
     "dedup_exact_substring",
     "cluster_kmeans_assign",
     "dedup_semantic_kmeans",
+    "events_sessionize",
 ]
 
 

@@ -130,6 +130,26 @@ def dedup_exact_substring(spark, sf_dir):
     return dedup.exact_substring_pairs(corpus)
 
 
+def _sessions_oracle():
+    from . import sessions
+
+    return sessions.sessionize_oracle_sql()
+
+
+@register("events_sessionize", _sessions_oracle())
+def events_sessionize(spark, sf_dir):
+    """Gap-based event sessionization (training-example grouping): one
+    shuffle on user_id, lag -> flag -> running-sum session index, one
+    aggregation; integer-microsecond arithmetic with (ts, event_id)
+    ordering so equal timestamps cannot reorder between engines."""
+    from . import sessions
+    from ..sources.parquet_source import ParquetTableSource
+
+    # ParquetTableSource normalizes TIMESTAMP(NANOS) parquet columns
+    ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
+    return sessions.sessionize(ev)
+
+
 def _km_oracle():
     from . import clustering
 

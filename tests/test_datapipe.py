@@ -399,3 +399,29 @@ def test_kmeans_assign_properties(spark):
 
     with pytest.raises(ValueError, match="at least k"):
         clustering.kmeans_assign(df.limit(2), k=4)
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime
+
+    from flink_cdc_spark.datapipe import sessions
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1: two sessions split by a 100-minute gap
+        (1, t0, 1), (1, t0 + 5 * m, 2), (1, t0 + 105 * m, 3),
+        # user 2: one session, equal timestamps ordered by event_id
+        (2, t0, 10), (2, t0, 11),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us)
+        for r in sessions.sessionize(ev, gap_minutes=60).collect()
+    }
+    us = lambda dt: int(dt.timestamp() * 1e6)  # session tz pinned UTC
+    assert got == {
+        (1, 1): (2, us(t0), us(t0 + 5 * m)),
+        (1, 2): (1, us(t0 + 105 * m), us(t0 + 105 * m)),
+        (2, 1): (2, us(t0), us(t0)),
+    }
