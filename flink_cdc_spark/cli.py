@@ -439,12 +439,43 @@ def main(argv=None) -> int:
     run_p.add_argument("--mode", choices=["batch", "streaming"], default=None,
                        help="override pipeline.execution.runtime-mode")
     run_p.add_argument("--json", action="store_true", help="print summary as JSON")
+    # CliFrontendOptions surface (flink-cdc-cli/.../CliFrontendOptions.java)
+    run_p.add_argument("--global-config", default=None,
+                       help="YAML of pipeline-block defaults layered under "
+                            "the definition (conf/flink-cdc.yaml analog)")
+    run_p.add_argument("-D", dest="defines", action="append", default=[],
+                       metavar="key=value",
+                       help="Spark session conf override (the reference's "
+                            "generic Flink -D options)")
+    run_p.add_argument("-s", "--from-savepoint", default=None,
+                       help="state root to resume a STREAMING run from "
+                            "(overrides the sink state path)")
+    run_p.add_argument("--claim-mode", default="NO_CLAIM",
+                       choices=["CLAIM", "NO_CLAIM"],
+                       help="savepoint ownership on restore; state dirs "
+                            "are never deleted here, i.e. NO_CLAIM "
+                            "semantics either way")
+    run_p.add_argument("--allow-nonRestored-state", action="store_true",
+                       help="tolerate state for tables the pipeline no "
+                            "longer captures (extra state dirs are "
+                            "ignored by construction)")
     val_p = sub.add_parser("validate", help="parse a pipeline YAML and print the plan")
     val_p.add_argument("yaml_file")
     args = parser.parse_args(argv)
 
+    global_defaults = None
+    if getattr(args, "global_config", None):
+        import yaml as _yaml
+
+        with open(args.global_config) as f:
+            loaded = _yaml.safe_load(f) or {}
+        # accept either a bare mapping or a {pipeline: {...}} document
+        global_defaults = loaded.get("pipeline", loaded)
+        if not isinstance(global_defaults, dict):
+            raise SystemExit("--global-config must contain a YAML mapping")
+
     with open(args.yaml_file) as f:
-        pipeline = parse_pipeline_yaml(f.read())
+        pipeline = parse_pipeline_yaml(f.read(), global_config=global_defaults)
 
     if args.command == "validate":
         print(f"pipeline: {pipeline.config.name}")
@@ -457,10 +488,18 @@ def main(argv=None) -> int:
 
     if args.mode:
         pipeline.config.runtime_mode = args.mode.upper()
+    if getattr(args, "from_savepoint", None):
+        # resume: the state root IS the savepoint (LSM state + offsets)
+        pipeline.sink.config["path"] = args.from_savepoint
 
     from .session import get_spark
 
     spark = get_spark(pipeline.config.name or "flink-cdc-spark")
+    for define in getattr(args, "defines", []):
+        if "=" not in define:
+            raise SystemExit(f"-D expects key=value, got {define!r}")
+        k, v = define.split("=", 1)
+        spark.conf.set(k.strip(), v.strip())
     summary = run_pipeline(spark, pipeline)
     if args.json:
         print(json.dumps({"mode": summary.mode, "tables": summary.tables,

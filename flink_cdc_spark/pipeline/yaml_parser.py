@@ -45,8 +45,17 @@ def _parse_table_options(block: dict) -> tuple:
     return tuple(out)
 
 
-def parse_pipeline_yaml(text: str) -> PipelineDef:
+def parse_pipeline_yaml(text: str, global_config: dict | None = None) -> PipelineDef:
+    """`global_config` is the CLI ``--global-config`` defaults mapping
+    (CliFrontendOptions GLOBAL_CONFIG): pipeline-block keys the YAML does
+    not set fall back to it, mirroring how the reference layers
+    conf/flink-cdc.yaml under each pipeline definition."""
     doc = yaml.safe_load(text)
+    if global_config:
+        merged = dict(global_config)
+        merged.update(doc.get("pipeline") or {})
+        doc = dict(doc)
+        doc["pipeline"] = merged
     if not isinstance(doc, dict):
         raise ValueError("Pipeline YAML must be a mapping")
     if "source" not in doc:

@@ -316,3 +316,66 @@ pipeline:
     assert st.read("default.region").count() == 5
     assert len(st.snapshots("default.region")) == 1
     assert os.path.isdir(wh / "default.region" / "metadata")
+
+
+def test_global_config_layers_under_pipeline(tmp_path, spark):
+    """--global-config defaults (CliFrontendOptions GLOBAL_CONFIG): keys
+    the pipeline block does not set fall back to the global file; keys it
+    sets win."""
+    from flink_cdc_spark.cli import main
+
+    gc = tmp_path / "flink-cdc.yaml"
+    gc.write_text(
+        "pipeline:\n"
+        "  parallelism: 7\n"
+        "  name: global-name\n"
+    )
+    y = tmp_path / "p.yaml"
+    out = tmp_path / "out"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: region
+  primary-key.region: r_regionkey
+sink:
+  type: parquet
+  path: {out}
+pipeline:
+  name: local-name
+  execution.runtime-mode: BATCH
+"""
+    )
+    rc = main(["run", str(y), "--global-config", str(gc), "--json",
+               "-D", "spark.sql.shuffle.partitions=4"])
+    assert rc == 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    p = parse_pipeline_yaml(y.read_text(), global_config={"parallelism": 7,
+                                                          "name": "global-name"})
+    assert p.config.parallelism == 7      # filled from global config
+    assert p.config.name == "local-name"  # pipeline block wins
+
+
+def test_cli_rejects_bad_define(tmp_path):
+    from flink_cdc_spark.cli import main
+
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: region
+sink:
+  type: values
+pipeline:
+  execution.runtime-mode: BATCH
+"""
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="key=value"):
+        main(["run", str(y), "-D", "nonsense"])
