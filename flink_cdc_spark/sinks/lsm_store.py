@@ -78,9 +78,16 @@ class LsmStateStore:
         os.replace(tmp, self._manifest_path(table))
 
     # -- write path --------------------------------------------------------
-    def merge(self, table: str, env: DataFrame, target_struct, primary_keys) -> None:
+    def merge(self, table: str, env: DataFrame, target_struct, primary_keys,
+              partition_keys=()) -> None:
         """Append one delta commit from an envelope batch (already coerced
-        to target_struct). O(batch) — never touches existing state."""
+        to target_struct). O(batch) — never touches existing state.
+
+        ``partition_keys`` (the Paimon `partition.key` sink option /
+        Schema.partitionKeys — PaimonMetadataApplier.java:157-165): delta
+        and base files lay out hive-partitioned on these columns, so a
+        filtered read prunes whole partitions at the file listing and a
+        commit touching few partitions writes few directories."""
         from pyspark.sql import Window
 
         m = self._load(table) or {
@@ -89,9 +96,12 @@ class LsmStateStore:
             "deltas": [],
             "next": 0,
             "pks": list(primary_keys),
+            "partition_keys": list(partition_keys),
         }
         m["schema"] = target_struct.json()
         m["pks"] = list(primary_keys)
+        if partition_keys:
+            m["partition_keys"] = list(partition_keys)
 
         payload_cols = [f.name for f in target_struct.fields]
         img = F.when(
@@ -111,7 +121,11 @@ class LsmStateStore:
             )
         cid = m["next"]
         path = os.path.join(self._dir(table), f"delta-{cid:08d}")
-        rows.write.mode("overwrite").parquet(path)
+        pts = [k for k in m.get("partition_keys", []) if k in payload_cols]
+        writer = rows.write.mode("overwrite")
+        if pts:
+            writer = writer.partitionBy(*pts)
+        writer.parquet(path)
         m["deltas"].append({"id": cid, "renames": []})
         m["next"] = cid + 1
         self._store(table, m)
@@ -132,8 +146,16 @@ class LsmStateStore:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         return df.select(*cols, F.col(_TOMBSTONE), F.col(ENVELOPE_SEQ))
 
-    def read(self, table: str) -> Optional[DataFrame]:
-        """Merge-on-read: base ∪ deltas -> last image per key -> live rows."""
+    def read(self, table: str, predicate: Optional[str] = None) -> Optional[DataFrame]:
+        """Merge-on-read: base ∪ deltas -> last image per key -> live rows.
+
+        ``predicate`` (a SQL boolean over payload columns) applies to each
+        commit scan BEFORE the merge window — the lake-reader pruning
+        path: a partition-column predicate prunes whole hive partitions
+        at file listing (PartitionFilters), which the post-merge filter
+        cannot (no pushdown through a PK-partitioned window). Sound for
+        any column whose value is immutable per key (partition columns
+        are, by the same rule Paimon imposes on partition keys)."""
         from pyspark.sql import Window
 
         m = self._load(table)
@@ -147,6 +169,8 @@ class LsmStateStore:
                 m.get("base_renames", []),
                 schema_struct,
             )
+            if predicate:
+                base = base.where(F.expr(predicate))
             parts.append(base.withColumn(_COMMIT, F.lit(-1)))
         for d in m["deltas"]:
             delta = self._read_commit(
@@ -154,6 +178,8 @@ class LsmStateStore:
                 d["renames"],
                 schema_struct,
             )
+            if predicate:
+                delta = delta.where(F.expr(predicate))
             parts.append(delta.withColumn(_COMMIT, F.lit(d["id"])))
         if not parts:
             # truncated (or never written): an empty table with the schema
@@ -190,7 +216,14 @@ class LsmStateStore:
             F.lit(False).alias(_TOMBSTONE),
             F.lit(-1).cast("long").alias(ENVELOPE_SEQ),
         )
-        out.write.mode("overwrite").parquet(path)
+        pts = [
+            k for k in m.get("partition_keys", [])
+            if k in {f.name for f in schema_struct.fields}
+        ]
+        writer = out.write.mode("overwrite")
+        if pts:
+            writer = writer.partitionBy(*pts)
+        writer.parquet(path)
         m["base"] = cid
         m["base_renames"] = []
         m["deltas"] = []

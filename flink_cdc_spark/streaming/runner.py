@@ -394,5 +394,9 @@ class StreamingPipelineRunner:
                 target_struct = final_schema.to_spark_struct()
                 coerced = coerce_envelope_payload(routed, target_struct)
                 self.state.merge(
-                    str(target), coerced, target_struct, list(final_schema.primary_keys)
+                    str(target), coerced, target_struct,
+                    list(final_schema.primary_keys),
+                    partition_keys=list(
+                        getattr(final_schema, "partition_keys", ()) or ()
+                    ),
                 )

@@ -139,3 +139,49 @@ def test_add_column_old_commits_null_pad(spark, tmp_path):
     st.set_schema("db.t", wider)
     out = {r.id: (r.name, r.extra) for r in st.read("db.t").collect()}
     assert out == {1: ("a", None)}
+
+
+def test_partitioned_layout_and_pruned_read(spark, tmp_path):
+    """Paimon partition.key semantics: hive-partitioned delta/base layout;
+    a filtered read prunes partitions at the scan."""
+    import os
+
+    from pyspark.sql import functions as F, types as T
+
+    from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+    from flink_cdc_spark.sources.envelope import wrap_as_inserts
+
+    store = LsmStateStore(spark, str(tmp_path), compact_every=100)
+    df = spark.createDataFrame(
+        [(i, f"n{i}", ["us", "eu", "ap"][i % 3]) for i in range(30)],
+        "id long, name string, region string",
+    )
+    env = wrap_as_inserts(df, "app.t")
+    struct = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("region", T.StringType()),
+        ]
+    )
+    store.merge("app.t", env, struct, ["id"], partition_keys=["region"])
+    delta = os.path.join(str(tmp_path), "app.t", "delta-00000000")
+    assert sorted(
+        d for d in os.listdir(delta) if d.startswith("region=")
+    ) == ["region=ap", "region=eu", "region=us"]
+
+    full = store.read("app.t")
+    assert full.count() == 30
+    # read-time predicate prunes partitions BEFORE the merge window
+    pruned = store.read("app.t", predicate="region = 'eu'")
+    assert pruned.count() == 10
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "region" in plan.split(
+        "PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+    # compaction preserves the partitioned layout
+    store.compact("app.t")
+    m = store._load("app.t")
+    base = os.path.join(str(tmp_path), "app.t", f"base-{m['base']:08d}")
+    assert any(d.startswith("region=") for d in os.listdir(base))
+    assert store.read("app.t").count() == 30
