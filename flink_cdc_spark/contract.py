@@ -1504,6 +1504,80 @@ def jdbc_newly_added_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_partitioned_pruning",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN (o_orderkey % 9) = 4 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 18) <> 11 AND o_orderstatus = 'F'
+    """,
+)
+def lake_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned LSM lake table (Paimon partition.key scope): the
+    changelog commits hive-partitioned on o_orderstatus; the read applies
+    its predicate per commit BEFORE the merge window, so the partition
+    filter prunes whole directories at file listing — asserted on the
+    plan, then the pruned state is oracle-compared."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sinks.lsm_store import LsmStateStore
+    from .sources.envelope import payload_struct
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    mut = MutationSpec(
+        key_column="o_orderkey",
+        update_exprs={"o_totalprice": "o_totalprice * 2"},
+        update_mod=9, update_rem=4, delete_mod=18, delete_rem=11,
+    )
+    env = src.changelog("orders", "lake.orders", mut)
+    # project the payload down to the three checked columns (incl. the
+    # partition column)
+    keep = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    img = lambda side: F.when(
+        F.col(side).isNotNull(),
+        F.struct(*[F.col(f"{side}.{c}").alias(c) for c in keep]),
+    )
+    env = env.select(
+        "__table_id", "__op",
+        img("before").alias("before"), img("after").alias("after"),
+        "__meta", "__seq",
+    )
+    struct = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="lsm_part_contract_")
+    try:
+        store = LsmStateStore(spark, root, compact_every=100)
+        store.merge(
+            "lake.orders", env, struct, ["o_orderkey"],
+            partition_keys=["o_orderstatus"],
+        )
+        out = store.read("lake.orders", predicate="o_orderstatus = 'F'")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan:
+            raise AssertionError("expected a partition-pruned scan")
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        if "o_orderstatus" not in pf:
+            raise AssertionError(f"partition filter not pruned: {pf!r}")
+        return _pin_state(
+            spark,
+            out.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            "lsm_part",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "jdbc_startup_latest_offset",
     """
     SELECT s_suppkey, s_name, CAST(999.5 AS DOUBLE) AS s_acctbal
@@ -3157,6 +3231,7 @@ _PRIORITY = [
     "kafka_producer_record_route",
     "jdbc_newly_added_table",
     "mysql_gtid_startup_replay",
+    "lake_partitioned_pruning",
     "mm_audio_feature_stats",
     "mm_video_frame_sample",
     "dedup_semantic_cluster",
