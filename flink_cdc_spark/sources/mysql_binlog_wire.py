@@ -25,7 +25,9 @@ DDL-tracked schema, so every downstream piece (epoch resolution,
 executor-side row decode, schema evolution) is shared.
 
 Column types supported (the dialect subset the engine maps): TINY, SHORT,
-LONG, LONGLONG, FLOAT, DOUBLE, VARCHAR. Signedness is a DDL property (the
+LONG, LONGLONG, FLOAT, DOUBLE, VARCHAR, NEWDECIMAL (the strings/decimal.c
+memcomparable base-10^9 layout), DATETIME2 (5-byte packed + fsp
+fraction), DATE. Signedness is a DDL property (the
 binlog does not record it); values decode signed, matching the engine's
 type coercion.
 """
@@ -56,7 +58,14 @@ MYSQL_TYPE_LONG = 3
 MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
 MYSQL_TYPE_LONGLONG = 8
+MYSQL_TYPE_DATE = 10
 MYSQL_TYPE_VARCHAR = 15
+MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_NEWDECIMAL = 246
+
+# strings/decimal.c: bytes needed for n leftover decimal digits
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+_DIG_PER_GROUP = 9
 
 _TYPE_BY_DDL = {
     "TINYINT": MYSQL_TYPE_TINY,
@@ -67,7 +76,174 @@ _TYPE_BY_DDL = {
     "FLOAT": MYSQL_TYPE_FLOAT,
     "DOUBLE": MYSQL_TYPE_DOUBLE,
     "VARCHAR": MYSQL_TYPE_VARCHAR,
+    "DECIMAL": MYSQL_TYPE_NEWDECIMAL,
+    "NUMERIC": MYSQL_TYPE_NEWDECIMAL,
+    "DATE": MYSQL_TYPE_DATE,
+    "DATETIME": MYSQL_TYPE_DATETIME2,
 }
+
+
+def _decimal_meta(ddl_type: str):
+    """(precision, scale) from DECIMAL(p[,s]) — MySQL default (10, 0)."""
+    inner = ddl_type.split("(", 1)
+    if len(inner) < 2:
+        return (10, 0)
+    bits = inner[1].rstrip(")").split(",")
+    p = int(bits[0])
+    sfrac = int(bits[1]) if len(bits) > 1 else 0
+    return (p, sfrac)
+
+
+def _fsp_of(ddl_type: str) -> int:
+    inner = ddl_type.split("(", 1)
+    if len(inner) < 2:
+        return 0
+    return int(inner[1].rstrip(")"))
+
+
+def _meta_for(code: int, ddl_type: str):
+    if code == MYSQL_TYPE_VARCHAR:
+        return _varchar_max(ddl_type)
+    if code == MYSQL_TYPE_NEWDECIMAL:
+        return _decimal_meta(ddl_type)
+    if code == MYSQL_TYPE_DATETIME2:
+        return _fsp_of(ddl_type)
+    return 0
+
+
+def encode_newdecimal(v, precision: int, scale: int) -> bytes:
+    """strings/decimal.c decimal2bin: base-10^9 groups big-endian, the
+    first byte's sign bit flipped, negative values complemented — the
+    layout is memcomparable (byte order == numeric order)."""
+    import decimal as _d
+
+    d = _d.Decimal(str(v)).quantize(
+        _d.Decimal(1).scaleb(-scale), rounding=_d.ROUND_HALF_UP
+    )
+    negative = d < 0
+    digits = f"{abs(d):f}"
+    if "." in digits:
+        int_part, frac_part = digits.split(".")
+    else:
+        int_part, frac_part = digits, ""
+    intg = precision - scale
+    int_part = int_part.rjust(intg, "0")[-intg:] if intg else ""
+    frac_part = frac_part.ljust(scale, "0")[:scale]
+
+    out = bytearray()
+
+    def put_groups(digs: str, leading: bool):
+        # leading partial group first for the integer part, trailing
+        # partial group last for the fraction
+        k = len(digs) % _DIG_PER_GROUP
+        if leading and k:
+            out.extend(int(digs[:k]).to_bytes(_DIG2BYTES[k], "big"))
+            digs = digs[k:]
+        while len(digs) >= _DIG_PER_GROUP:
+            out.extend(int(digs[:_DIG_PER_GROUP]).to_bytes(4, "big"))
+            digs = digs[_DIG_PER_GROUP:]
+        if not leading and digs:
+            out.extend(int(digs).to_bytes(_DIG2BYTES[len(digs)], "big"))
+
+    put_groups(int_part, leading=True)
+    put_groups(frac_part, leading=False)
+    if negative:
+        for i in range(len(out)):
+            out[i] ^= 0xFF
+    out[0] ^= 0x80
+    return bytes(out)
+
+
+def decode_newdecimal(data: bytes, off: int, precision: int, scale: int):
+    import decimal as _d
+
+    intg = precision - scale
+    size = (
+        (intg // _DIG_PER_GROUP) * 4 + _DIG2BYTES[intg % _DIG_PER_GROUP]
+        + (scale // _DIG_PER_GROUP) * 4 + _DIG2BYTES[scale % _DIG_PER_GROUP]
+    )
+    buf = bytearray(data[off:off + size])
+    buf[0] ^= 0x80
+    negative = bool(buf[0] & 0x80)
+    if negative:
+        for i in range(len(buf)):
+            buf[i] ^= 0xFF
+
+    pos = 0
+    digs = ""
+
+    def take(n_digits: int) -> None:
+        nonlocal pos, digs
+        width = _DIG2BYTES[n_digits] if n_digits < _DIG_PER_GROUP else 4
+        digs += str(int.from_bytes(buf[pos:pos + width], "big")).rjust(
+            n_digits, "0"
+        )
+        pos += width
+
+    k = intg % _DIG_PER_GROUP
+    if k:
+        take(k)
+    for _ in range(intg // _DIG_PER_GROUP):
+        take(_DIG_PER_GROUP)
+    int_digits = digs or "0"
+    digs = ""
+    for _ in range(scale // _DIG_PER_GROUP):
+        take(_DIG_PER_GROUP)
+    k = scale % _DIG_PER_GROUP
+    if k:
+        take(k)
+    frac_digits = digs
+    text = int_digits + ("." + frac_digits if frac_digits else "")
+    val = _d.Decimal(("-" if negative else "") + text)
+    return val, off + size
+
+
+def encode_datetime2(v, fsp: int) -> bytes:
+    """5-byte packed big-endian (sign | year*13+month | day | hour | min |
+    sec) + 0/1/2/3 fractional bytes for fsp 0/2/4/6 — memcomparable."""
+    ym = v.year * 13 + v.month
+    packed = (
+        (1 << 39) | (ym << 22) | (v.day << 17)
+        | (v.hour << 12) | (v.minute << 6) | v.second
+    )
+    out = packed.to_bytes(5, "big")
+    frac_bytes = (fsp + 1) // 2
+    if frac_bytes:
+        frac = v.microsecond // (10 ** (6 - fsp))
+        out += frac.to_bytes(frac_bytes, "big")
+    return out
+
+
+def decode_datetime2(data: bytes, off: int, fsp: int):
+    import datetime as _dt
+
+    packed = int.from_bytes(data[off:off + 5], "big")
+    off += 5
+    sec = packed & 0x3F
+    minute = (packed >> 6) & 0x3F
+    hour = (packed >> 12) & 0x1F
+    day = (packed >> 17) & 0x1F
+    ym = (packed >> 22) & 0x1FFFF
+    year, month = divmod(ym, 13)
+    frac_bytes = (fsp + 1) // 2
+    micros = 0
+    if frac_bytes:
+        micros = int.from_bytes(data[off:off + frac_bytes], "big") * (
+            10 ** (6 - fsp)
+        )
+        off += frac_bytes
+    return _dt.datetime(year, month, day, hour, minute, sec, micros), off
+
+
+def encode_mysql_date(v) -> bytes:
+    return (v.day | (v.month << 5) | (v.year << 9)).to_bytes(3, "little")
+
+
+def decode_mysql_date(data: bytes, off: int):
+    import datetime as _dt
+
+    packed = int.from_bytes(data[off:off + 3], "little")
+    return _dt.date(packed >> 9, (packed >> 5) & 0x0F, packed & 0x1F), off + 3
 
 
 def type_code_for_ddl(ddl_type: str) -> int:
@@ -178,6 +354,11 @@ class BinlogWriter:
                 meta += struct.pack("<H", _varchar_max(t))
             elif code in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE):
                 meta += bytes([4 if code == MYSQL_TYPE_FLOAT else 8])
+            elif code == MYSQL_TYPE_NEWDECIMAL:
+                pr, sc = _decimal_meta(t)
+                meta += bytes([pr, sc])
+            elif code == MYSQL_TYPE_DATETIME2:
+                meta += bytes([_fsp_of(t)])
         body += _lenenc(len(meta)) + meta
         body += b"\xff" * ((n + 7) // 8)  # all columns nullable
         return self._event(TABLE_MAP_EVENT, body)
@@ -200,6 +381,13 @@ class BinlogWriter:
             if meta < 256:
                 return bytes([len(raw)]) + raw
             return struct.pack("<H", len(raw)) + raw
+        if code == MYSQL_TYPE_NEWDECIMAL:
+            pr, sc = meta
+            return encode_newdecimal(v, pr, sc)
+        if code == MYSQL_TYPE_DATETIME2:
+            return encode_datetime2(v, meta)
+        if code == MYSQL_TYPE_DATE:
+            return encode_mysql_date(v)
         raise ValueError(f"unsupported type code {code}")
 
     def _row_image(self, codes, metas, values) -> bytes:
@@ -232,20 +420,17 @@ class BinlogWriter:
 
     def write_rows(self, table_num, ddl_types, rows) -> int:
         codes = [type_code_for_ddl(t) for t in ddl_types]
-        metas = [_varchar_max(t) if c == MYSQL_TYPE_VARCHAR else 0
-                 for c, t in zip(codes, ddl_types)]
+        metas = [_meta_for(c, t) for c, t in zip(codes, ddl_types)]
         return self._rows(WRITE_ROWS_EVENT_V2, table_num, codes, metas, rows)
 
     def update_rows(self, table_num, ddl_types, pairs) -> int:
         codes = [type_code_for_ddl(t) for t in ddl_types]
-        metas = [_varchar_max(t) if c == MYSQL_TYPE_VARCHAR else 0
-                 for c, t in zip(codes, ddl_types)]
+        metas = [_meta_for(c, t) for c, t in zip(codes, ddl_types)]
         return self._rows(UPDATE_ROWS_EVENT_V2, table_num, codes, metas, pairs)
 
     def delete_rows(self, table_num, ddl_types, rows) -> int:
         codes = [type_code_for_ddl(t) for t in ddl_types]
-        metas = [_varchar_max(t) if c == MYSQL_TYPE_VARCHAR else 0
-                 for c, t in zip(codes, ddl_types)]
+        metas = [_meta_for(c, t) for c, t in zip(codes, ddl_types)]
         return self._rows(DELETE_ROWS_EVENT_V2, table_num, codes, metas, rows)
 
     def to_bytes(self) -> bytes:
@@ -278,6 +463,13 @@ def _decode_value(code: int, meta: int, data: bytes, off: int):
             ln = struct.unpack_from("<H", data, off)[0]
             off += 2
         return data[off:off + ln].decode(), off + ln
+    if code == MYSQL_TYPE_NEWDECIMAL:
+        pr, sc = meta
+        return decode_newdecimal(data, off, pr, sc)
+    if code == MYSQL_TYPE_DATETIME2:
+        return decode_datetime2(data, off, meta)
+    if code == MYSQL_TYPE_DATE:
+        return decode_mysql_date(data, off)
     raise ValueError(f"unsupported type code {code}")
 
 
@@ -345,6 +537,10 @@ def parse_binlog_bytes(data: bytes, base_pos: int = 0) -> Iterator[dict]:
                 if c == MYSQL_TYPE_VARCHAR:
                     metas.append(struct.unpack_from("<H", body, mp)[0]); mp += 2
                 elif c in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE):
+                    metas.append(body[mp]); mp += 1
+                elif c == MYSQL_TYPE_NEWDECIMAL:
+                    metas.append((body[mp], body[mp + 1])); mp += 2
+                elif c == MYSQL_TYPE_DATETIME2:
                     metas.append(body[mp]); mp += 1
                 else:
                     metas.append(0)

@@ -344,7 +344,7 @@ class MySqlBinlogDecoder:
                     _, cols, _types = mapped
 
                     def obj(values):
-                        return json.dumps(dict(zip(cols, values)))
+                        return json.dumps(dict(zip(cols, values)), default=str)
 
                     if len(ev["rows"]) >= _SEQ_BAND:
                         raise ValueError(
@@ -562,7 +562,7 @@ class MySqlBinaryBinlogDecoder:
                         _, cols, _types = mapped
 
                         def obj(values):
-                            return json.dumps(dict(zip(cols, values)))
+                            return json.dumps(dict(zip(cols, values)), default=str)
 
                         if len(ev["rows"]) >= _SEQ_BAND:
                             raise ValueError(

@@ -261,3 +261,93 @@ def test_gtid_startup_skips_contained_transactions(spark, tmp_path):
     state = {r["id"]: r["v"] for r in
              materialize_changelog(env, ["id"]).collect()}
     assert state == {4: "d", 1: "a2"}
+
+
+def test_newdecimal_codec_roundtrip_and_order():
+    import decimal
+    from itertools import combinations
+
+    from flink_cdc_spark.sources.mysql_binlog_wire import (
+        decode_newdecimal,
+        encode_newdecimal,
+    )
+
+    cases = ["-987654321098765432.10", "-1.01", "-0.50", "0.00", "0.01",
+             "1.50", "123456789.99", "987654321098765432.10"]
+    for p, sc in ((20, 2), (25, 2)):
+        encs = []
+        for c in cases:
+            e = encode_newdecimal(decimal.Decimal(c), p, sc)
+            v, off = decode_newdecimal(e, 0, p, sc)
+            assert v == decimal.Decimal(c), (c, v)
+            assert off == len(e)
+            encs.append(e)
+        # strings/decimal.c layout is memcomparable
+        for (c1, e1), (c2, e2) in combinations(zip(cases, encs), 2):
+            assert (decimal.Decimal(c1) < decimal.Decimal(c2)) == (e1 < e2)
+
+
+def test_datetime2_and_date_codec():
+    import datetime
+
+    from flink_cdc_spark.sources.mysql_binlog_wire import (
+        decode_datetime2,
+        decode_mysql_date,
+        encode_datetime2,
+        encode_mysql_date,
+    )
+
+    dts = [
+        datetime.datetime(1970, 1, 1, 0, 0, 0),
+        datetime.datetime(1999, 12, 31, 23, 59, 59, 999000),
+        datetime.datetime(2024, 2, 29, 12, 30, 45, 123456),
+    ]
+    for fsp in (0, 3, 6):
+        encs = []
+        for dt in dts:
+            q = dt.replace(
+                microsecond=(dt.microsecond // 10 ** (6 - fsp)) * 10 ** (6 - fsp)
+            ) if fsp else dt.replace(microsecond=0)
+            e = encode_datetime2(q, fsp)
+            v, off = decode_datetime2(e, 0, fsp)
+            assert v == q and off == len(e)
+            encs.append(e)
+        assert encs == sorted(encs)  # packed layout is ordered
+    d = datetime.date(2024, 8, 14)
+    assert decode_mysql_date(encode_mysql_date(d), 0) == (d, 3)
+
+
+def test_wire_rows_with_rich_types(spark, tmp_path):
+    """DECIMAL / DATETIME / DATE columns flow through TABLE_MAP metadata,
+    rows events, DDL resolution, and the typed envelope cast."""
+    import datetime
+    import decimal
+
+    types = ["BIGINT", "DECIMAL(12,2)", "DATETIME(6)", "DATE"]
+    w = BinlogWriter()
+    w.query(
+        "app",
+        "CREATE TABLE rich (id BIGINT NOT NULL PRIMARY KEY, "
+        "amount DECIMAL(12,2), at DATETIME(6), d DATE)",
+    )
+    w.table_map(9, "app", "rich", types)
+    rows = [
+        [1, decimal.Decimal("12345.67"),
+         datetime.datetime(2024, 1, 2, 3, 4, 5, 678901), datetime.date(2024, 1, 2)],
+        [2, decimal.Decimal("-0.99"),
+         datetime.datetime(1999, 12, 31, 23, 59, 59), datetime.date(1999, 12, 31)],
+    ]
+    w.write_rows(9, types, rows)
+    w.xid()
+    path = tmp_path / "bin.000001"
+    path.write_bytes(w.to_bytes())
+
+    dec = MySqlBinaryBinlogDecoder(spark)
+    _, _, schemas = dec.scan_control(str(path))
+    payload = schemas["app.rich"].to_spark_struct()
+    env = dec.read_envelope(str(path), "app.rich", payload)
+    got = {r["after"]["id"]: r["after"] for r in env.collect()}
+    assert got[1]["amount"] == decimal.Decimal("12345.67")
+    assert got[1]["at"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 678901)
+    assert got[1]["d"] == datetime.date(2024, 1, 2)
+    assert got[2]["amount"] == decimal.Decimal("-0.99")
