@@ -60,6 +60,7 @@ MYSQL_TYPE_DOUBLE = 5
 MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_DATE = 10
 MYSQL_TYPE_VARCHAR = 15
+MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
 MYSQL_TYPE_NEWDECIMAL = 246
 
@@ -80,6 +81,7 @@ _TYPE_BY_DDL = {
     "NUMERIC": MYSQL_TYPE_NEWDECIMAL,
     "DATE": MYSQL_TYPE_DATE,
     "DATETIME": MYSQL_TYPE_DATETIME2,
+    "TIMESTAMP": MYSQL_TYPE_TIMESTAMP2,
 }
 
 
@@ -106,7 +108,7 @@ def _meta_for(code: int, ddl_type: str):
         return _varchar_max(ddl_type)
     if code == MYSQL_TYPE_NEWDECIMAL:
         return _decimal_meta(ddl_type)
-    if code == MYSQL_TYPE_DATETIME2:
+    if code in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2):
         return _fsp_of(ddl_type)
     return 0
 
@@ -233,6 +235,40 @@ def decode_datetime2(data: bytes, off: int, fsp: int):
         )
         off += frac_bytes
     return _dt.datetime(year, month, day, hour, minute, sec, micros), off
+
+
+def encode_timestamp2(v, fsp: int) -> bytes:
+    """4-byte big-endian epoch seconds + the DATETIME2 fraction scheme.
+    MySQL TIMESTAMP stores the UTC instant; naive datetimes are taken as
+    UTC (the engine's session convention)."""
+    import calendar
+
+    secs = calendar.timegm(v.timetuple())
+    if secs < 0 or secs > 0xFFFFFFFF:
+        raise ValueError("TIMESTAMP out of the 1970-2106 binlog range")
+    out = secs.to_bytes(4, "big")
+    frac_bytes = (fsp + 1) // 2
+    if frac_bytes:
+        out += (v.microsecond // (10 ** (6 - fsp))).to_bytes(frac_bytes, "big")
+    return out
+
+
+def decode_timestamp2(data: bytes, off: int, fsp: int):
+    import datetime as _dt
+
+    secs = int.from_bytes(data[off:off + 4], "big")
+    off += 4
+    frac_bytes = (fsp + 1) // 2
+    micros = 0
+    if frac_bytes:
+        micros = int.from_bytes(data[off:off + frac_bytes], "big") * (
+            10 ** (6 - fsp)
+        )
+        off += frac_bytes
+    return (
+        _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=secs, microseconds=micros),
+        off,
+    )
 
 
 def encode_mysql_date(v) -> bytes:
@@ -386,6 +422,8 @@ class BinlogWriter:
             return encode_newdecimal(v, pr, sc)
         if code == MYSQL_TYPE_DATETIME2:
             return encode_datetime2(v, meta)
+        if code == MYSQL_TYPE_TIMESTAMP2:
+            return encode_timestamp2(v, meta)
         if code == MYSQL_TYPE_DATE:
             return encode_mysql_date(v)
         raise ValueError(f"unsupported type code {code}")
@@ -468,6 +506,8 @@ def _decode_value(code: int, meta: int, data: bytes, off: int):
         return decode_newdecimal(data, off, pr, sc)
     if code == MYSQL_TYPE_DATETIME2:
         return decode_datetime2(data, off, meta)
+    if code == MYSQL_TYPE_TIMESTAMP2:
+        return decode_timestamp2(data, off, meta)
     if code == MYSQL_TYPE_DATE:
         return decode_mysql_date(data, off)
     raise ValueError(f"unsupported type code {code}")
@@ -540,7 +580,7 @@ def parse_binlog_bytes(data: bytes, base_pos: int = 0) -> Iterator[dict]:
                     metas.append(body[mp]); mp += 1
                 elif c == MYSQL_TYPE_NEWDECIMAL:
                     metas.append((body[mp], body[mp + 1])); mp += 2
-                elif c == MYSQL_TYPE_DATETIME2:
+                elif c in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2):
                     metas.append(body[mp]); mp += 1
                 else:
                     metas.append(0)

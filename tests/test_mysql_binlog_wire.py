@@ -351,3 +351,22 @@ def test_wire_rows_with_rich_types(spark, tmp_path):
     assert got[1]["at"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 678901)
     assert got[1]["d"] == datetime.date(2024, 1, 2)
     assert got[2]["amount"] == decimal.Decimal("-0.99")
+
+
+def test_timestamp2_codec():
+    import datetime
+
+    from flink_cdc_spark.sources.mysql_binlog_wire import (
+        decode_timestamp2,
+        encode_timestamp2,
+    )
+
+    for fsp in (0, 3, 6):
+        dt = datetime.datetime(2024, 8, 14, 10, 20, 30,
+                               456000 if fsp else 0)
+        e = encode_timestamp2(dt, fsp)
+        assert len(e) == 4 + (fsp + 1) // 2
+        v, off = decode_timestamp2(e, 0, fsp)
+        assert v == dt and off == len(e)
+    with pytest.raises(ValueError, match="range"):
+        encode_timestamp2(datetime.datetime(1960, 1, 1), 0)
