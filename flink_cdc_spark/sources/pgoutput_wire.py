@@ -112,7 +112,39 @@ def parse_pgoutput_message(data: bytes) -> dict:
             raise ValueError(f"pgoutput Delete: unexpected marker {marker!r}")
         old, _ = _tuple_data(data, 6)
         return {"type": "DELETE", "oid": oid, "old": old}
+    if tag == "T":
+        # Truncate: nrels(u32) options(u8: 1 CASCADE, 2 RESTART IDENTITY)
+        # then the relation oids
+        (nrels,) = struct.unpack_from(">I", data, 1)
+        options = data[5]
+        oids = list(struct.unpack_from(f">{nrels}I", data, 6))
+        return {"type": "TRUNCATE", "oids": oids, "options": options}
     return {"type": "OTHER", "tag": tag}
+
+
+def truncate_events(hex_lines, rels: Dict[int, dict]):
+    """Driver-side control pass for 'T' messages (hex prefix '54'):
+    -> TruncateTableEvent per truncated relation, resolved through the
+    relation map (the publication must be created WITH (publish =
+    '...,truncate') for the server to send these)."""
+    from ..core.events import TruncateTableEvent
+    from ..core.table_id import TableId
+
+    out = []
+    for hx in hex_lines:
+        if not hx.startswith("54"):  # 'T'
+            continue
+        msg = parse_pgoutput_message(bytes.fromhex(hx))
+        for oid in msg["oids"]:
+            rel = rels.get(oid)
+            if rel is None:
+                continue
+            out.append(
+                TruncateTableEvent(
+                    TableId.parse(f"{rel['namespace']}.{rel['relation']}")
+                )
+            )
+    return out
 
 
 def relation_map(hex_lines) -> Dict[int, dict]:

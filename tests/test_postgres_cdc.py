@@ -336,3 +336,35 @@ def test_pgoutput_binary_protocol(spark, pg, tmp_path):
 
     # wire-level sanity: unknown tags surface as OTHER, not a crash
     assert parse_pgoutput_message(b"Yxxxx")["type"] == "OTHER"
+
+
+def test_pgoutput_truncate_message_decode():
+    """'T' messages (publish='truncate') decode to TruncateTableEvents
+    through the relation map."""
+    import struct
+
+    from flink_cdc_spark.core.events import TruncateTableEvent
+    from flink_cdc_spark.sources.pgoutput_wire import (
+        parse_pgoutput_message,
+        relation_map,
+        truncate_events,
+    )
+
+    def rel_msg(oid, ns, name):
+        body = b"R" + struct.pack(">I", oid) + ns.encode() + b"\x00"
+        body += name.encode() + b"\x00" + b"d" + struct.pack(">H", 1)
+        body += b"\x01" + "id".encode() + b"\x00" + struct.pack(">II", 20, 0xFFFFFFFF)
+        return body.hex()
+
+    t_body = b"T" + struct.pack(">I", 2) + bytes([1]) + struct.pack(">II", 7, 9)
+    lines = [rel_msg(7, "app", "users"), rel_msg(9, "app", "orders"), t_body.hex()]
+
+    msg = parse_pgoutput_message(t_body)
+    assert msg == {"type": "TRUNCATE", "oids": [7, 9], "options": 1}
+
+    rels = relation_map(lines)
+    events = truncate_events(lines, rels)
+    assert [type(e) for e in events] == [TruncateTableEvent, TruncateTableEvent]
+    assert sorted(str(e.table_id) for e in events) == ["app.orders", "app.users"]
+    # unknown oids are skipped, not fatal
+    assert truncate_events([t_body.hex()], {}) == []
