@@ -31,7 +31,7 @@ from typing import List
 
 from pyspark.sql import DataFrame, functions as F
 
-from .similarity import EMBED_DIM, _dot, _dot_duck, _unit_duck, _unit_expr
+from .similarity import EMBED_DIM, _dot, _unit_duck, _unit_expr
 
 SCALE = 1_000_000  # quantization grid for exact integer centroid sums
 DEFAULT_K = 8

@@ -42,7 +42,7 @@ import datetime
 import json
 import struct as _struct
 from dataclasses import dataclass
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 

@@ -30,7 +30,7 @@ STRING); anything else raises rather than mis-decoding.
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 _SIGN_MASK = 0x8000000000000000
 _RECORD_PREFIX = b"t"
