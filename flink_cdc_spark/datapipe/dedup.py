@@ -739,18 +739,32 @@ def semantic_dedup(
         .withColumn("cell", F.expr("array_position(scores, array_max(scores))").cast("int"))
         .drop("scores")
     )
-    a, b = cells.alias("a"), cells.alias("b")
-    drops = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(F.round(F.expr(_dot("a.u", "b.u")), 4) >= threshold)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-    )
+    drops = _cell_drop_ids(cells, threshold)
     return cells.join(drops, "vec_id", "left_anti").select("vec_id", "cell")
+
+
+def _cell_drop_ids(cells: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell keep-lowest-id near-dup drop set: one applyInPandas
+    task per cell runs a float64 BLAS gram matrix over the cell's unit
+    vectors — the per-pair cost is a matmul row, not a per-pair SQL
+    fold (the same discipline embedding_near_dup_pairs uses). Cosines
+    round to 4 decimals before thresholding, matching the SQL oracle."""
+
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        a = np.array(list(pdf["u"]), dtype=np.float64)[order]
+        sims = np.round(a @ a.T, 4)
+        _, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"vec_id": np.unique(ids[jj])})
+
+    return cells.select("vec_id", "u", "cell").groupBy("cell").applyInPandas(
+        lambda _key, pdf: block(pdf), schema="vec_id long"
+    )
 
 
 def semantic_dedup_oracle_sql(
@@ -879,23 +893,13 @@ def semantic_dedup_with_clusters(
     clusters, then near-dup only within clusters). Same join shape and
     keep-lowest-id policy as semantic_dedup; returns kept (vec_id,
     cluster)."""
-    from .similarity import _dot, _unit_expr
+    from .similarity import _unit_expr
 
     normed = df.selectExpr(f"{key} AS vec_id", f"{_unit_expr(vec)} AS u")
     cells = normed.join(assignments, "vec_id").withColumnRenamed(
         "cluster", "cell"
     )
-    a, b = cells.alias("a"), cells.alias("b")
-    drops = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(F.round(F.expr(_dot("a.u", "b.u")), 4) >= threshold)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-    )
+    drops = _cell_drop_ids(cells, threshold)
     return cells.join(drops, "vec_id", "left_anti").select("vec_id", "cell")
 
 

@@ -62,6 +62,7 @@ MYSQL_TYPE_DATE = 10
 MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_NEWDECIMAL = 246
 
 # strings/decimal.c: bytes needed for n leftover decimal digits
@@ -82,6 +83,7 @@ _TYPE_BY_DDL = {
     "DATE": MYSQL_TYPE_DATE,
     "DATETIME": MYSQL_TYPE_DATETIME2,
     "TIMESTAMP": MYSQL_TYPE_TIMESTAMP2,
+    "JSON": MYSQL_TYPE_JSON,
 }
 
 
@@ -393,8 +395,10 @@ class BinlogWriter:
             elif code == MYSQL_TYPE_NEWDECIMAL:
                 pr, sc = _decimal_meta(t)
                 meta += bytes([pr, sc])
-            elif code == MYSQL_TYPE_DATETIME2:
+            elif code in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2):
                 meta += bytes([_fsp_of(t)])
+            elif code == MYSQL_TYPE_JSON:
+                meta += bytes([4])
         body += _lenenc(len(meta)) + meta
         body += b"\xff" * ((n + 7) // 8)  # all columns nullable
         return self._event(TABLE_MAP_EVENT, body)
@@ -426,6 +430,14 @@ class BinlogWriter:
             return encode_timestamp2(v, meta)
         if code == MYSQL_TYPE_DATE:
             return encode_mysql_date(v)
+        if code == MYSQL_TYPE_JSON:
+            import json as _json
+
+            from .mysql_json_binary import encode_json_binary
+
+            doc = _json.loads(v) if isinstance(v, str) else v
+            payload = encode_json_binary(doc)
+            return struct.pack("<I", len(payload)) + payload
         raise ValueError(f"unsupported type code {code}")
 
     def _row_image(self, codes, metas, values) -> bytes:
@@ -510,6 +522,16 @@ def _decode_value(code: int, meta: int, data: bytes, off: int):
         return decode_timestamp2(data, off, meta)
     if code == MYSQL_TYPE_DATE:
         return decode_mysql_date(data, off)
+    if code == MYSQL_TYPE_JSON:
+        import json as _json
+
+        from .mysql_json_binary import decode_json_binary
+
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        doc = decode_json_binary(data[off:off + ln])
+        # JSON columns map to STRING (MySqlTypeUtils): render compactly
+        return _json.dumps(doc, separators=(",", ":")), off + ln
     raise ValueError(f"unsupported type code {code}")
 
 
@@ -580,7 +602,8 @@ def parse_binlog_bytes(data: bytes, base_pos: int = 0) -> Iterator[dict]:
                     metas.append(body[mp]); mp += 1
                 elif c == MYSQL_TYPE_NEWDECIMAL:
                     metas.append((body[mp], body[mp + 1])); mp += 2
-                elif c in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2):
+                elif c in (MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIMESTAMP2,
+                           MYSQL_TYPE_JSON):
                     metas.append(body[mp]); mp += 1
                 else:
                     metas.append(0)

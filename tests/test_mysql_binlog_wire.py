@@ -370,3 +370,52 @@ def test_timestamp2_codec():
         assert v == dt and off == len(e)
     with pytest.raises(ValueError, match="range"):
         encode_timestamp2(datetime.datetime(1960, 1, 1), 0)
+
+
+def test_json_binary_object_layout():
+    """json_binary small-object layout details: sorted keys, inline
+    literals/int16, offset-stored strings and nested containers."""
+    import struct
+
+    from flink_cdc_spark.sources.mysql_json_binary import (
+        decode_json_binary,
+        encode_json_binary,
+    )
+
+    enc = encode_json_binary({"bb": "x", "a": 7, "ccc": None})
+    assert enc[0] == 0x00  # small object
+    count, size = struct.unpack_from("<HH", enc, 1)
+    assert count == 3 and size == len(enc) - 1
+    # keys serialize sorted by (length, bytes): a, bb, ccc
+    assert decode_json_binary(enc) == {"a": 7, "bb": "x", "ccc": None}
+
+
+def test_wire_rows_with_json_and_timestamp(spark, tmp_path):
+    """JSON + TIMESTAMP columns flow through TABLE_MAP metadata and the
+    typed envelope (JSON maps to STRING text, MySqlTypeUtils)."""
+    import datetime
+    import json as _json
+
+    types = ["BIGINT", "JSON", "TIMESTAMP(3)"]
+    w = BinlogWriter()
+    w.query(
+        "app",
+        "CREATE TABLE j (id BIGINT NOT NULL PRIMARY KEY, doc JSON, "
+        "at TIMESTAMP(3))",
+    )
+    w.table_map(4, "app", "j", types)
+    w.write_rows(4, types, [
+        [1, {"k": [1, 2, {"deep": True}], "s": "tëxt"},
+         datetime.datetime(2024, 5, 6, 7, 8, 9, 123000)],
+        [2, None, None],
+    ])
+    w.xid()
+    path = tmp_path / "bin.000001"
+    path.write_bytes(w.to_bytes())
+
+    dec = MySqlBinaryBinlogDecoder(spark)
+    _, _, schemas = dec.scan_control(str(path))
+    env = dec.read_envelope(str(path), "app.j", schemas["app.j"].to_spark_struct())
+    got = {r["after"]["id"]: r["after"] for r in env.collect()}
+    assert _json.loads(got[1]["doc"]) == {"k": [1, 2, {"deep": True}], "s": "tëxt"}
+    assert got[2]["doc"] is None and got[2]["at"] is None
