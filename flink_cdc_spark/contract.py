@@ -3239,6 +3239,7 @@ _PRIORITY = [
     "cluster_kmeans_assign",
     "dedup_semantic_kmeans",
     "events_sessionize",
+    "sim_ivf_fitted_topk",
 ]
 
 

@@ -55,15 +55,15 @@ def _assign_expr(centroids: List[List[float]]) -> str:
     return f"array_position({arr}, array_max({arr})) - 1"
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     key: str = "vec_id",
     vec: str = "embedding",
     k: int = DEFAULT_K,
     iters: int = DEFAULT_ITERS,
-) -> DataFrame:
-    """-> (vec_id, cluster) after `iters` Lloyd iterations."""
-    spark = df.sparkSession
+):
+    """-> (assignments DataFrame (vec_id, cluster), fitted centroids
+    [[float]*dim]*k) after `iters` Lloyd iterations."""
     normed = df.selectExpr(f"{key} AS vec_id", f"{_unit_expr(vec)} AS u")
     # init: unit vectors of the k smallest keys (driver-side: k rows)
     init = normed.orderBy("vec_id").limit(k).collect()
@@ -100,24 +100,34 @@ def kmeans_assign(
             for d, (s, n) in dims.items():
                 new_c[cid][d] = s / (SCALE * n)
         centroids = new_c
-    return quant.withColumn(
+    assignments = quant.withColumn(
         "cluster", F.expr(_assign_expr(centroids)).cast("int")
     ).select("vec_id", "cluster")
+    return assignments, centroids
 
 
-def kmeans_oracle_sql(
-    table: str = "embeddings",
+def kmeans_assign(
+    df: DataFrame,
     key: str = "vec_id",
     vec: str = "embedding",
     k: int = DEFAULT_K,
     iters: int = DEFAULT_ITERS,
-) -> str:
-    """DuckDB mirror: same init, same integer-exact updates, same argmax.
+) -> DataFrame:
+    """-> (vec_id, cluster) after `iters` Lloyd iterations."""
+    assignments, _ = kmeans_fit(df, key, vec, k, iters)
+    return assignments
 
-    Centroids live in (cid, d, val) long form; each unrolled iteration is
-    assignment (ordered-fold dot per (vec, cid) + window argmax with
-    cid tie-break) followed by the exact integer mean. Empty clusters
-    keep their previous centroid via the anti-join union."""
+
+def _kmeans_ctes(
+    table: str,
+    key: str,
+    vec: str,
+    k: int,
+    iters: int,
+):
+    """-> (with_body_sql, final_centroid_cte_name, dot_uc_expr): the
+    shared CTE chain both the assignment oracle and the fitted-IVF
+    oracle build on."""
     dot_uc = (
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         f"list_transform(range(1, {EMBED_DIM} + 1), i -> u[i] * cv[i])), "
@@ -175,6 +185,23 @@ def kmeans_oracle_sql(
     )""")
         prev = cur
     body = ",".join(parts)
+    return body, prev, dot_uc
+
+
+def kmeans_oracle_sql(
+    table: str = "embeddings",
+    key: str = "vec_id",
+    vec: str = "embedding",
+    k: int = DEFAULT_K,
+    iters: int = DEFAULT_ITERS,
+) -> str:
+    """DuckDB mirror: same init, same integer-exact updates, same argmax.
+
+    Centroids live in (cid, cv) form; each unrolled iteration is
+    assignment (ordered-fold dot per (vec, cid) + window argmax with
+    cid tie-break) followed by the exact integer mean. Empty clusters
+    keep their previous centroid via the coalesce fallback."""
+    body, prev, dot_uc = _kmeans_ctes(table, key, vec, k, iters)
     return f"""
     WITH {body},
     final_score AS (
@@ -189,4 +216,82 @@ def kmeans_oracle_sql(
                                 ORDER BY s DESC, cid ASC) AS rn
       FROM final_score
     ) WHERE rn = 1
+    """
+
+
+def ivf_fitted_oracle_sql(
+    table: str = "embeddings",
+    key: str = "vec_id",
+    vec: str = "embedding",
+    n_queries: int = 10,
+    topk: int = 5,  # similarity.TOPK_DEFAULT
+    k: int = 16,
+    iters: int = DEFAULT_ITERS,
+) -> str:
+    """DuckDB mirror of kmeans_fit |> (normalize centroids) |> ivf_topk:
+    the index-build composition. Cell numbers are (cid + 1) — the fitted
+    centroid list order — matching the Spark side's 1-based
+    array_position cells; ties rank by the lower cid, matching
+    array_position's first-occurrence rule."""
+    body, prev, _dot_uc = _kmeans_ctes(table, key, vec, k, iters)
+    foldsq = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(cv, x -> x * x)), (acc, v) -> acc + v)"
+    )
+    dot_u_cn = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {EMBED_DIM} + 1), i -> u[i] * cn[i])), "
+        "(acc, v) -> acc + v)"
+    )
+    dot_qu_cu = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {EMBED_DIM} + 1), i -> qu[i] * cu[i])), "
+        "(acc, v) -> acc + v)"
+    )
+    return f"""
+    WITH {body},
+    cnorm AS (
+      SELECT cid, list_transform(cv, x -> x / sqrt({foldsq})) AS cn
+      FROM {prev}
+    ),
+    cell_scores AS (
+      SELECT n.vec_id, c.cid, {dot_u_cn} AS s
+      FROM normed n CROSS JOIN cnorm c
+    ),
+    ranked_cells AS (
+      SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+      FROM cell_scores
+    ),
+    cells AS (
+      SELECT vec_id, CAST(cid + 1 AS INTEGER) AS cell
+      FROM ranked_cells WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             max(CASE WHEN rn = 1 THEN cid + 1 END) AS cell1,
+             max(CASE WHEN rn = 2 THEN cid + 1 END) AS cell2
+      FROM ranked_cells WHERE vec_id < {n_queries} AND rn <= 2
+      GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT q.query_id, c.vec_id AS nbr_id
+      FROM cells c JOIN q
+        ON (c.cell = q.cell1 OR c.cell = q.cell2)
+       AND c.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.nbr_id,
+             round({dot_qu_cu}, 4) AS cosine
+      FROM cand
+      JOIN (SELECT vec_id, u AS qu FROM normed) a ON a.vec_id = cand.query_id
+      JOIN (SELECT vec_id, u AS cu FROM normed) b ON b.vec_id = cand.nbr_id
+    ),
+    topk AS (
+      SELECT query_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, rank, cosine FROM topk WHERE rank <= {topk}
     """

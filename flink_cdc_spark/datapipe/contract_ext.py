@@ -168,6 +168,31 @@ def cluster_kmeans_assign(spark, sf_dir):
     return clustering.kmeans_assign(_embs(spark, sf_dir))
 
 
+def _ivf_fitted_oracle():
+    from . import clustering
+
+    return clustering.ivf_fitted_oracle_sql(n_queries=N_SIM_QUERIES)
+
+
+@register("sim_ivf_fitted_topk", _ivf_fitted_oracle())
+def sim_ivf_fitted_topk(spark, sf_dir):
+    """The index-build composition: k-means-fit centroids (exact-oracle
+    Lloyd), normalize, then IVF ANN probes the fitted cells — the
+    production path where the IVF index comes from the corpus itself
+    rather than seeded hyperplanes."""
+    import math
+
+    from . import clustering
+
+    embs = _embs(spark, sf_dir)
+    _, cents = clustering.kmeans_fit(embs, k=16, iters=2)
+    unit = [
+        [v / math.sqrt(sum(x * x for x in c)) for v in c] for c in cents
+    ]
+    queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
+    return similarity.ivf_topk(embs, queries, centroids=unit)
+
+
 def _sem_km_oracle():
     return dedup.semantic_dedup_kmeans_oracle_sql()
 

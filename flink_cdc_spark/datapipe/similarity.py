@@ -207,9 +207,9 @@ def _centroids():
     return [[round(float(v), 4) for v in row] for row in m]
 
 
-def _ivf_scores_spark(unit_col: str) -> str:
+def _ivf_scores_spark(unit_col: str, centroids=None) -> str:
     dots = []
-    for c in _centroids():
+    for c in (centroids if centroids is not None else _centroids()):
         arr = "array(" + ", ".join(f"cast({w} AS double)" for w in c) + ")"
         dots.append(_dot(unit_col, arr))
     return "array(" + ", ".join(dots) + ")"
@@ -229,26 +229,29 @@ def ivf_topk(
     k: int = TOPK_DEFAULT,
     key: str = "vec_id",
     vec: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest-centroid cell; each
     query probes its IVF_NPROBE closest cells and exact-reranks only those
     cells' members. The cell assignment is one map-side pass; the probe
     join shuffles nothing (tiny query side broadcast)."""
+    n_cells = len(centroids) if centroids is not None else IVF_CELLS
     c = (
         corpus.selectExpr(f"{key} AS nbr_id", f"{_unit_expr(vec)} AS cu")
-        .withColumn("scores", F.expr(_ivf_scores_spark("cu")))
+        .withColumn("scores", F.expr(_ivf_scores_spark("cu", centroids)))
         .withColumn("cell", F.expr("array_position(scores, array_max(scores))"))
         .drop("scores")
     )
     q = (
         queries.selectExpr(f"{key} AS query_id", f"{_unit_expr(vec)} AS qu")
-        .withColumn("scores", F.expr(_ivf_scores_spark("qu")))
+        .withColumn("scores", F.expr(_ivf_scores_spark("qu", centroids)))
         .withColumn("cell1", F.expr("array_position(scores, array_max(scores))"))
         .withColumn(
             "masked",
             F.expr(
-                f"transform(sequence(1, {IVF_CELLS}), "
+                f"transform(sequence(1, {{n}}), "
                 "i -> IF(i = cell1, cast(-1e9 AS double), element_at(scores, i)))"
+                .format(n=n_cells)
             ),
         )
         .withColumn("cell2", F.expr("array_position(masked, array_max(masked))"))
