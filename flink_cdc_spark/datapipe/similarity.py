@@ -249,9 +249,8 @@ def ivf_topk(
         .withColumn(
             "masked",
             F.expr(
-                f"transform(sequence(1, {{n}}), "
+                f"transform(sequence(1, {n_cells}), "
                 "i -> IF(i = cell1, cast(-1e9 AS double), element_at(scores, i)))"
-                .format(n=n_cells)
             ),
         )
         .withColumn("cell2", F.expr("array_position(masked, array_max(masked))"))
