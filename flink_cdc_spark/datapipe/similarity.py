@@ -392,16 +392,30 @@ def quantized_topk(
     int_dot = (
         "aggregate(zip_with(cq, qq, (x, y) -> x * y), 0, (acc, v) -> acc + v)"
     )
-    c = corpus.selectExpr(
-        f"{key} AS nbr_id",
-        f"{_quant_expr(_unit_expr(vec))} AS cq",
-        f"{_inv_scale_expr(_unit_expr(vec))} AS cs",
-    )
-    q = queries.selectExpr(
-        f"{key} AS query_id",
-        f"{_quant_expr(_unit_expr(vec))} AS qq",
-        f"{_inv_scale_expr(_unit_expr(vec))} AS qs",
-    )
+
+    def prep(df, key_alias, codes, scale):
+        # stepwise projections keep `u` and `mx` as ATTRIBUTES between
+        # steps: CollapseProject refuses to inline a non-cheap alias
+        # referenced twice, so the quantization codegen stays linear in
+        # dim instead of re-expanding the normalization under every use
+        # (the single-select form compiled a function large enough to
+        # thrash the codegen cache under the full benchmark)
+        return (
+            df.selectExpr(f"{key} AS {key_alias}", f"{_unit_expr(vec)} AS u")
+            .selectExpr(
+                key_alias,
+                "u",
+                "aggregate(u, cast(0 AS double), (m, x) -> greatest(m, abs(x))) AS mx",
+            )
+            .selectExpr(
+                key_alias,
+                f"transform(u, x -> cast(round(x * (127.0 / mx)) AS int)) AS {codes}",
+                f"(mx / 127.0) AS {scale}",
+            )
+        )
+
+    c = prep(corpus, "nbr_id", "cq", "cs")
+    q = prep(queries, "query_id", "qq", "qs")
     scored = c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id")).select(
         "query_id",
         "nbr_id",
