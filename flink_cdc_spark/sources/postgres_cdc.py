@@ -395,18 +395,40 @@ class PostgresCdcSource:
                 f"{_ql(self.cfg.slot)}, {_ql(plugin)})"
             )
 
-    def create_publication(self, name: str = "cdc_pub") -> str:
+    def create_publication(
+        self, name: str = "cdc_pub", publish_truncate: bool = False
+    ) -> str:
         """Publication for the pgoutput protocol (production logical
-        replication requires one; pgoutput filters rows by it)."""
+        replication requires one; pgoutput filters rows by it).
+        ``publish_truncate`` adds TRUNCATE to the published operation set
+        (PostgreSQL publishes insert/update/delete by default)."""
         exists = self.server.rows(
             f"SELECT 1 FROM pg_publication WHERE pubname = {_ql(name)}"
         )
         if not exists:
+            with_opts = (
+                " WITH (publish = 'insert, update, delete, truncate')"
+                if publish_truncate
+                else ""
+            )
             self.server.sql(
                 f"CREATE PUBLICATION {_qi(name)} FOR TABLE "
                 f"{_qi(self.cfg.schema_name)}.{_qi(self.cfg.table)}"
+                + with_opts
             )
         return name
+
+    def truncate_events_from_spool(self, path: str):
+        """Driver-side control pass over a spooled pgoutput file: 'T'
+        messages -> TruncateTableEvents (pgoutput_wire.truncate_events).
+        Empty unless the publication was created WITH publish=truncate."""
+        from .pgoutput_wire import relation_map, truncate_events
+
+        with open(path, "r", encoding="utf-8") as f:
+            lines = [
+                line.split("\t", 1)[1].strip() for line in f if "\t" in line
+            ]
+        return truncate_events(lines, relation_map(lines))
 
     def current_lsn(self) -> str:
         return self.server.rows("SELECT pg_current_wal_lsn() AS l")[0]["l"]

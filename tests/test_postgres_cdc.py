@@ -368,3 +368,42 @@ def test_pgoutput_truncate_message_decode():
     assert sorted(str(e.table_id) for e in events) == ["app.orders", "app.users"]
     # unknown oids are skipped, not fatal
     assert truncate_events([t_body.hex()], {}) == []
+
+
+def test_pgoutput_live_truncate(spark, pg, tmp_path):
+    """TRUNCATE on the live server flows through a publish=truncate
+    publication as a 'T' message and decodes to a TruncateTableEvent,
+    which empties the LSM state (the MetadataApplier contract)."""
+    from flink_cdc_spark.core.events import TruncateTableEvent
+    from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+
+    pg.sql("DROP TABLE IF EXISTS trunc_t")
+    pg.sql(
+        "SELECT pg_drop_replication_slot(slot_name) FROM pg_replication_slots "
+        "WHERE slot_name = 'trunc_slot'"
+    )
+    pg.sql("DROP PUBLICATION IF EXISTS trunc_pub")
+    pg.sql("CREATE TABLE trunc_t (id bigint primary key, name text)")
+    pg.sql("ALTER TABLE trunc_t REPLICA IDENTITY FULL")
+    cfg = PostgresCdcConfig(table="trunc_t", key_column="id", slot="trunc_slot")
+    src = PostgresCdcSource(spark, pg, cfg)
+    pub = src.create_publication("trunc_pub", publish_truncate=True)
+    src.create_slot(plugin="pgoutput")
+
+    pg.sql("INSERT INTO trunc_t SELECT g, 'n'||g FROM generate_series(1,10) g")
+    env = src.read_changes_pgoutput(publication=pub, peek=False)
+
+    store = LsmStateStore(spark, str(tmp_path / "state"))
+    from flink_cdc_spark.sources.envelope import payload_struct
+
+    struct_t = payload_struct(env)
+    store.merge("public.trunc_t", env, struct_t, ["id"])
+    assert store.read("public.trunc_t").count() == 10
+
+    pg.sql("TRUNCATE trunc_t")
+    path = src.spool_binary_changes(pub, peek=False)
+    events = src.truncate_events_from_spool(path)
+    assert [type(e) for e in events] == [TruncateTableEvent]
+    assert str(events[0].table_id) == "public.trunc_t"
+    store.truncate("public.trunc_t")
+    assert store.read("public.trunc_t").count() == 0
