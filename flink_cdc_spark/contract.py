@@ -3240,6 +3240,7 @@ _PRIORITY = [
     "dedup_semantic_kmeans",
     "events_sessionize",
     "sim_ivf_fitted_topk",
+    "mm_audio_fingerprint",
 ]
 
 

@@ -318,6 +318,23 @@ def mm_audio_feature_stats(spark, sf_dir):
     return mm.extract_audio_features(media)
 
 
+def _mm_afp_oracle():
+    from . import multimodal as mm
+
+    return mm.audio_fingerprint_oracle_sql()
+
+
+@register("mm_audio_fingerprint", _mm_afp_oracle())
+def mm_audio_fingerprint(spark, sf_dir):
+    """Energy-delta acoustic fingerprints over the fake-PCM decode — the
+    audio counterpart of the image phash (robust to global gain), exact
+    integer window sums keep the DuckDB oracle bit-for-bit."""
+    from . import multimodal as mm
+
+    media = mm.audio_from_documents(_docs(spark, sf_dir))
+    return mm.audio_fingerprint(media)
+
+
 def _mm_frames_oracle():
     from . import multimodal as mm
 

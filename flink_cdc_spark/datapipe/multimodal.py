@@ -449,3 +449,65 @@ def near_dup_by_phash(features: DataFrame, max_hamming: int = 6) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.StringType(), False),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Chromaprint-style acoustic fingerprint over the fake-PCM decode:
+    the clip splits into 65 equal windows, and bit j of the 64-bit
+    fingerprint is [energy(window j) > energy(window j+1)] — the classic
+    energy-delta fingerprint, robust to global gain. One mapInPandas
+    pass; exact integer window sums keep the closed SQL form."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm = _decode_audio_backend(payload, media_id).astype(np.int64)
+                w = pcm.shape[0] // 65
+                energies = pcm[: 65 * w].reshape(65, w).sum(axis=1)
+                bits = energies[:-1] > energies[1:]
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                out.append((media_id, f"{val:016x}"))
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    return media.mapInPandas(stage, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_fingerprint_oracle_sql(table: str = "documents") -> str:
+    """DuckDB mirror of audio_fingerprint(audio_from_documents): window
+    energies as exact integer sums over the tiled digest."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(256 + (doc_id % 7) * 64 AS INTEGER) AS n,
+             list_transform(range(16),
+               k -> CAST('0x' || substr(md5(text), CAST(2*k+1 AS INTEGER), 2) AS BIGINT)) AS b
+      FROM {table}
+    ), w AS (
+      SELECT media_id, n, b, n // 65 AS wlen FROM m
+    ), e AS (
+      SELECT media_id, wlen,
+             list_transform(range(65), j ->
+               list_sum(list_transform(range(j * wlen, (j + 1) * wlen),
+                 i -> b[CAST(i % 16 AS INTEGER) + 1]))) AS energies
+      FROM w
+    )
+    SELECT media_id,
+           array_to_string(list_transform(range(8), i ->
+             printf('%02x', CAST(list_sum(list_transform(range(8), j ->
+               CASE WHEN energies[CAST(8*i + j AS INTEGER) + 1] >
+                         energies[CAST(8*i + j AS INTEGER) + 2]
+                    THEN (1 << CAST(7 - j AS INTEGER)) ELSE 0 END))
+               AS BIGINT))), '') AS afp
+    FROM e
+    """
