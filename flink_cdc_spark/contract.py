@@ -3241,6 +3241,7 @@ _PRIORITY = [
     "events_sessionize",
     "sim_ivf_fitted_topk",
     "mm_audio_fingerprint",
+    "text_bigram_logprob",
 ]
 
 

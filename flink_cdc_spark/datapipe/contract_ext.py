@@ -595,6 +595,13 @@ def mm_phash_near_dup(spark, sf_dir):
     return mm.near_dup_by_phash(feats, max_hamming=3)
 
 
+@register("text_bigram_logprob", sampling.bigram_logprob_oracle_sql())
+def text_bigram_logprob(spark, sf_dir):
+    """Add-one-smoothed bigram conditional model fit on the corpus and
+    scored per doc — KenLM-lite typicality one order above unigram."""
+    return sampling.bigram_logprob(_docs(spark, sf_dir))
+
+
 @register("text_unigram_logprob", sampling.unigram_logprob_oracle_sql())
 def text_unigram_logprob(spark, sf_dir):
     """CCNet-style corpus-model quality proxy: mean add-one-smoothed

@@ -247,3 +247,94 @@ def unigram_logprob_oracle_sql(table: str = "documents", key: str = "doc_id", te
     FROM toks t JOIN model m ON m.token = t.token
     GROUP BY t.{key}
     """
+
+
+def bigram_logprob(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-document mean bigram negative log-probability under the
+    corpus's own add-one-smoothed conditional model P(w2|w1) =
+    (cnt(w1 w2) + 1) / (cnt(w1) + V) — the next step up from the unigram
+    typicality score (a KenLM-lite without backoff).
+
+    Same scale shape as unigram_logprob: model tables are
+    vocabulary-sized (bigram types ≪ corpus tokens after hash agg),
+    scoring is one explode → model join → per-doc aggregate, and
+    per-bigram logprobs round to 6dp then aggregate through DECIMAL so
+    partial-aggregation order cannot change the result."""
+    arr = F.expr(f"filter(split({text}, ' '), t -> t <> '')")
+    base = df.select(F.col(key), arr.alias("toks")).where(F.size("toks") >= 2)
+    bigrams = base.select(
+        F.col(key),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select(F.col(key), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = df.select(
+        F.explode(F.expr(f"filter(split({text}, ' '), t -> t <> '')")).alias("t")
+    ).agg(F.countDistinct("t").alias("v"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    model = (
+        bi.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.round(
+                -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))), 6
+            ).cast("decimal(18,6)").alias("nll"),
+        )
+    )
+    scored = (
+        bigrams.join(model, ["w1", "w2"])
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("nll").alias("nll_sum"),
+        )
+    )
+    return scored.select(
+        F.col(key),
+        F.col("n_scored"),
+        F.round(F.col("nll_sum").cast("double") / F.col("n_scored"), 6).alias(
+            "mean_nll"
+        ),
+    )
+
+
+def bigram_logprob_oracle_sql(table: str = "documents", key: str = "doc_id", text: str = "text") -> str:
+    return f"""
+    WITH docs AS (
+      SELECT {key}, list_filter(string_split({text}, ' '), t -> t <> '') AS toks
+      FROM {table}
+    ), eligible AS (
+      SELECT * FROM docs WHERE len(toks) >= 2
+    ), bigrams AS (
+      SELECT {key}, bg['w1'] AS w1, bg['w2'] AS w2
+      FROM (
+        SELECT {key},
+               unnest(list_transform(range(len(toks) - 1),
+                 i -> {{'w1': toks[i + 1], 'w2': toks[i + 2]}})) AS bg
+        FROM eligible
+      )
+    ), uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT t) AS v FROM (
+        SELECT unnest(list_filter(string_split({text}, ' '), x -> x <> '')) AS t
+        FROM {table}
+      )
+    ), bi AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ), model AS (
+      SELECT bi.w1, bi.w2,
+             CAST(round(-ln((c12 + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS nll
+      FROM bi JOIN uni ON uni.w1 = bi.w1, vocab
+    )
+    SELECT b.{key}, COUNT(*) AS n_scored,
+           round(CAST(SUM(m.nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+    FROM bigrams b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+    GROUP BY b.{key}
+    """
