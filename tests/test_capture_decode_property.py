@@ -93,3 +93,86 @@ def test_sqlserver_decode_matches_replay(spark, actions):
     env = decode_cdc_table(df, "dbo.t")
     got = {r["id"]: r["val"] for r in materialize_changelog(env, ["id"]).collect()}
     assert got == expect
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_mongodb_decode_matches_replay(spark, actions):
+    """Change-stream docs (updateLookup mode) for a random valid history
+    materialize to the dict-replay state."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sources.mongodb_source import (
+        decode_change_stream,
+        encode_resume_token,
+    )
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    lines = []
+    for n, (op, key, val, old) in enumerate(ops):
+        oid = f"{key:024x}"
+        doc = {
+            "_id": {"_data": encode_resume_token(1, n)},
+            "operationType": {"I": "insert", "U": "update", "D": "delete"}[op],
+            "ns": {"db": "app", "coll": "t"},
+            "documentKey": {"_id": {"$oid": oid}},
+        }
+        if op != "D":
+            doc["fullDocument"] = {
+                "_id": {"$oid": oid},
+                "id": {"$numberLong": str(key)},
+                "val": {"$numberLong": str(val)},
+            }
+        lines.append((_json.dumps(doc),))
+    raw = spark.createDataFrame(lines, "value string")
+    payload = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    env = decode_change_stream(raw, "app.t", payload, database="app", collection="t")
+    got = {r["id"]: r["val"] for r in materialize_changelog(env, ["_id"]).collect()}
+    assert got == expect
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_tidb_decode_matches_replay(spark, actions):
+    """cdcpb PUT/DELETE events over real record-key / row-v2 wire bytes
+    materialize to the dict-replay state."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sources.tidb_source import decode_cdc_events
+    from flink_cdc_spark.sources.tikv_wire import encode_row_key, encode_row_v2
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    rows = []
+    for n, (op, key, val, old) in enumerate(ops):
+        k = bytearray(encode_row_key(9, key))
+        img = lambda v: bytearray(encode_row_v2({1: key, 2: v}))
+        if op == "I":
+            rows.append((n, "PUT", k, img(val), None))
+        elif op == "U":
+            rows.append((n, "PUT", k, img(val), img(old)))
+        else:
+            rows.append((n, "DELETE", k, None, img(val)))
+    raw = spark.createDataFrame(
+        rows,
+        "commit_ts long, op_type string, key binary, value binary, old_value binary",
+    )
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    env = decode_cdc_events(
+        raw, 9, "tidb.t", {"id": (1, "long"), "val": (2, "long")}, payload
+    )
+    got = {r["id"]: r["val"] for r in materialize_changelog(env, ["id"]).collect()}
+    assert got == expect
