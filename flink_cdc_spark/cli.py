@@ -405,9 +405,16 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
 
         list(oracle_streams(spark, pipeline.source.config))  # raises
     elif source_type == "mongodb":
+        from .pipeline.composer import BatchPipelineComposer
         from .sources.mongodb_source import mongodb_streams
 
-        mongodb_streams(spark, pipeline.source.config)  # raises
+        if pipeline.source.config.get("changestream-file"):
+            composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+            result = composer.compose(
+                mongodb_streams(spark, pipeline.source.config)
+            )
+        else:
+            list(mongodb_streams(spark, pipeline.source.config))  # raises
     elif source_type == "db2":
         from .sources.db2_source import db2_streams
 

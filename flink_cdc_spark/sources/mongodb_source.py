@@ -352,15 +352,105 @@ def decode_change_stream(
     )
 
 
+def discover_collections(raw: DataFrame):
+    """Distinct (db, coll) pairs appearing in a change-stream file —
+    driver-side control pass over emitted-operation documents only."""
+    ns = F.get_json_object("value", "$.ns")
+    pairs = (
+        raw.where(F.get_json_object("value", "$.operationType").isin(*_OPS_EMITTED))
+        .select(
+            F.get_json_object("value", "$.ns.db").alias("db"),
+            F.get_json_object("value", "$.ns.coll").alias("coll"),
+        )
+        .where(F.col("db").isNotNull() & F.col("coll").isNotNull())
+        .distinct()
+        .collect()
+    )
+    _ = ns
+    return sorted((r["db"], r["coll"]) for r in pairs)
+
+
+def infer_collection_schema(
+    raw: DataFrame, database: str, collection: str
+) -> T.StructType:
+    """Schema inference for a schemaless source: unwrap every emitted
+    image's extended JSON executor-side, then let Spark's JSON reader
+    infer the union schema (the analog of the reference inferring from
+    BSON via MongoDBSchemaUtils sampling)."""
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for line in pdf["value"]:
+                if not line or not line.strip():
+                    continue
+                doc = json.loads(line)
+                if doc.get("operationType") not in _OPS_EMITTED:
+                    continue
+                ns = doc.get("ns") or {}
+                if ns.get("db") != database or ns.get("coll") != collection:
+                    continue
+                for field in ("fullDocument", "fullDocumentBeforeChange"):
+                    img = doc.get(field)
+                    if img:
+                        out.append(json.dumps(_unwrap(img), default=str))
+            yield pd.DataFrame({"j": out})
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(raw.sparkSession)
+    images = raw.mapInPandas(extract, schema="j string")
+    inferred = raw.sparkSession.read.json(images.rdd.map(lambda r: r["j"]))
+    # stabilize: sorted field names, _id first when present
+    fields = sorted(inferred.schema.fields, key=lambda f: (f.name != "_id", f.name))
+    return T.StructType(fields)
+
+
 def mongodb_streams(spark: SparkSession, config: dict):
-    """CLI resolver for `type: mongodb`: live mode needs a reachable
-    MongoDB deployment and the mongodb-driver — neither ships here."""
+    """CLI resolver for `type: mongodb`. `changestream-file` (a file/glob
+    of change-stream documents, one canonical-extended-JSON doc per line)
+    runs the offline replay — collections discovered from ns fields,
+    per-collection schemas inferred from the images; live mode needs a
+    reachable MongoDB deployment and driver, which this environment
+    lacks, so it fails fast."""
     cfg = MongoDBSourceConfig.from_dict(config)
+    stream_file = config.get("changestream-file")
+    if stream_file:
+        from ..core.selectors import Selectors
+        from ..core.table_id import TableId
+        from ..core.schema import Schema
+        from ..pipeline.composer import TableStream
+
+        raw = spark.read.text(stream_file)
+        sel = Selectors(config.get("tables", r".*.\.*"))
+        for db, coll in discover_collections(raw):
+            tid = TableId.parse(f"{db}.{coll}")
+            if not sel.is_match(tid):
+                continue
+            payload = infer_collection_schema(raw, db, coll)
+            env = decode_change_stream(
+                raw, str(tid), payload,
+                full_changelog=cfg.full_changelog,
+                database=db, collection=coll,
+            )
+            schema = Schema.from_spark_struct(
+                payload,
+                primary_keys=("_id",) if "_id" in payload.fieldNames() else (),
+            )
+            yield TableStream(
+                table_id=tid, df=env, schema=schema, insert_only=False
+            )
+        return
     if not cfg.hosts:
-        raise SystemExit("source.type=mongodb requires 'hosts'")
+        raise SystemExit(
+            "source.type=mongodb requires 'hosts' (live) or "
+            "'changestream-file' (offline replay)"
+        )
     raise SystemExit(
         "source.type=mongodb live mode needs a reachable MongoDB replica "
         f"set at {cfg.connection_uri()} and the MongoDB driver; neither "
-        "ships in this environment. The change-stream decoder "
-        "(decode_change_stream) is available for offline use."
+        "ships in this environment. Use 'changestream-file' for offline "
+        "replay."
     )

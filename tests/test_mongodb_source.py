@@ -205,7 +205,52 @@ def test_config_rejects_bad_scheme():
 
 
 def test_live_resolver_fails_fast(spark):
+    # mongodb_streams is a generator (replay mode yields TableStreams);
+    # live-mode errors raise on iteration
     with pytest.raises(SystemExit, match="hosts"):
-        mongodb_streams(spark, {})
-    with pytest.raises(SystemExit, match="change-stream decoder"):
-        mongodb_streams(spark, {"hosts": "rs0:27017"})
+        list(mongodb_streams(spark, {}))
+    with pytest.raises(SystemExit, match="changestream-file"):
+        list(mongodb_streams(spark, {"hosts": "rs0:27017"}))
+
+
+def test_changestream_file_replay_cli(spark, tmp_path):
+    """Offline change-stream replay end-to-end from YAML: collections
+    discovered from ns fields, schemas inferred from the images, final
+    state materialized per collection."""
+    import json as _json
+
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    lines = [
+        _doc("insert", 100, 1, OID1, full=_img(OID1, 5, 1.5)),
+        _doc("insert", 100, 2, OID2, full=_img(OID2, 7, 2.5)),
+        _doc("update", 101, 1, OID1, full=_img(OID1, 6, 1.75)),
+        _doc("delete", 102, 1, OID2),
+        # a second collection in the same stream
+        _doc("insert", 103, 1, OID3, full=_img(OID3, 9, 3.5), coll="users"),
+    ]
+    stream = tmp_path / "changes.jsonl"
+    stream.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: mongodb
+  changestream-file: {stream}
+  tables: app.\\.*
+sink:
+  type: parquet
+  path: {out}
+pipeline:
+  name: mongo-replay
+  execution.runtime-mode: BATCH
+"""
+    )
+    summary = run_pipeline(spark, pipeline)
+    assert set(summary.tables) == {"app.orders", "app.users"}
+    orders = spark.read.parquet(str(out / "app.orders"))
+    state = {r["_id"]: (r["qty"], r["price"]) for r in orders.collect()}
+    assert state == {OID1: (6, 1.75)}
+    users = spark.read.parquet(str(out / "app.users"))
+    assert {r["qty"] for r in users.collect()} == {9}
