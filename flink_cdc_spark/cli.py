@@ -397,13 +397,27 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
         composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
         result = composer.compose(mysql_streams(spark, pipeline.source.config))
     elif source_type == "sqlserver":
+        from .pipeline.composer import BatchPipelineComposer
         from .sources.sqlserver_source import sqlserver_streams
 
-        list(sqlserver_streams(spark, pipeline.source.config))  # raises
+        if pipeline.source.config.get("ct-file"):
+            composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+            result = composer.compose(
+                sqlserver_streams(spark, pipeline.source.config)
+            )
+        else:
+            sqlserver_streams(spark, pipeline.source.config)  # raises
     elif source_type == "oracle":
+        from .pipeline.composer import BatchPipelineComposer
         from .sources.oracle_source import oracle_streams
 
-        list(oracle_streams(spark, pipeline.source.config))  # raises
+        if pipeline.source.config.get("redo-file"):
+            composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+            result = composer.compose(
+                oracle_streams(spark, pipeline.source.config)
+            )
+        else:
+            oracle_streams(spark, pipeline.source.config)  # raises
     elif source_type == "mongodb":
         from .pipeline.composer import BatchPipelineComposer
         from .sources.mongodb_source import mongodb_streams
@@ -416,9 +430,14 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
         else:
             list(mongodb_streams(spark, pipeline.source.config))  # raises
     elif source_type == "db2":
+        from .pipeline.composer import BatchPipelineComposer
         from .sources.db2_source import db2_streams
 
-        db2_streams(spark, pipeline.source.config)  # raises
+        if pipeline.source.config.get("cd-file"):
+            composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+            result = composer.compose(db2_streams(spark, pipeline.source.config))
+        else:
+            db2_streams(spark, pipeline.source.config)  # raises
     elif source_type == "tidb":
         from .sources.tidb_source import tidb_streams
 

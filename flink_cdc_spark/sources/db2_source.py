@@ -224,11 +224,24 @@ def decode_cd_table(cd_df: DataFrame, table_id: str) -> DataFrame:
 
 
 def db2_streams(spark: SparkSession, config: dict):
-    """CLI resolver for `type: db2`: live mode needs the Db2 JDBC driver
-    and a reachable server — neither ships here."""
+    """CLI resolver for `type: db2`. `cd-file` (a parquet of ASN
+    change-data rows) runs the offline replay through decode_cd_table;
+    live mode needs the Db2 JDBC driver and a reachable server — neither
+    ships here."""
     cfg = Db2SourceConfig.from_dict(config)
+    cd_file = config.get("cd-file")
+    if cd_file:
+        from .sqlserver_source import _capture_file_stream
+
+        return [_capture_file_stream(
+            spark, cd_file, config, decode_cd_table,
+            default_table_id="DB2INST1.TABLE",
+        )]
     if not cfg.hostname:
-        raise SystemExit("source.type=db2 requires 'hostname'")
+        raise SystemExit(
+            "source.type=db2 requires 'hostname' (live) or "
+            "'cd-file' (offline replay)"
+        )
     raise SystemExit(
         "source.type=db2 live mode needs the Db2 JDBC driver "
         f"({DB2_DRIVER}) on the Spark classpath and a reachable server at "

@@ -151,11 +151,44 @@ def decode_logminer_records(
 
 
 def oracle_streams(spark: SparkSession, config: dict):
-    """CLI resolver for `type: oracle`: live mode needs the Oracle JDBC
-    driver and a reachable listener — neither ships here."""
+    """CLI resolver for `type: oracle`. `redo-file` (text, one
+    LogMiner-shape debezium-json record per line) runs the offline
+    replay — the payload schema is inferred from the records' after/
+    before images; live mode needs the Oracle JDBC driver and a
+    reachable listener, neither of which ships here."""
     cfg = OracleSourceConfig.from_dict(config)
+    redo_file = config.get("redo-file")
+    if redo_file:
+        from ..core.schema import Schema
+        from ..core.table_id import TableId
+        from ..pipeline.composer import TableStream
+
+        raw = spark.read.text(redo_file).withColumnRenamed("value", "value")
+        inferred = spark.read.json(raw.rdd.map(lambda r: r["value"]))
+        after_t = dict(
+            (f.name, f.dataType) for f in inferred.schema.fields
+        ).get("after")
+        if after_t is None:
+            raise SystemExit(
+                "redo-file records carry no 'after' images to infer from"
+            )
+        payload = T.StructType(sorted(after_t.fields, key=lambda f: f.name))
+        table_id = config.get("table-id", "ORCL.TABLE")
+        pks = tuple(
+            k.strip() for k in str(config.get("primary-key", "")).split(",")
+            if k.strip()
+        )
+        env = decode_logminer_records(raw, payload)
+        schema = Schema.from_spark_struct(payload, primary_keys=pks)
+        return [TableStream(
+            table_id=TableId.parse(table_id), df=env, schema=schema,
+            insert_only=False,
+        )]
     if not cfg.hostname and not cfg.jdbc_url_override:
-        raise SystemExit("source.type=oracle requires 'hostname' or 'jdbc.url'")
+        raise SystemExit(
+            "source.type=oracle requires 'hostname'/'jdbc.url' (live) or "
+            "'redo-file' (offline replay)"
+        )
     raise SystemExit(
         "source.type=oracle live mode needs the Oracle JDBC driver "
         f"({ORACLE_DRIVER}) on the Spark classpath and a reachable listener "

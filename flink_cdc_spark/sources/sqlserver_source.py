@@ -216,14 +216,47 @@ def decode_cdc_table(ct_df: DataFrame, table_id: str) -> DataFrame:
 
 
 def sqlserver_streams(spark: SparkSession, config: dict):
-    """CLI resolver for `type: sqlserver`: live mode needs the SQL Server
-    JDBC driver and a reachable server — neither ships here."""
+    """CLI resolver for `type: sqlserver`. `ct-file` (a parquet of
+    cdc.*_CT capture rows) runs the offline replay through
+    decode_cdc_table; live mode needs the SQL Server JDBC driver and a
+    reachable server — neither ships here."""
     cfg = SqlServerSourceConfig.from_dict(config)
+    ct_file = config.get("ct-file")
+    if ct_file:
+        return [_capture_file_stream(
+            spark, ct_file, config, decode_cdc_table,
+            default_table_id="dbo.table",
+        )]
     if not cfg.hostname:
-        raise SystemExit("source.type=sqlserver requires 'hostname'")
+        raise SystemExit(
+            "source.type=sqlserver requires 'hostname' (live) or "
+            "'ct-file' (offline replay)"
+        )
     raise SystemExit(
         "source.type=sqlserver live mode needs the SQL Server JDBC driver "
         f"({SQLSERVER_DRIVER}) on the Spark classpath and a reachable server "
         f"at {cfg.jdbc_url()}; neither ships in this environment. The "
         "CT-table decoder (decode_cdc_table) is available for offline use."
+    )
+
+
+def _capture_file_stream(spark, path, config, decoder, default_table_id):
+    """Shared offline-replay shape for capture-table dialects: a parquet
+    of capture rows -> decoder -> one TableStream (table id and primary
+    keys from the source config)."""
+    from ..core.schema import Schema
+    from ..core.table_id import TableId
+    from ..pipeline.composer import TableStream
+    from .envelope import payload_struct
+
+    table_id = config.get("table-id", default_table_id)
+    pks = tuple(
+        k.strip() for k in str(config.get("primary-key", "")).split(",")
+        if k.strip()
+    )
+    env = decoder(spark.read.parquet(path), table_id)
+    schema = Schema.from_spark_struct(payload_struct(env), primary_keys=pks)
+    return TableStream(
+        table_id=TableId.parse(table_id), df=env, schema=schema,
+        insert_only=False,
     )

@@ -149,3 +149,125 @@ def test_live_modes_fail_fast(spark):
         list(sqlserver_streams(spark, {}))
     with pytest.raises(SystemExit, match="Oracle JDBC driver"):
         list(oracle_streams(spark, {"hostname": "nope", "database": "XE"}))
+
+
+def test_sqlserver_ct_file_replay_cli(spark, tmp_path):
+    """`type: sqlserver` with ct-file runs the CT decode end-to-end from
+    YAML (offline replay parity with mysql binlog-file)."""
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    ct = spark.createDataFrame(
+        [
+            ("A01", "01", 2, 1, "a", 1.0),
+            ("A02", "01", 2, 2, "b", 2.0),
+            ("B01", "01", 3, 1, "a", 1.0),
+            ("B01", "01", 4, 1, "a2", 1.5),
+            ("C01", "01", 1, 2, "b", 2.0),
+        ],
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+        "id long, name string, val double",
+    )
+    src_path = tmp_path / "ct"
+    ct.coalesce(1).write.parquet(str(src_path))
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: sqlserver
+  ct-file: {src_path}
+  table-id: dbo.items
+  primary-key: id
+sink:
+  type: parquet
+  path: {out}
+pipeline:
+  name: ct-replay
+  execution.runtime-mode: BATCH
+"""
+    )
+    summary = run_pipeline(spark, pipeline)
+    got = spark.read.parquet(str(out / "dbo.items"))
+    state = {r.id: (r.name, r.val) for r in got.collect()}
+    assert state == {1: ("a2", 1.5)}
+    assert summary.tables["dbo.items"] == 1
+
+
+def test_db2_cd_file_replay_cli(spark, tmp_path):
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    cd = spark.createDataFrame(
+        [
+            ("0001", "01", "I", 1, "x"),
+            ("0002", "01", "D", 1, "x"),
+            ("0002", "02", "I", 1, "x2"),
+            ("0003", "01", "I", 2, "y"),
+        ],
+        "IBMSNAP_COMMITSEQ string, IBMSNAP_INTENTSEQ string, "
+        "IBMSNAP_OPERATION string, id long, name string",
+    )
+    src_path = tmp_path / "cd"
+    cd.coalesce(1).write.parquet(str(src_path))
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: db2
+  cd-file: {src_path}
+  table-id: DB2INST1.ITEMS
+  primary-key: id
+sink:
+  type: parquet
+  path: {out}
+pipeline:
+  name: cd-replay
+  execution.runtime-mode: BATCH
+"""
+    )
+    run_pipeline(spark, pipeline)
+    got = {r.id: r.name
+           for r in spark.read.parquet(str(out / "DB2INST1.ITEMS")).collect()}
+    assert got == {1: "x2", 2: "y"}
+
+
+def test_oracle_redo_file_replay_cli(spark, tmp_path):
+    import json as _json
+
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    def rec(op, scn, before, after):
+        return _json.dumps(
+            {"op": op, "before": before, "after": after,
+             "source": {"db": "ORCL", "table": "ITEMS", "scn": str(scn)}}
+        )
+
+    lines = [
+        rec("c", 10, None, {"id": 1, "name": "a"}),
+        rec("c", 11, None, {"id": 2, "name": "b"}),
+        rec("u", 20, {"id": 1, "name": "a"}, {"id": 1, "name": "a2"}),
+        rec("d", 30, {"id": 2, "name": "b"}, None),
+    ]
+    redo = tmp_path / "redo.jsonl"
+    redo.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: oracle
+  redo-file: {redo}
+  table-id: ORCL.ITEMS
+  primary-key: id
+sink:
+  type: parquet
+  path: {out}
+pipeline:
+  name: redo-replay
+  execution.runtime-mode: BATCH
+"""
+    )
+    run_pipeline(spark, pipeline)
+    got = {r.id: r.name
+           for r in spark.read.parquet(str(out / "ORCL.ITEMS")).collect()}
+    assert got == {1: "a2"}
