@@ -439,13 +439,25 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
         else:
             db2_streams(spark, pipeline.source.config)  # raises
     elif source_type == "tidb":
+        from .pipeline.composer import BatchPipelineComposer
         from .sources.tidb_source import tidb_streams
 
-        tidb_streams(spark, pipeline.source.config)  # raises
+        if pipeline.source.config.get("kv-file"):
+            composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+            result = composer.compose(tidb_streams(spark, pipeline.source.config))
+        else:
+            tidb_streams(spark, pipeline.source.config)  # raises
     elif source_type == "vitess":
+        from .pipeline.composer import BatchPipelineComposer
         from .sources.vitess_source import vitess_streams
 
-        vitess_streams(spark, pipeline.source.config)  # raises
+        if pipeline.source.config.get("vstream-file"):
+            composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+            result = composer.compose(
+                vitess_streams(spark, pipeline.source.config)
+            )
+        else:
+            vitess_streams(spark, pipeline.source.config)  # raises
     else:
         raise SystemExit(f"unknown source type {pipeline.source.type!r}")
 

@@ -211,11 +211,54 @@ def decode_cdc_events(
 
 
 def tidb_streams(spark: SparkSession, config: dict):
-    """CLI resolver for `type: tidb`: live mode needs a PD/TiKV cluster
-    and the TiKV java client — neither ships here."""
+    """CLI resolver for `type: tidb`. `kv-file` (a parquet of cdcpb Row
+    events: commit_ts, op_type, key, value, old_value) runs the offline
+    replay through decode_cdc_events; `table-info` maps column names to
+    "id:type" pairs (the tableInfo the decoder consults). Live mode
+    needs a PD/TiKV cluster and the TiKV client — neither ships here."""
     cfg = TiDBSourceConfig.from_dict(config)
+    kv_file = config.get("kv-file")
+    if kv_file:
+        from ..core.schema import Schema
+        from ..core.table_id import TableId
+        from ..pipeline.composer import TableStream
+
+        info_raw = config.get("table-info") or {}
+        if not isinstance(info_raw, dict) or not info_raw:
+            raise SystemExit(
+                "source.type=tidb kv-file replay requires 'table-info' "
+                "(column -> 'id:type' mapping)"
+            )
+        wire_to_spark = {"long": T.LongType(), "double": T.DoubleType(),
+                         "string": T.StringType(), "bytes": T.BinaryType()}
+        info: TableInfo = {}
+        fields = []
+        for name, spec in info_raw.items():
+            cid, wire = str(spec).split(":", 1)
+            if wire not in wire_to_spark:
+                raise SystemExit(f"unsupported table-info type {wire!r}")
+            info[name] = (int(cid), wire)
+            fields.append(T.StructField(name, wire_to_spark[wire]))
+        payload = T.StructType(fields)
+        table_id = config.get("table-id", "tidb.table")
+        table_id_num = int(config.get("table-id-num", 1))
+        pks = tuple(
+            k.strip() for k in str(config.get("primary-key", "")).split(",")
+            if k.strip()
+        )
+        env = decode_cdc_events(
+            spark.read.parquet(kv_file), table_id_num, table_id, info, payload
+        )
+        schema = Schema.from_spark_struct(payload, primary_keys=pks)
+        return [TableStream(
+            table_id=TableId.parse(table_id), df=env, schema=schema,
+            insert_only=False,
+        )]
     if not cfg.pd_addresses:
-        raise SystemExit("source.type=tidb requires 'pd-addresses'")
+        raise SystemExit(
+            "source.type=tidb requires 'pd-addresses' (live) or "
+            "'kv-file' (offline replay)"
+        )
     raise SystemExit(
         "source.type=tidb live mode needs a reachable PD/TiKV cluster at "
         f"{cfg.pd_addresses} and the TiKV client; neither ships in this "

@@ -217,11 +217,47 @@ def decode_vstream(
 
 
 def vitess_streams(spark: SparkSession, config: dict):
-    """CLI resolver for `type: vitess`: live mode needs a reachable vtgate
-    VStream gRPC endpoint — none ships here."""
+    """CLI resolver for `type: vitess`. `vstream-file` (text, one
+    Debezium-vitess record per line) runs the offline replay — payload
+    schema inferred from the records' images, `vitess.gtid` (a VGTID
+    JSON) resumes past covered transactions. Live mode needs a reachable
+    vtgate VStream endpoint — none ships here."""
     cfg = VitessSourceConfig.from_dict(config)
+    stream_file = config.get("vstream-file")
+    if stream_file:
+        from ..core.schema import Schema
+        from ..core.table_id import TableId
+        from ..pipeline.composer import TableStream
+
+        raw = spark.read.text(stream_file)
+        inferred = spark.read.json(raw.rdd.map(lambda r: r["value"]))
+        after_t = dict(
+            (f.name, f.dataType) for f in inferred.schema.fields
+        ).get("after")
+        if after_t is None:
+            raise SystemExit(
+                "vstream-file records carry no 'after' images to infer from"
+            )
+        payload = T.StructType(sorted(after_t.fields, key=lambda f: f.name))
+        start = None
+        if cfg.gtid and cfg.gtid != "current":
+            start = Vgtid.parse(cfg.gtid)
+        env = decode_vstream(raw, payload, start_vgtid=start)
+        table_id = config.get("table-id", f"{cfg.keyspace or 'ks'}.table")
+        pks = tuple(
+            k.strip() for k in str(config.get("primary-key", "")).split(",")
+            if k.strip()
+        )
+        schema = Schema.from_spark_struct(payload, primary_keys=pks)
+        return [TableStream(
+            table_id=TableId.parse(table_id), df=env, schema=schema,
+            insert_only=False,
+        )]
     if not cfg.hostname or not cfg.keyspace:
-        raise SystemExit("source.type=vitess requires 'hostname' and 'keyspace'")
+        raise SystemExit(
+            "source.type=vitess requires 'hostname' and 'keyspace' (live) "
+            "or 'vstream-file' (offline replay)"
+        )
     raise SystemExit(
         "source.type=vitess live mode needs a reachable vtgate VStream "
         f"endpoint at {cfg.hostname}:{cfg.port} (keyspace {cfg.keyspace}); "

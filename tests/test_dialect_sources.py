@@ -271,3 +271,93 @@ pipeline:
     got = {r.id: r.name
            for r in spark.read.parquet(str(out / "ORCL.ITEMS")).collect()}
     assert got == {1: "a2"}
+
+
+def test_tidb_kv_file_replay_cli(spark, tmp_path):
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+    from flink_cdc_spark.sources.tikv_wire import encode_row_key, encode_row_v2
+
+    enc = lambda kid, name: bytearray(encode_row_v2({1: kid, 2: name}))
+    rows = [
+        (10, "PUT", bytearray(encode_row_key(3, 1)), enc(1, "a"), None),
+        (11, "PUT", bytearray(encode_row_key(3, 2)), enc(2, "b"), None),
+        (20, "PUT", bytearray(encode_row_key(3, 1)), enc(1, "a2"), enc(1, "a")),
+        (30, "DELETE", bytearray(encode_row_key(3, 2)), None, enc(2, "b")),
+    ]
+    kv = spark.createDataFrame(
+        rows,
+        "commit_ts long, op_type string, key binary, value binary, old_value binary",
+    )
+    src_path = tmp_path / "kv"
+    kv.coalesce(1).write.parquet(str(src_path))
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: tidb
+  kv-file: {src_path}
+  table-id: tidb.items
+  table-id-num: 3
+  primary-key: id
+  table-info:
+    id: "1:long"
+    name: "2:string"
+sink:
+  type: parquet
+  path: {out}
+pipeline:
+  name: kv-replay
+  execution.runtime-mode: BATCH
+"""
+    )
+    run_pipeline(spark, pipeline)
+    got = {r.id: r.name
+           for r in spark.read.parquet(str(out / "tidb.items")).collect()}
+    assert got == {1: "a2"}
+
+
+def test_vitess_vstream_file_replay_cli(spark, tmp_path):
+    import json as _json
+
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    def rec(op, shard, txid, before, after):
+        return _json.dumps(
+            {"before": before, "after": after, "op": op,
+             "source": {"keyspace": "ks", "table": "t", "shard": shard,
+                        "gtid": f"aaa:{txid}"}}
+        )
+
+    lines = [
+        rec("c", "-80", 1, None, {"id": 1, "v": "a"}),
+        rec("c", "80-", 1, None, {"id": 2, "v": "b"}),
+        rec("u", "-80", 2, {"id": 1, "v": "a"}, {"id": 1, "v": "a2"}),
+        rec("d", "80-", 2, {"id": 2, "v": "b"}, None),
+    ]
+    stream = tmp_path / "vstream.jsonl"
+    stream.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: vitess
+  vstream-file: {stream}
+  keyspace: ks
+  table-id: ks.t
+  primary-key: id
+  vitess.gtid: '[{{"keyspace": "ks", "shard": "-80", "gtid": "MySQL56/aaa:1"}}]'
+sink:
+  type: parquet
+  path: {out}
+pipeline:
+  name: vstream-replay
+  execution.runtime-mode: BATCH
+"""
+    )
+    run_pipeline(spark, pipeline)
+    got = {r.id: r.v for r in spark.read.parquet(str(out / "ks.t")).collect()}
+    # shard -80 tx 1 is covered by the start VGTID -> id=1's INSERT skipped,
+    # but its later UPDATE (tx 2) upserts it back; id=2 deleted
+    assert got == {1: "a2"}
