@@ -364,6 +364,13 @@ class BinlogWriter:
         body += db + b"\x00" + sql.encode()
         return self._event(QUERY_EVENT, body)
 
+    def rotate(self, next_file: str, pos: int = 4) -> int:
+        """ROTATE_EVENT closing a segment: 8-byte LE position in the next
+        file + the next file's name (no terminator)."""
+        return self._event(
+            ROTATE_EVENT, struct.pack("<Q", pos) + next_file.encode()
+        )
+
     def gtid(self, sid_hex: str, gno: int) -> int:
         """GTID_LOG_EVENT opening a transaction: commit-flag byte +
         16-byte server uuid (SID) + signed 64-bit LE group number."""
@@ -640,6 +647,12 @@ def parse_binlog_bytes(data: bytes, base_pos: int = 0) -> Iterator[dict]:
                 DELETE_ROWS_EVENT_V2: "EXT_DELETE_ROWS",
             }[type_code]
             yield {"type": kind, "pos": pos, "table_id": tnum, "rows": rows}
+        elif type_code == ROTATE_EVENT:
+            (next_pos,) = struct.unpack_from("<Q", body, 0)
+            yield {
+                "type": "ROTATE", "pos": pos,
+                "next_file": body[8:].decode(), "next_pos": next_pos,
+            }
         elif type_code == GTID_LOG_EVENT:
             sid = body[1:17]
             (gno,) = struct.unpack_from("<q", body, 17)

@@ -419,3 +419,35 @@ def test_wire_rows_with_json_and_timestamp(spark, tmp_path):
     got = {r["after"]["id"]: r["after"] for r in env.collect()}
     assert _json.loads(got[1]["doc"]) == {"k": [1, 2, {"deep": True}], "s": "tëxt"}
     assert got[2]["doc"] is None and got[2]["at"] is None
+
+
+def test_rotate_event_chains_segments(spark, tmp_path):
+    """ROTATE closes a segment naming its successor; the multi-segment
+    decode (glob) replays across the chain in order."""
+    types = ["BIGINT", "VARCHAR(64)"]
+    w1 = BinlogWriter()
+    w1.query("app", "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(64))")
+    w1.table_map(5, "app", "t", types)
+    w1.write_rows(5, types, [[1, "a"], [2, "b"]])
+    w1.xid()
+    w1.rotate("bin.000002")
+    (tmp_path / "bin.000001").write_bytes(w1.to_bytes())
+    w2 = BinlogWriter()
+    w2.table_map(5, "app", "t", types)
+    w2.update_rows(5, types, [([1, "a"], [1, "a2"])])
+    w2.delete_rows(5, types, [[2, "b"]])
+    w2.xid()
+    (tmp_path / "bin.000002").write_bytes(w2.to_bytes())
+
+    events = list(parse_binlog_bytes((tmp_path / "bin.000001").read_bytes()))
+    rot = [e for e in events if e["type"] == "ROTATE"]
+    assert rot and rot[0]["next_file"] == "bin.000002" and rot[0]["next_pos"] == 4
+
+    dec = MySqlBinaryBinlogDecoder(spark)
+    _, _, schemas = dec.scan_control(str(tmp_path / "bin.*"))
+    env = dec.read_envelope(
+        str(tmp_path / "bin.*"), "app.t", schemas["app.t"].to_spark_struct()
+    )
+    state = {r["id"]: r["v"] for r in
+             materialize_changelog(env, ["id"]).collect()}
+    assert state == {1: "a2"}
