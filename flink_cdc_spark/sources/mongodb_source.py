@@ -402,6 +402,9 @@ def infer_collection_schema(
 
     ensure_package_on_executors(raw.sparkSession)
     images = raw.mapInPandas(extract, schema="j string")
+    # .rdd = the PySpark spelling of the Dataset[String] JSON-
+    # inference API — a one-off control-plane schema pass, not a
+    # data-plane RDD op
     inferred = raw.sparkSession.read.json(images.rdd.map(lambda r: r["j"]))
     # stabilize: sorted field names, _id first when present
     fields = sorted(inferred.schema.fields, key=lambda f: (f.name != "_id", f.name))

@@ -230,6 +230,9 @@ def vitess_streams(spark: SparkSession, config: dict):
         from ..pipeline.composer import TableStream
 
         raw = spark.read.text(stream_file)
+        # .rdd = the PySpark spelling of the Dataset[String] JSON-
+        # inference API — a one-off control-plane schema pass, not a
+        # data-plane RDD op
         inferred = spark.read.json(raw.rdd.map(lambda r: r["value"]))
         after_t = dict(
             (f.name, f.dataType) for f in inferred.schema.fields
