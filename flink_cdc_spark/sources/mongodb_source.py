@@ -355,7 +355,6 @@ def decode_change_stream(
 def discover_collections(raw: DataFrame):
     """Distinct (db, coll) pairs appearing in a change-stream file —
     driver-side control pass over emitted-operation documents only."""
-    ns = F.get_json_object("value", "$.ns")
     pairs = (
         raw.where(F.get_json_object("value", "$.operationType").isin(*_OPS_EMITTED))
         .select(
@@ -366,7 +365,6 @@ def discover_collections(raw: DataFrame):
         .distinct()
         .collect()
     )
-    _ = ns
     return sorted((r["db"], r["coll"]) for r in pairs)
 
 

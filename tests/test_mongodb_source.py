@@ -254,3 +254,28 @@ pipeline:
     assert state == {OID1: (6, 1.75)}
     users = spark.read.parquet(str(out / "app.users"))
     assert {r["qty"] for r in users.collect()} == {9}
+
+
+def test_changestream_schema_widens_across_stream(spark, tmp_path):
+    """Schemaless reality: a field appearing only in LATER documents still
+    lands in the inferred schema; early rows carry NULL for it."""
+    import json as _json
+
+    from flink_cdc_spark.sources.mongodb_source import (
+        infer_collection_schema,
+        decode_change_stream,
+    )
+
+    early = _doc("insert", 100, 1, OID1, full={"_id": {"$oid": OID1},
+                                               "qty": {"$numberLong": "5"}})
+    late = _doc("insert", 101, 1, OID2, full={"_id": {"$oid": OID2},
+                                              "qty": {"$numberLong": "7"},
+                                              "rating": {"$numberDouble": "4.5"}})
+    raw = spark.createDataFrame([(early,), (late,)], "value string")
+    payload = infer_collection_schema(raw, "app", "orders")
+    assert set(payload.fieldNames()) >= {"_id", "qty", "rating"}
+    env = decode_change_stream(raw, "app.orders", payload,
+                               database="app", collection="orders")
+    rows = {r["after"]["_id"]: r["after"] for r in env.collect()}
+    assert rows[OID1]["rating"] is None  # early row null-pads
+    assert rows[OID2]["rating"] == 4.5
