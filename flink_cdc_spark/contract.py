@@ -2674,6 +2674,81 @@ def hudi_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mongodb_streaming_evolution",
+    """
+    SELECT doc_id,
+           CASE WHEN (doc_id % 4) = 1 THEN n_chars + 1 ELSE n_chars END AS n_chars,
+           CASE WHEN (doc_id % 4) = 1 THEN lang END AS lang
+    FROM documents
+    WHERE (doc_id % 9) <> 3
+    """,
+)
+def mongodb_streaming_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-source streaming evolution (the MongoDB bridge): a
+    change stream whose LATER documents introduce a new field replays
+    through the checkpointed runner — per-slice schema inference derives
+    a real in-band ADD COLUMN (get_schema_difference), early rows
+    null-pad, post-evolution upserts land typed. Materialized state
+    oracle-compared."""
+    import shutil
+    import tempfile
+
+    from .streaming.mongo_bridge import MongoChangeStreamBridge
+
+    pin_session(spark)
+    docs = (
+        ParquetTableSource(spark, sf_dir)
+        .snapshot("documents")
+        .select("doc_id", "n_chars", "lang")
+    )
+    key = F.col("doc_id")
+    oid = F.format_string("%024x", key)
+    token = lambda t: F.format_string("82%08x%08x", F.lit(t), key)
+
+    def doc(t, op, full):
+        head = F.format_string(
+            '{"_id": {"_data": "%s"}, "operationType": "%s", '
+            '"ns": {"db": "app", "coll": "docs"}, '
+            '"documentKey": {"_id": {"$oid": "%s"}}',
+            token(t), F.lit(op), oid,
+        )
+        if full is None:
+            return F.concat(head, F.lit("}"))
+        return F.concat(head, F.lit(', "fullDocument": '), full, F.lit("}"))
+
+    base_img = F.format_string(
+        '{"_id": {"$oid": "%s"}, "doc_id": {"$numberLong": "%d"}, '
+        '"n_chars": {"$numberLong": "%d"}}',
+        oid, key, F.col("n_chars"),
+    )
+    upd_img = F.format_string(
+        '{"_id": {"$oid": "%s"}, "doc_id": {"$numberLong": "%d"}, '
+        '"n_chars": {"$numberLong": "%d"}, "lang": "%s"}',
+        oid, key, F.col("n_chars") + 1, F.col("lang"),
+    )
+    ins = docs.select(doc(1000, "insert", base_img).alias("value"))
+    upd = docs.where(key % 4 == 1).select(
+        doc(2000, "update", upd_img).alias("value")
+    )
+    dels = docs.where(key % 9 == 3).select(doc(3000, "delete", None).alias("value"))
+    stream = ins.unionByName(upd).unionByName(dels)
+
+    root = tempfile.mkdtemp(prefix="mongo_stream_contract_")
+    try:
+        src = f"{root}/stream"
+        stream.coalesce(1).write.mode("overwrite").text(src)
+        bridge = MongoChangeStreamBridge(
+            spark, src, f"{root}/work", "app", "docs", slices=3
+        )
+        bridge.export_all()
+        bridge.run()
+        out = bridge.current_state().select("doc_id", "n_chars", "lang")
+        return _pin_state(spark, out, "mongo_stream")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "db2_asn_cd_decode",
     """
     SELECT p_partkey, p_name,
@@ -3225,6 +3300,7 @@ _PRIORITY = [
     "iceberg_metadata_evolution",
     "hudi_upsert_roundtrip",
     "mongodb_change_stream_roundtrip",
+    "mongodb_streaming_evolution",
     "db2_asn_cd_decode",
     "tidb_kv_event_decode",
     "vitess_vstream_decode",

@@ -1,0 +1,146 @@
+"""MongoDB change-stream -> checkpointed Structured Streaming pipeline.
+
+The schemaless-source streaming bridge: a change-stream replay file is
+sliced chronologically (resume-token cluster time), each slice's images
+are schema-inferred, and the schema GROWTH between slices is derived
+into real SchemaChangeEvents (core.schema_evolution.get_schema_difference
+— the SchemaDerivator path), so a field that first appears mid-stream
+flows through the runner as an in-band ADD COLUMN exactly like a
+relational DDL would. This is the piece MongoDB CDC pipelines actually
+need: the reference relies on Debezium's schema-change topic for this;
+here the derivation is first-class.
+
+Control plane: slicing, inference and DDL derivation touch only resume
+tokens and schema metadata (the JobManager-scope work); row payloads
+move through ``decode_change_stream`` + ``envelope_to_wire`` executor
+side, banded per slice for the runner's DDL segmentation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession, Window, functions as F, types as T
+
+from ..core.schema import Schema
+from ..core.schema_evolution import get_schema_difference
+from ..core.table_id import TableId
+from ..pipeline.yaml_parser import parse_pipeline_yaml
+from ..sources.envelope import ENVELOPE_SEQ
+from ..sources.mongodb_source import decode_change_stream, infer_collection_schema
+from ..streaming.wire import ddl_to_dict
+from .live_bridge import _BAND_SHIFT, _CTL_RESERVE, _DEFAULT_PIPELINE_YAML, envelope_to_wire
+from .runner import StreamingPipelineRunner
+
+
+class MongoChangeStreamBridge:
+    """One collection's change-stream file replayed as a schema-evolving
+    checkpointed streaming pipeline."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stream_file: str,
+        work_root: str,
+        database: str,
+        collection: str,
+        slices: int = 3,
+        pipeline_yaml: Optional[str] = None,
+    ):
+        self.spark = spark
+        self.stream_file = stream_file
+        self.database = database
+        self.collection = collection
+        self.table = f"{database}.{collection}"
+        self.tid = TableId.parse(self.table)
+        self.slices = slices
+        self.src_dir = os.path.join(work_root, "wire")
+        self.ckpt_dir = os.path.join(work_root, "ckpt")
+        self.state_root = os.path.join(work_root, "state")
+        os.makedirs(self.src_dir, exist_ok=True)
+        self.pipeline = parse_pipeline_yaml(pipeline_yaml or _DEFAULT_PIPELINE_YAML)
+
+    def _sliced(self):
+        raw = self.spark.read.text(self.stream_file)
+        # resume-token cluster time: hex KeyString = kType(2 hex) then
+        # 8 hex of big-endian t — a pure JVM expression, no decode UDF
+        t = F.conv(
+            F.substring(F.get_json_object("value", "$._id._data"), 3, 8), 16, 10
+        ).cast("long")
+        return raw.withColumn("__t", t).withColumn(
+            "__slice",
+            F.ntile(self.slices).over(Window.orderBy("__t", "value")),
+        )
+
+    def export_all(self) -> Schema:
+        """Slice -> infer -> derive DDL -> write control + banded wire
+        records; returns the final evolved schema."""
+        sliced = self._sliced().cache()
+        known: Optional[Schema] = None
+        known_fields: dict = {}
+        try:
+            for k in range(1, self.slices + 1):
+                subset = sliced.where(F.col("__slice") == k).select("value")
+                inferred = infer_collection_schema(
+                    subset, self.database, self.collection
+                )
+                for f in inferred.fields:
+                    known_fields.setdefault(f.name, f)
+                cum_struct = T.StructType(
+                    sorted(
+                        known_fields.values(),
+                        key=lambda f: (f.name != "_id", f.name),
+                    )
+                )
+                cum_schema = Schema.from_spark_struct(
+                    cum_struct, primary_keys=("_id",)
+                )
+                events = get_schema_difference(self.tid, known, cum_schema)
+                known = cum_schema
+                band = k << _BAND_SHIFT
+                if events:
+                    path = os.path.join(self.src_dir, f"ctl-{k:08d}.json")
+                    with open(path, "w", encoding="utf-8") as fh:
+                        for i, ev in enumerate(events):
+                            fh.write(
+                                json.dumps(
+                                    {
+                                        "kind": "DDL",
+                                        "table_id": str(ev.table_id),
+                                        "seq": band + i,
+                                        "ddl": json.dumps(ddl_to_dict(ev)),
+                                    }
+                                )
+                                + "\n"
+                            )
+                env = decode_change_stream(
+                    subset, self.table, cum_struct,
+                    database=self.database, collection=self.collection,
+                )
+                # rebase the (t<<32|i) sequence into the slice band: cluster
+                # times are epoch-scale and would overflow the band math
+                w = Window.orderBy(ENVELOPE_SEQ)
+                rebased = env.withColumn(
+                    ENVELOPE_SEQ, F.row_number().over(w).cast("long")
+                )
+                envelope_to_wire(rebased, band).write.mode("append").json(
+                    self.src_dir
+                )
+        finally:
+            sliced.unpersist()
+        return known
+
+    def run(self, timeout: int = 300) -> None:
+        StreamingPipelineRunner(
+            self.spark,
+            self.pipeline,
+            state_root=self.state_root,
+            checkpoint_dir=self.ckpt_dir,
+        ).run_available(self.src_dir, timeout)
+
+    def current_state(self):
+        from ..sinks.lsm_store import LsmStateStore
+
+        return LsmStateStore(self.spark, self.state_root).read(self.table)

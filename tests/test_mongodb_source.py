@@ -279,3 +279,31 @@ def test_changestream_schema_widens_across_stream(spark, tmp_path):
     rows = {r["after"]["_id"]: r["after"] for r in env.collect()}
     assert rows[OID1]["rating"] is None  # early row null-pads
     assert rows[OID2]["rating"] == 4.5
+
+
+def test_mongo_streaming_bridge_schema_evolution(spark, tmp_path):
+    """Change-stream streaming replay: a field appearing in a LATER slice
+    becomes an in-band ADD COLUMN through the checkpointed runner."""
+    from flink_cdc_spark.streaming.mongo_bridge import MongoChangeStreamBridge
+
+    lines = [
+        _doc("insert", 100, 1, OID1,
+             full={"_id": {"$oid": OID1}, "qty": {"$numberLong": "5"}}),
+        _doc("insert", 100, 2, OID2,
+             full={"_id": {"$oid": OID2}, "qty": {"$numberLong": "7"}}),
+        _doc("update", 200, 1, OID1,
+             full={"_id": {"$oid": OID1}, "qty": {"$numberLong": "6"},
+                   "rating": {"$numberDouble": "4.5"}}),
+        _doc("delete", 300, 1, OID2),
+    ]
+    stream = tmp_path / "stream.jsonl"
+    stream.write_text("\n".join(lines) + "\n")
+    bridge = MongoChangeStreamBridge(
+        spark, str(stream), str(tmp_path / "work"), "app", "orders", slices=3
+    )
+    schema = bridge.export_all()
+    assert [c.name for c in schema.columns] == ["_id", "qty", "rating"]
+    bridge.run()
+    state = {r["_id"]: (r["qty"], r["rating"])
+             for r in bridge.current_state().collect()}
+    assert state == {OID1: (6, 4.5)}
