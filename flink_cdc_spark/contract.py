@@ -2146,6 +2146,89 @@ def mysql_gtid_startup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mysql_streaming_binlog_evolution",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN (c_custkey % 11) = 5 THEN 1 END AS vip
+    FROM customer
+    WHERE (c_custkey % 23) <> 9
+    """,
+)
+def mysql_streaming_binlog_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog segments through the checkpointed STREAMING runner with a
+    mid-stream ALTER (BinlogStreamBridge): segment 1 creates + inserts,
+    segment 2 adds a column in-band and writes updates/deletes under the
+    widened schema — pre-ALTER rows null-pad, the evolved state is
+    oracle-compared."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.binlog_bridge import BinlogStreamBridge
+    from .sources.mysql_binlog_wire import BinlogWriter
+
+    pin_session(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/flink_cdc_spark_binlogstream/{key}"
+    if not os.path.exists(f"{root}/_READY"):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            ParquetTableSource(spark, sf_dir)
+            .snapshot("customer")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey")
+            .collect()
+        )
+        t1 = ["BIGINT", "VARCHAR(200)"]
+        w1 = BinlogWriter()
+        w1.query(
+            "app",
+            "CREATE TABLE customer (c_custkey BIGINT NOT NULL PRIMARY KEY, "
+            "c_name VARCHAR(200))",
+        )
+        w1.table_map(70, "app", "customer", t1)
+        for i in range(0, len(rows), 500):
+            w1.write_rows(
+                70, t1, [[r.c_custkey, r.c_name] for r in rows[i:i + 500]]
+            )
+        w1.xid()
+        w1.rotate("bin.000002")
+        with open(f"{root}/bin.000001", "wb") as f:
+            f.write(w1.to_bytes())
+        t2 = t1 + ["INT"]
+        w2 = BinlogWriter()
+        w2.query("app", "ALTER TABLE customer ADD COLUMN vip INT")
+        w2.table_map(71, "app", "customer", t2)
+        w2.update_rows(
+            71, t2,
+            [([r.c_custkey, r.c_name, None], [r.c_custkey, r.c_name, 1])
+             for r in rows if r.c_custkey % 11 == 5],
+        )
+        w2.delete_rows(
+            71, t2,
+            [[r.c_custkey, r.c_name, 1 if r.c_custkey % 11 == 5 else None]
+             for r in rows if r.c_custkey % 23 == 9],
+        )
+        w2.xid()
+        with open(f"{root}/bin.000002", "wb") as f:
+            f.write(w2.to_bytes())
+        with open(f"{root}/_READY", "w") as f:
+            f.write("ok")
+    work = tempfile.mkdtemp(prefix="binlogstream_work_")
+    try:
+        bridge = BinlogStreamBridge(spark, f"{root}/bin.*", work)
+        bridge.export_all()
+        bridge.run()
+        out = bridge.current_state("app.customer").select(
+            "c_custkey", "c_name", "vip"
+        )
+        return _pin_state(spark, out, "binlog_stream")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "sqlserver_cdc_table_decode",
     """
     SELECT c_custkey, c_name,
@@ -3307,6 +3390,7 @@ _PRIORITY = [
     "kafka_producer_record_route",
     "jdbc_newly_added_table",
     "mysql_gtid_startup_replay",
+    "mysql_streaming_binlog_evolution",
     "lake_partitioned_pruning",
     "mm_audio_feature_stats",
     "mm_video_frame_sample",

@@ -451,3 +451,40 @@ def test_rotate_event_chains_segments(spark, tmp_path):
     state = {r["id"]: r["v"] for r in
              materialize_changelog(env, ["id"]).collect()}
     assert state == {1: "a2"}
+
+
+def test_binlog_streaming_bridge_with_mid_stream_alter(spark, tmp_path):
+    """Segments replay through the checkpointed runner: segment 2 carries
+    an ALTER TABLE ADD COLUMN in-band; pre-ALTER rows null-pad, the
+    post-ALTER insert lands typed, updates/deletes across the boundary
+    materialize correctly."""
+    from flink_cdc_spark.streaming.binlog_bridge import BinlogStreamBridge
+
+    types = ["BIGINT", "VARCHAR(64)"]
+    w1 = BinlogWriter()
+    w1.query("app", "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(64))")
+    w1.table_map(5, "app", "t", types)
+    w1.write_rows(5, types, [[1, "a"], [2, "b"], [3, "c"]])
+    w1.xid()
+    w1.rotate("bin.000002")
+    (tmp_path / "bin.000001").write_bytes(w1.to_bytes())
+
+    types2 = types + ["INT"]
+    w2 = BinlogWriter()
+    w2.query("app", "ALTER TABLE t ADD COLUMN n INT")
+    w2.table_map(6, "app", "t", types2)
+    w2.write_rows(6, types2, [[4, "d", 44]])
+    w2.update_rows(6, types2, [([1, "a", None], [1, "a2", 11])])
+    w2.delete_rows(6, types2, [[3, "c", None]])
+    w2.xid()
+    (tmp_path / "bin.000002").write_bytes(w2.to_bytes())
+
+    bridge = BinlogStreamBridge(
+        spark, str(tmp_path / "bin.*"), str(tmp_path / "work")
+    )
+    schemas = bridge.export_all()
+    assert [c.name for c in schemas["app.t"].columns] == ["id", "v", "n"]
+    bridge.run()
+    state = {r["id"]: (r["v"], r["n"])
+             for r in bridge.current_state("app.t").collect()}
+    assert state == {1: ("a2", 11), 2: ("b", None), 4: ("d", 44)}
