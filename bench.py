@@ -38,13 +38,20 @@ def main():
 
     timings = {}
     for name, fn in contract.queries().items():
+        t0 = time.perf_counter()
         fn(spark, SF_DIR).count()  # warm-up: untimed
+        warm = time.perf_counter() - t0
+        # median-of-3 for ordinary queries; the checkpointed-streaming
+        # replays are dominated by fixed micro-batch overhead (their
+        # variance is tiny and each run is seconds) — one timed run keeps
+        # the whole benchmark's wall time bounded as the registry grows
+        reps = 1 if warm > 5.0 else 3
         runs = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)  # median of 3
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
