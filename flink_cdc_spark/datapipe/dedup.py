@@ -819,15 +819,18 @@ def exact_substring_pairs(
     cut). At 100 TB the guard bounds every hash group, so the join stays
     sum(freq²) with freq <= cap.
     """
-    toks = F.split(F.col(text), " ")
-    n = F.size(toks)
+    # tokenize ONCE per row into an attribute — referencing `__toks`
+    # inside the window lambda reuses it, where inlining split(text) would
+    # re-tokenize the document for every window (O(len^2) hot path)
+    toked = df.select(
+        F.col(key).alias("doc"), F.split(F.col(text), " ").alias("__toks")
+    ).where(F.size("__toks") >= window)
     windows = F.expr(
-        f"transform(sequence(0, size(split({text}, ' ')) - {window}), "
-        f"i -> md5(concat_ws(' ', slice(split({text}, ' '), i + 1, {window}))))"
+        f"transform(sequence(0, size(__toks) - {window}), "
+        f"i -> md5(concat_ws(' ', slice(__toks, i + 1, {window}))))"
     )
     win = (
-        df.where(n >= window)
-        .select(F.col(key).alias("doc"), F.explode(windows).alias("h"))
+        toked.select("doc", F.explode(windows).alias("h"))
         .distinct()  # a window repeated INSIDE one doc counts once
     )
     # drop boilerplate windows before the join (the quadratic guard)
