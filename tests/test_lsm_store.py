@@ -185,3 +185,34 @@ def test_partitioned_layout_and_pruned_read(spark, tmp_path):
     base = os.path.join(str(tmp_path), "app.t", f"base-{m['base']:08d}")
     assert any(d.startswith("region=") for d in os.listdir(base))
     assert store.read("app.t").count() == 30
+
+
+def test_partition_column_rename_survives(spark, tmp_path):
+    """RENAME of the partition column: old commit directories keep the old
+    directory key name; the read-time rename mapping restores the current
+    name, and later commits lay out under it."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+    from flink_cdc_spark.sources.envelope import wrap_as_inserts
+
+    store = LsmStateStore(spark, str(tmp_path), compact_every=100)
+    struct1 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("region", T.StringType())]
+    )
+    df1 = spark.createDataFrame([(i, ["us", "eu"][i % 2]) for i in range(10)],
+                                struct1)
+    store.merge("app.t", wrap_as_inserts(df1, "app.t"), struct1, ["id"],
+                partition_keys=["region"])
+    store.rename_columns("app.t", [("region", "zone")])
+    out = store.read("app.t")
+    assert set(out.columns) == {"id", "zone"}
+    assert {r.zone for r in out.collect()} == {"us", "eu"}
+    # a post-rename commit with the new column name merges consistently
+    struct2 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("zone", T.StringType())]
+    )
+    df2 = spark.createDataFrame([(100, "ap")], struct2)
+    store.merge("app.t", wrap_as_inserts(df2, "app.t"), struct2, ["id"])
+    rows = {r.id: r.zone for r in store.read("app.t").collect()}
+    assert rows[100] == "ap" and rows[0] == "us"
