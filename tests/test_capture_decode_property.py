@@ -211,3 +211,38 @@ def test_debezium_json_roundtrip_matches_replay(spark, actions):
     got = {r["id"]: r["val"]
            for r in materialize_changelog(decoded, ["id"]).collect()}
     assert got == expect
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_canal_json_roundtrip_matches_replay(spark, actions):
+    """envelope -> canal-json -> envelope (pkNames carried) is faithful
+    for random valid histories."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sources.envelope import envelope_schema
+    from flink_cdc_spark.sources.kafka_json import (
+        decode_canal_json,
+        encode_canal_json,
+    )
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    rows = []
+    for n, (op, key, val, old) in enumerate(ops):
+        if op == "I":
+            rows.append(("app.t", "INSERT", None, (key, val), {}, n))
+        elif op == "U":
+            rows.append(("app.t", "UPDATE", (key, old), (key, val), {}, n))
+        else:
+            rows.append(("app.t", "DELETE", (key, val), None, {}, n))
+    env = spark.createDataFrame(rows, envelope_schema(payload))
+    records = encode_canal_json(env, pk_names=["id"])
+    decoded = decode_canal_json(records, payload)
+    got = {r["id"]: r["val"]
+           for r in materialize_changelog(decoded, ["id"]).collect()}
+    assert got == expect
