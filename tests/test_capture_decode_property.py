@@ -246,3 +246,56 @@ def test_canal_json_roundtrip_matches_replay(spark, actions):
     got = {r["id"]: r["val"]
            for r in materialize_changelog(decoded, ["id"]).collect()}
     assert got == expect
+
+
+def _sink_roundtrip_property(spark, actions, encode, decode, pk=("id",)):
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sources.envelope import envelope_schema
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    rows = []
+    for n, (op, key, val, old) in enumerate(ops):
+        if op == "I":
+            rows.append(("app.t", "INSERT", None, (key, val), {}, n))
+        elif op == "U":
+            rows.append(("app.t", "UPDATE", (key, old), (key, val), {}, n))
+        else:
+            rows.append(("app.t", "DELETE", (key, val), None, {}, n))
+    env = spark.createDataFrame(rows, envelope_schema(payload))
+    decoded = decode(encode(env), payload)
+    got = {r["id"]: r["val"]
+           for r in materialize_changelog(decoded, list(pk)).collect()}
+    assert got == expect
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_fluss_roundtrip_matches_replay(spark, actions):
+    from flink_cdc_spark.sinks.fluss_sink import decode_fluss, encode_fluss
+
+    _sink_roundtrip_property(
+        spark, actions,
+        lambda env: encode_fluss(env, pk_names=["id"]),
+        lambda recs, payload: decode_fluss(recs, payload, "app.t"),
+    )
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_maxcompute_roundtrip_matches_replay(spark, actions):
+    from flink_cdc_spark.sinks.maxcompute_sink import (
+        decode_maxcompute,
+        encode_maxcompute,
+    )
+
+    _sink_roundtrip_property(
+        spark, actions,
+        lambda env: encode_maxcompute(env, pk_names=["id"]),
+        lambda recs, payload: decode_maxcompute(recs, payload, "app.t"),
+    )
