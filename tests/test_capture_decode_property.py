@@ -299,3 +299,30 @@ def test_maxcompute_roundtrip_matches_replay(spark, actions):
         lambda env: encode_maxcompute(env, pk_names=["id"]),
         lambda recs, payload: decode_maxcompute(recs, payload, "app.t"),
     )
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_doris_roundtrip_matches_replay(spark, actions):
+    from flink_cdc_spark.sinks.doris_sink import decode_doris, encode_doris
+
+    _sink_roundtrip_property(
+        spark, actions,
+        lambda env: encode_doris(env, label_prefix="prop"),
+        lambda recs, payload: decode_doris(recs, payload, "app.t"),
+    )
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_starrocks_roundtrip_matches_replay(spark, actions):
+    from flink_cdc_spark.sinks.starrocks_sink import (
+        decode_starrocks,
+        encode_starrocks,
+    )
+
+    _sink_roundtrip_property(
+        spark, actions,
+        encode_starrocks,
+        lambda recs, payload: decode_starrocks(recs, payload, "app.t"),
+    )
