@@ -177,23 +177,33 @@ class IcebergTableStore:
         snap_id = seq
         ddir = self._dir(table)
 
-        # data file: last after-image per key within the batch
+        # data file: last image per key within the batch — reduced over
+        # ALL ops INCLUDING deletes, so a key whose final in-batch op is
+        # DELETE writes no data row (the equality delete only reaches
+        # strictly-lower data sequences, so a surviving same-commit row
+        # would wrongly outlive it)
         payload = [f.name for f in cur_struct.fields]
-        writes = env.where(F.col(ENVELOPE_OP) != OP_DELETE)
+        if pk_names:
+            key_cols = [
+                F.coalesce(
+                    F.col("after").getField(k), F.col("before").getField(k)
+                ).alias(f"__key_{k}")
+                for k in pk_names
+            ]
+            w = Window.partitionBy(*[f"__key_{k}" for k in pk_names]).orderBy(
+                F.col(ENVELOPE_SEQ).desc()
+            )
+            last = (
+                env.select("*", *key_cols)
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+            )
+            writes = last.where(F.col(ENVELOPE_OP) != OP_DELETE)
+        else:
+            writes = env.where(F.col(ENVELOPE_OP) != OP_DELETE)
         data_rows = writes.select(
             *[F.col("after").getField(c).alias(c) for c in payload],
-            F.col(ENVELOPE_SEQ).alias("__batch_seq"),
-        )
-        if pk_names:
-            w = Window.partitionBy(*pk_names).orderBy(F.col("__batch_seq").desc())
-            data_rows = (
-                data_rows.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        data_rows = data_rows.drop("__batch_seq").withColumn(
-            _SEQ, F.lit(seq).cast("long")
-        )
+        ).withColumn(_SEQ, F.lit(seq).cast("long"))
         data_path = os.path.join(ddir, "data", f"data-{snap_id:08d}.parquet")
         data_rows.write.mode("overwrite").parquet(data_path)
         added = self.spark.read.parquet(data_path).count()

@@ -326,3 +326,64 @@ def test_starrocks_roundtrip_matches_replay(spark, actions):
         encode_starrocks,
         lambda recs, payload: decode_starrocks(recs, payload, "app.t"),
     )
+
+
+@SETTINGS
+@given(actions_strategy, actions_strategy)
+def test_iceberg_commits_match_replay_with_time_travel(spark, tmp_path_factory, a1, a2):
+    """Two Iceberg commits of random valid histories: the head read equals
+    the full replay, and time travel at the first snapshot equals the
+    replay of only the first batch."""
+    import tempfile
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sinks.iceberg_store import IcebergTableStore
+    from flink_cdc_spark.sources.envelope import envelope_schema
+
+    ops1, expect1 = _legalize(a1)
+    # batch 2 continues from batch-1 state
+    state = dict(expect1)
+    ops2 = []
+    for key, op, val in a2:
+        if op == 0 and key not in state:
+            state[key] = val
+            ops2.append(("I", key, val, None))
+        elif op == 1 and key in state:
+            old = state[key]
+            state[key] = val
+            ops2.append(("U", key, val, old))
+        elif op == 2 and key in state:
+            ops2.append(("D", key, state.pop(key), None))
+    if not ops1 or not ops2:
+        return
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+
+    def env_of(ops, base):
+        rows = []
+        for n, (op, key, val, old) in enumerate(ops):
+            seq = base + n
+            if op == "I":
+                rows.append(("app.t", "INSERT", None, (key, val), {}, seq))
+            elif op == "U":
+                rows.append(("app.t", "UPDATE", (key, old), (key, val), {}, seq))
+            else:
+                rows.append(("app.t", "DELETE", (key, val), None, {}, seq))
+        return spark.createDataFrame(rows, envelope_schema(payload))
+
+    root = tempfile.mkdtemp(prefix="iceprop_")
+    try:
+        store = IcebergTableStore(spark, root)
+        store.create_table("app.t", payload, ["id"])
+        s1 = store.commit("app.t", env_of(ops1, 0), payload)
+        store.commit("app.t", env_of(ops2, 10_000), payload)
+        head = {r["id"]: r["val"] for r in store.read("app.t").collect()}
+        assert head == state
+        at1 = {r["id"]: r["val"]
+               for r in store.read("app.t", snapshot_id=s1).collect()}
+        assert at1 == expect1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
