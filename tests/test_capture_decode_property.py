@@ -387,3 +387,87 @@ def test_iceberg_commits_match_replay_with_time_travel(spark, tmp_path_factory, 
         assert at1 == expect1
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_hudi_upsert_matches_replay(spark, actions):
+    """One mixed MOR upsert batch of a random valid history reads back as
+    the dict-replay state (incl. same-batch update-then-delete)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sinks.hudi_sink import (
+        MERGE_ON_READ,
+        HudiTableConfig,
+        HudiTableStore,
+    )
+    from flink_cdc_spark.sources.envelope import envelope_schema
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    rows = []
+    for n, (op, key, val, old) in enumerate(ops):
+        if op == "I":
+            rows.append(("app.t", "INSERT", None, (key, val), {}, n))
+        elif op == "U":
+            rows.append(("app.t", "UPDATE", (key, old), (key, val), {}, n))
+        else:
+            rows.append(("app.t", "DELETE", (key, val), None, {}, n))
+    env = spark.createDataFrame(rows, envelope_schema(payload))
+    root = tempfile.mkdtemp(prefix="hudiprop_")
+    try:
+        store = HudiTableStore(spark, root)
+        store.create_table(
+            "app.t", payload,
+            HudiTableConfig(["id"], table_type=MERGE_ON_READ, num_buckets=2),
+        )
+        store.upsert("app.t", env, payload)
+        got = {r["id"]: r["val"] for r in store.read("app.t").collect()}
+        assert got == expect
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_lsm_merge_matches_replay(spark, actions):
+    """One LSM delta commit of a random valid history reads back as the
+    dict-replay state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+    from flink_cdc_spark.sources.envelope import envelope_schema
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    rows = []
+    for n, (op, key, val, old) in enumerate(ops):
+        if op == "I":
+            rows.append(("app.t", "INSERT", None, (key, val), {}, n))
+        elif op == "U":
+            rows.append(("app.t", "UPDATE", (key, old), (key, val), {}, n))
+        else:
+            rows.append(("app.t", "DELETE", (key, val), None, {}, n))
+    env = spark.createDataFrame(rows, envelope_schema(payload))
+    root = tempfile.mkdtemp(prefix="lsmprop_")
+    try:
+        store = LsmStateStore(spark, root, compact_every=100)
+        store.merge("app.t", env, payload, ["id"])
+        got = {r["id"]: r["val"] for r in store.read("app.t").collect()}
+        assert got == expect
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
