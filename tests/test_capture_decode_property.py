@@ -471,3 +471,46 @@ def test_lsm_merge_matches_replay(spark, actions):
         assert got == expect
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_mysql_binlog_wire_matches_replay(spark, tmp_path_factory, actions):
+    """The whole binary binlog path — writer -> v4 wire bytes -> parser ->
+    DDL-resolved envelope -> materialize — reproduces the dict replay for
+    random valid histories (update before-images track current state)."""
+    import os
+    import tempfile
+    import shutil
+
+    from flink_cdc_spark.sources.mysql_binlog_wire import BinlogWriter
+    from flink_cdc_spark.sources.mysql_source import MySqlBinaryBinlogDecoder
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    types = ["BIGINT", "BIGINT"]
+    w = BinlogWriter()
+    w.query("app", "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, val BIGINT)")
+    w.table_map(5, "app", "t", types)
+    for op, key, val, old in ops:
+        if op == "I":
+            w.write_rows(5, types, [[key, val]])
+        elif op == "U":
+            w.update_rows(5, types, [([key, old], [key, val])])
+        else:
+            w.delete_rows(5, types, [[key, val]])
+    w.xid()
+    root = tempfile.mkdtemp(prefix="binlogprop_")
+    try:
+        path = os.path.join(root, "bin.000001")
+        with open(path, "wb") as f:
+            f.write(w.to_bytes())
+        dec = MySqlBinaryBinlogDecoder(spark)
+        _, _, schemas = dec.scan_control(path)
+        env = dec.read_envelope(path, "app.t", schemas["app.t"].to_spark_struct())
+        got = {r["id"]: r["val"]
+               for r in materialize_changelog(env, ["id"]).collect()}
+        assert got == expect
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
