@@ -407,3 +407,43 @@ def test_pgoutput_live_truncate(spark, pg, tmp_path):
     assert str(events[0].table_id) == "public.trunc_t"
     store.truncate("public.trunc_t")
     assert store.read("public.trunc_t").count() == 0
+
+
+def test_live_random_history_matches_replay(spark, pg):
+    """Differential against the REAL server: seeded random op sequences
+    applied as SQL; the slot's decoded changelog materializes to exactly
+    the table's final state (which is itself the replay model)."""
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        pg.sql("DROP TABLE IF EXISTS rnd")
+        pg.sql(
+            "SELECT pg_drop_replication_slot(slot_name) FROM "
+            "pg_replication_slots WHERE slot_name = 'rnd_slot'"
+        )
+        pg.sql("CREATE TABLE rnd (id bigint primary key, val bigint)")
+        pg.sql("ALTER TABLE rnd REPLICA IDENTITY FULL")
+        cfg = PostgresCdcConfig(table="rnd", key_column="id", slot="rnd_slot")
+        src = PostgresCdcSource(spark, pg, cfg)
+        src.create_slot()
+        present = set()
+        for _ in range(40):
+            key = rng.randrange(6)
+            op = rng.randrange(3)
+            val = rng.randrange(1000)
+            if op == 0 and key not in present:
+                pg.sql(f"INSERT INTO rnd VALUES ({key}, {val})")
+                present.add(key)
+            elif op == 1 and key in present:
+                pg.sql(f"UPDATE rnd SET val = {val} WHERE id = {key}")
+            elif op == 2 and key in present:
+                pg.sql(f"DELETE FROM rnd WHERE id = {key}")
+                present.discard(key)
+        env = src.read_changes()
+        got = {r["id"]: r["val"]
+               for r in materialize_changelog(env, ["id"]).collect()}
+        live = {int(r["id"]): int(r["val"])
+                for r in pg.rows("SELECT id, val FROM rnd")}
+        assert got == live, f"seed {seed}"
+        assert set(got) == present
