@@ -514,3 +514,69 @@ def test_mysql_binlog_wire_matches_replay(spark, tmp_path_factory, actions):
         assert got == expect
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_es_bulk_roundtrip_matches_replay(spark, actions):
+    """envelope -> _bulk NDJSON -> envelope: delete entries reconstruct
+    their identity from _id; the materialized index equals the replay."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sinks.elasticsearch_sink import (
+        decode_es_bulk,
+        encode_es_bulk,
+    )
+    from flink_cdc_spark.sources.envelope import envelope_schema
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    rows = []
+    for n, (op, key, val, old) in enumerate(ops):
+        if op == "I":
+            rows.append(("app.t", "INSERT", None, (key, val), {}, n))
+        elif op == "U":
+            rows.append(("app.t", "UPDATE", (key, old), (key, val), {}, n))
+        else:
+            rows.append(("app.t", "DELETE", (key, val), None, {}, n))
+    env = spark.createDataFrame(rows, envelope_schema(payload))
+    decoded = decode_es_bulk(
+        encode_es_bulk(env, pk_names=["id"]), payload, table_id="app.t"
+    )
+    got = {r["id"]: r["val"]
+           for r in materialize_changelog(decoded, ["id"]).collect()}
+    assert got == expect
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.booleans(), st.binary(max_size=30)),
+                min_size=1, max_size=20))
+def test_kafka_segment_wire_roundtrip(spark, records):
+    """RecordBatch v2 segments: writer -> parser preserves offsets, keys
+    and values (incl. null keys/values) with valid CRCs."""
+    import os
+    import tempfile
+    import shutil
+
+    from flink_cdc_spark.sources.kafka_segment_wire import (
+        parse_segment_bytes,
+        write_segment,
+    )
+
+    kvs = [
+        ((b"k%d" % i) if has_key else None, v if i % 3 else None)
+        for i, (has_key, v) in enumerate(records)
+    ]
+    root = tempfile.mkdtemp(prefix="segprop_")
+    try:
+        path = os.path.join(root, "00000000000000000000.log")
+        write_segment(path, [kvs], base_offset=7)
+        parsed = list(parse_segment_bytes(open(path, "rb").read()))
+        assert [o for o, _, _ in parsed] == list(range(7, 7 + len(kvs)))
+        assert [(k, v) for _, k, v in parsed] == kvs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
