@@ -580,3 +580,72 @@ def test_kafka_segment_wire_roundtrip(spark, records):
         assert [(k, v) for _, k, v in parsed] == kvs
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_oracle_logminer_matches_replay(spark, actions):
+    """LogMiner-shape debezium records decode + materialize to the dict
+    replay (SCN ordering)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sources.oracle_source import decode_logminer_records
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    lines = []
+    for n, (op, key, val, old) in enumerate(ops):
+        img = lambda v: {"id": key, "val": v}
+        doc = {
+            "op": {"I": "c", "U": "u", "D": "d"}[op],
+            "before": img(old) if op == "U" else (img(val) if op == "D" else None),
+            "after": img(val) if op != "D" else None,
+            "source": {"db": "ORCL", "table": "T", "scn": str(n)},
+        }
+        lines.append((_json.dumps(doc),))
+    raw = spark.createDataFrame(lines, "value string")
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    env = decode_logminer_records(raw, payload)
+    got = {r["id"]: r["val"]
+           for r in materialize_changelog(env, ["id"]).collect()}
+    assert got == expect
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_vitess_vstream_matches_replay(spark, actions):
+    """Debezium-vitess records (one shard) decode + materialize to the
+    dict replay."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sources.vitess_source import decode_vstream
+
+    ops, expect = _legalize(actions)
+    if not ops:
+        return
+    lines = []
+    for n, (op, key, val, old) in enumerate(ops):
+        img = lambda v: {"id": key, "val": v}
+        doc = {
+            "before": img(old) if op == "U" else (img(val) if op == "D" else None),
+            "after": img(val) if op != "D" else None,
+            "op": {"I": "c", "U": "u", "D": "d"}[op],
+            "source": {"keyspace": "ks", "table": "t", "shard": "-",
+                       "gtid": f"aaa:{n + 1}"},
+        }
+        lines.append((_json.dumps(doc),))
+    raw = spark.createDataFrame(lines, "value string")
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    env = decode_vstream(raw, payload)
+    got = {r["id"]: r["val"]
+           for r in materialize_changelog(env, ["id"]).collect()}
+    assert got == expect
