@@ -649,3 +649,73 @@ def test_vitess_vstream_matches_replay(spark, actions):
     got = {r["id"]: r["val"]
            for r in materialize_changelog(env, ["id"]).collect()}
     assert got == expect
+
+
+@SETTINGS
+@given(actions_strategy)
+def test_transform_filter_split_matches_model(spark, actions):
+    """The PostTransformOperator semantics (projection on both images,
+    filter-on-UPDATE Y/Y->U, Y/N->D, N/Y->I, N/N->drop) over random valid
+    histories match an independent per-event replay model."""
+    from flink_cdc_spark.core.events import CreateTableEvent, DataChangeEvent
+    from flink_cdc_spark.core.schema import new_schema
+    from flink_cdc_spark.core.table_id import TableId
+    from flink_cdc_spark.pipeline.composer import EventPipelineComposer
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    ops, _ = _legalize(actions)
+    if not ops:
+        return
+    tid = TableId.parse("db.t")
+    schema = (
+        new_schema()
+        .physical_column("id", "BIGINT NOT NULL")
+        .physical_column("val", "BIGINT")
+        .primary_key("id")
+        .build()
+    )
+    events = [CreateTableEvent(tid, schema)]
+    for op, key, val, old in ops:
+        if op == "I":
+            events.append(DataChangeEvent.insert(tid, (key, val)))
+        elif op == "U":
+            events.append(DataChangeEvent.update(tid, (key, old), (key, val)))
+        else:
+            events.append(DataChangeEvent.delete(tid, (key, val)))
+
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+transform:
+  - source-table: db.t
+    projection: "id, val * 2 AS dval"
+    filter: "dval >= 500"
+pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: EVOLVE}
+"""
+    composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
+    result = composer.run(events)
+    env = result.changelogs["db.t"]
+    got = {r["id"]: r["dval"]
+           for r in materialize_changelog(env, ["id"]).collect()}
+
+    # independent model of the reference's split semantics
+    state = {}
+    proj = lambda key, v: (key, v * 2)
+    keep = lambda img: img[1] is not None and img[1] >= 500
+    for op, key, val, old in ops:
+        if op == "I":
+            after = proj(key, val)
+            if keep(after):
+                state[key] = after[1]
+        elif op == "U":
+            before, after = proj(key, old), proj(key, val)
+            fb, fa = keep(before), keep(after)
+            if fa:
+                state[key] = after[1]
+            elif fb:
+                state.pop(key, None)
+        else:
+            before = proj(key, val)
+            if keep(before):
+                state.pop(key, None)
+    assert got == state
