@@ -199,3 +199,54 @@ def test_newly_added_table_captured_mid_stream(spark, tmp_path):
     loop.poll_once()
     inv = {r.id for r in loop.current_state("app.invoices").collect()}
     assert inv == {1, 3, 9}
+
+
+def test_newly_added_table_gets_routes_and_transforms(spark, tmp_path):
+    """A table discovered mid-stream composes through the SAME pipeline
+    rules (transform + route) as bootstrap-time tables."""
+    from flink_cdc_spark.pipeline.cdc_pipeline import MultiTableCdcPipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    ep = JdbcEndpoint(spark, derby_url(str(tmp_path / "db")))
+    ep.execute(
+        "CREATE TABLE users (id BIGINT NOT NULL PRIMARY KEY, "
+        "name VARCHAR(50), val DOUBLE)"
+    )
+    install_capture(ep, "users", COLS)
+    ep.insert_rows("users", COLS, [(1, "ann", 1.0)])
+
+    url = derby_url(str(tmp_path / "db"), create=False)
+    pdef = parse_pipeline_yaml(
+        f"""
+source: {{type: jdbc, url: "{url}"}}
+sink: {{type: lake, path: {tmp_path / "state"}}}
+transform:
+  - source-table: app.\\.*
+    projection: id, UPPER(name) AS uname
+route:
+  - source-table: app.\\.*
+    sink-table: mart.<>
+    replace-symbol: <>
+pipeline: {{execution.runtime-mode: STREAMING}}
+"""
+    )
+    loop = MultiTableCdcPipeline(
+        spark, url, str(tmp_path / "state"), pipeline_def=pdef,
+        tables_selector=r"app.\.*", chunk_size=3,
+    )
+    loop.bootstrap()
+    loop.poll_once()
+
+    ep.execute(
+        "CREATE TABLE invoices (id BIGINT NOT NULL PRIMARY KEY, "
+        "name VARCHAR(50), val DOUBLE)"
+    )
+    install_capture(ep, "invoices", COLS)
+    ep.insert_rows("invoices", COLS, [(7, "late", 7.0)])
+    assert loop.capture_newly_added() == ["app.invoices"]
+    loop.poll_once()
+
+    inv = {r.id: r.uname for r in loop.current_state("mart.invoices").collect()}
+    assert inv == {7: "LATE"}  # routed AND transformed
+    users = {r.id: r.uname for r in loop.current_state("mart.users").collect()}
+    assert users == {1: "ANN"}
