@@ -488,3 +488,36 @@ def test_binlog_streaming_bridge_with_mid_stream_alter(spark, tmp_path):
     state = {r["id"]: (r["v"], r["n"])
              for r in bridge.current_state("app.t").collect()}
     assert state == {1: ("a2", 11), 2: ("b", None), 4: ("d", 44)}
+
+
+def test_gtid_skip_resets_across_segments(spark, tmp_path):
+    """The whole-transaction skip flag is per-file: a covered txn closing
+    segment 1 must not bleed into segment 2's first (uncovered) txn."""
+    types = ["BIGINT", "VARCHAR(64)"]
+    w1 = BinlogWriter()
+    w1.query("app", "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(64))")
+    w1.gtid(SID_A, 1)  # covered
+    w1.table_map(5, "app", "t", types)
+    w1.write_rows(5, types, [[1, "skipme"]])
+    w1.xid()
+    w1.rotate("bin.000002")
+    (tmp_path / "bin.000001").write_bytes(w1.to_bytes())
+    w2 = BinlogWriter()
+    # segment 2 opens WITHOUT a GTID header before its first rows —
+    # the per-file skip state must start fresh (not inherited)
+    w2.table_map(5, "app", "t", types)
+    w2.write_rows(5, types, [[2, "keep"]])
+    w2.gtid(SID_A, 2)  # uncovered
+    w2.table_map(5, "app", "t", types)
+    w2.write_rows(5, types, [[3, "alsokeep"]])
+    w2.xid()
+    (tmp_path / "bin.000002").write_bytes(w2.to_bytes())
+
+    dec = MySqlBinaryBinlogDecoder(spark)
+    _, _, schemas = dec.scan_control(str(tmp_path / "bin.*"))
+    env = dec.read_envelope(
+        str(tmp_path / "bin.*"), "app.t", schemas["app.t"].to_spark_struct(),
+        start_gtid_set=f"MySQL56/{SID_A}:1",
+    )
+    got = sorted(r["after"]["id"] for r in env.collect())
+    assert got == [2, 3]
