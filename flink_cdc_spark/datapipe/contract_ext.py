@@ -26,9 +26,18 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """The test parquets are single-row-group files -> one input partition,
     which serializes every map stage onto one core. Spread small inputs
     across the cluster once up front (at real scale the source has many
-    splits and this is a no-op decision)."""
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        return df.repartition(spark.sparkContext.defaultParallelism)
+    splits and this is a no-op decision).
+
+    The split probe uses inputFiles() (file-index only) — NOT
+    `.rdd.getNumPartitions()`, which forces a full plan conversion per
+    query (r7 verdict hygiene item)."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans: leave as-is
+        return df
+    if 0 < n_files < par:
+        return df.repartition(par)
     return df
 
 

@@ -174,6 +174,13 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # The exploded-shingle cache backs four consumers (freq, prefix rank,
+    # both verification sides) but must not outlive this call: a pinned
+    # relation in a long-lived session degrades every later query (the r7
+    # bench leak).  Materialize the small verified pair set (lineage
+    # truncation), then release the cache before returning.
+    pairs = pairs.localCheckpoint(eager=True)
+    ex.unpersist()
     return pairs
 
 
@@ -276,6 +283,10 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # same cache discipline as ngram_jaccard_pairs: materialize the tiny
+    # verified result, then release the exploded-shingle cache
+    verified = verified.localCheckpoint(eager=True)
+    ex.unpersist()
     return verified
 
 
@@ -500,7 +511,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
-    return labels.select(F.col("node"), F.col("label").alias("component"))
+    # labels is still pinned from the last round; hand back an
+    # eagerly-materialized copy and release the iteration cache
+    out = labels.select(
+        F.col("node"), F.col("label").alias("component")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def dedup_components_oracle_sql(

@@ -14,13 +14,43 @@ their own event counts (salt the user key if one user dominates).
 
 Determinism: ordering is (ts, event_id) so equal timestamps cannot
 reorder between engines; all arithmetic is integer microseconds.
+
+Environment invariance: the micros derivation must NOT route through a
+session-timezone-dependent cast.  The events parquet stores a naive
+timestamp; depending on the reading session's confs Spark surfaces it as
+TIMESTAMP_NTZ (inferTimestampNTZ on — wall clock) or TIMESTAMP_LTZ
+(inferTimestampNTZ off — raw micros taken as UTC).  In BOTH regimes the
+underlying int64 equals the DuckDB `epoch_us(ts)` value, so we branch on
+the actual read type and extract that int64 without any tz conversion:
+NTZ -> timestampdiff from the NTZ epoch (pure wall-clock arithmetic),
+LTZ -> unix_micros directly.  The previous `unix_micros(CAST(ts AS
+TIMESTAMP))` shifted by the ambient session zone on NTZ inputs, which is
+exactly the rows-match/values-shift driver signature (CORRECTNESS_r07).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 DEFAULT_GAP_MINUTES = 24 * 60  # the synthetic events table spans months
+
+
+def _epoch_micros_expr(events: DataFrame, ts: str) -> F.Column:
+    """Session-timezone-invariant int64 micros for a timestamp column."""
+    dtype = events.schema[ts].dataType
+    if isinstance(dtype, T.TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
+            f"`{ts}`)"
+        )
+    if isinstance(dtype, T.TimestampType):
+        return F.expr(f"unix_micros(`{ts}`)")
+    # strings / other: parse as wall-clock NTZ, never through the session zone
+    return F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
+        f"cast(`{ts}` as timestamp_ntz))"
+    )
 
 
 def sessionize(
@@ -32,12 +62,14 @@ def sessionize(
 ) -> DataFrame:
     """-> (user_id, session_idx, n_events, start_us, end_us)."""
     gap_us = gap_minutes * 60 * 1_000_000
-    base = events.select(
+    base = events.where(F.col(ts).isNotNull()).select(
         F.col(user).alias("user_id"),
-        F.expr(f"unix_micros(CAST({ts} AS TIMESTAMP))").alias("t_us"),
+        _epoch_micros_expr(events, ts).alias("t_us"),
         F.col(event_id).alias("eid"),
     )
-    w = Window.partitionBy("user_id").orderBy("t_us", "eid")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc_nulls_first(), F.col("eid").asc_nulls_first()
+    )
     flagged = base.withColumn(
         "new_session",
         F.when(
@@ -71,18 +103,22 @@ def sessionize_oracle_sql(
     WITH base AS (
       SELECT {user} AS user_id, epoch_us({ts}) AS t_us, {event_id} AS eid
       FROM {table}
+      WHERE {ts} IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, t_us, eid,
              CASE WHEN t_us - lag(t_us) OVER w > {gap_us} THEN 1 ELSE 0 END
                AS new_session
       FROM base
-      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, eid)
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY t_us ASC NULLS FIRST, eid ASC NULLS FIRST)
     ),
     numbered AS (
       SELECT user_id, t_us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, eid
-                                    ROWS UNBOUNDED PRECEDING) + 1
+             CAST(sum(new_session) OVER (
+                    PARTITION BY user_id
+                    ORDER BY t_us ASC NULLS FIRST, eid ASC NULLS FIRST
+                    ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT)
                AS session_idx
       FROM flagged
     )
