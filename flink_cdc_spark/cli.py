@@ -290,6 +290,131 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
             )
             summary.tables[table] = store.read(table).count()
             summary.sink_paths[table] = opts.path
+        elif sink_type == "paimon":
+            # PaimonDataSinkFactory.java:47 (IDENTIFIER = "paimon"): the
+            # engine is the LSM merge-on-read store — Paimon's table format
+            # IS an LSM tree, so `sink: paimon` binds the factory option
+            # surface (PaimonDataSinkOptions.java) onto sinks/lsm_store.py.
+            from .sinks.lsm_store import LsmStateStore, validate_paimon_options
+
+            try:
+                popts = validate_paimon_options(pipeline.sink.config)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            if not popts["warehouse"]:
+                raise SystemExit(
+                    "sink.type=paimon: no hive metastore is reachable in this "
+                    "environment; set catalog.properties.warehouse (filesystem)"
+                )
+            store = LsmStateStore(spark, popts["warehouse"])
+            schema = result.schemas[table].ensure_pk_non_null()
+            store.merge(
+                table,
+                result.changelogs[table],
+                schema.to_spark_struct(),
+                list(schema.primary_keys),
+                partition_keys=popts["partition_keys"].get(table, ()),
+            )
+            merged = store.read(table)
+            summary.tables[table] = merged.count() if merged is not None else 0
+            summary.sink_paths[table] = popts["warehouse"]
+        elif sink_type == "elasticsearch":
+            # ElasticsearchDataSinkFactory surface; no ES server in this
+            # environment, so the exact `_bulk` NDJSON bodies spool to
+            # 'spool-dir' (the same stand-in as doris/starrocks/kafka).
+            from .sinks.elasticsearch_sink import (
+                encode_es_bulk,
+                validate_elasticsearch_options,
+            )
+
+            cfg = {k: v for k, v in pipeline.sink.config.items() if k != "spool-dir"}
+            try:
+                eopts = validate_elasticsearch_options(cfg)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            spool = pipeline.sink.config.get("spool-dir")
+            if not spool:
+                raise SystemExit(
+                    "sink.type=elasticsearch: no cluster is reachable in this "
+                    "environment; set 'spool-dir' to write the _bulk bodies"
+                )
+            schema = result.schemas[table].ensure_pk_non_null()
+            records = encode_es_bulk(
+                result.changelogs[table],
+                list(schema.primary_keys),
+                sharding_key=eopts["sharding_suffix_keys"].get(table),
+                sharding_separator=eopts["sharding_suffix_separator"],
+            )
+            out = os.path.join(spool, table.replace("/", "_"))
+            records.orderBy("__seq").select("bulk").write.mode("overwrite").text(out)
+            summary.tables[table] = spark.read.text(out).count()
+            summary.sink_paths[table] = out
+        elif sink_type == "fluss":
+            # FlussDataSinkFactory surface; bucketed log records spool as
+            # JSON lines (no Fluss cluster in this environment).
+            from .sinks.fluss_sink import encode_fluss, validate_fluss_options
+
+            cfg = {k: v for k, v in pipeline.sink.config.items() if k != "spool-dir"}
+            try:
+                fopts = validate_fluss_options(cfg)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            spool = pipeline.sink.config.get("spool-dir")
+            if not spool:
+                raise SystemExit(
+                    "sink.type=fluss: no cluster is reachable in this "
+                    "environment; set 'spool-dir' to write the log records"
+                )
+            schema = result.schemas[table].ensure_pk_non_null()
+            records = encode_fluss(
+                result.changelogs[table],
+                list(schema.primary_keys),
+                bucket_keys=fopts["bucket_keys"].get(table),
+                bucket_num=fopts["bucket_nums"].get(table, 3),
+            )
+            out = os.path.join(spool, table.replace("/", "_"))
+            (
+                records.orderBy("__seq")
+                .select(F.to_json(F.struct("*")).alias("value"))
+                .write.mode("overwrite")
+                .text(out)
+            )
+            summary.tables[table] = spark.read.text(out).count()
+            summary.sink_paths[table] = out
+        elif sink_type == "maxcompute":
+            # MaxComputeDataSinkFactory surface; tunnel-session records
+            # spool as JSON lines (no MaxCompute endpoint reachable).
+            from .sinks.maxcompute_sink import (
+                encode_maxcompute,
+                validate_maxcompute_options,
+            )
+
+            cfg = {k: v for k, v in pipeline.sink.config.items() if k != "spool-dir"}
+            try:
+                mopts = validate_maxcompute_options(cfg)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            spool = pipeline.sink.config.get("spool-dir")
+            if not spool:
+                raise SystemExit(
+                    "sink.type=maxcompute: no endpoint is reachable in this "
+                    "environment; set 'spool-dir' to write tunnel records"
+                )
+            schema = result.schemas[table].ensure_pk_non_null()
+            records = encode_maxcompute(
+                result.changelogs[table],
+                list(schema.primary_keys),
+                bucket_num=mopts["buckets_num"],
+            )
+            out = os.path.join(spool, table.replace("/", "_"))
+            (
+                records.orderBy("__seq")
+                .select(F.to_json(F.struct("*")).alias("value"))
+                .write.mode("overwrite")
+                .text(out)
+            )
+            summary.tables[table] = spark.read.text(out).count()
+            summary.sink_paths[table] = out
         else:
             raise SystemExit(f"unknown sink type {pipeline.sink.type!r}")
 

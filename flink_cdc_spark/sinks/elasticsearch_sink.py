@@ -141,3 +141,82 @@ def decode_es_bulk(
         F.create_map(F.lit("sink"), F.lit("elasticsearch")).alias(ENVELOPE_META),
         F.col("__seq"),
     )
+
+
+# -- factory option surface (ElasticsearchDataSinkFactory.java) -------------
+
+REQUIRED_OPTIONS = ("hosts", "version")
+OPTIONAL_OPTIONS = (
+    "batch.size.max",
+    "inflight.requests.max",
+    "buffered.requests.max",
+    "batch.size.max.bytes",
+    "buffer.time.max.ms",
+    "record.size.max.bytes",
+    "username",
+    "password",
+    "sharding.suffix.key",
+    "sharding.suffix.separator",
+)
+
+# characters Elasticsearch forbids in index names
+# (ElasticsearchDataSinkFactory.ES_INDEX_ILLEGAL_CHARS)
+_ES_INDEX_ILLEGAL_CHARS = '\\/*?"<>| ,#'
+
+
+def parse_sharding_suffix_key(raw: str) -> dict:
+    """'table1$col1;table2$col2' -> {'table1': 'col1', ...}
+    (ElasticsearchDataSinkOptions.SHARDING_SUFFIX_KEY format)."""
+    out: dict = {}
+    if not raw:
+        return out
+    for part in raw.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        pieces = part.split("$", 1)
+        if len(pieces) != 2 or not pieces[0] or not pieces[1]:
+            raise ValueError(
+                f"sharding.suffix.key is malformed: {part!r} "
+                "(expected 'table$column;table$column')"
+            )
+        out[pieces[0].strip()] = pieces[1].strip()
+    return out
+
+
+def validate_elasticsearch_options(config: dict) -> dict:
+    """Factory-style validation mirroring ElasticsearchDataSinkFactory:
+    required keys present, unknown keys rejected, version 6/7/8, sharding
+    separator free of ES index illegal characters."""
+    known = set(REQUIRED_OPTIONS) | set(OPTIONAL_OPTIONS)
+    unknown = sorted(k for k in config if k not in known and k != "name")
+    if unknown:
+        raise ValueError(
+            f"unsupported option(s) for 'elasticsearch' sink: {', '.join(unknown)}"
+        )
+    missing = [k for k in REQUIRED_OPTIONS if config.get(k) in (None, "")]
+    if missing:
+        raise ValueError(
+            f"'elasticsearch' sink missing required option(s): {', '.join(missing)}"
+        )
+    try:
+        version = int(config["version"])
+    except (TypeError, ValueError):
+        raise ValueError(f"'version' must be an integer: {config['version']!r}")
+    if version not in (6, 7, 8):
+        raise ValueError(f"unsupported Elasticsearch version {version}")
+    sep = str(config.get("sharding.suffix.separator", "_"))
+    for c in sep:
+        if c in _ES_INDEX_ILLEGAL_CHARS:
+            raise ValueError(
+                f"sharding.suffix.separator contains character {c!r} which is "
+                "illegal in Elasticsearch index names"
+            )
+    return {
+        "hosts": str(config["hosts"]),
+        "version": version,
+        "sharding_suffix_keys": parse_sharding_suffix_key(
+            str(config.get("sharding.suffix.key", ""))
+        ),
+        "sharding_suffix_separator": sep,
+    }

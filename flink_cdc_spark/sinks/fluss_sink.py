@@ -97,3 +97,89 @@ def decode_fluss(
         ).alias(ENVELOPE_META),
         F.col("__seq"),
     )
+
+
+# -- factory option surface (FlussDataSinkFactory.java) ---------------------
+
+REQUIRED_OPTIONS = ("bootstrap.servers",)
+OPTIONAL_OPTIONS = ("bucket.key", "bucket.num")
+CLIENT_PROPERTIES_PREFIX = "properties.client."
+TABLE_PROPERTIES_PREFIX = "properties.table."
+
+
+def parse_bucket_keys(raw: Optional[str]) -> dict:
+    """'db.tbl:k1,k2;db.t2:k' -> {'db.tbl': ['k1','k2'], ...}
+    (FlussConfigUtils.parseBucketKeys)."""
+    out: dict = {}
+    if not raw:
+        return out
+    for part in raw.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        kv = part.split(":", 1)
+        if len(kv) != 2:
+            raise ValueError(f"Invalid bucket key configuration: {raw}")
+        out[kv[0].strip()] = [k.strip() for k in kv[1].split(",")]
+    return out
+
+
+def parse_bucket_number(raw: Optional[str]) -> dict:
+    """'db.tbl:3;db.t2:8' -> {'db.tbl': 3, ...}
+    (FlussConfigUtils.parseBucketNumber)."""
+    out: dict = {}
+    if not raw:
+        return out
+    for part in raw.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        kv = part.split(":", 1)
+        if len(kv) != 2:
+            raise ValueError(f"Invalid bucket number configuration: {raw}")
+        try:
+            out[kv[0].strip()] = int(kv[1].strip())
+        except ValueError:
+            raise ValueError(f"Invalid bucket number configuration: {raw}")
+    return out
+
+
+def validate_fluss_options(config: dict) -> dict:
+    """FlussDataSinkFactory surface: bootstrap.servers required; unknown
+    keys rejected EXCEPT under the properties.client./properties.table.
+    pass-through prefixes (validateExcept)."""
+    known = set(REQUIRED_OPTIONS) | set(OPTIONAL_OPTIONS)
+    unknown = sorted(
+        k
+        for k in config
+        if k not in known
+        and k != "name"
+        and not k.startswith(CLIENT_PROPERTIES_PREFIX)
+        and not k.startswith(TABLE_PROPERTIES_PREFIX)
+    )
+    if unknown:
+        raise ValueError(
+            f"unsupported option(s) for 'fluss' sink: {', '.join(unknown)}"
+        )
+    missing = [k for k in REQUIRED_OPTIONS if config.get(k) in (None, "")]
+    if missing:
+        raise ValueError(
+            f"'fluss' sink missing required option(s): {', '.join(missing)}"
+        )
+    return {
+        "bootstrap_servers": str(config["bootstrap.servers"]),
+        "bucket_keys": parse_bucket_keys(config.get("bucket.key")),
+        "bucket_nums": parse_bucket_number(
+            str(config["bucket.num"]) if config.get("bucket.num") is not None else None
+        ),
+        "client_properties": {
+            k[len("properties."):]: v
+            for k, v in config.items()
+            if k.startswith(CLIENT_PROPERTIES_PREFIX)
+        },
+        "table_properties": {
+            k[len("properties."):]: v
+            for k, v in config.items()
+            if k.startswith(TABLE_PROPERTIES_PREFIX)
+        },
+    }

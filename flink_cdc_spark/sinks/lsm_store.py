@@ -268,3 +268,82 @@ class LsmStateStore:
         m["base_renames"] = []
         m["deltas"] = []
         self._store(table, m)
+
+
+# -- Paimon factory option surface (PaimonDataSinkFactory.java:47) ----------
+
+PREFIX_TABLE_PROPERTIES = "table.properties."
+PREFIX_CATALOG_PROPERTIES = "catalog.properties."
+_PAIMON_TOP_LEVEL = ("commit.user-prefix", "commit.user", "partition.key")
+
+
+def parse_partition_keys(raw: str) -> dict:
+    """'testdb.table1:id1,id2;testdb.table2:name' ->
+    {'testdb.table1': ['id1','id2'], ...}
+    (PaimonDataSinkOptions.PARTITION_KEY / PaimonDataSinkFactory parsing,
+    including its malformed-entry error)."""
+    out: dict = {}
+    if not raw:
+        return out
+    for tables in raw.split(";"):
+        tables = tables.strip()
+        if not tables:
+            continue
+        splits = tables.split(":")
+        if len(splits) != 2:
+            raise ValueError(
+                "partition.key is malformed, please refer to the documents"
+            )
+        out[splits[0].strip()] = [p.strip() for p in splits[1].split(",")]
+    return out
+
+
+def validate_paimon_options(config: dict) -> dict:
+    """PaimonDataSinkFactory surface: catalog.properties.metastore
+    required; unknown keys rejected EXCEPT under the catalog.properties. /
+    table.properties. pass-through prefixes (validateExcept)."""
+    unknown = sorted(
+        k
+        for k in config
+        if k not in _PAIMON_TOP_LEVEL
+        and k != "name"
+        and not k.startswith(PREFIX_CATALOG_PROPERTIES)
+        and not k.startswith(PREFIX_TABLE_PROPERTIES)
+    )
+    if unknown:
+        raise ValueError(
+            f"unsupported option(s) for 'paimon' sink: {', '.join(unknown)}"
+        )
+    metastore = config.get("catalog.properties.metastore")
+    if metastore in (None, ""):
+        raise ValueError(
+            "'paimon' sink missing required option(s): catalog.properties.metastore"
+        )
+    if metastore not in ("filesystem", "hive"):
+        raise ValueError(
+            f"unsupported paimon metastore {metastore!r}; one of filesystem, hive"
+        )
+    warehouse = config.get("catalog.properties.warehouse")
+    if metastore == "filesystem" and not warehouse:
+        raise ValueError(
+            "'paimon' sink with metastore=filesystem requires "
+            "catalog.properties.warehouse"
+        )
+    return {
+        "metastore": metastore,
+        "warehouse": warehouse,
+        "commit_user": str(
+            config.get("commit.user-prefix", config.get("commit.user", "admin"))
+        ),
+        "partition_keys": parse_partition_keys(str(config.get("partition.key", ""))),
+        "catalog_properties": {
+            k[len(PREFIX_CATALOG_PROPERTIES):]: v
+            for k, v in config.items()
+            if k.startswith(PREFIX_CATALOG_PROPERTIES)
+        },
+        "table_properties": {
+            k[len(PREFIX_TABLE_PROPERTIES):]: v
+            for k, v in config.items()
+            if k.startswith(PREFIX_TABLE_PROPERTIES)
+        },
+    }

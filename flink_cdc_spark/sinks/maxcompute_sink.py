@@ -90,3 +90,54 @@ def decode_maxcompute(
         ).alias(ENVELOPE_META),
         F.col("__seq"),
     )
+
+
+# -- factory option surface (MaxComputeDataSinkFactory.java) ----------------
+
+REQUIRED_OPTIONS = ("access-id", "access-key", "endpoint", "project")
+OPTIONAL_OPTIONS = (
+    "tunnel.endpoint",
+    "quota.name",
+    "sts-token",
+    "buckets-num",
+    "compress.algorithm",
+    "bucket.buffer-size",
+    "total.buffer-size",
+    "commit.thread-num",
+    "flush.concurrent-num",
+)
+_COMPRESS_ALGORITHMS = ("zlib", "snappy", "lz4", "raw")
+
+
+def validate_maxcompute_options(config: dict) -> dict:
+    """MaxComputeDataSinkFactory surface: account/project required,
+    unknown keys rejected, buckets-num a positive int."""
+    known = set(REQUIRED_OPTIONS) | set(OPTIONAL_OPTIONS)
+    unknown = sorted(k for k in config if k not in known and k != "name")
+    if unknown:
+        raise ValueError(
+            f"unsupported option(s) for 'maxcompute' sink: {', '.join(unknown)}"
+        )
+    missing = [k for k in REQUIRED_OPTIONS if config.get(k) in (None, "")]
+    if missing:
+        raise ValueError(
+            f"'maxcompute' sink missing required option(s): {', '.join(missing)}"
+        )
+    try:
+        buckets = int(config.get("buckets-num", 16))
+    except (TypeError, ValueError):
+        raise ValueError(f"'buckets-num' must be an integer: {config['buckets-num']!r}")
+    if buckets <= 0:
+        raise ValueError(f"'buckets-num' must be positive: {buckets}")
+    algo = str(config.get("compress.algorithm", "zlib")).lower()
+    if algo not in _COMPRESS_ALGORITHMS:
+        raise ValueError(
+            f"unsupported compress.algorithm {algo!r}; "
+            f"one of {', '.join(_COMPRESS_ALGORITHMS)}"
+        )
+    return {
+        "project": str(config["project"]),
+        "endpoint": str(config["endpoint"]),
+        "buckets_num": buckets,
+        "compress_algorithm": algo,
+    }

@@ -379,3 +379,236 @@ pipeline:
 
     with _pytest.raises(SystemExit, match="key=value"):
         main(["run", str(y), "-D", "nonsense"])
+
+
+def test_paimon_sink_writes_lsm_table(tmp_path, spark):
+    """sink type: paimon — PaimonDataSinkFactory option surface
+    (PaimonDataSinkOptions.java keys) drives the LSM merge-on-read store,
+    including a per-table partition.key."""
+    wh = tmp_path / "paimon_wh"
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: paimon
+  catalog.properties.metastore: filesystem
+  catalog.properties.warehouse: {wh}
+  commit.user-prefix: tester
+  partition.key: "default.nation:n_regionkey"
+  table.properties.bucket: "4"
+pipeline:
+  name: paimon-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["run", str(y), "--json"]) == 0
+    from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+
+    st = LsmStateStore(spark, str(wh))
+    merged = st.read("default.nation")
+    assert merged.count() == 25
+    # partition.key materialized hive-style partition dirs
+    table_dir = wh / "default.nation"
+    assert any("n_regionkey=" in str(p) for p in table_dir.rglob("*") if p.is_dir())
+
+
+def test_paimon_sink_rejects_bad_options(tmp_path):
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: paimon
+  catalog.properties.warehouse: /tmp/w
+pipeline:
+  name: paimon-bad
+  execution.runtime-mode: BATCH
+"""
+    )
+    with pytest.raises(SystemExit, match="metastore"):
+        main(["run", str(y)])
+
+
+def test_elasticsearch_sink_spools_bulk_bodies(tmp_path, spark):
+    """sink type: elasticsearch — factory options validate; the exact
+    _bulk NDJSON entries land in spool-dir."""
+    spool = tmp_path / "es_spool"
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: region
+  primary-key.region: r_regionkey
+sink:
+  type: elasticsearch
+  hosts: "http://localhost:9200"
+  version: 7
+  spool-dir: {spool}
+pipeline:
+  name: es-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["run", str(y), "--json"]) == 0
+    lines = (
+        spark.read.text(str(spool / "default.region")).toPandas()["value"].tolist()
+    )
+    # each index op is an action line + a document line of _bulk NDJSON
+    assert len(lines) == 10
+    actions = [json.loads(l) for l in lines[0::2]]
+    docs = [json.loads(l) for l in lines[1::2]]
+    assert all(a["index"]["_index"] == "default.region" for a in actions)
+    assert {a["index"]["_id"] for a in actions} == {str(i) for i in range(5)}
+    assert {d["r_regionkey"] for d in docs} == set(range(5))
+
+
+def test_elasticsearch_sink_rejects_unknown_option(tmp_path):
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: region
+  primary-key.region: r_regionkey
+sink:
+  type: elasticsearch
+  hosts: "http://localhost:9200"
+  version: 7
+  bogus-option: nope
+  spool-dir: {tmp_path / "s"}
+pipeline:
+  name: es-bad
+  execution.runtime-mode: BATCH
+"""
+    )
+    with pytest.raises(SystemExit, match="bogus-option"):
+        main(["run", str(y)])
+
+
+def test_fluss_sink_spools_bucketed_log(tmp_path, spark):
+    """sink type: fluss — bootstrap.servers required; per-table bucket.key
+    and bucket.num (FlussConfigUtils formats) shape the spooled records."""
+    spool = tmp_path / "fluss_spool"
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: fluss
+  bootstrap.servers: "coordinator:9123"
+  bucket.key: "default.nation:n_nationkey"
+  bucket.num: "default.nation:5"
+  properties.table.table.log.ttl: 7d
+  spool-dir: {spool}
+pipeline:
+  name: fluss-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["run", str(y), "--json"]) == 0
+    recs = [
+        json.loads(l)
+        for l in spark.read.text(str(spool / "default.nation")).toPandas()["value"]
+    ]
+    assert len(recs) == 25
+    assert all(r["op"] == "UPSERT" for r in recs)
+    assert all(0 <= r["bucket"] < 5 for r in recs)
+    assert len({r["bucket"] for r in recs}) > 1  # actually spread
+    assert all(r["table_path"] == "default.nation" for r in recs)
+
+
+def test_fluss_sink_rejects_malformed_bucket_key(tmp_path):
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: fluss
+  bootstrap.servers: "coordinator:9123"
+  bucket.key: "no-colon-here"
+  spool-dir: {tmp_path / "s"}
+pipeline:
+  name: fluss-bad
+  execution.runtime-mode: BATCH
+"""
+    )
+    with pytest.raises(SystemExit, match="Invalid bucket key"):
+        main(["run", str(y)])
+
+
+def test_maxcompute_sink_spools_tunnel_records(tmp_path, spark):
+    """sink type: maxcompute — account options validate; tunnel-session
+    records spool with buckets-num-bounded bucket assignment."""
+    spool = tmp_path / "mc_spool"
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: region
+  primary-key.region: r_regionkey
+sink:
+  type: maxcompute
+  access-id: ak
+  access-key: sk
+  endpoint: "http://service.odps"
+  project: test_project
+  buckets-num: 4
+  spool-dir: {spool}
+pipeline:
+  name: mc-e2e
+  execution.runtime-mode: BATCH
+"""
+    )
+    assert main(["run", str(y), "--json"]) == 0
+    recs = [
+        json.loads(l)
+        for l in spark.read.text(str(spool / "default.region")).toPandas()["value"]
+    ]
+    assert len(recs) == 5
+    assert all(r["op"] == "UPSERT" for r in recs)
+    assert all(0 <= r["bucket"] < 4 for r in recs)
+    assert all(r["session_id"] == "default.region/__default__" for r in recs)
+
+
+def test_maxcompute_sink_rejects_missing_account(tmp_path):
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+source:
+  type: parquet
+  path: {SF_DIR}
+  tables: region
+  primary-key.region: r_regionkey
+sink:
+  type: maxcompute
+  project: test_project
+  spool-dir: {tmp_path / "s"}
+pipeline:
+  name: mc-bad
+  execution.runtime-mode: BATCH
+"""
+    )
+    with pytest.raises(SystemExit, match="missing required"):
+        main(["run", str(y)])
