@@ -3369,39 +3369,52 @@ from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queri
 # component gets the hard oracle signal at least once; long-stable rows
 # (driver-green in earlier rounds) absorb the overflow past the window.
 _PRIORITY = [
-    # never driver-verified through round 6:
-    "data_mix_hash_sample",
-    "text_vocab_topk",
-    "text_pii_scrub",
-    "streaming_stateful_dedup",
-    "mm_phash_near_dup",
-    "text_unigram_logprob",
-    "sim_quantized_topk",
-    # new in round 7:
-    "doris_stream_load_roundtrip",
-    "starrocks_stream_load_roundtrip",
-    "iceberg_metadata_evolution",
-    "hudi_upsert_roundtrip",
-    "mongodb_change_stream_roundtrip",
-    "mongodb_streaming_evolution",
-    "db2_asn_cd_decode",
-    "tidb_kv_event_decode",
-    "vitess_vstream_decode",
-    "kafka_producer_record_route",
-    "jdbc_newly_added_table",
-    "mysql_gtid_startup_replay",
-    "mysql_streaming_binlog_evolution",
-    "lake_partitioned_pruning",
-    "mm_audio_feature_stats",
-    "mm_video_frame_sample",
-    "dedup_semantic_cluster",
-    "dedup_exact_substring",
-    "cluster_kmeans_assign",
-    "dedup_semantic_kmeans",
+    # r7's one red row, re-verify first (env-invariant fix this round):
     "events_sessionize",
-    "sim_ivf_fitted_topk",
-    "mm_audio_fingerprint",
-    "text_bigram_logprob",
+    # rotation policy (r7 verdict item 4): the 41 rows last driver-verified
+    # in r5/r6 lead the window so no query's green signal goes stale; the
+    # 49 r7-green rows absorb the overflow past the 50-row window.
+    "kafka_debezium_roundtrip",
+    "kafka_segment_log_roundtrip",
+    "kafka_canal_roundtrip",
+    "es_bulk_roundtrip",
+    "streaming_pipeline_evolution",
+    "streaming_windowed_watermark",
+    "distributed_schema_reduction",
+    "lake_merge_evolution",
+    "jdbc_snapshot_stream_handoff",
+    "jdbc_startup_latest_offset",
+    "live_streaming_cdc_tail",
+    "pg_logical_decoding_pipeline",
+    "pg_pgoutput_pipeline",
+    "mysql_binlog_replay",
+    "mysql_binlog_wire_replay",
+    "sqlserver_cdc_table_decode",
+    "oracle_logminer_decode",
+    "jdbc_warehouse_sink_roundtrip",
+    "prepartition_pk_hash",
+    "ddl_statement_pipeline",
+    "udf_projection_pipeline",
+    "fluss_log_roundtrip",
+    "maxcompute_tunnel_roundtrip",
+    "cli_pipeline_e2e",
+    "dedup_exact",
+    "dedup_exact_keep_payload",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "dedup_connected_components",
+    "mm_image_feature_pipeline",
+    "doc_training_pipeline",
+    "text_language_id",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "text_decontaminate",
 ]
 
 

@@ -425,7 +425,11 @@ def mongodb_streams(spark: SparkSession, config: dict):
         from ..pipeline.composer import TableStream
 
         raw = spark.read.text(stream_file)
-        sel = Selectors(config.get("tables", r".*.\.*"))
+        # match-all default: each dot-separated selector part is its own
+        # regex, so the wildcard per part is ESCAPED-dot + star (`\.*` ->
+        # regex `.*` after unescaping); a bare `.*` part would split into
+        # ['', '*', ...] and `*` is not a valid regex
+        sel = Selectors(config.get("tables", r"\.*.\.*"))
         for db, coll in discover_collections(raw):
             tid = TableId.parse(f"{db}.{coll}")
             if not sel.is_match(tid):

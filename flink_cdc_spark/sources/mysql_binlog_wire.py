@@ -131,6 +131,16 @@ def encode_newdecimal(v, precision: int, scale: int) -> bytes:
     else:
         int_part, frac_part = digits, ""
     intg = precision - scale
+    if len(int_part.lstrip("0") or "0") > max(intg, 1) or (
+        intg == 0 and int_part.lstrip("0")
+    ):
+        # MySQL clamps/errors on overflow rather than dropping leading
+        # digits; silently truncating would make a bad fixture roundtrip
+        # to a DIFFERENT number
+        raise ValueError(
+            f"decimal value {v!r} overflows DECIMAL({precision},{scale}): "
+            f"{len(int_part.lstrip('0'))} integer digits > {intg}"
+        )
     int_part = int_part.rjust(intg, "0")[-intg:] if intg else ""
     frac_part = frac_part.ljust(scale, "0")[:scale]
 

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..core import types as ct
 from ..core.table_id import TableId
-from .envelope import OP_DELETE, OP_INSERT, OP_UPDATE
+from .envelope import ENVELOPE_SEQ, OP_DELETE, OP_INSERT, OP_UPDATE
 from .jdbc_snapshot import DEFAULT_CHUNK_SIZE, StartupMode
 
 MYSQL_DRIVER = "com.mysql.cj.jdbc.Driver"
@@ -660,6 +660,7 @@ def mysql_streams(spark: SparkSession, config: dict):
         _, _, schemas = decoder.scan_control(cfg.binlog_file)
         sel = Selectors(cfg.tables)
         gtid_set = None
+        start_seq = None
         if (
             cfg.startup_mode == StartupMode.SPECIFIC_OFFSETS
             and cfg.specific_offset_gtid_set
@@ -671,6 +672,50 @@ def mysql_streams(spark: SparkSession, config: dict):
                     "shape carries no GTIDs"
                 )
             gtid_set = cfg.specific_offset_gtid_set
+        elif cfg.startup_mode == StartupMode.SPECIFIC_OFFSETS and (
+            cfg.specific_offset_file is not None
+            or cfg.specific_offset_pos is not None
+        ):
+            # scan.startup.specific-offset.file/.pos
+            # (MySqlDataSourceOptions.java:135-146): resume AT the offset —
+            # events that END at or before it were already delivered, so
+            # only events ending past it replay. Positions are globalized
+            # per segment ordinal (idx << 30 + in-file pos), the same
+            # coordinates read_envelope assigns, so the filter honors
+            # segment order across a rotated chain.
+            pos = cfg.specific_offset_pos or 0
+            if is_binary:
+                import os as _os
+
+                segs = [
+                    _os.path.basename(f)
+                    for f in decoder._segment_files(cfg.binlog_file)
+                ]
+                if cfg.specific_offset_file is None:
+                    raise SystemExit(
+                        "scan.startup.specific-offset.pos needs "
+                        "scan.startup.specific-offset.file"
+                    )
+                if cfg.specific_offset_file not in segs:
+                    raise SystemExit(
+                        f"scan.startup.specific-offset.file "
+                        f"{cfg.specific_offset_file!r} is not a segment of "
+                        f"{cfg.binlog_file!r} (have: {', '.join(segs)})"
+                    )
+                global_pos = (segs.index(cfg.specific_offset_file) << 30) + pos
+            else:
+                import os as _os
+
+                if cfg.specific_offset_file is not None and (
+                    cfg.specific_offset_file != _os.path.basename(cfg.binlog_file)
+                ):
+                    raise SystemExit(
+                        f"scan.startup.specific-offset.file "
+                        f"{cfg.specific_offset_file!r} does not match the "
+                        f"replay file {cfg.binlog_file!r}"
+                    )
+                global_pos = pos
+            start_seq = (global_pos + 1) << _SEQ_SHIFT
         for tid_str, schema in sorted(schemas.items()):
             tid = TableId.parse(tid_str)
             if not sel.is_match(tid):
@@ -684,6 +729,8 @@ def mysql_streams(spark: SparkSession, config: dict):
                 env = decoder.read_envelope(
                     cfg.binlog_file, tid_str, schema.to_spark_struct()
                 )
+            if start_seq is not None:
+                env = env.where(F.col(ENVELOPE_SEQ) >= start_seq)
             yield TableStream(
                 table_id=tid, df=env, schema=schema, insert_only=False
             )

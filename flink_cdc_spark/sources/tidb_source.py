@@ -27,6 +27,7 @@ changefeed.
 
 from __future__ import annotations
 
+import base64
 import json
 from dataclasses import dataclass
 from typing import Dict, Tuple
@@ -142,6 +143,14 @@ def decode_cdc_events(
     col_types = {cid: wire for _, (cid, wire) in table_info.items()}
     id_to_name = {cid: n for n, (cid, _) in table_info.items()}
 
+    def _jsonable(v):
+        # bytes through json.dumps(default=str) would serialize as the
+        # Python repr "b'..'" and the later cast would store that repr's
+        # UTF-8 — base64 here, unbase64 in the JVM-side cast below
+        if isinstance(v, (bytes, bytearray)):
+            return base64.b64encode(bytes(v)).decode("ascii")
+        return v
+
     def decode(batches):
         import pandas as pd
 
@@ -160,7 +169,9 @@ def decode_cdc_events(
                         return None
                     vals = decode_row_v2(bytes(raw_value), col_types)
                     d = {id_to_name[cid]: v for cid, v in vals.items()}
-                    return json.dumps({n: d.get(n) for n in names}, default=str)
+                    return json.dumps(
+                        {n: _jsonable(d.get(n)) for n in names}, default=str
+                    )
 
                 if op == "DELETE":
                     out.append((int(ts), OP_DELETE, image(old), None, handle))
@@ -188,14 +199,15 @@ def decode_cdc_events(
     parsed = dec.withColumn(
         "__b", F.from_json("before_json", str_payload)
     ).withColumn("__a", F.from_json("after_json", str_payload))
+    def _cast_field(side, f):
+        if isinstance(f.dataType, T.BinaryType):
+            # the decoder base64-encoded raw bytes into the JSON image
+            return F.unbase64(F.col(f"{side}.{f.name}")).alias(f.name)
+        return F.col(f"{side}.{f.name}").cast(f.dataType).alias(f.name)
+
     cast_struct = lambda side: F.when(
         F.col(side).isNotNull(),
-        F.struct(
-            *[
-                F.col(f"{side}.{f.name}").cast(f.dataType).alias(f.name)
-                for f in payload.fields
-            ]
-        ),
+        F.struct(*[_cast_field(side, f) for f in payload.fields]),
     )
     return parsed.select(
         F.lit(table_id).alias(ENVELOPE_TABLE_ID),

@@ -307,3 +307,19 @@ def test_mongo_streaming_bridge_schema_evolution(spark, tmp_path):
     state = {r["_id"]: (r["qty"], r["rating"])
              for r in bridge.current_state().collect()}
     assert state == {OID1: (6, 4.5)}
+
+
+def test_changestream_replay_default_selector(spark, tmp_path):
+    """Omitting `tables` must fall back to a VALID match-all selector:
+    every discovered collection replays (regression: the old default
+    `.*.\\.*` split into a bare `*` part and re.compile raised)."""
+    lines = [
+        _doc("insert", 100, 1, OID1, full=_img(OID1, 5, 1.5)),
+        _doc("insert", 103, 1, OID3, full=_img(OID3, 9, 3.5), coll="users"),
+    ]
+    stream = tmp_path / "changes.jsonl"
+    stream.write_text("\n".join(lines) + "\n")
+    streams = list(
+        mongodb_streams(spark, {"changestream-file": str(stream)})
+    )
+    assert {str(s.table_id) for s in streams} == {"app.orders", "app.users"}

@@ -287,6 +287,22 @@ def test_newdecimal_codec_roundtrip_and_order():
             assert (decimal.Decimal(c1) < decimal.Decimal(c2)) == (e1 < e2)
 
 
+def test_newdecimal_rejects_integer_overflow():
+    """Values whose integer part exceeds precision-scale digits raise
+    instead of silently dropping leading digits (MySQL clamps/errors;
+    a bad fixture must fail loudly, not roundtrip to a different
+    number)."""
+    from flink_cdc_spark.sources.mysql_binlog_wire import encode_newdecimal
+
+    for v, p, s in [(12345, 4, 0), (-12345, 4, 0), (100, 4, 2),
+                    (99.999, 4, 2)]:  # 99.999 rounds up to 100.00
+        with pytest.raises(ValueError, match="overflows"):
+            encode_newdecimal(v, p, s)
+    # boundary values still encode
+    for v, p, s in [(9999, 4, 0), (-9999, 4, 0), (99.99, 4, 2), (0.99, 2, 2)]:
+        encode_newdecimal(v, p, s)
+
+
 def test_datetime2_and_date_codec():
     import datetime
 
@@ -521,3 +537,65 @@ def test_gtid_skip_resets_across_segments(spark, tmp_path):
     )
     got = sorted(r["after"]["id"] for r in env.collect())
     assert got == [2, 3]
+
+
+def test_specific_offset_file_pos_startup(spark, tmp_path):
+    """scan.startup.specific-offset.file/.pos
+    (MySqlDataSourceOptions.java:135-146): events ending at or before the
+    configured offset are NOT re-emitted; the filter honors segment order
+    across a rotated chain (regression: the options parsed but the whole
+    chain replayed)."""
+    from flink_cdc_spark.sources.mysql_source import mysql_streams
+
+    types = ["BIGINT", "VARCHAR(64)"]
+    w1 = BinlogWriter()
+    w1.query(
+        "app",
+        "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(64))",
+    )
+    w1.table_map(5, "app", "t", types)
+    w1.write_rows(5, types, [[1, "a"], [2, "b"]])
+    seg1_cut = [
+        e["pos"] for e in parse_binlog_bytes(w1.to_bytes())
+        if e["type"].endswith("WRITE_ROWS")
+    ][-1]
+    w1.table_map(5, "app", "t", types)
+    w1.write_rows(5, types, [[3, "c"]])
+    w1.xid()
+    (tmp_path / "bin.000001").write_bytes(w1.to_bytes())
+    w2 = BinlogWriter()
+    w2.table_map(5, "app", "t", types)
+    w2.write_rows(5, types, [[4, "d"]])
+    w2.xid()
+    (tmp_path / "bin.000002").write_bytes(w2.to_bytes())
+
+    def ids(cfg_extra):
+        cfg = {
+            "binlog-file": str(tmp_path / "bin.*"),
+            "tables": "app.t",
+            **cfg_extra,
+        }
+        (stream,) = list(mysql_streams(spark, cfg))
+        return sorted(r["after"]["id"] for r in stream.df.collect())
+
+    # no startup config: the whole chain replays
+    assert ids({}) == [1, 2, 3, 4]
+    # mid-segment-1 offset: rows 1,2 already delivered
+    assert ids({
+        "scan.startup.mode": "specific-offsets",
+        "scan.startup.specific-offset.file": "bin.000001",
+        "scan.startup.specific-offset.pos": str(seg1_cut),
+    }) == [3, 4]
+    # start of segment 2: everything in segment 1 skipped
+    assert ids({
+        "scan.startup.mode": "specific-offsets",
+        "scan.startup.specific-offset.file": "bin.000002",
+        "scan.startup.specific-offset.pos": "0",
+    }) == [4]
+    # unknown segment file fails loudly instead of replaying from scratch
+    with pytest.raises(SystemExit, match="not a segment"):
+        ids({
+            "scan.startup.mode": "specific-offsets",
+            "scan.startup.specific-offset.file": "bin.000099",
+            "scan.startup.specific-offset.pos": "4",
+        })

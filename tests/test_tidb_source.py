@@ -123,6 +123,34 @@ def test_materialized_state(spark, events):
     assert {(r["id"], r["name"]) for r in final.collect()} == {(1, "a2")}
 
 
+BIN_INFO = {"id": (1, "long"), "blob": (2, "bytes")}
+BIN_PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ]
+)
+
+
+def test_decode_events_binary_column(spark):
+    """'bytes' table-info columns survive the decode VERBATIM — including
+    non-UTF8 bytes (regression: json default=str turned them into the
+    Python repr "b'..'" and the cast stored that repr's UTF-8)."""
+    payloads = [b"\x00\xff\xfe plain", b"\x89PNG\r\n\x1a\n"]
+    rows = [
+        (10 + i, "PUT", bytearray(w.encode_row_key(77, i)),
+         bytearray(w.encode_row_v2({1: i, 2: p})), None)
+        for i, p in enumerate(payloads)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "commit_ts long, op_type string, key binary, value binary, old_value binary",
+    )
+    env = decode_cdc_events(events, 77, "tidb.t", BIN_INFO, BIN_PAYLOAD)
+    got = {r["after"]["id"]: bytes(r["after"]["blob"]) for r in env.collect()}
+    assert got == {i: p for i, p in enumerate(payloads)}
+
+
 # -- options ----------------------------------------------------------------
 
 
