@@ -565,21 +565,24 @@ def streaming_stateful_dedup(spark, sf_dir):
             f.write("ok")
     work = tempfile.mkdtemp(prefix="cdc_sdedup_")
     emit = os.path.join(work, "emitted")
-    stream = (
-        spark.readStream.schema("doc_id BIGINT, text STRING")
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .json(os.path.join(staged, "b*"))
-    )
-    deduped = streaming_exact_dedup(stream)
-    q = (
-        deduped.writeStream.outputMode("append")
-        .foreachBatch(lambda bdf, _id: bdf.write.mode("append").parquet(emit))
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    from ..streaming.windowed import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .json(os.path.join(staged, "b*"))
+        )
+        deduped = streaming_exact_dedup(stream)
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _id: bdf.write.mode("append").parquet(emit))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     out = spark.read.schema("doc_id LONG, fingerprint STRING").parquet(emit)
     rows = out.collect()
     shutil.rmtree(work, ignore_errors=True)

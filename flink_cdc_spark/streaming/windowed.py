@@ -26,11 +26,29 @@ cannot change the result (float discipline).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 N_BATCHES = 3
+STATE_PARTITIONS = 4
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily lower spark.sql.shuffle.partitions around a streaming
+    query: the HDFS-backed state store creates one store per shuffle
+    partition, so a 32-partition default means 32 snapshot reloads per
+    restart and 32 delta files per version for a handful of windows —
+    pure fixed overhead (the r7 bench creep). State volume here is tiny;
+    at real scale the caller sizes this to the keyspace instead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 DAYS_PER_BATCH = 10
 LATE_MOD = 50  # event_id % LATE_MOD == 0 arrives one batch later than its time
 WINDOW = "1 day"
@@ -92,6 +110,18 @@ def windowed_watermark_aggregate(
     emit_dir = os.path.join(work_dir, "emitted")
     os.makedirs(active, exist_ok=True)
     schema = None
+    with scoped_shuffle_partitions(spark, STATE_PARTITIONS):
+        schema = _run_replay(spark, staged_dir, active, ckpt, emit_dir)
+    try:
+        return spark.read.schema(schema).parquet(emit_dir)
+    except Exception:  # no window finalized -> no files written
+        return spark.createDataFrame([], schema)
+
+
+def _run_replay(spark, staged_dir, active, ckpt, emit_dir):
+    import shutil
+
+    schema = None
     for b in range(N_BATCHES):
         src = os.path.join(staged_dir, f"b{b}")
         for fn in os.listdir(src):
@@ -130,10 +160,7 @@ def windowed_watermark_aggregate(
             .start()
         )
         q.awaitTermination(300)
-    try:
-        return spark.read.schema(schema).parquet(emit_dir)
-    except Exception:  # no window finalized -> no files written
-        return spark.createDataFrame([], schema)
+    return schema
 
 
 def windowed_watermark_oracle_sql(table: str = "events") -> str:
