@@ -279,18 +279,43 @@ def get_schema_difference(table_id, before: Optional[Schema], after: Schema) -> 
 
 
 def lenientize_schema_change_event(event: SchemaChangeEvent, evolved_schema: Schema) -> list:
-    """Rewrite a schema change so it is non-destructive, for LENIENT behavior:
-    rename -> add new column, keep old; drop -> keep (nulls); type change ->
-    widen via least-common-type (narrowing becomes add-column)."""
+    """Rewrite a schema change so it is non-destructive, for LENIENT behavior
+    (SchemaDerivator.lenientize{Add,Drop,Rename}ColumnEvent :207-298):
+    rename -> add new column (nullable), nullable-ize the old, keep it;
+    drop -> keep the columns but nullable-ize NOT NULL ones (future
+    records leave them null, so they must accept nulls); type change ->
+    widen via least-common-type. Re-adding a column a lenient drop kept
+    (legal upstream, already present downstream) widens in place instead
+    of crashing the sink's duplicate check — the rewrite the reference
+    achieves via SchemaUtils.isSchemaChangeEventRedundant filtering."""
     if isinstance(event, DropColumnEvent):
-        return []  # keep old columns, future records leave them null
+        converted = tuple(
+            (name, evolved_schema.get_column(name).type.null())
+            for name in event.dropped_column_names
+            if evolved_schema.get_column(name) is not None
+            and not evolved_schema.get_column(name).type.nullable
+        )
+        return (
+            [AlterColumnTypeEvent(event.table_id, converted)] if converted else []
+        )
     if isinstance(event, RenameColumnEvent):
         added = []
+        converted = []
         for old, new in event.name_mapping:
             col = evolved_schema.get_column(old)
-            if col is not None and evolved_schema.get_column(new) is None:
+            if col is None:
+                continue
+            if not col.type.nullable:
+                # the old column stops receiving values after the rename
+                converted.append((old, col.type.null()))
+            if evolved_schema.get_column(new) is None:
                 added.append(ColumnWithPosition(col.with_name(new).with_type(col.type.null())))
-        return [AddColumnEvent(event.table_id, tuple(added))] if added else []
+        out = []
+        if added:
+            out.append(AddColumnEvent(event.table_id, tuple(added)))
+        if converted:
+            out.append(AlterColumnTypeEvent(event.table_id, tuple(converted)))
+        return out
     if isinstance(event, AlterColumnTypeEvent):
         widened = []
         for name, new_type in event.type_mapping:
@@ -302,20 +327,30 @@ def lenientize_schema_change_event(event: SchemaChangeEvent, evolved_schema: Sch
                 widened.append((name, lct))
         return [AlterColumnTypeEvent(event.table_id, tuple(widened))] if widened else []
     if isinstance(event, AddColumnEvent):
-        # added columns must be nullable downstream (upstream history lacks them)
-        return [
-            AddColumnEvent(
-                event.table_id,
-                tuple(
+        # added columns must be nullable downstream (upstream history lacks
+        # them); names a lenient drop retained widen in place
+        fresh = []
+        widened = []
+        for cwp in event.added_columns:
+            existing = evolved_schema.get_column(cwp.column.name)
+            if existing is None:
+                fresh.append(
                     ColumnWithPosition(
                         cwp.column.with_type(cwp.column.type.null()),
                         cwp.position,
                         cwp.existed_column_name,
                     )
-                    for cwp in event.added_columns
-                ),
-            )
-        ]
+                )
+            else:
+                lct = get_least_common_type(existing.type, cwp.column.type.null())
+                if lct != existing.type:
+                    widened.append((cwp.column.name, lct))
+        out = []
+        if fresh:
+            out.append(AddColumnEvent(event.table_id, tuple(fresh)))
+        if widened:
+            out.append(AlterColumnTypeEvent(event.table_id, tuple(widened)))
+        return out
     return [event]
 
 
