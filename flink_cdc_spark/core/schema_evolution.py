@@ -354,6 +354,46 @@ def lenientize_schema_change_event(event: SchemaChangeEvent, evolved_schema: Sch
     return [event]
 
 
+def is_schema_change_event_redundant(
+    current: Optional[Schema], event: SchemaChangeEvent
+) -> bool:
+    """Whether `event` has ALREADY been applied to `current`, so replaying
+    it (duplicate CreateTableEvents from parallel snapshot waves, restart
+    re-delivery of a checkpointed micro-batch) must be skipped — the
+    SchemaUtils.isSchemaChangeEventRedundant port (SchemaUtils.java:323-410),
+    called before applying like SchemaCoordinator.java:374."""
+    if isinstance(event, CreateTableEvent):
+        return current is not None
+    if isinstance(event, DropTableEvent):
+        return current is None
+    if current is None:
+        return False
+    if isinstance(event, AddColumnEvent):
+        # applied only if every added column is present, name AND type
+        return all(
+            any(
+                c.name == cwp.column.name and c.type == cwp.column.type
+                for c in current.columns
+            )
+            for cwp in event.added_columns
+        )
+    if isinstance(event, AlterColumnTypeEvent):
+        return all(
+            (col := current.get_column(name)) is not None and col.type == new_type
+            for name, new_type in event.type_mapping
+        )
+    if isinstance(event, DropColumnEvent):
+        names = set(current.column_names)
+        return all(n not in names for n in event.dropped_column_names)
+    if isinstance(event, RenameColumnEvent):
+        names = set(current.column_names)
+        return all(
+            old not in names and new in names for old, new in event.name_mapping
+        )
+    # TRUNCATE / comment: no way to know — assume not applied
+    return False
+
+
 def merge_create_table_events(table_id, schemas) -> Schema:
     """N->1 route merging: least-common schema across source tables
     (SchemaDerivator.deduceMergedCreateTableEvent :348)."""

@@ -33,6 +33,7 @@ from ..core.schema import Schema
 from ..core.schema_evolution import (
     apply_schema_change_event,
     get_least_common_schema,
+    is_schema_change_event_redundant,
     lenientize_schema_change_event,
     merge_create_table_events,
 )
@@ -90,6 +91,13 @@ class SchemaCoordinator:
         """Update schema state for an upstream schema change; returns the
         list of (sink_table_id, SchemaChangeEvent) applied downstream."""
         table_id = event.table_id
+        # duplicate-delivery guard (SchemaCoordinator.java:372-380):
+        # re-delivered events — duplicate CreateTableEvents from parallel
+        # snapshot waves, restart replay of a checkpointed micro-batch —
+        # are already reflected in the upstream schema; skip them instead
+        # of double-applying (ADD would throw, versions would duplicate)
+        if is_schema_change_event_redundant(self.original_schema(table_id), event):
+            return []
         new_original = apply_schema_change_event(self.original_schema(table_id), event)
         self.original_schemas.setdefault(table_id, []).append(new_original)
 

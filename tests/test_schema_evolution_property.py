@@ -278,3 +278,50 @@ def test_lenient_types_only_widen(data):
 @SETTINGS
 def test_create_table_replaces_schema(a, b):
     assert apply_schema_change_event(a, CreateTableEvent(TID, b)) == b
+
+
+# -- 6. redundancy check: apply -> re-deliver is a skip ---------------------
+
+
+@given(st.data())
+@SETTINGS
+def test_applied_events_are_redundant_on_redelivery(data):
+    """After applying any event, re-checking it against the new schema
+    reports redundant (SchemaUtils.isSchemaChangeEventRedundant:323-410)
+    — the exactly-once contract for restart re-delivery."""
+    from flink_cdc_spark.core.schema_evolution import (
+        is_schema_change_event_redundant,
+    )
+
+    base = data.draw(schemas())
+    events, _ = data.draw(ddl_chains(base))
+    schema = base
+    for ev in events:
+        before = schema
+        schema = apply_schema_change_event(schema, ev)
+        if isinstance(ev, TruncateTableEvent):
+            continue  # truncate is never provably applied
+        assert is_schema_change_event_redundant(schema, ev), (
+            f"{ev} not redundant after applying to {before}"
+        )
+        # and a redundant event must not have been skippable BEFORE apply
+        # unless it was a genuine no-op (schema unchanged)
+        if is_schema_change_event_redundant(before, ev):
+            assert schema == before
+
+
+@given(schemas())
+@SETTINGS
+def test_duplicate_create_table_is_skipped_by_coordinator(schema):
+    """Duplicate CreateTableEvents (parallel snapshot waves) must not
+    double-append schema versions (SchemaCoordinator.java:372-380)."""
+    from flink_cdc_spark.core.router import TableIdRouter
+    from flink_cdc_spark.pipeline.schema_coordinator import SchemaCoordinator
+
+    coord = SchemaCoordinator(router=TableIdRouter([]))
+    ev = CreateTableEvent(TID, schema)
+    first = coord.process_schema_change(ev)
+    assert len(first) == 1
+    again = coord.process_schema_change(ev)
+    assert again == []
+    assert len(coord.original_schemas[TID]) == 1
