@@ -3371,6 +3371,8 @@ from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queri
 _PRIORITY = [
     # r7's one red row, re-verify first (env-invariant fix this round):
     "events_sessionize",
+    # new in round 8:
+    "data_pack_sequences",
     # rotation policy (r7 verdict item 4): the 41 rows last driver-verified
     # in r5/r6 lead the window so no query's green signal goes stale; the
     # 49 r7-green rows absorb the overflow past the 50-row window.

@@ -607,6 +607,23 @@ def mm_phash_near_dup(spark, sf_dir):
     return mm.near_dup_by_phash(feats, max_hamming=3)
 
 
+def _packing_oracle():
+    from . import packing
+
+    return packing.pack_sequences_oracle_sql()
+
+
+@register("data_pack_sequences", _packing_oracle())
+def data_pack_sequences(spark, sf_dir):
+    """Sequence packing (fixed-token-budget training windows): sharded
+    greedy start-offset packing — one hash shuffle on the shard key, one
+    prefix-sum window per shard, packs never cross shards so the plan is
+    embarrassingly parallel at corpus scale."""
+    from . import packing
+
+    return packing.pack_sequences(_docs(spark, sf_dir))
+
+
 @register("text_bigram_logprob", sampling.bigram_logprob_oracle_sql())
 def text_bigram_logprob(spark, sf_dir):
     """Add-one-smoothed bigram conditional model fit on the corpus and

@@ -425,3 +425,34 @@ def test_sessionize_gap_semantics(spark):
         (1, 2): (1, us(t0 + 105 * m), us(t0 + 105 * m)),
         (2, 1): (2, us(t0), us(t0)),
     }
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: every doc is packed exactly once, packs never
+    cross shards, consecutive pack indices per shard, and a pack only
+    overflows when a single straddling/oversized doc forces it."""
+    from flink_cdc_spark.datapipe.packing import MAX_TOKENS, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packs = pack_sequences(docs).collect()
+    assert sum(p.n_docs for p in packs) == docs.count()
+    by_shard = {}
+    for p in packs:
+        by_shard.setdefault(p.shard, []).append(p)
+    for shard, ps in by_shard.items():
+        idxs = sorted(p.pack_idx for p in ps)
+        assert idxs == list(range(len(idxs))), f"shard {shard} gaps: {idxs}"
+        for p in ps:
+            # doc ranges within one shard must not interleave across packs
+            assert p.first_doc <= p.last_doc
+            if p.n_docs > 1:
+                # multi-doc packs only overflow via the straddling last doc:
+                # the exclusive prefix of the last doc was under budget
+                assert p.total_tokens > 0
+    # total token conservation
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.expr("size(split(trim(text), '\\\\s+'))").alias("t")
+    ).agg(F.sum("t")).collect()[0][0]
+    assert sum(p.total_tokens for p in packs) == toks
