@@ -521,6 +521,15 @@ def run_pipeline(spark: SparkSession, pipeline: PipelineDef) -> RunSummary:
 
         composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
         result = composer.compose(mysql_streams(spark, pipeline.source.config))
+    elif source_type == "kafka":
+        # consumer-side counterpart of the kafka sink: RecordBatch v2
+        # segment logs with debezium/canal JSON replay through the shared
+        # codecs (no broker in this environment; topic-dir stands in)
+        from .pipeline.composer import BatchPipelineComposer
+        from .sources.kafka_source import kafka_streams
+
+        composer = BatchPipelineComposer(spark, pipeline, udf_names=udf_names)
+        result = composer.compose(kafka_streams(spark, pipeline.source.config))
     elif source_type == "sqlserver":
         from .pipeline.composer import BatchPipelineComposer
         from .sources.sqlserver_source import sqlserver_streams

@@ -1,0 +1,137 @@
+"""Kafka topic replay source — the consumer-side counterpart of the
+kafka sink: RecordBatch v2 segment logs holding debezium-json or
+canal-json change records replay into per-table changelog envelopes.
+
+The reference ships Kafka as a pipeline SINK
+(pipeline-connector-kafka/.../KafkaDataSinkFactory.java); round-tripping
+what that sink produced back into a pipeline is the natural consumer
+loop for it, and this module is that loop run offline: segment files are
+the consumer's fetch batches (one task per segment — the partition
+assignment unit), record offsets keep the per-partition total order, and
+the JSON codecs are the shared ones the sink roundtrip gates
+(sources/kafka_json.py, oracle rows kafka_debezium/canal_roundtrip).
+
+No broker ships in this sandbox, so a live `properties.bootstrap.servers`
+config fails fast with the reason; `topic-dir` replays segment files.
+
+Schema: debezium/canal values are schemaless JSON — per-table payload
+schemas are INFERRED with a one-off control-plane pass over the document
+images (the same strategy as the MongoDB bridge), then the typed decode
+runs as ordinary column expressions over the inferred StructType.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..core.schema import Schema
+from ..core.table_id import TableId
+from .kafka_json import decode_canal_json, decode_debezium_json
+from .kafka_segment_wire import read_topic_segments
+
+_FORMATS = ("debezium-json", "canal-json")
+
+
+def _infer_payload(records: DataFrame, image_paths) -> Optional[T.StructType]:
+    """Infer the table's payload schema from its row images: project each
+    candidate image path as a JSON string, union, spark.read.json — a
+    control-plane metadata pass (document bodies stay executor-side)."""
+    imgs = None
+    for p in image_paths:
+        part = records.select(
+            F.get_json_object("value", p).alias("j")
+        ).where(F.col("j").isNotNull())
+        imgs = part if imgs is None else imgs.unionByName(part)
+    inferred = records.sparkSession.read.json(imgs.rdd.map(lambda r: r["j"]))
+    fields = [f for f in inferred.schema.fields if not f.name.startswith("_corrupt")]
+    if not fields:
+        return None
+    return T.StructType(sorted(fields, key=lambda f: f.name))
+
+
+def kafka_streams(spark: SparkSession, config: dict):
+    """CLI resolver for `type: kafka`. `topic-dir` (a directory or glob of
+    RecordBatch v2 .log segments) replays offline; `value.format` picks
+    the codec (debezium-json default, matching KafkaDataSinkOptions);
+    primary keys come from `primary-key.<table>` (debezium-json carries
+    none) or canal's own pkNames field."""
+    from ..pipeline.composer import TableStream
+
+    fmt = str(config.get("value.format", "debezium-json")).lower()
+    if fmt not in _FORMATS:
+        raise SystemExit(
+            f"source.type=kafka: unknown value.format {fmt!r}; one of "
+            + ", ".join(_FORMATS)
+        )
+    topic_dir = config.get("topic-dir")
+    if not topic_dir:
+        if config.get("properties.bootstrap.servers"):
+            raise SystemExit(
+                "source.type=kafka live mode needs a reachable broker at "
+                f"{config['properties.bootstrap.servers']!r}; none ships in "
+                "this environment. Use 'topic-dir' to replay segment logs."
+            )
+        raise SystemExit("source.type=kafka requires 'topic-dir'")
+    glob = topic_dir
+    if os.path.isdir(topic_dir):
+        glob = os.path.join(topic_dir, "*.log")
+    records = read_topic_segments(spark, glob).withColumnRenamed(
+        "offset", "__offset"
+    )
+
+    if fmt == "debezium-json":
+        tid_expr = F.concat_ws(
+            ".",
+            F.get_json_object("value", "$.source.db"),
+            F.get_json_object("value", "$.source.table"),
+        )
+        image_paths = ("$.after", "$.before")
+    else:
+        tid_expr = F.concat_ws(
+            ".",
+            F.get_json_object("value", "$.database"),
+            F.get_json_object("value", "$.table"),
+        )
+        image_paths = ("$.data[0]", "$.old[0]")
+
+    tagged = records.withColumn("__tid", tid_expr)
+    tables = sorted(
+        r["__tid"]
+        for r in tagged.select("__tid").where(
+            F.col("__tid").isNotNull() & (F.length("__tid") > 0)
+        ).distinct().collect()
+    )
+    for table in tables:
+        subset = tagged.where(F.col("__tid") == table).drop("__tid")
+        payload = _infer_payload(subset, image_paths)
+        if payload is None:
+            continue
+        if fmt == "debezium-json":
+            env = decode_debezium_json(subset, payload)
+            pks = tuple(
+                p.strip()
+                for p in str(config.get(f"primary-key.{table}", "")).split(",")
+                if p.strip()
+            )
+        else:
+            env = decode_canal_json(subset, payload)
+            pk_row = (
+                subset.select(
+                    F.get_json_object("value", "$.pkNames[0]").alias("pk")
+                )
+                .where(F.col("pk").isNotNull())
+                .first()
+            )
+            pks = (pk_row["pk"],) if pk_row else ()
+            if not pks:
+                pks = tuple(
+                    p.strip()
+                    for p in str(config.get(f"primary-key.{table}", "")).split(",")
+                    if p.strip()
+                )
+        tid = TableId.parse(table)
+        schema = Schema.from_spark_struct(payload, primary_keys=pks)
+        yield TableStream(table_id=tid, df=env, schema=schema, insert_only=False)

@@ -1,0 +1,122 @@
+"""`source: kafka` — topic replay through RecordBatch v2 segments and the
+shared debezium/canal codecs, composed through the batch pipeline.
+
+The reference ships Kafka as a pipeline sink
+(pipeline-connector-kafka/.../KafkaDataSinkFactory.java); this covers the
+consumer loop over what that sink produced.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_spark.cli import main, run_pipeline
+from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+from flink_cdc_spark.sources.kafka_segment_wire import write_segment
+from flink_cdc_spark.sources.kafka_source import kafka_streams
+
+
+def _dbz(op, before, after, db="app", table="orders", ts=1000):
+    return json.dumps(
+        {"before": before, "after": after, "op": op,
+         "source": {"db": db, "table": table}, "ts_ms": ts}
+    )
+
+
+def _write_topic(tmp_path, values):
+    d = tmp_path / "topic"
+    d.mkdir()
+    write_segment(
+        str(d / "00000000.log"),
+        [[(str(i).encode(), v.encode()) for i, v in enumerate(values)]],
+    )
+    return d
+
+
+def test_debezium_topic_replay(spark, tmp_path):
+    rows = [
+        _dbz("c", None, {"id": 1, "v": "a"}),
+        _dbz("c", None, {"id": 2, "v": "b"}),
+        _dbz("u", {"id": 1, "v": "a"}, {"id": 1, "v": "a2"}),
+        _dbz("d", {"id": 2, "v": "b"}, None),
+        # a second table interleaved on the same topic
+        _dbz("c", None, {"k": 7, "n": 1.5}, table="items"),
+    ]
+    topic = _write_topic(tmp_path, rows)
+    streams = {
+        str(s.table_id): s
+        for s in kafka_streams(
+            spark,
+            {"topic-dir": str(topic), "primary-key.app.orders": "id",
+             "primary-key.app.items": "k"},
+        )
+    }
+    assert set(streams) == {"app.orders", "app.items"}
+    assert streams["app.orders"].schema.primary_keys == ("id",)
+    ops = [
+        (r["__op"], r["__seq"]) for r in
+        streams["app.orders"].df.orderBy("__seq").collect()
+    ]
+    assert [o for o, _ in ops] == ["INSERT", "INSERT", "UPDATE", "DELETE"]
+
+
+def test_kafka_source_cli_e2e(spark, tmp_path):
+    """YAML in, materialized sink state out — last-image-wins per key."""
+    rows = [
+        _dbz("c", None, {"id": 1, "v": "a"}),
+        _dbz("c", None, {"id": 2, "v": "b"}),
+        _dbz("c", None, {"id": 3, "v": "c"}),
+        _dbz("u", {"id": 1, "v": "a"}, {"id": 1, "v": "a2"}),
+        _dbz("d", {"id": 2, "v": "b"}, None),
+    ]
+    topic = _write_topic(tmp_path, rows)
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: kafka
+  topic-dir: {topic}
+  primary-key.app.orders: id
+sink:
+  type: parquet
+  path: {out}
+pipeline:
+  name: kafka-replay
+  execution.runtime-mode: BATCH
+"""
+    )
+    summary = run_pipeline(spark, pipeline)
+    assert summary.tables == {"app.orders": 2}
+    state = {r.id: r.v for r in spark.read.parquet(str(out / "app.orders")).collect()}
+    assert state == {1: "a2", 3: "c"}
+
+
+def test_canal_topic_replay_picks_pk_from_records(spark, tmp_path):
+    def canal(t, data, old=None, pk=("id",)):
+        return json.dumps(
+            {"type": t, "data": data, "old": old, "database": "app",
+             "table": "orders", "pkNames": list(pk), "ts": 5}
+        )
+
+    rows = [
+        canal("INSERT", [{"id": 1, "v": "a"}]),
+        canal("UPDATE", [{"id": 1, "v": "a2"}], old=[{"id": 1, "v": "a"}]),
+        canal("DELETE", [{"id": 9, "v": "x"}]),
+    ]
+    topic = _write_topic(tmp_path, rows)
+    (stream,) = list(kafka_streams(spark, {"topic-dir": str(topic),
+                                           "value.format": "canal-json"}))
+    assert stream.schema.primary_keys == ("id",)
+    ops = [r["__op"] for r in stream.df.orderBy("__seq").collect()]
+    assert ops == ["INSERT", "UPDATE", "DELETE"]
+
+
+def test_kafka_source_fails_fast(spark, tmp_path):
+    with pytest.raises(SystemExit, match="topic-dir"):
+        list(kafka_streams(spark, {}))
+    with pytest.raises(SystemExit, match="broker"):
+        list(kafka_streams(spark, {"properties.bootstrap.servers": "b:9092"}))
+    with pytest.raises(SystemExit, match="value.format"):
+        list(kafka_streams(spark, {"topic-dir": str(tmp_path),
+                                   "value.format": "avro"}))
