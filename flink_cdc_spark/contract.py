@@ -1018,6 +1018,85 @@ def kafka_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kafka_source_topic_replay",
+    """
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 10) = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    WHERE (o_orderkey % 20) <> 7
+    """,
+)
+def kafka_source_topic_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kafka SOURCE (sources/kafka_source.py): debezium records the
+    sink framed into RecordBatch v2 segments replayed through the
+    `type: kafka` resolver — per-table payload schemas INFERRED from the
+    row images (no schema handed in, unlike the codec roundtrip rows),
+    one executor task per segment, then materialized to the oracle state.
+    Images project to (o_orderkey, o_orderstatus) so JSON inference is
+    exact (int64 + string; floating-point would round-trip lossily)."""
+    import hashlib
+    import os
+
+    from .sinks.materialize import materialize_changelog
+    from .sources.kafka_json import encode_debezium_json
+    from .sources.kafka_segment_wire import write_segment
+    from .sources.kafka_source import kafka_streams
+
+    pin_session(spark)
+
+    def image(side):
+        return (
+            f"CASE WHEN {side} IS NULL THEN NULL ELSE "
+            f"struct({side}.o_orderkey, {side}.o_orderstatus) END"
+        )
+
+    env = (
+        ParquetTableSource(spark, sf_dir)
+        .changelog("orders", "db.orders", _ORDERS_MUT)
+        .selectExpr(
+            "__table_id", "__op",
+            image("before") + " AS before", image("after") + " AS after",
+            "__meta", "__seq",
+        )
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/flink_cdc_spark_kafkasrc/{key}"
+    if not os.path.exists(f"{root}/_READY"):
+        os.makedirs(root, exist_ok=True)
+        docs = [
+            (str(r["__offset"]).encode(), r["value"].encode())
+            for r in encode_debezium_json(env)
+            .selectExpr("__offset", "value")
+            .orderBy("__offset")
+            .collect()
+        ]
+        per_seg = -(-len(docs) // 4)
+        base = 0
+        for s in range(4):
+            chunk = docs[s * per_seg:(s + 1) * per_seg]
+            if not chunk:
+                continue
+            batches = [chunk[i:i + 500] for i in range(0, len(chunk), 500)]
+            base = write_segment(
+                f"{root}/{base:020d}.log", batches, base_offset=base
+            )
+        with open(f"{root}/_READY", "w") as f:
+            f.write("ok")
+    streams = list(
+        kafka_streams(
+            spark,
+            {
+                "topic-dir": root,
+                "value.format": "debezium-json",
+                "primary-key.db.orders": "o_orderkey",
+            },
+        )
+    )
+    assert len(streams) == 1 and str(streams[0].table_id) == "db.orders"
+    return materialize_changelog(streams[0].df, ["o_orderkey"])
+
+
+@register(
     "es_bulk_roundtrip",
     """
     SELECT o_orderkey,
@@ -3373,6 +3452,7 @@ _PRIORITY = [
     "events_sessionize",
     # new in round 8:
     "data_pack_sequences",
+    "kafka_source_topic_replay",
     # rotation policy (r7 verdict item 4): the 41 rows last driver-verified
     # in r5/r6 lead the window so no query's green signal goes stale; the
     # 49 r7-green rows absorb the overflow past the 50-row window.
