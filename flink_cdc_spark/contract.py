@@ -1023,7 +1023,7 @@ def kafka_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CASE WHEN (o_orderkey % 10) = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
     FROM orders
-    WHERE (o_orderkey % 20) <> 7
+    WHERE (o_orderkey % 20) <> 7 AND (o_orderkey % 5) = 0
     """,
 )
 def kafka_source_topic_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,16 +1050,20 @@ def kafka_source_topic_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"struct({side}.o_orderkey, {side}.o_orderstatus) END"
         )
 
+    # the %5 subset keeps fixture ingest (a driver-side write by
+    # necessity, as in kafka_segment_log_roundtrip) bounded at sf0.1
+    # while replaying the identical decode/inference/materialize paths
     env = (
         ParquetTableSource(spark, sf_dir)
         .changelog("orders", "db.orders", _ORDERS_MUT)
+        .where("coalesce(after.o_orderkey, before.o_orderkey) % 5 = 0")
         .selectExpr(
             "__table_id", "__op",
             image("before") + " AS before", image("after") + " AS after",
             "__meta", "__seq",
         )
     )
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}|mod5".encode()).hexdigest()[:10]
     root = f"/tmp/flink_cdc_spark_kafkasrc/{key}"
     if not os.path.exists(f"{root}/_READY"):
         os.makedirs(root, exist_ok=True)
@@ -3453,6 +3457,11 @@ _PRIORITY = [
     # new in round 8:
     "data_pack_sequences",
     "kafka_source_topic_replay",
+    "data_chunk_overlap",
+    "data_epoch_shuffle",
+    "data_source_cap",
+    "text_tfidf_topk",
+    "events_session_window_native",
     # rotation policy (r7 verdict item 4): the 41 rows last driver-verified
     # in r5/r6 lead the window so no query's green signal goes stale; the
     # 49 r7-green rows absorb the overflow past the 50-row window.

@@ -652,3 +652,86 @@ def sim_quantized_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
     return similarity.quantized_topk(embs, queries)
+
+
+def _chunking_oracles():
+    from . import chunking
+
+    return (
+        chunking.chunk_documents_oracle_sql(),
+        chunking.epoch_shuffle_oracle_sql(),
+        chunking.source_cap_oracle_sql(),
+    )
+
+
+_CHUNK_SQL, _SHUF_SQL, _CAP_SQL = _chunking_oracles()
+
+
+@register("data_chunk_overlap", _CHUNK_SQL)
+def data_chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking (HuggingFace-style stride): the
+    context-window splitting step before tokenization. MAP-ONLY — tokenize,
+    compute the chunk count, explode a sequence; no shuffle at any corpus
+    size, chunk text gated by md5 to keep the verified rows narrow."""
+    from . import chunking
+
+    return chunking.chunk_documents(_docs(spark, sf_dir))
+
+
+@register("data_epoch_shuffle", _SHUF_SQL)
+def data_epoch_shuffle(spark, sf_dir):
+    """Deterministic seeded epoch permutation as (shard, pos-in-shard):
+    seeded-md5 prefix shards (256), rank-within-shard window — one hash
+    exchange, no global sort / single reducer; a new seed is a brand-new
+    permutation with zero stored state."""
+    from . import chunking
+
+    return chunking.epoch_shuffle(_docs(spark, sf_dir), seed=0)
+
+
+@register("data_source_cap", _CAP_SQL)
+def data_source_cap(spark, sf_dir):
+    """Per-source quality caps (anti single-site domination): keep the
+    top-N documents per source by the quality column — one exchange on
+    source + a rank-bounded window; a dominant source is bounded by its
+    own row count."""
+    from . import chunking
+
+    return chunking.source_cap(_docs(spark, sf_dir))
+
+
+def _tfidf_oracle():
+    from . import ranking
+
+    return ranking.tfidf_topk_oracle_sql()
+
+
+@register("text_tfidf_topk", _tfidf_oracle())
+def text_tfidf_topk(spark, sf_dir):
+    """tf-idf-ordered top-k terms per document with a float-free ordering
+    triple (tf DESC, df ASC, term ASC): explode -> map-side-combined tf ->
+    df from the tf relation -> shuffle join on term -> bounded per-doc
+    window. The exact score is the (tf, df) integer pair."""
+    from . import ranking
+
+    return ranking.tfidf_topk(_docs(spark, sf_dir))
+
+
+def _sessions_native_oracle():
+    from . import sessions
+
+    return sessions.sessionize_native_oracle_sql()
+
+
+@register("events_session_window_native", _sessions_native_oracle())
+def events_session_window_native(spark, sf_dir):
+    """Spark's BUILT-IN session_window operator (the Structured-Streaming
+    session code path, run in batch) gated against an independent gap-scan
+    oracle — boundary semantics are diff >= gap (window-merge), vs the
+    lag-based events_sessionize which splits strictly on diff > gap; both
+    run on environment-invariant integer micros."""
+    from . import sessions
+    from ..sources.parquet_source import ParquetTableSource
+
+    ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
+    return sessions.sessionize_native(ev)

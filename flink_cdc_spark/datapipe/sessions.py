@@ -91,6 +91,86 @@ def sessionize(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    user: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """-> (user_id, n_events, start_us, end_us) via Spark's BUILT-IN
+    `session_window` operator (the same code path Structured Streaming
+    uses for session windows), gated against an independent gap-scan
+    oracle.
+
+    Boundary semantics differ from `sessionize`: session_window extends
+    each event's window to [t, t+gap) and merges OVERLAPPING windows, so
+    a successor exactly `gap` later starts a NEW session (diff >= gap),
+    where the lag-based variant splits only on diff > gap. The oracle
+    uses >= to match.
+
+    Environment invariance: the window runs over a timestamp REBUILT
+    from the invariant micros (timestampadd from the NTZ epoch), so the
+    session zone can't shift it; outputs are min/max of the event micros
+    (not the padded window bounds)."""
+    base = events.where(F.col(ts).isNotNull()).select(
+        F.col(user).alias("user_id"),
+        _epoch_micros_expr(events, ts).alias("t_us"),
+    )
+    t_ntz = F.expr(
+        "timestampadd(MICROSECOND, t_us, timestamp_ntz'1970-01-01 00:00:00')"
+    )
+    return (
+        base.withColumn("t_ntz", t_ntz)
+        .groupBy(
+            "user_id",
+            F.session_window("t_ntz", f"{gap_minutes} minutes"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("end_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us")
+    )
+
+
+def sessionize_native_oracle_sql(
+    table: str = "events",
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    user: str = "user_id",
+    ts: str = "ts",
+    event_id: str = "event_id",
+) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+    WITH base AS (
+      SELECT {user} AS user_id, epoch_us({ts}) AS t_us, {event_id} AS eid
+      FROM {table}
+      WHERE {ts} IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, t_us, eid,
+             CASE WHEN t_us - lag(t_us) OVER w >= {gap_us} THEN 1 ELSE 0 END
+               AS new_session
+      FROM base
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY t_us ASC NULLS FIRST, eid ASC NULLS FIRST)
+    ),
+    numbered AS (
+      SELECT user_id, t_us,
+             sum(new_session) OVER (
+               PARTITION BY user_id
+               ORDER BY t_us ASC NULLS FIRST, eid ASC NULLS FIRST
+               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, count(*) AS n_events,
+           min(t_us) AS start_us, max(t_us) AS end_us
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """
+
+
 def sessionize_oracle_sql(
     table: str = "events",
     gap_minutes: int = DEFAULT_GAP_MINUTES,

@@ -456,3 +456,169 @@ def test_pack_sequences_invariants(spark):
         F.expr("size(split(trim(text), '\\\\s+'))").alias("t")
     ).agg(F.sum("t")).collect()[0][0]
     assert sum(p.total_tokens for p in packs) == toks
+
+
+def test_chunk_documents_invariants(spark):
+    """Chunk windows tile every document: chunk 0 starts at 0, strides
+    advance by STRIDE, the last window reaches the document end, every
+    chunk is non-empty and at most CHUNK tokens, and a short doc yields
+    exactly one chunk covering it whole."""
+    from flink_cdc_spark.datapipe import chunking
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(250))),
+         (2, "only three tokens"),
+         (3, " ".join(f"x{i}" for i in range(96)))],  # exactly one window
+        "doc_id BIGINT, text STRING",
+    )
+    out = chunking.chunk_documents(docs, chunk_tokens=96, stride=64)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_toks = {1: 250, 2: 3, 3: 96}
+    for d, rs in by_doc.items():
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        for r in rs:
+            assert r.start_tok == r.chunk_idx * 64
+            assert 0 < r.n_tok <= 96
+        last = rs[-1]
+        assert last.start_tok + last.n_tok == n_toks[d]  # reaches the end
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tok == 3
+    assert len(by_doc[3]) == 1
+    # 250 tokens, chunk 96 stride 64 -> 1 + ceil(154/64) = 4 windows
+    assert len(by_doc[1]) == 4
+    with pytest.raises(ValueError, match="stride"):
+        chunking.chunk_documents(docs, chunk_tokens=10, stride=11)
+
+
+def test_epoch_shuffle_is_a_permutation_and_seed_sensitive(spark):
+    from flink_cdc_spark.datapipe import chunking
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    s0 = chunking.epoch_shuffle(docs, seed=0).collect()
+    assert len(s0) == 500 and len({r.doc_id for r in s0}) == 500
+    # within a shard, positions are 1..n with no gaps
+    by_shard = {}
+    for r in s0:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a different seed is a different permutation (order changes)
+    s1 = chunking.epoch_shuffle(docs, seed=1).collect()
+    key0 = {r.doc_id: (r.shard, r.pos) for r in s0}
+    key1 = {r.doc_id: (r.shard, r.pos) for r in s1}
+    assert key0 != key1
+    # and rerunning seed 0 is bit-identical (no RNG state)
+    s0b = chunking.epoch_shuffle(docs, seed=0).collect()
+    assert key0 == {r.doc_id: (r.shard, r.pos) for r in s0b}
+
+
+def test_source_cap_keeps_best_per_source(spark):
+    from flink_cdc_spark.datapipe import chunking
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", 1000 - i) for i in range(10)],
+        "doc_id BIGINT, source STRING, n_chars BIGINT",
+    )
+    out = chunking.source_cap(docs, cap=3).collect()
+    assert len(out) == 6
+    for r in out:
+        assert 1 <= r.rk <= 3
+    # highest n_chars (lowest doc_id here) survive per source
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [0, 1, 2, 3, 4, 5]
+
+
+def test_tfidf_topk_ordering(spark):
+    """tf wins first, rarity breaks ties, term string last; k bounds."""
+    from flink_cdc_spark.datapipe import ranking
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana cherry"),
+         (2, "banana banana cherry cherry date"),
+         (3, "apple banana")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = ranking.tfidf_topk(docs, k=2)
+    rows = {(r.doc_id, r.rk): (r.term, r.tf, r.df) for r in out.collect()}
+    # doc 1: apple tf=2 -> rank 1; banana/cherry tf=1, cherry rarer (df 2 vs 3)
+    assert rows[(1, 1)] == ("apple", 2, 2)
+    assert rows[(1, 2)] == ("cherry", 1, 2)
+    # doc 2: banana and cherry both tf=2: cherry df=2 < banana df=3
+    assert rows[(2, 1)] == ("cherry", 2, 2)
+    assert rows[(2, 2)] == ("banana", 2, 3)
+    assert max(rk for (_, rk) in rows) == 2
+
+
+def test_session_window_native_boundary(spark):
+    """session_window splits at diff >= gap (window merge semantics),
+    one tighter than the lag-based sessionize's strict >."""
+    import datetime
+
+    from flink_cdc_spark.datapipe import sessions
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1), (1, t0 + 60 * m, 2),   # exactly gap apart
+        (2, t0, 3), (2, t0 + 59 * m, 4),   # inside the gap
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    got = sorted(
+        (r.user_id, r.n_events, r.start_us, r.end_us)
+        for r in sessions.sessionize_native(ev, gap_minutes=60).collect()
+    )
+    us = lambda dt: int(dt.timestamp() * 1e6)
+    assert got == [
+        (1, 1, us(t0), us(t0)),
+        (1, 1, us(t0 + 60 * m), us(t0 + 60 * m)),   # new session at == gap
+        (2, 2, us(t0), us(t0 + 59 * m)),
+    ]
+    # the lag-based variant keeps ==gap in ONE session
+    lag = sessions.sessionize(ev, gap_minutes=60).collect()
+    assert {(r.user_id, r.session_idx, r.n_events) for r in lag} == {
+        (1, 1, 2), (2, 1, 2),
+    }
+
+
+def test_chunking_differential_vs_naive_model(spark):
+    """Differential: the Spark chunking plan vs a direct Python
+    transcription of the sliding-window rule, over adversarial token
+    counts (empty text, exactly-one-window, exact multiples of stride,
+    one-past boundaries)."""
+    import hashlib
+
+    from flink_cdc_spark.datapipe import chunking
+
+    chunk, stride = 96, 64
+    sizes = [0, 1, 2, 63, 64, 65, 95, 96, 97, 128, 159, 160, 161,
+             192, 224, 225, 250, 288, 289, 320]
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    def naive(doc_id, text):
+        toks = __import__("re").split(r"\s+", text.strip())
+        n = len(toks)
+        out = []
+        c = 0
+        while True:
+            start = c * stride
+            ln = min(chunk, n - start)
+            out.append((doc_id, c, start, ln,
+                        hashlib.md5(" ".join(toks[start:start + ln])
+                                    .encode()).hexdigest()))
+            if start + ln >= n:
+                break
+            c += 1
+        return out
+
+    expect = sorted(r for (d, t) in rows for r in naive(d, t))
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_tok, r.chunk_hash)
+        for r in chunking.chunk_documents(
+            docs, chunk_tokens=chunk, stride=stride
+        ).collect()
+    )
+    assert got == expect

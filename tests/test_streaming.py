@@ -309,3 +309,75 @@ def test_batch_data_plane_scanned_once_per_batch(spark, tmp_path):
     assert acc.value == 1
     for t in tables:
         assert runner.state.read(t).count() == 3
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """The same gap-session aggregation through Structured Streaming's
+    session_window (the stateful merging-session operator) converges to
+    the batch sessionize_native result once the stream drains: sessions
+    are flushed by a final watermark-advancing sentinel event per user,
+    emitted in append mode, and compared row-for-row (minus the
+    sentinel's own singleton sessions)."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_spark.datapipe import sessions
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1), (1, t0 + 5 * m, 2), (1, t0 + 200 * m, 3),
+        (2, t0 + 3 * m, 4), (2, t0 + 62 * m, 5), (2, t0 + 63 * m, 6),
+    ]
+    flush = datetime.datetime(2030, 1, 1)  # watermark past every session
+    sentinel = [(1, flush, 900), (2, flush, 901)]
+    ev = spark.createDataFrame(
+        rows + sentinel, "user_id long, ts timestamp_ntz, event_id long"
+    )
+    src = str(tmp_path / "events_src")
+    ev.selectExpr(
+        "user_id",
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts) AS t_us",
+        "event_id",
+    ).coalesce(1).write.json(src)
+
+    stream = spark.readStream.schema("user_id long, t_us long, event_id long").json(src)
+    agged = (
+        stream.withColumn("t", F.timestamp_micros("t_us"))
+        .withWatermark("t", "0 seconds")
+        .groupBy("user_id", F.session_window("t", "60 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("end_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        agged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    flush_us = int(flush.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+    got = sorted(
+        (r.user_id, r.n_events, r.start_us, r.end_us)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.start_us < flush_us
+    )
+    want = sorted(
+        (r.user_id, r.n_events, r.start_us, r.end_us)
+        for r in sessions.sessionize_native(
+            spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long"),
+            gap_minutes=60,
+        ).collect()
+    )
+    # user 1: {t0, +5m} and {+200m}; user 2: one 3-event session
+    assert got == want and len(got) == 3
