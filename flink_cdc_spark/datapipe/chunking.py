@@ -99,8 +99,12 @@ def chunk_documents_oracle_sql(
       FROM base
     ),
     exploded AS (
-      SELECT doc_id, toks, n, gs.c AS chunk_idx
-      FROM counted, generate_series(0, n_chunks - 1) AS gs(c)
+      -- select-list unnest: lateral-safe on DuckDB 1.0.0 (the sandbox
+      -- version rejects `FROM counted, generate_series(...)` with column
+      -- parameters as an unsupported lateral join)
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM counted
     )
     SELECT doc_id,
            CAST(chunk_idx AS BIGINT) AS chunk_idx,

@@ -720,18 +720,21 @@ def text_tfidf_topk(spark, sf_dir):
 def _sessions_native_oracle():
     from . import sessions
 
-    return sessions.sessionize_native_oracle_sql()
+    return sessions.sessionize_native_oracle_sql(
+        table=sessions.boundary_probe_table_sql()
+    )
 
 
 @register("events_session_window_native", _sessions_native_oracle())
 def events_session_window_native(spark, sf_dir):
     """Spark's BUILT-IN session_window operator (the Structured-Streaming
     session code path, run in batch) gated against an independent gap-scan
-    oracle — boundary semantics are diff >= gap (window-merge), vs the
-    lag-based events_sessionize which splits strictly on diff > gap; both
-    run on environment-invariant integer micros."""
+    oracle. Boundary rule (verified on 4.1.2, pinned by the unioned
+    exact-gap probe rows): an event at exactly t+gap MERGES into the
+    session; only diff > gap splits — same boundary as the lag-based
+    events_sessionize. Both run on environment-invariant integer micros."""
     from . import sessions
     from ..sources.parquet_source import ParquetTableSource
 
     ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
-    return sessions.sessionize_native(ev)
+    return sessions.sessionize_native(sessions.with_boundary_probe(ev))

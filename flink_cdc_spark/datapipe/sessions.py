@@ -35,6 +35,59 @@ from pyspark.sql import types as T
 
 DEFAULT_GAP_MINUTES = 24 * 60  # the synthetic events table spans months
 
+# Exact-gap boundary probe rows unioned into the session_window contract
+# (negative user ids cannot collide with the synthetic events table).
+# Pins Spark 4.1.2's merge-on-touch rule — an event at exactly t+gap
+# MERGES; only diff > gap splits — in the driver row itself, so the
+# oracle can never silently diverge at the boundary again (the r8
+# latent-divergence lesson: the fixture had no exact-gap pair).
+BOUNDARY_PROBE_ROWS = [
+    (-1, "2024-02-01 00:00:00", -1),
+    (-1, "2024-02-02 00:00:00", -2),         # exactly gap later -> MERGED
+    (-2, "2024-02-01 00:00:00", -3),
+    (-2, "2024-02-02 00:00:00.000001", -4),  # 1 us past gap -> SPLIT
+]
+
+
+def with_boundary_probe(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    event_id: str = "event_id",
+) -> DataFrame:
+    """Union the exact-gap probe rows onto the (user, ts, event_id)
+    projection, casting the probe timestamps to the events column's own
+    timestamp flavor (NTZ or LTZ — session tz is pinned UTC by the
+    contract harness, so both land on the same int64 micros)."""
+    spark = events.sparkSession
+    base = events.select(F.col(user), F.col(ts), F.col(event_id))
+    probe = spark.createDataFrame(
+        BOUNDARY_PROBE_ROWS, f"{user} bigint, {ts} string, {event_id} bigint"
+    ).select(
+        F.col(user),
+        F.col(ts).cast(events.schema[ts].dataType).alias(ts),
+        F.col(event_id),
+    )
+    return base.unionByName(probe)
+
+
+def boundary_probe_table_sql(
+    table: str = "events",
+    user: str = "user_id",
+    ts: str = "ts",
+    event_id: str = "event_id",
+) -> str:
+    """DuckDB FROM-clause fragment: the same probe union for the oracle."""
+    values = ",\n        ".join(
+        f"({u}, TIMESTAMP '{t}', {e})" for u, t, e in BOUNDARY_PROBE_ROWS
+    )
+    return (
+        f"(SELECT {user}, {ts}, {event_id} FROM {table}\n"
+        f"      UNION ALL\n"
+        f"      SELECT * FROM (VALUES\n        {values}\n"
+        f"      ) probe({user}, {ts}, {event_id})) AS events_aug"
+    )
+
 
 def _epoch_micros_expr(events: DataFrame, ts: str) -> F.Column:
     """Session-timezone-invariant int64 micros for a timestamp column."""
@@ -102,11 +155,14 @@ def sessionize_native(
     uses for session windows), gated against an independent gap-scan
     oracle.
 
-    Boundary semantics differ from `sessionize`: session_window extends
-    each event's window to [t, t+gap) and merges OVERLAPPING windows, so
-    a successor exactly `gap` later starts a NEW session (diff >= gap),
-    where the lag-based variant splits only on diff > gap. The oracle
-    uses >= to match.
+    Boundary semantics MATCH `sessionize` at the gap boundary:
+    session_window extends each event's window to [t, t+gap] and merges
+    TOUCHING windows, so a successor at exactly `t+gap` is merged into
+    the same session (verified empirically on Spark 4.1.2: two events
+    exactly gap apart yield ONE session; pinned by
+    tests/test_datapipe.py::test_session_window_native_boundary and an
+    exact-boundary event pair in the contract fixture). A new session
+    starts only on diff > gap; the oracle splits on strict > to match.
 
     Environment invariance: the window runs over a timestamp REBUILT
     from the invariant micros (timestampadd from the NTZ epoch), so the
@@ -150,7 +206,7 @@ def sessionize_native_oracle_sql(
     ),
     flagged AS (
       SELECT user_id, t_us, eid,
-             CASE WHEN t_us - lag(t_us) OVER w >= {gap_us} THEN 1 ELSE 0 END
+             CASE WHEN t_us - lag(t_us) OVER w > {gap_us} THEN 1 ELSE 0 END
                AS new_session
       FROM base
       WINDOW w AS (PARTITION BY user_id

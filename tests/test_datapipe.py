@@ -419,7 +419,9 @@ def test_sessionize_gap_semantics(spark):
         (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us)
         for r in sessions.sessionize(ev, gap_minutes=60).collect()
     }
-    us = lambda dt: int(dt.timestamp() * 1e6)  # session tz pinned UTC
+    us = lambda dt: int(
+        dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    )
     assert got == {
         (1, 1): (2, us(t0), us(t0 + 5 * m)),
         (1, 2): (1, us(t0 + 105 * m), us(t0 + 105 * m)),
@@ -552,8 +554,10 @@ def test_tfidf_topk_ordering(spark):
 
 
 def test_session_window_native_boundary(spark):
-    """session_window splits at diff >= gap (window merge semantics),
-    one tighter than the lag-based sessionize's strict >."""
+    """Spark's session_window MERGES an event at exactly t+gap into the
+    same session (touching windows merge; split only on diff > gap) —
+    the same boundary rule as the lag-based sessionize. Pinned here so
+    the oracle (strict >) can never silently diverge again."""
     import datetime
 
     from flink_cdc_spark.datapipe import sessions
@@ -561,24 +565,28 @@ def test_session_window_native_boundary(spark):
     t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
     m = datetime.timedelta(minutes=1)
     rows = [
-        (1, t0, 1), (1, t0 + 60 * m, 2),   # exactly gap apart
+        (1, t0, 1), (1, t0 + 60 * m, 2),   # exactly gap apart -> merged
         (2, t0, 3), (2, t0 + 59 * m, 4),   # inside the gap
+        (3, t0, 5), (3, t0 + 61 * m, 6),   # one past the gap -> split
     ]
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
     got = sorted(
         (r.user_id, r.n_events, r.start_us, r.end_us)
         for r in sessions.sessionize_native(ev, gap_minutes=60).collect()
     )
-    us = lambda dt: int(dt.timestamp() * 1e6)
+    us = lambda dt: int(
+        dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6
+    )
     assert got == [
-        (1, 1, us(t0), us(t0)),
-        (1, 1, us(t0 + 60 * m), us(t0 + 60 * m)),   # new session at == gap
+        (1, 2, us(t0), us(t0 + 60 * m)),   # == gap merges (one session)
         (2, 2, us(t0), us(t0 + 59 * m)),
+        (3, 1, us(t0), us(t0)),            # > gap splits
+        (3, 1, us(t0 + 61 * m), us(t0 + 61 * m)),
     ]
-    # the lag-based variant keeps ==gap in ONE session
+    # the lag-based variant agrees at the boundary
     lag = sessions.sessionize(ev, gap_minutes=60).collect()
     assert {(r.user_id, r.session_idx, r.n_events) for r in lag} == {
-        (1, 1, 2), (2, 1, 2),
+        (1, 1, 2), (2, 1, 2), (3, 1, 1), (3, 2, 1),
     }
 
 
