@@ -1023,7 +1023,7 @@ def kafka_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CASE WHEN (o_orderkey % 10) = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
     FROM orders
-    WHERE (o_orderkey % 20) <> 7 AND (o_orderkey % 5) = 0
+    WHERE (o_orderkey % 20) <> 7 AND (o_orderkey % 5) IN (0, 2, 3)
     """,
 )
 def kafka_source_topic_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,20 +1050,25 @@ def kafka_source_topic_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"struct({side}.o_orderkey, {side}.o_orderstatus) END"
         )
 
-    # the %5 subset keeps fixture ingest (a driver-side write by
+    # the %5-residue subset keeps fixture ingest (a driver-side write by
     # necessity, as in kafka_segment_log_roundtrip) bounded at sf0.1
-    # while replaying the identical decode/inference/materialize paths
+    # while replaying the identical decode/inference/materialize paths.
+    # Residues {0, 2, 3} retain the mutation keys — updates are
+    # %10 == 3 (residue 3) and deletes %20 == 7 (residue 2) — so U and D
+    # records actually flow through the kafka source decode (a %5 == 0
+    # subset would replay an insert-only topic and gate the U/D paths
+    # vacuously; r8 ADVICE).
     env = (
         ParquetTableSource(spark, sf_dir)
         .changelog("orders", "db.orders", _ORDERS_MUT)
-        .where("coalesce(after.o_orderkey, before.o_orderkey) % 5 = 0")
+        .where("coalesce(after.o_orderkey, before.o_orderkey) % 5 IN (0, 2, 3)")
         .selectExpr(
             "__table_id", "__op",
             image("before") + " AS before", image("after") + " AS after",
             "__meta", "__seq",
         )
     )
-    key = hashlib.md5(f"{sf_dir}|mod5".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}|mod5-023".encode()).hexdigest()[:10]
     root = f"/tmp/flink_cdc_spark_kafkasrc/{key}"
     if not os.path.exists(f"{root}/_READY"):
         os.makedirs(root, exist_ok=True)

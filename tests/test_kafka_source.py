@@ -112,6 +112,51 @@ def test_canal_topic_replay_picks_pk_from_records(spark, tmp_path):
     assert ops == ["INSERT", "UPDATE", "DELETE"]
 
 
+def test_kafka_source_decodes_topic_once(spark, tmp_path, monkeypatch):
+    """An N-table topic must run the Python segment decode ONCE per
+    replay (localCheckpoint), not once per (discovery, inference, table)
+    consumer — observed with an accumulator ticking per upstream
+    partition evaluation, the test_batch_data_plane_scanned_once_per_batch
+    pattern."""
+    from flink_cdc_spark.sources import kafka_source as ks
+
+    rows = [
+        _dbz("c", None, {"id": 1, "v": "a"}),
+        _dbz("u", {"id": 1, "v": "a"}, {"id": 1, "v": "a2"}),
+        _dbz("c", None, {"k": 7, "n": 2}, table="items"),
+        _dbz("d", {"k": 7, "n": 2}, None, table="items"),
+    ]
+    topic = _write_topic(tmp_path, rows)
+    acc = spark.sparkContext.accumulator(0)
+    real = ks.read_topic_segments
+
+    def counted(spark_, glob):
+        df = real(spark_, glob)
+
+        def tick(batches):
+            acc.add(1)
+            for pdf in batches:
+                yield pdf
+
+        return df.mapInPandas(tick, schema=df.schema)
+
+    monkeypatch.setattr(ks, "read_topic_segments", counted)
+    streams = {str(s.table_id): s for s in ks.kafka_streams(
+        spark,
+        {"topic-dir": str(topic), "primary-key.app.orders": "id",
+         "primary-key.app.items": "k"},
+    )}
+    evals_after_build = acc.value
+    # every downstream consumer reads the checkpoint, not the decode
+    assert streams["app.orders"].df.count() == 2
+    assert streams["app.items"].df.count() == 2
+    # one segment -> one upstream partition -> exactly one evaluation,
+    # during the (eager) checkpoint; a rescan-per-table design would be
+    # >= 4 (discovery + 2x inference + 2x decode)
+    assert evals_after_build == 1
+    assert acc.value == 1
+
+
 def test_kafka_source_fails_fast(spark, tmp_path):
     with pytest.raises(SystemExit, match="topic-dir"):
         list(kafka_streams(spark, {}))
