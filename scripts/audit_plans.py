@@ -46,7 +46,13 @@ def audit(name, df):
 
 def main():
     from flink_cdc_spark import contract
+    from flink_cdc_spark.datapipe import dedup
     from flink_cdc_spark.session import get_spark
+
+    # audit the real pre-materialization plans: eager localCheckpoint
+    # results explain as a bare ExistingRDD scan (exch=0 — the r8
+    # verdict's audit blind spot)
+    dedup.MATERIALIZE_RESULTS = False
 
     spark = get_spark("plan-audit")
     wanted = sys.argv[1:]
