@@ -3466,60 +3466,67 @@ from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queri
 # component gets the hard oracle signal at least once; long-stable rows
 # (driver-green in earlier rounds) absorb the overflow past the window.
 _PRIORITY = [
-    # r7's one red row, re-verify first (env-invariant fix this round):
-    "events_sessionize",
-    # new in round 8:
-    "data_pack_sequences",
-    "kafka_source_topic_replay",
+    # r8's one red row (oracle rewritten for DuckDB 1.0.0's lateral
+    # generate_series restriction — the Spark plan was already correct):
     "data_chunk_overlap",
-    "data_epoch_shuffle",
-    "data_source_cap",
-    "text_tfidf_topk",
+    # r8's latent oracle divergence (gap-boundary semantics corrected and
+    # pinned with exact-gap probe rows unioned into the fixture):
     "events_session_window_native",
-    # rotation policy (r7 verdict item 4): the 41 rows last driver-verified
-    # in r5/r6 lead the window so no query's green signal goes stale; the
-    # 49 r7-green rows absorb the overflow past the 50-row window.
-    "kafka_debezium_roundtrip",
-    "kafka_segment_log_roundtrip",
-    "kafka_canal_roundtrip",
-    "es_bulk_roundtrip",
-    "streaming_pipeline_evolution",
-    "streaming_windowed_watermark",
-    "distributed_schema_reduction",
-    "lake_merge_evolution",
-    "jdbc_snapshot_stream_handoff",
-    "jdbc_startup_latest_offset",
-    "live_streaming_cdc_tail",
-    "pg_logical_decoding_pipeline",
-    "pg_pgoutput_pipeline",
-    "mysql_binlog_replay",
-    "mysql_binlog_wire_replay",
-    "sqlserver_cdc_table_decode",
-    "oracle_logminer_decode",
-    "jdbc_warehouse_sink_roundtrip",
-    "prepartition_pk_hash",
-    "ddl_statement_pipeline",
-    "udf_projection_pipeline",
-    "fluss_log_roundtrip",
-    "maxcompute_tunnel_roundtrip",
-    "cli_pipeline_e2e",
-    "dedup_exact",
-    "dedup_exact_keep_payload",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "dedup_connected_components",
-    "mm_image_feature_pipeline",
-    "doc_training_pipeline",
-    "text_language_id",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_repetition_stats",
-    "text_decontaminate",
+    # rotation (r8 verdict item 9): the 48 rows whose latest green signal
+    # is r7 fill the rest of the 50-row window, so r8 ∪ r9 covers all 98
+    # registry queries and no green row is older than two rounds. This
+    # round's other touched rows (kafka_source_topic_replay now replaying
+    # U/D records, the reworked dedup_ngram_jaccard / dedup_minhash_lsh
+    # verification) were r8-green and re-verified locally via
+    # scripts/check_contract.py; they absorb the overflow.
+    "changelog_materialize",
+    "update_split_filter",
+    "route_merge_tables",
+    "metadata_columns",
+    "fn_string_suite",
+    "fn_string_regexp",
+    "fn_temporal_suite",
+    "fn_arith_cast_suite",
+    "fn_conditional_comparison",
+    "fn_null_propagation",
+    "fn_variant_json",
+    "schema_evolution_add_column",
+    "schema_evolution_through_projection",
+    "schema_evolution_lenient_rename",
+    "transform_soft_delete",
+    "schema_evolution_ignore",
+    "schema_evolution_exclude_add_column",
+    "schema_evolution_try_evolve",
+    "jdbc_newly_added_table",
+    "lake_partitioned_pruning",
+    "mysql_gtid_startup_replay",
+    "mysql_streaming_binlog_evolution",
+    "iceberg_metadata_evolution",
+    "hudi_upsert_roundtrip",
+    "mongodb_streaming_evolution",
+    "db2_asn_cd_decode",
+    "kafka_producer_record_route",
+    "tidb_kv_event_decode",
+    "vitess_vstream_decode",
+    "mongodb_change_stream_roundtrip",
+    "doris_stream_load_roundtrip",
+    "starrocks_stream_load_roundtrip",
+    "dedup_exact_substring",
+    "cluster_kmeans_assign",
+    "sim_ivf_fitted_topk",
+    "dedup_semantic_kmeans",
+    "dedup_semantic_cluster",
+    "mm_audio_feature_stats",
+    "mm_audio_fingerprint",
+    "mm_video_frame_sample",
+    "data_mix_hash_sample",
+    "text_vocab_topk",
+    "text_pii_scrub",
+    "streaming_stateful_dedup",
+    "mm_phash_near_dup",
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "sim_quantized_topk",
 ]
 
 
