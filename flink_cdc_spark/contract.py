@@ -3472,6 +3472,13 @@ _PRIORITY = [
     # r8's latent oracle divergence (gap-boundary semantics corrected and
     # pinned with exact-gap probe rows unioned into the fixture):
     "events_session_window_native",
+    # new in round 9 (as-of join, rolling features, split labels) — these
+    # displace the three stale tail rows below into r10's window (the
+    # displaced rows stay r7-green and pytest-covered; a brand-new op
+    # with no driver row at all is the weaker state):
+    "events_asof_enrich",
+    "events_rolling_features",
+    "data_hash_split",
     # rotation (r8 verdict item 9): the 48 rows whose latest green signal
     # is r7 fill the rest of the 50-row window, so r8 ∪ r9 covers all 98
     # registry queries and no green row is older than two rounds. This

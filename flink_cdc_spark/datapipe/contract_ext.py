@@ -738,3 +738,58 @@ def events_session_window_native(spark, sf_dir):
 
     ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
     return sessions.sessionize_native(sessions.with_boundary_probe(ev))
+
+
+def _asof_oracle():
+    from . import features
+
+    return features.asof_enrich_oracle_sql()
+
+
+@register("events_asof_enrich", _asof_oracle())
+def events_asof_enrich(spark, sf_dir):
+    """As-of join (latest order of the same user at-or-before each
+    event): the MERGE formulation — tag + union both sides, one hash
+    exchange on the user key, per-key sort, last(ignorenulls) carry —
+    never the per-key range cross-join. Oracle is the independent naive
+    range-join + rank-1 formulation."""
+    from . import features
+    from ..sources.parquet_source import ParquetTableSource
+
+    src = ParquetTableSource(spark, sf_dir)
+    ev = _spread(_pin(spark), src.snapshot("events"))
+    orders = src.snapshot("orders")
+    return features.asof_enrich(ev, orders)
+
+
+def _rolling_oracle():
+    from . import features
+
+    return features.rolling_event_features_oracle_sql()
+
+
+@register("events_rolling_features", _rolling_oracle())
+def events_rolling_features(spark, sf_dir):
+    """Trailing 7-day per-user event features (count + exact-decimal
+    sum): one exchange on user_id + a RANGE-framed window over integer
+    micros; DECIMAL(18,6) summation so both engines agree exactly."""
+    from . import features
+    from ..sources.parquet_source import ParquetTableSource
+
+    ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
+    return features.rolling_event_features(ev)
+
+
+def _split_oracle():
+    from . import sampling
+
+    return sampling.hash_split_oracle_sql()
+
+
+@register("data_hash_split", _split_oracle())
+def data_hash_split(spark, sf_dir):
+    """Deterministic md5-prefix train/val/test split labels — map-only,
+    growth-stable (a doc's split never changes as the corpus evolves)."""
+    from . import sampling
+
+    return sampling.hash_split(_docs(spark, sf_dir))

@@ -77,6 +77,57 @@ def hash_sample_oracle_sql(
     """
 
 
+SPLIT_VAL_RATE = 0.01
+SPLIT_TEST_RATE = 0.01
+
+
+def _split_bounds(val_rate: float, test_rate: float) -> Tuple[str, str]:
+    """Hex-prefix bounds: [0, val) -> val, [val, val+test) -> test,
+    rest -> train. Same 8-hex-char md5-prefix discipline as sampling."""
+    val_b = int(val_rate * 0x100000000)
+    test_b = val_b + int(test_rate * 0x100000000)
+    return format(val_b, "08x"), format(test_b, "08x")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    val_rate: float = SPLIT_VAL_RATE,
+    test_rate: float = SPLIT_TEST_RATE,
+) -> DataFrame:
+    """-> (key, split): deterministic train/val/test assignment from the
+    md5 prefix of the key — map-only, reproducible across reruns, and
+    STABLE under corpus growth (a document's split never changes when
+    other documents are added/removed, unlike modulo-of-row-number
+    schemes). The standard held-out-split op for training corpora."""
+    val_b, test_b = _split_bounds(val_rate, test_rate)
+    prefix = F.substring(F.md5(F.col(key).cast("string")), 1, 8)
+    return df.select(
+        F.col(key),
+        F.when(prefix < val_b, F.lit("val"))
+        .when(prefix < test_b, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def hash_split_oracle_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    val_rate: float = SPLIT_VAL_RATE,
+    test_rate: float = SPLIT_TEST_RATE,
+) -> str:
+    val_b, test_b = _split_bounds(val_rate, test_rate)
+    prefix = f"substr(md5(CAST({key} AS VARCHAR)), 1, 8)"
+    return f"""
+    SELECT {key},
+           CASE WHEN {prefix} < '{val_b}' THEN 'val'
+                WHEN {prefix} < '{test_b}' THEN 'test'
+                ELSE 'train' END AS split
+    FROM {table}
+    """
+
+
 def vocab_topk(
     df: DataFrame, text: str = "text", k: int = 50
 ) -> DataFrame:

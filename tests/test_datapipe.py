@@ -630,3 +630,72 @@ def test_chunking_differential_vs_naive_model(spark):
         ).collect()
     )
     assert got == expect
+
+
+def test_asof_enrich_boundaries(spark):
+    """At-or-before semantics: an order at EXACTLY the event instant is
+    taken; same-instant order ties resolve to the highest order key;
+    users with no prior order get NULLs."""
+    import datetime
+
+    from flink_cdc_spark.datapipe import features
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    h = datetime.timedelta(hours=1)
+    ev = spark.createDataFrame(
+        [(1, t0 + 2 * h, 10),   # after both orders of user 10
+         (2, t0, 10),           # exactly at order time -> taken
+         (3, t0 - h, 10),       # before any order -> NULL
+         (4, t0 + h, 11)],      # user with no orders -> NULL
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    orders = spark.createDataFrame(
+        [(100, 10, t0), (101, 10, t0),        # same-instant tie -> 101
+         (102, 10, t0 + 90 * datetime.timedelta(minutes=1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    )
+    got = {r.event_id: r.order_key
+           for r in features.asof_enrich(ev, orders).collect()}
+    assert got == {1: 102, 2: 101, 3: None, 4: None}
+
+
+def test_rolling_features_window_edges(spark):
+    """RANGE frame is inclusive at exactly -7 days; decimal sums are
+    exact; equal-instant peers all count."""
+    import datetime
+    from decimal import Decimal
+
+    from flink_cdc_spark.datapipe import features
+
+    t0 = datetime.datetime(2024, 2, 1, 0, 0, 0)
+    d = datetime.timedelta(days=1)
+    us = datetime.timedelta(microseconds=1)
+    ev = spark.createDataFrame(
+        [(1, t0 - 8 * d, 5, 1.5),        # outside every window below
+         (2, t0 - 7 * d, 5, 2.25),       # exactly 7d before t0 -> included
+         (3, t0 - 7 * d + us, 5, 0.5),   # just inside
+         (4, t0, 5, 4.0),
+         (5, t0, 5, 8.0)],               # equal-instant peer
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    got = {r.event_id: (r.n_trail, r.sum_trail)
+           for r in features.rolling_event_features(ev).collect()}
+    assert got[4] == (4, Decimal("14.750000"))
+    assert got[5] == (4, Decimal("14.750000"))  # peers share the frame
+    assert got[2] == (2, Decimal("3.750000"))   # event 1 is 1d earlier
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from flink_cdc_spark.datapipe import sampling
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    a = {r.doc_id: r.split for r in sampling.hash_split(docs).collect()}
+    b = {r.doc_id: r.split
+         for r in sampling.hash_split(docs.where("doc_id < 100")).collect()}
+    # growth-stability: removing rows never changes survivors' splits
+    assert all(a[k] == v for k, v in b.items())
+    assert set(a.values()) == {"train", "val", "test"}
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert frac_train > 0.95
