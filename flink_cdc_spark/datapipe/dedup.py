@@ -475,13 +475,19 @@ def duplicate_chain_edges(df: DataFrame, key: str = "doc_id", text: str = "text"
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
-    """Distributed connected components by min-label propagation — the
-    engine's iterative-algorithm primitive (cluster-level dedup: keep one
-    doc per component). Each round every node adopts the smallest label in
-    its closed neighborhood; rounds repeat until a fixpoint (checked with
-    a control-plane count, no data to the driver). Converges in O(diameter)
-    rounds; each round is one shuffle keyed by node — the standard
-    large-graph formulation (GraphX/Pregel style) in pure DataFrame ops.
+    """Distributed connected components by min-label propagation WITH
+    pointer jumping — the engine's iterative-algorithm primitive
+    (cluster-level dedup: keep one doc per component). Each round every
+    node adopts the smallest label in its closed neighborhood, then
+    short-circuits through its label's own label (path halving); rounds
+    repeat until a fixpoint (checked with a control-plane count, no data
+    to the driver). The jump step cuts convergence from O(diameter) to
+    O(log diameter) rounds — on a 100-TB dedup graph whose duplicate
+    chains can be thousands of docs long, that is the difference between
+    ~12 and ~1000 shuffle rounds. Each round is two shuffles keyed by
+    node (neighbor aggregation + label lookup), the standard large-graph
+    formulation (GraphX/Pregel, Kiveris et al. "Connected Components in
+    MapReduce") in pure DataFrame ops.
 
     Returns (node, component) with component = min node id reachable.
     """
@@ -496,7 +502,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     sym = sym.persist()
     labels = labels.persist()
     for i in range(max_iter):
-        if i > 0 and i % 5 == 0:
+        if i > 0 and i % 4 == 0:
             # truncate lineage every few rounds (Pregel-style checkpoint):
             # without this the final plan embeds every round's joins and
             # Catalyst analysis cost grows quadratically with iterations
@@ -508,11 +514,20 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("a", "node")
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+        )
+        # pointer jump (path halving): label <- label(label). Labels only
+        # ever DECREASE monotonically toward the component min, so the
+        # jump is always sound; it lets a chain's min travel 2^i hops by
+        # round i instead of i hops.
+        lookup = stepped.selectExpr("node AS label", "label AS ll")
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(lookup, "label", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"),
             )
             .persist()
         )

@@ -699,3 +699,16 @@ def test_hash_split_deterministic_and_stable(spark):
     assert set(a.values()) == {"train", "val", "test"}
     frac_train = sum(1 for v in a.values() if v == "train") / len(a)
     assert frac_train > 0.95
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping: a 200-node chain converges within max_iter=12
+    (log-diameter rounds) — plain min-propagation would need ~200."""
+    from flink_cdc_spark.datapipe import dedup
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src BIGINT, dst BIGINT"
+    )
+    out = {r.node: r.component
+           for r in dedup.connected_components(edges, max_iter=12).collect()}
+    assert set(out.values()) == {0} and len(out) == 201
