@@ -6,12 +6,13 @@ Beyond-reference op (the reference has no analog); the contract is its
 own DuckDB oracle.
 
 Scale shape: tokenize+explode (map-only) -> map-side-combined count to
-(doc, term) -> term document-frequency from the tf relation (NOT from
-the raw explode: df counts docs, and tf is already one row per
-(doc, term)) -> join tf x df on term -> per-doc bounded window. Every
-exchange keys on bounded-cardinality attributes (doc, term); the vocab
-relation is corpus-sublinear but not small enough to assume broadcast,
-so the term join is a shuffle join on term by design.
+(doc, term) -> term document-frequency as a WINDOW over the term
+partition of the tf relation (NOT from the raw explode: df counts docs,
+and tf is already one row per (doc, term); and not a groupBy + re-join,
+which would shuffle tf twice) -> per-doc bounded window. Three
+exchanges total, each keyed on bounded-cardinality attributes
+(doc x term, term, doc); the vocab relation is corpus-sublinear but not
+small enough to assume broadcast, so the term exchange is by design.
 
 Determinism: ordering is the integer triple (tf DESC, df ASC, term ASC)
 — tf-idf-flavored (common AND rare-in-corpus first) with zero floats, so
@@ -45,12 +46,17 @@ def tfidf_topk(
     tf = words.groupBy("doc_id", "term").agg(
         F.count("*").cast("bigint").alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    # document frequency as a window over the term partition: tf is
+    # already one row per (doc, term), so count(*) over term == number of
+    # docs containing the term — one exchange on term instead of a
+    # groupBy + re-join (two). Same r9 rewrite as the PPJoin prefix rank.
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term")).cast("bigint")
+        )
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "rk")
