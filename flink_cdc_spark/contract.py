@@ -3479,6 +3479,8 @@ _PRIORITY = [
     "events_asof_enrich",
     "events_rolling_features",
     "data_hash_split",
+    "events_funnel_stages",
+    "events_transition_matrix",
     # rotation (r8 verdict item 9): the 48 rows whose latest green signal
     # is r7 fill the rest of the 50-row window, so r8 ∪ r9 covers all 98
     # registry queries and no green row is older than two rounds. This

@@ -793,3 +793,39 @@ def data_hash_split(spark, sf_dir):
     from . import sampling
 
     return sampling.hash_split(_docs(spark, sf_dir))
+
+
+def _funnel_oracle():
+    from . import features
+
+    return features.funnel_stages_oracle_sql()
+
+
+@register("events_funnel_stages", _funnel_oracle())
+def events_funnel_stages(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user within a 7-day
+    window: three conditional-min windows sharing ONE partitionBy(user)
+    exchange. Oracle is the independent stepwise-aggregate join
+    formulation."""
+    from . import features
+    from ..sources.parquet_source import ParquetTableSource
+
+    ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
+    return features.funnel_stages(ev)
+
+
+def _transitions_oracle():
+    from . import features
+
+    return features.event_transitions_oracle_sql()
+
+
+@register("events_transition_matrix", _transitions_oracle())
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts of per-user event sequences
+    (lead over one user exchange + map-side-combined global count)."""
+    from . import features
+    from ..sources.parquet_source import ParquetTableSource
+
+    ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
+    return features.event_transitions(ev)

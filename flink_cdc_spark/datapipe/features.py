@@ -193,3 +193,182 @@ def rolling_event_features_oracle_sql(
     WINDOW w AS (PARTITION BY user_id ORDER BY t_us
                  RANGE BETWEEN {span_us} PRECEDING AND CURRENT ROW)
     """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_DAYS = 7
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps=FUNNEL_STEPS,
+    window_days: int = FUNNEL_WINDOW_DAYS,
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+) -> DataFrame:
+    """-> (user_id, stage, t1_us, t2_us, t3_us): ordered funnel
+    completion per user — stage k means steps[0..k-1] happened in order,
+    each subsequent step at-or-after the previous one, with the whole
+    chain inside `window_days` of the first step. The classic
+    event-analytics funnel.
+
+    Scale shape: all three conditional-min windows share ONE
+    partitionBy(user) exchange (no orderBy — unbounded frames), then a
+    distinct per user; state per user is O(1). Chained projections keep
+    each step's threshold available to the next without a second
+    shuffle."""
+    span_us = window_days * 86_400 * 1_000_000
+    base = events.where(
+        F.col(ts).isNotNull() & F.col(user).isNotNull()
+    ).select(
+        F.col(user).alias("user_id"),
+        _epoch_micros_expr(events, ts).alias("t"),
+        F.col(etype).alias("et"),
+    )
+    w = Window.partitionBy("user_id")
+    s1, s2, s3 = steps
+    step1 = base.withColumn(
+        "t1", F.min(F.when(F.col("et") == s1, F.col("t"))).over(w)
+    )
+    step2 = step1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("et") == s2)
+                & (F.col("t") >= F.col("t1"))
+                & (F.col("t") <= F.col("t1") + span_us),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("et") == s3)
+                & (F.col("t") >= F.col("t2"))
+                & (F.col("t") <= F.col("t1") + span_us),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    return (
+        step3.select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+            F.col("t1").alias("t1_us"),
+            F.col("t2").alias("t2_us"),
+            F.col("t3").alias("t3_us"),
+        )
+        .distinct()
+    )
+
+
+def funnel_stages_oracle_sql(
+    table: str = "events",
+    steps=FUNNEL_STEPS,
+    window_days: int = FUNNEL_WINDOW_DAYS,
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+) -> str:
+    """Independent formulation: stepwise scalar aggregates via joins."""
+    span_us = window_days * 86_400 * 1_000_000
+    s1, s2, s3 = steps
+    return f"""
+    WITH base AS (
+      SELECT {user} AS user_id, epoch_us({ts}) AS t, {etype} AS et
+      FROM {table}
+      WHERE {ts} IS NOT NULL AND {user} IS NOT NULL
+    ),
+    users AS (SELECT DISTINCT user_id FROM base),
+    a AS (
+      SELECT user_id, min(CASE WHEN et = '{s1}' THEN t END) AS t1
+      FROM base GROUP BY user_id
+    ),
+    b AS (
+      SELECT base.user_id,
+             min(CASE WHEN et = '{s2}' AND t >= t1
+                       AND t <= t1 + {span_us} THEN t END) AS t2
+      FROM base JOIN a USING (user_id) GROUP BY base.user_id
+    ),
+    c AS (
+      SELECT base.user_id,
+             min(CASE WHEN et = '{s3}' AND t >= t2
+                       AND t <= t1 + {span_us} THEN t END) AS t3
+      FROM base JOIN a USING (user_id) JOIN b USING (user_id)
+      GROUP BY base.user_id
+    )
+    SELECT users.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage,
+           t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
+    FROM users
+    LEFT JOIN a USING (user_id)
+    LEFT JOIN b USING (user_id)
+    LEFT JOIN c USING (user_id)
+    """
+
+
+def event_transitions(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    event_id: str = "event_id",
+    etype: str = "event_type",
+) -> DataFrame:
+    """-> (from_type, to_type, n): the per-user event-type transition
+    counts (first-order Markov matrix of the behavioral sequences used
+    for curriculum/sequence-model training data). One exchange on user +
+    per-user sort for lead(), then a map-side-combined global count."""
+    base = events.where(
+        F.col(ts).isNotNull() & F.col(user).isNotNull()
+    ).select(
+        F.col(user).alias("user_id"),
+        _epoch_micros_expr(events, ts).alias("t"),
+        F.col(event_id).alias("eid"),
+        F.col(etype).alias("from_type"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("eid").asc()
+    )
+    pairs = base.withColumn("to_type", F.lead("from_type").over(w)).where(
+        F.col("to_type").isNotNull()
+    )
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def event_transitions_oracle_sql(
+    table: str = "events",
+    user: str = "user_id",
+    ts: str = "ts",
+    event_id: str = "event_id",
+    etype: str = "event_type",
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {user} AS user_id, epoch_us({ts}) AS t,
+             {event_id} AS eid, {etype} AS from_type
+      FROM {table}
+      WHERE {ts} IS NOT NULL AND {user} IS NOT NULL
+    ),
+    pairs AS (
+      SELECT from_type,
+             lead(from_type) OVER (
+               PARTITION BY user_id ORDER BY t ASC, eid ASC) AS to_type
+      FROM base
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """

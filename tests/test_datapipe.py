@@ -712,3 +712,51 @@ def test_connected_components_long_chain_log_rounds(spark):
     out = {r.node: r.component
            for r in dedup.connected_components(edges, max_iter=12).collect()}
     assert set(out.values()) == {0} and len(out) == 201
+
+
+def test_funnel_stage_ordering_and_window(spark):
+    """Steps must occur IN ORDER (a click before the first view doesn't
+    count) and inside the window of the FIRST step."""
+    import datetime
+
+    from flink_cdc_spark.datapipe import features
+
+    t0 = datetime.datetime(2024, 1, 1)
+    d = datetime.timedelta(days=1)
+    rows = [
+        # user 1: full ordered funnel inside 7d -> stage 3
+        (1, t0, 1, "view"), (1, t0 + d, 2, "click"), (1, t0 + 2 * d, 3, "purchase"),
+        # user 2: click BEFORE the first view -> stage 1 only
+        (2, t0, 4, "click"), (2, t0 + d, 5, "view"),
+        # user 3: purchase outside the 7d window of the first view -> stage 2
+        (3, t0, 6, "view"), (3, t0 + d, 7, "click"), (3, t0 + 8 * d, 8, "purchase"),
+        # user 4: no funnel events at all -> stage 0
+        (4, t0, 9, "error"),
+        # user 5: purchase exactly at t1 + 7d -> included (<= bound)
+        (5, t0, 10, "view"), (5, t0 + d, 11, "click"), (5, t0 + 7 * d, 12, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    got = {r.user_id: r.stage for r in features.funnel_stages(ev).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 0, 5: 3}
+
+
+def test_event_transitions_counts(spark):
+    import datetime
+
+    from flink_cdc_spark.datapipe import features
+
+    t0 = datetime.datetime(2024, 1, 1)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "a"), (1, t0 + m, 2, "b"), (1, t0 + 2 * m, 3, "a"),
+        (2, t0, 4, "a"), (2, t0 + m, 5, "b"),
+        (3, t0, 6, "solo"),  # single event: no transition
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    got = {(r.from_type, r.to_type): r.n
+           for r in features.event_transitions(ev).collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
