@@ -1,0 +1,32 @@
+"""Driver-contract entries for the OLAP analytics queries."""
+
+from __future__ import annotations
+
+from ..contract import register
+from . import tpch
+
+
+def _tables(spark, sf_dir, *names):
+    from ..contract import pin_session
+    from ..sources.parquet_source import ParquetTableSource
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    return [src.snapshot(n) for n in names]
+
+
+@register("tpch_q1_pricing_summary", tpch.q1_oracle_sql())
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: one pruned scan + map-side-combined hash
+    aggregate into 6 groups; money aggregated as exact integer cents /
+    discount-micros (double summation order would diverge engines)."""
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return tpch.q1_pricing_summary(li)
+
+
+@register("tpch_q3_shipping_priority", tpch.q3_oracle_sql())
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: filtered BROADCAST customer dim -> orders ->
+    lineitem join, grouped revenue, deterministic top-10."""
+    cust, orders, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return tpch.q3_shipping_priority(cust, orders, li)

@@ -1,0 +1,141 @@
+"""TPC-H-shaped analytic queries (Q1 pricing summary, Q3 shipping
+priority) expressed Spark-first: pruned scans with pushed filters,
+broadcast dimension joins, map-side-combined aggregation.
+
+Cross-engine float discipline: the testdata stores money/discount/tax as
+DOUBLE; summing doubles is order-dependent and WILL diverge between
+Spark and DuckDB. All aggregates therefore run on exact integers derived
+deterministically per row — cents = floor(price*100 + 0.5) (floor is
+exact on doubles in both engines; no round-tie-mode ambiguity) and
+micro-unit discount factors — accumulated as DECIMAL(38,0), which both
+engines sum exactly.
+
+Scale notes: Q1 is a single scan + hash aggregate (partial map-side
+combine; group cardinality 6). Q3's customer filter reduces the dim to
+~1/5 — joined BROADCAST so the lineitem/orders side never shuffles for
+the join; the final top-10 is a total order on the aggregated relation
+(group cardinality = order keys, bounded), with a fully deterministic
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+Q1_CUTOFF = "1998-09-02"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+
+# exact per-row integer derivations (identical in Spark SQL and DuckDB)
+_CENTS = "CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+_MICRO = "CAST(floor({col} * 1000000 + 0.5) AS BIGINT)"
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = Q1_CUTOFF) -> DataFrame:
+    """-> (l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+    sum_disc_micros, count_order)."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr(_CENTS.format(col="l_quantity")).alias("qty_c"),
+            cents.alias("cents"),
+            (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("disc_prod"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("qty_c").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_qty_cents"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_base_cents"),
+            F.sum("disc_prod").cast("decimal(38,0)").alias("sum_disc_micros"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q1_oracle_sql(table: str = "lineitem", cutoff: str = Q1_CUTOFF) -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    qty = _CENTS.format(col="l_quantity")
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST({qty} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_qty_cents,
+           CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_base_cents,
+           CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS sum_disc_micros,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM {table}
+    WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = Q3_SEGMENT,
+    date: str = Q3_DATE,
+) -> DataFrame:
+    """-> top-10 (l_orderkey, revenue_micros, o_orderdate_us) by revenue
+    among orders of `segment` customers placed before `date` with line
+    items shipped after it."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    cut = F.lit(date).cast("timestamp_ntz")
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < cut).select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
+            "cast(o_orderdate as timestamp_ntz))"
+        ).alias("o_orderdate_us"),
+    )
+    li = lineitem.where(F.col("l_shipdate") > cut).select(
+        "l_orderkey",
+        (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
+    )
+    return (
+        li.join(
+            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey).select(
+                "o_orderkey", "o_orderdate_us"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate_us")
+        .agg(F.sum("rev").cast("decimal(38,0)").alias("revenue_micros"))
+        .orderBy(
+            F.col("revenue_micros").desc(),
+            F.col("o_orderdate_us").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue_micros", "o_orderdate_us")
+    )
+
+
+def q3_oracle_sql(
+    customer: str = "customer",
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+    segment: str = Q3_SEGMENT,
+    date: str = Q3_DATE,
+) -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    return f"""
+    SELECT l_orderkey,
+           CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS revenue_micros,
+           epoch_us(o_orderdate) AS o_orderdate_us
+    FROM {customer}
+    JOIN {orders} ON c_custkey = o_custkey
+    JOIN {lineitem} ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{segment}'
+      AND o_orderdate < TIMESTAMP '{date} 00:00:00'
+      AND l_shipdate > TIMESTAMP '{date} 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_micros DESC, o_orderdate_us ASC, l_orderkey ASC
+    LIMIT 10
+    """

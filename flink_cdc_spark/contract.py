@@ -3458,6 +3458,7 @@ pipeline:
 
 
 from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queries)
+from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP queries)
 
 
 # The driver's CORRECTNESS gate evaluates only the first 50 entries of
@@ -3481,6 +3482,8 @@ _PRIORITY = [
     "data_hash_split",
     "events_funnel_stages",
     "events_transition_matrix",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     # rotation (r8 verdict item 9): the 48 rows whose latest green signal
     # is r7 fill the rest of the 50-row window, so r8 ∪ r9 covers all 98
     # registry queries and no green row is older than two rounds. This

@@ -1,0 +1,55 @@
+"""OLAP analytics queries (TPC-H Q1/Q3 shapes): exact integer-money
+aggregation semantics and deterministic top-k (the DuckDB contract rows
+are the strong gate; these pin the row-level derivations)."""
+
+import datetime
+
+from flink_cdc_spark.analytics import tpch
+
+
+def test_q1_exact_cents_aggregation(spark):
+    t = datetime.datetime(1998, 1, 1)
+    rows = [
+        # price 10.005 -> floor(1000.5 + 0.5) = 1001 cents
+        ("A", "F", 2.0, 10.005, 0.05, t),
+        ("A", "F", 3.0, 20.00, 0.10, t),
+        ("N", "O", 1.0, 5.00, 0.00, t),
+        # beyond the cutoff: excluded
+        ("N", "O", 9.0, 9.99, 0.00, datetime.datetime(1999, 1, 1)),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp_ntz",
+    )
+    got = {(r.l_returnflag, r.l_linestatus):
+           (int(r.sum_qty_cents), int(r.sum_base_cents),
+            int(r.sum_disc_micros), r.count_order)
+           for r in tpch.q1_pricing_summary(li).collect()}
+    assert got[("A", "F")] == (
+        500, 3001, 1001 * 950000 + 2000 * 900000, 2
+    )
+    assert got[("N", "O")] == (100, 500, 500 * 1000000, 1)
+
+
+def test_q3_top10_deterministic(spark):
+    t0 = datetime.datetime(1995, 1, 1)
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTOMOBILE")],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, t0), (101, 1, t0), (102, 2, t0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    )
+    after = datetime.datetime(1995, 6, 1)
+    li = spark.createDataFrame(
+        # orders 100 and 101 tie on revenue -> ordered by orderkey
+        [(100, 10.0, 0.0, after), (101, 10.0, 0.0, after),
+         (102, 99.0, 0.0, after)],   # non-BUILDING: excluded
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp_ntz",
+    )
+    out = tpch.q3_shipping_priority(cust, orders, li).collect()
+    assert [r.l_orderkey for r in out] == [100, 101]
+    assert all(int(r.revenue_micros) == 1000 * 1000000 for r in out)
