@@ -1268,6 +1268,47 @@ def streaming_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
+def _enrich_oracle():
+    from .streaming.enrich import stream_static_enrich_oracle_sql
+
+    return stream_static_enrich_oracle_sql()
+
+
+@register("streaming_static_enrich", _enrich_oracle())
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the replayed event stream LEFT-joined per
+    micro-batch (maxFilesPerTrigger=1) to the customer dimension,
+    emissions appended executor-side via foreachBatch. Stateless, so the
+    union of per-batch outputs equals the plain batch join — the oracle;
+    what the row gates is the streaming-machinery path (per-batch static
+    re-plan + broadcast + append sink)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .streaming.enrich import stream_static_enrich
+    from .streaming.windowed import write_replay_batches
+
+    pin_session(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = f"/tmp/flink_cdc_spark_wm/{key}/src"
+    marker = f"{staged}/_READY"
+    if not os.path.exists(marker):
+        events = (
+            ParquetTableSource(spark, sf_dir)
+            .snapshot("events")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+        write_replay_batches(events, staged)
+        with open(marker, "w") as f:
+            f.write("ok")
+    dim = ParquetTableSource(spark, sf_dir).snapshot("customer")
+    work = tempfile.mkdtemp(prefix="cdc_enrich_", dir="/tmp")
+    result = stream_static_enrich(spark, staged, dim, f"{work}/run")
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
 @register(
     "distributed_schema_reduction",
     """

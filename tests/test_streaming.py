@@ -381,3 +381,29 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     )
     # user 1: {t0, +5m} and {+200m}; user 2: one 3-event session
     assert got == want and len(got) == 3
+
+
+def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
+    """Per-micro-batch stream-static left join over replayed files equals
+    the one-shot batch join; unmatched keys keep NULL payloads."""
+    import os
+
+    from flink_cdc_spark.streaming.enrich import stream_static_enrich
+
+    staged = tmp_path / "src"
+    for b, rows in enumerate([[(1, 1000, 10, "view", 1.0)],
+                              [(2, 2000, 11, "click", 2.0),
+                               (3, 3000, 99, "view", 3.0)]]):  # 99: no dim row
+        d = staged / f"b{b}"
+        os.makedirs(d)
+        with open(d / "part.json", "w") as f:
+            for (eid, ts_us, uid, et, v) in rows:
+                f.write('{"event_id": %d, "ts_us": %d, "user_id": %d, '
+                        '"event_type": "%s", "value": %s}\n'
+                        % (eid, ts_us, uid, et, v))
+    dim = spark.createDataFrame(
+        [(10, "BUILDING"), (11, "AUTO")], "c_custkey long, c_mktsegment string"
+    )
+    out = stream_static_enrich(spark, str(staged), dim, str(tmp_path / "work"))
+    got = {(r.event_id, r.segment) for r in out.collect()}
+    assert got == {(1, "BUILDING"), (2, "AUTO"), (3, None)}
