@@ -272,3 +272,51 @@ def test_coercion_null_pad_and_rename(spark):
         env, tgt, source_names={"renamed": "c0"}
     ).collect()[0]["after"]
     assert out["renamed"] == 7 and out["added"] is None
+
+
+# -- as-of join differential (same suite: Spark plan vs naive model) --------
+
+
+@SETTINGS
+@given(
+    st.lists(  # events: (user, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1, max_size=12),
+    st.lists(  # orders: (user, t, okey-seed)
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=0, max_size=12),
+)
+def test_asof_enrich_matches_bruteforce(spark, evs, ords):
+    """The merge-formulation as-of join equals the brute-force
+    latest-at-or-before scan for random interleavings, including
+    same-instant ties (resolved to the highest order key) and users with
+    no prior orders."""
+    import datetime
+
+    from flink_cdc_spark.datapipe import features
+
+    base = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    ev_rows = [(i + 1, base + t * day, u) for i, (u, t) in enumerate(evs)]
+    ord_rows = [(100 + i, u, base + t * day) for i, (u, t) in enumerate(ords)]
+    ev = spark.createDataFrame(
+        ev_rows, "event_id long, ts timestamp_ntz, user_id long")
+    orders = spark.createDataFrame(
+        ord_rows, "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz")
+    got = {r.event_id: (r.order_key, r.order_t_us)
+           for r in features.asof_enrich(ev, orders).collect()}
+
+    def us(dt):
+        import datetime as _dt
+        return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+
+    expect = {}
+    for (eid, ets, u) in ev_rows:
+        cands = [(ot, ok) for (ok, ou, ot) in ord_rows
+                 if ou == u and ot <= ets]
+        if cands:
+            best = max(cands)  # (latest date, then highest key)
+            expect[eid] = (best[1], us(best[0]))
+        else:
+            expect[eid] = (None, None)
+    assert got == expect
