@@ -53,6 +53,14 @@ class PipelineResult:
     schemas: dict = field(default_factory=dict)
 
 
+def meta_keys_of(pipeline: PipelineDef) -> tuple:
+    """Source-declared metadata keys (`metadata.list: op_ts`) exposed to
+    transform expressions as bare identifiers bound to the envelope meta
+    map (transform.md:74-96; MySqlDataSourceOptions METADATA_LIST)."""
+    raw = str((pipeline.source.config or {}).get("metadata.list", "") or "")
+    return tuple(k.strip() for k in raw.split(",") if k.strip())
+
+
 def _transform_rule_of(t: TransformDef) -> TransformRule:
     return TransformRule(
         source_table=t.source_table,
@@ -122,6 +130,7 @@ class EventPipelineComposer:
             (_transform_rule_of(t), _transform_rule_of(t).selectors())
             for t in pipeline.transforms
         ]
+        self.meta_keys = meta_keys_of(pipeline)
 
     def _first_matching_rule(self, table_id: TableId):
         for rule, selectors in self._transform_rules:
@@ -151,6 +160,7 @@ class EventPipelineComposer:
                         payload = item.schema.to_spark_struct()
                         proc = TransformProcessor(
                             rule, payload, udf_names=self.udf_names,
+                            meta_keys=self.meta_keys,
                             local_time_zone=self.pipeline.config.local_time_zone,
                             logical_schema=item.schema,
                         )
@@ -185,6 +195,7 @@ class EventPipelineComposer:
                         payload = f_.dataType
                 proc = TransformProcessor(
                     rule, payload, udf_names=self.udf_names,
+                    meta_keys=self.meta_keys,
                     local_time_zone=self.pipeline.config.local_time_zone,
                     logical_schema=schema,
                 )
@@ -238,6 +249,7 @@ class BatchPipelineComposer:
             (_transform_rule_of(t), _transform_rule_of(t).selectors())
             for t in pipeline.transforms
         ]
+        self.meta_keys = meta_keys_of(pipeline)
 
     # -- per-table plan ---------------------------------------------------------
     def _first_matching_rule(self, table_id: TableId) -> Optional[TransformRule]:
@@ -263,6 +275,7 @@ class BatchPipelineComposer:
                 proc = TransformProcessor(
                     rule,
                     payload,
+                    meta_keys=self.meta_keys,
                     local_time_zone=self.pipeline.config.local_time_zone,
                     udf_names=self.udf_names,
                     logical_schema=schema,

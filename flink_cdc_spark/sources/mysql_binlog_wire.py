@@ -468,7 +468,7 @@ class BinlogWriter:
                 payload += self._encode_value(codes[i], metas[i], v)
         return bytes(null_bitmap) + payload
 
-    def _rows(self, type_code, table_num, codes, metas, images) -> int:
+    def _rows(self, type_code, table_num, codes, metas, images, ts: int = 0) -> int:
         n = len(codes)
         body = struct.pack("<Q", table_num)[:6] + struct.pack("<H", 1)
         body += struct.pack("<H", 2)  # extra-data length (2 = empty)
@@ -483,22 +483,22 @@ class BinlogWriter:
                 body += self._row_image(codes, metas, after)
             else:
                 body += self._row_image(codes, metas, img)
-        return self._event(type_code, body)
+        return self._event(type_code, body, timestamp=ts)
 
-    def write_rows(self, table_num, ddl_types, rows) -> int:
+    def write_rows(self, table_num, ddl_types, rows, ts: int = 0) -> int:
         codes = [type_code_for_ddl(t) for t in ddl_types]
         metas = [_meta_for(c, t) for c, t in zip(codes, ddl_types)]
-        return self._rows(WRITE_ROWS_EVENT_V2, table_num, codes, metas, rows)
+        return self._rows(WRITE_ROWS_EVENT_V2, table_num, codes, metas, rows, ts=ts)
 
-    def update_rows(self, table_num, ddl_types, pairs) -> int:
+    def update_rows(self, table_num, ddl_types, pairs, ts: int = 0) -> int:
         codes = [type_code_for_ddl(t) for t in ddl_types]
         metas = [_meta_for(c, t) for c, t in zip(codes, ddl_types)]
-        return self._rows(UPDATE_ROWS_EVENT_V2, table_num, codes, metas, pairs)
+        return self._rows(UPDATE_ROWS_EVENT_V2, table_num, codes, metas, pairs, ts=ts)
 
-    def delete_rows(self, table_num, ddl_types, rows) -> int:
+    def delete_rows(self, table_num, ddl_types, rows, ts: int = 0) -> int:
         codes = [type_code_for_ddl(t) for t in ddl_types]
         metas = [_meta_for(c, t) for c, t in zip(codes, ddl_types)]
-        return self._rows(DELETE_ROWS_EVENT_V2, table_num, codes, metas, rows)
+        return self._rows(DELETE_ROWS_EVENT_V2, table_num, codes, metas, rows, ts=ts)
 
     def to_bytes(self) -> bytes:
         return bytes(self.buf)
@@ -656,7 +656,13 @@ def parse_binlog_bytes(data: bytes, base_pos: int = 0) -> Iterator[dict]:
                 UPDATE_ROWS_EVENT_V2: "EXT_UPDATE_ROWS",
                 DELETE_ROWS_EVENT_V2: "EXT_DELETE_ROWS",
             }[type_code]
-            yield {"type": kind, "pos": pos, "table_id": tnum, "rows": rows}
+            yield {
+                "type": kind, "pos": pos, "table_id": tnum, "rows": rows,
+                # binlog header timestamp (seconds) — the reference's
+                # op_ts metadata source (MySqlDataSourceOptions
+                # `metadata.list: op_ts`, Debezium source.ts_ms)
+                "ts": ts,
+            }
         elif type_code == ROTATE_EVENT:
             (next_pos,) = struct.unpack_from("<Q", body, 0)
             yield {

@@ -163,6 +163,9 @@ class MySqlSourceConfig:
     specific_offset_file: Optional[str] = None
     specific_offset_pos: Optional[int] = None
     specific_offset_gtid_set: Optional[str] = None
+    # metadata.list (MySqlDataSourceOptions METADATA_LIST): connector
+    # metadata exposed to transform expressions via the envelope meta map
+    metadata_list: tuple = ()
 
     @classmethod
     def from_dict(cls, config: dict) -> "MySqlSourceConfig":
@@ -182,6 +185,11 @@ class MySqlSourceConfig:
             tinyint1_is_bit=str(
                 config.get("treat-tinyint1-as-boolean.enabled", "true")
             ).lower() != "false",
+            metadata_list=tuple(
+                k.strip()
+                for k in str(config.get("metadata.list", "") or "").split(",")
+                if k.strip()
+            ),
             include_schema_changes=str(
                 config.get("include-schema-changes", "true")
             ).lower() != "false",
@@ -353,12 +361,13 @@ class MySqlBinlogDecoder:
                             "__seq band would overflow"
                         )
                     base = pos << _SEQ_SHIFT
+                    ts_s = int(ev.get("ts", 0))
                     if kind in _WRITE:
                         for i, row in enumerate(ev["rows"]):
-                            out.append((base + i, OP_INSERT, None, obj(row)))
+                            out.append((base + i, OP_INSERT, None, obj(row), ts_s))
                     elif kind in _DELETE:
                         for i, row in enumerate(ev["rows"]):
-                            out.append((base + i, OP_DELETE, obj(row), None))
+                            out.append((base + i, OP_DELETE, obj(row), None, ts_s))
                     else:
                         for i, pair in enumerate(ev["rows"]):
                             out.append(
@@ -367,16 +376,17 @@ class MySqlBinlogDecoder:
                                     OP_UPDATE,
                                     obj(pair["before"]),
                                     obj(pair["after"]),
+                                    ts_s,
                                 )
                             )
                 yield pd.DataFrame(
-                    out, columns=["seq", "op", "before_json", "after_json"]
+                    out, columns=["seq", "op", "before_json", "after_json", "ts_sec"]
                 )
 
         raw = self.spark.read.text(path)
         dec = raw.mapInPandas(
             decode,
-            schema="seq LONG, op STRING, before_json STRING, after_json STRING",
+            schema="seq LONG, op STRING, before_json STRING, after_json STRING, ts_sec LONG",
         )
         str_payload = T.StructType(
             [T.StructField(n, T.StringType(), True) for n in names]
@@ -398,7 +408,9 @@ class MySqlBinlogDecoder:
             F.col("op").alias("__op"),
             cast_struct("__b").alias("before"),
             cast_struct("__a").alias("after"),
-            F.create_map().cast("map<string,string>").alias("__meta"),
+            F.create_map(
+                F.lit("op_ts"), (F.col("ts_sec") * 1000).cast("string")
+            ).alias("__meta"),
             F.col("seq").alias("__seq"),
         )
 
@@ -571,12 +583,13 @@ class MySqlBinaryBinlogDecoder:
                                 "__seq band would overflow"
                             )
                         base = pos << _SEQ_SHIFT
+                        ts_s = int(ev.get("ts", 0))
                         if kind in _WRITE:
                             for i, row in enumerate(ev["rows"]):
-                                out.append((base + i, OP_INSERT, None, obj(row)))
+                                out.append((base + i, OP_INSERT, None, obj(row), ts_s))
                         elif kind in _DELETE:
                             for i, row in enumerate(ev["rows"]):
-                                out.append((base + i, OP_DELETE, obj(row), None))
+                                out.append((base + i, OP_DELETE, obj(row), None, ts_s))
                         else:
                             for i, pair in enumerate(ev["rows"]):
                                 out.append(
@@ -585,16 +598,17 @@ class MySqlBinaryBinlogDecoder:
                                         OP_UPDATE,
                                         obj(pair["before"]),
                                         obj(pair["after"]),
+                                        ts_s,
                                     )
                                 )
                 yield pd.DataFrame(
-                    out, columns=["seq", "op", "before_json", "after_json"]
+                    out, columns=["seq", "op", "before_json", "after_json", "ts_sec"]
                 )
 
         raw = self.spark.read.format("binaryFile").load(path).select("path", "content")
         dec = raw.mapInPandas(
             decode,
-            schema="seq LONG, op STRING, before_json STRING, after_json STRING",
+            schema="seq LONG, op STRING, before_json STRING, after_json STRING, ts_sec LONG",
         )
         str_payload = T.StructType(
             [T.StructField(n, T.StringType(), True) for n in names]
@@ -616,7 +630,9 @@ class MySqlBinaryBinlogDecoder:
             F.col("op").alias("__op"),
             cast_struct("__b").alias("before"),
             cast_struct("__a").alias("after"),
-            F.create_map().cast("map<string,string>").alias("__meta"),
+            F.create_map(
+                F.lit("op_ts"), (F.col("ts_sec") * 1000).cast("string")
+            ).alias("__meta"),
             F.col("seq").alias("__seq"),
         )
 
@@ -636,6 +652,12 @@ def mysql_streams(spark: SparkSession, config: dict):
     from ..pipeline.composer import TableStream
 
     cfg = MySqlSourceConfig.from_dict(config)
+    unsupported_meta = [k for k in cfg.metadata_list if k != "op_ts"]
+    if unsupported_meta:
+        raise SystemExit(
+            f"source.type=mysql: metadata.list keys {unsupported_meta} not "
+            "supported; available: op_ts (binlog header timestamp, millis)"
+        )
     if cfg.binlog_file:
         # auto-detect the wire format: real v4 binary segments start with
         # the \xfebin magic; otherwise the JSONL replay shape

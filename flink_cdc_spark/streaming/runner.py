@@ -135,6 +135,9 @@ class StreamingPipelineRunner:
     ):
         self.spark = spark
         self.pipeline = pipeline
+        from ..pipeline.composer import meta_keys_of
+
+        self.meta_keys = meta_keys_of(pipeline)
         # parallel-metadata source mode (DataSource.isParallelMetadataSource,
         # common/source/DataSource.java:51): partitions may carry divergent
         # payload schemas and no in-band DDL; each batch starts with a
@@ -313,6 +316,7 @@ class StreamingPipelineRunner:
                 rule,
                 event.schema.to_spark_struct(),
                 udf_names=self.udf_names,
+                meta_keys=self.meta_keys,
                 local_time_zone=self.pipeline.config.local_time_zone,
             )
             event = CreateTableEvent(event.table_id, proc.output_schema(event.schema))
@@ -380,6 +384,7 @@ class StreamingPipelineRunner:
                     rule,
                     payload,
                     udf_names=self.udf_names,
+                    meta_keys=self.meta_keys,
                     local_time_zone=self.pipeline.config.local_time_zone,
                 )
                 env = proc.apply(env)

@@ -599,3 +599,55 @@ def test_specific_offset_file_pos_startup(spark, tmp_path):
             "scan.startup.specific-offset.file": "bin.000099",
             "scan.startup.specific-offset.pos": "4",
         })
+
+
+def test_metadata_list_op_ts_through_transform(spark, tmp_path):
+    """`metadata.list: op_ts` (MySqlDataSourceOptions METADATA_LIST,
+    transform.md:74-96): the binlog header timestamp surfaces in the
+    envelope meta map and is projectable in transform expressions as a
+    bare identifier — millis, per the reference's op_ts contract."""
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    w = BinlogWriter()
+    w.query("app", "CREATE TABLE t (id BIGINT PRIMARY KEY, v INT)")
+    w.table_map(9, "app", "t", ["BIGINT", "INT"])
+    w.write_rows(9, ["BIGINT", "INT"], [[1, 10]], ts=1700000001)
+    w.table_map(9, "app", "t", ["BIGINT", "INT"])
+    w.write_rows(9, ["BIGINT", "INT"], [[2, 20]], ts=1700000002)
+    path = tmp_path / "bin.000001"
+    path.write_bytes(w.to_bytes())
+    out = tmp_path / "out"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: mysql
+  binlog-file: {path}
+  tables: app.t
+  metadata.list: op_ts
+sink:
+  type: parquet
+  path: {out}
+transform:
+  - source-table: app.t
+    projection: id, v, op_ts AS opts
+    primary-key: id
+pipeline:
+  name: op-ts-meta
+  execution.runtime-mode: BATCH
+"""
+    )
+    run_pipeline(spark, pipeline)
+    written = spark.read.parquet(str(out / "app.t"))
+    rows = {r.id: r.opts for r in written.collect()}
+    assert rows == {1: "1700000001000", 2: "1700000002000"}
+
+
+def test_metadata_list_unknown_key_fails_fast(spark, tmp_path):
+    import pytest as _pytest
+
+    from flink_cdc_spark.sources.mysql_source import mysql_streams
+
+    with _pytest.raises(SystemExit, match="metadata.list"):
+        list(mysql_streams(spark, {"binlog-file": str(tmp_path / "x"),
+                                   "metadata.list": "row_kind"}))
