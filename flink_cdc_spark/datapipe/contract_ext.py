@@ -829,3 +829,66 @@ def events_transition_matrix(spark, sf_dir):
 
     ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
     return features.event_transitions(ev)
+
+
+def _corpus_pipeline_oracle() -> str:
+    """Composite oracle for the v2 corpus pipeline — exact dedup ->
+    overlapping-chunk -> sharded epoch shuffle -> split labels — chained
+    from the same per-op SQL generators the standalone rows use."""
+    from . import chunking, sampling
+
+    survivors = """
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IN (
+        SELECT min(doc_id) FROM documents
+        GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+      )
+    """
+    chunks = chunking.chunk_documents_oracle_sql(table=f"({survivors})")
+    shuffle = chunking.epoch_shuffle_oracle_sql(
+        table="(SELECT doc_id * 10000 + chunk_idx AS chunk_key, * FROM chunks)",
+        key="chunk_key",
+    )
+    split = sampling.hash_split_oracle_sql(table="documents")
+    return f"""
+    WITH chunks AS ({chunks}),
+    shuffled AS ({shuffle}),
+    splits AS ({split})
+    SELECT c.doc_id, c.chunk_idx, c.n_tok, s.shard, s.pos, sp.split
+    FROM chunks c
+    JOIN shuffled s ON s.doc_id = c.doc_id * 10000 + c.chunk_idx
+    JOIN splits sp ON sp.doc_id = c.doc_id
+    """
+
+
+@register("corpus_training_pipeline_v2", _corpus_pipeline_oracle())
+def corpus_training_pipeline_v2(spark, sf_dir):
+    """The corpus-shaping half of the training pipeline composed
+    end-to-end: exact content dedup (narrow fingerprint shuffle +
+    broadcast semi-join back) -> overlapping token-window chunking
+    (map-only explode) -> sharded epoch shuffle over chunks (one hash
+    exchange, no global sort) -> growth-stable train/val/test labels
+    (map-only). Every stage is the standalone oracle-gated op; this row
+    gates their COMPOSITION."""
+    from pyspark.sql import functions as F
+
+    from . import chunking, dedup, sampling
+
+    docs = _docs(spark, sf_dir)
+    keepers = dedup.exact_dedup(docs).select("doc_id")
+    survivors = docs.join(F.broadcast(keepers), "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    chunks = chunking.chunk_documents(survivors)
+    keyed = chunks.withColumn(
+        "chunk_key", F.col("doc_id") * 10000 + F.col("chunk_idx")
+    )
+    shuffled = chunking.epoch_shuffle(keyed, key="chunk_key").withColumnRenamed(
+        "doc_id", "chunk_key_out"
+    )
+    splits = sampling.hash_split(docs)
+    return (
+        keyed.join(shuffled, keyed.chunk_key == shuffled.chunk_key_out)
+        .join(splits, "doc_id")
+        .select("doc_id", "chunk_idx", "n_tok", "shard", "pos", "split")
+    )
