@@ -60,11 +60,14 @@ def table_hash(columns, rows):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv):
+    args = []
+    it = iter(sys.argv[1:])
+    for a in it:
         if a == "--sf-dir":
-            sf_dir = sys.argv[i + 1]
+            sf_dir = next(it)
+        elif not a.startswith("--"):
+            args.append(a)
 
     import __spark_entry__ as entrymod
     from flink_cdc_spark.session import get_spark
