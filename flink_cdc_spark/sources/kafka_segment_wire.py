@@ -130,15 +130,48 @@ def write_segment(path: str, batches: List[List[Tuple[Optional[bytes], Optional[
     return off
 
 
+def split_segment_batches(data: bytes) -> Iterator[bytes]:
+    """One .log segment -> its RecordBatch blobs, split at frame
+    boundaries with NO record parsing (a 12-byte header peek per batch).
+    Each blob is a self-contained batch (base offset included), so blobs
+    can be redistributed and parsed independently in any order."""
+    off = 0
+    while off + 12 <= len(data):
+        _base, batch_len = struct.unpack_from(">qI", data, off)
+        yield data[off:off + 12 + batch_len]
+        off += 12 + batch_len
+
+
 def read_topic_segments(spark, path_glob: str):
     """Directory/glob of .log segments -> DataFrame(offset LONG, key
-    STRING, value STRING): binaryFile scan (one task per segment, the
-    consumer-group unit), executor-side batch parse + CRC verify. Offsets
-    are the batches' real base offsets, so the per-partition total order
-    survives the parallel read."""
+    STRING, value STRING), CRC-verified executor-side. Offsets are the
+    batches' real base offsets, so the per-partition total order survives
+    the parallel read.
+
+    Parallel unit: one task per segment (the consumer-group unit) when
+    there are at least as many segments as cores. With FEWER segments
+    than cores (a fresh topic, or Kafka's 1 GiB segment ceiling holding
+    a day of traffic in a handful of files), a segment is split at
+    RecordBatch frame boundaries first — a header-only scan, no record
+    parse — and the batch blobs are redistributed so the expensive
+    per-record varint/CRC parse uses the whole cluster. Batch base
+    offsets make the split safe: every blob is self-describing."""
     from ..session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
+
+    def split(batches):
+        import pandas as pd
+
+        from flink_cdc_spark.sources.kafka_segment_wire import (
+            split_segment_batches,
+        )
+
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                out.extend(split_segment_batches(bytes(content)))
+            yield pd.DataFrame({"blob": out})
 
     def decode(batches):
         import pandas as pd
@@ -149,7 +182,9 @@ def read_topic_segments(spark, path_glob: str):
 
         for pdf in batches:
             out = []
-            for content in pdf["content"]:
+            for content in pdf["blob"]:
+                # a blob is a single-batch segment fragment; the segment
+                # parser consumes it unchanged
                 for off, key, value in parse_segment_bytes(bytes(content)):
                     out.append(
                         (
@@ -161,7 +196,15 @@ def read_topic_segments(spark, path_glob: str):
             yield pd.DataFrame(out, columns=["offset", "key", "value"])
 
     raw = spark.read.format("binaryFile").load(path_glob).select("content")
-    return raw.mapInPandas(decode, schema="offset LONG, key STRING, value STRING")
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(raw.inputFiles())
+    except Exception:
+        n_files = par
+    blobs = raw.mapInPandas(split, schema="blob BINARY")
+    if 0 < n_files < par:
+        blobs = blobs.repartition(par)
+    return blobs.mapInPandas(decode, schema="offset LONG, key STRING, value STRING")
 
 
 def parse_segment_bytes(data: bytes) -> Iterator[Tuple[int, Optional[bytes], Optional[bytes]]]:

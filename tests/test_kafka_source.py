@@ -147,14 +147,17 @@ def test_kafka_source_decodes_topic_once(spark, tmp_path, monkeypatch):
          "primary-key.app.items": "k"},
     )}
     evals_after_build = acc.value
-    # every downstream consumer reads the checkpoint, not the decode
+    # the (eager) localCheckpoint evaluates each decode partition exactly
+    # once during kafka_streams (the small-segment split redistributes
+    # blobs across up to defaultParallelism partitions)
+    par = spark.sparkContext.defaultParallelism
+    assert 1 <= evals_after_build <= par
+    # every downstream consumer reads the checkpoint, not the decode: a
+    # rescan-per-table design would re-tick per consumer (discovery + 2x
+    # inference + 2x decode)
     assert streams["app.orders"].df.count() == 2
     assert streams["app.items"].df.count() == 2
-    # one segment -> one upstream partition -> exactly one evaluation,
-    # during the (eager) checkpoint; a rescan-per-table design would be
-    # >= 4 (discovery + 2x inference + 2x decode)
-    assert evals_after_build == 1
-    assert acc.value == 1
+    assert acc.value == evals_after_build
 
 
 def test_kafka_source_fails_fast(spark, tmp_path):
