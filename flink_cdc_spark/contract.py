@@ -3525,13 +3525,17 @@ _PRIORITY = [
     "events_transition_matrix",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    # rotation (r8 verdict item 9): the 48 rows whose latest green signal
-    # is r7 fill the rest of the 50-row window, so r8 ∪ r9 covers all 98
-    # registry queries and no green row is older than two rounds. This
-    # round's other touched rows (kafka_source_topic_replay now replaying
-    # U/D records, the reworked dedup_ngram_jaccard / dedup_minhash_lsh
-    # verification) were r8-green and re-verified locally via
-    # scripts/check_contract.py; they absorb the overflow.
+    "streaming_static_enrich",
+    "corpus_training_pipeline_v2",
+    # rotation (r8 verdict item 9): after the 11 new/fixed rows above,
+    # the rows whose latest green signal is r7 fill the rest of the
+    # 50-row window. With 9 new queries this round the window cannot
+    # hold all 48 stale rows — the 9 displaced tail rows below stay
+    # r7-green (locally re-verified via scripts/check_contract.py, full
+    # 107/107 sweep) and lead r10's window. This round's other touched
+    # rows (kafka_source_topic_replay now replaying U/D records, the
+    # reworked dedup_ngram_jaccard / dedup_minhash_lsh verification)
+    # were r8-green and re-verified locally at sf0.01 AND sf0.1.
     "changelog_materialize",
     "update_split_filter",
     "route_merge_tables",

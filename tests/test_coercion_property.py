@@ -217,12 +217,28 @@ def test_coercion_matches_naive_model(spark, cases):
         _check_cell(row["after"][f"c{i}"], val, src, tgt)
 
 
+_INT_FAMILY = (ct.TINYINT, ct.SMALLINT, ct.INT, ct.BIGINT)
+
+
 def _mid_types(src, dst):
     """Genuine intermediates on the widening path src -> mid -> dst
-    (mid != src, mid != dst, and dst still reachable from mid)."""
+    (mid != src, mid != dst, and dst still reachable from mid).
+
+    For STRING targets only value-rendition-preserving hops qualify:
+    the rendered text depends on the stored representation (smallint 0
+    -> '0' directly, but -> float -> '0.0'; date -> '2024-01-01' but
+    -> timestamp -> '2024-01-01 00:00:00'), and the reference has the
+    same path-dependence — coerceObject renders whatever type the
+    column CURRENTLY stores. So through-string chains restrict mids to
+    the exact-integer family (whose decimal text is stable)."""
     out = []
+    string_dst = dst.root in (ct.CHAR, ct.VARCHAR)
     for m in _TYPE_MERGING_TREE[src.root]:
         if m.root in (dst.root, src.root, ct.TIMESTAMP_TZ):
+            continue
+        if string_dst and not (
+            src.root in _INT_FAMILY and m.root in _INT_FAMILY
+        ):
             continue
         if any(t.root == dst.root for t in _TYPE_MERGING_TREE[m.root]):
             out.append(m)
