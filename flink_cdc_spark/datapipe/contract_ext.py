@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..contract import register
-from . import dedup, similarity, textstats
+from . import dedup, sampling, similarity, textstats
 
 N_SIM_QUERIES = 10
 
@@ -892,3 +892,14 @@ def corpus_training_pipeline_v2(spark, sf_dir):
         .join(splits, "doc_id")
         .select("doc_id", "chunk_idx", "n_tok", "shard", "pos", "split")
     )
+
+
+@register("text_bpe_pair_counts", sampling.bpe_pair_counts_oracle_sql())
+def text_bpe_pair_counts(spark, sf_dir):
+    """Top-k adjacent character pairs weighted by word occurrences — the
+    statistic BPE tokenizer training's first merge step maximizes.
+    Map-only pair explode + map-side-combined count; pair cardinality is
+    alphabet-squared."""
+    from . import sampling
+
+    return sampling.bpe_pair_counts(_docs(spark, sf_dir))

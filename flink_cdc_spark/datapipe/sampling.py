@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # default mixture: downsample the dominant language, keep the rest
 DEFAULT_RATES: Tuple[Tuple[str, float], ...] = (
@@ -388,4 +388,66 @@ def bigram_logprob_oracle_sql(table: str = "documents", key: str = "doc_id", tex
            round(CAST(SUM(m.nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
     FROM bigrams b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
     GROUP BY b.{key}
+    """
+
+
+BPE_PAIRS_TOPK = 50
+
+
+def bpe_pair_counts(
+    df: DataFrame, text: str = "text", k: int = BPE_PAIRS_TOPK
+) -> DataFrame:
+    """-> (pair, occurrences, rk): the top-k adjacent character pairs
+    across the corpus, weighted by word occurrences — the statistic the
+    FIRST merge step of BPE tokenizer training maximizes (Sennrich et
+    al. 2016 start from character sequences; subsequent rounds re-count
+    after each merge, each round this same wordcount shape).
+
+    Scale shape: tokenize + per-word pair explode are MAP-ONLY array
+    expressions (no UDF); the count is a map-side-combined hash
+    aggregation shuffling one row per (partition, pair) — pair
+    cardinality is alphabet², tiny. Ordering is (count DESC, pair ASC),
+    fully deterministic."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text))), r"\s+")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    # global rank over the aggregated pair relation: cardinality is
+    # alphabet-squared (hundreds of rows), so the single-partition window
+    # is a post-aggregation formality, same shape as vocab_topk's sort
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("pair").asc())
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occurrences"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def bpe_pair_counts_oracle_sql(
+    table: str = "documents", text: str = "text", k: int = BPE_PAIRS_TOPK
+) -> str:
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim({text})), '\\s+')) AS w
+      FROM {table}
+    ),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+      FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM words WHERE length(w) >= 2)
+    ),
+    counted AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS occurrences
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, occurrences,
+           CAST(row_number() OVER (ORDER BY occurrences DESC, pair ASC)
+                AS BIGINT) AS rk
+    FROM counted
+    QUALIFY rk <= {k}
     """

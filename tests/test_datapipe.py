@@ -760,3 +760,18 @@ def test_event_transitions_counts(spark):
     got = {(r.from_type, r.to_type): r.n
            for r in features.event_transitions(ev).collect()}
     assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_bpe_pair_counts_weighted_by_occurrence(spark):
+    from flink_cdc_spark.datapipe import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "ab cd x")],  # 'ab' pair: 2+2+1 = 5
+        "doc_id long, text string",
+    )
+    got = {r.pair: (r.occurrences, r.rk)
+           for r in sampling.bpe_pair_counts(docs, k=10).collect()}
+    assert got["ab"] == (5, 1)
+    assert got["ba"] == (2, 2)
+    assert got["cd"][0] == 1
+    assert "x" not in got  # single-char words yield no pair
