@@ -1268,6 +1268,33 @@ def streaming_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
+def _stream_sessions_oracle():
+    from .datapipe import sessions
+
+    return sessions.sessionize_native_oracle_sql()
+
+
+@register("streaming_session_windows", _stream_sessions_oracle())
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming session windows: the events table replayed
+    through a watermarked `session_window` (session-store merges,
+    watermark finalization, append emission), flushed by per-user
+    sentinel events; the drained output equals the batch gap-scan
+    closed form — the sessionize_native oracle."""
+    import tempfile
+
+    from .datapipe.sessions import DEFAULT_GAP_MINUTES
+    from .sources.parquet_source import ParquetTableSource
+    from .streaming.session_windows import streaming_session_windows as run_ssw
+
+    pin_session(spark)
+    ev = ParquetTableSource(spark, sf_dir).snapshot("events")
+    work = tempfile.mkdtemp(prefix="cdc_ssw_", dir="/tmp")
+    result = run_ssw(spark, ev, work, DEFAULT_GAP_MINUTES)
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
 def _enrich_oracle():
     from .streaming.enrich import stream_static_enrich_oracle_sql
 
