@@ -903,3 +903,48 @@ def text_bpe_pair_counts(spark, sf_dir):
     from . import sampling
 
     return sampling.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DECIMAL(38,0))
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted replicated join (the beyond-AQE hot-key fix): lineitem
+    scattered across 16 salted replicas of orders, joined on
+    (orderkey, salt), aggregated — output must equal the PLAIN join's
+    (the oracle). Money in exact integer cents."""
+    from pyspark.sql import functions as F
+
+    from ..sources.parquet_source import ParquetTableSource
+    from . import skew
+
+    src = ParquetTableSource(_pin(spark), sf_dir)
+    li = src.snapshot("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = src.snapshot("orders").select("o_orderkey", "o_orderstatus")
+    joined = skew.salted_join(
+        li.withColumn(
+            "__uniq",
+            F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+        ).withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        key="o_orderkey",
+        salt_by="__uniq",
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(
+            F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").cast(
+                "decimal(38,0)"
+            )
+        ).cast("decimal(38,0)").alias("revenue_cents"),
+        F.count("*").cast("bigint").alias("n"),
+    )

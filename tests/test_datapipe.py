@@ -775,3 +775,25 @@ def test_bpe_pair_counts_weighted_by_occurrence(spark):
     assert got["ba"] == (2, 2)
     assert got["cd"][0] == 1
     assert "x" not in got  # single-char words yield no pair
+
+
+def test_salted_join_equals_plain_join(spark):
+    from flink_cdc_spark.datapipe import skew
+
+    big = spark.createDataFrame(
+        # key 1 is the hot key
+        [(1, i) for i in range(50)] + [(2, 100), (3, 101), (9, 102)],
+        "k long, uniq long",
+    )
+    small = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    salted = {(r.k, r.uniq, r.v)
+              for r in skew.salted_join(big, small, "k", "uniq", n_salt=4).collect()}
+    plain = {(r.k, r.uniq, r.v) for r in big.join(small, "k").collect()}
+    assert salted == plain and len(plain) == 52
+    # left join keeps unmatched hot rows with NULL payloads
+    left = {(r.k, r.uniq, r.v)
+            for r in skew.salted_join(big, small, "k", "uniq",
+                                      n_salt=4, how="left").collect()}
+    assert left == plain | {(9, 102, None)}
