@@ -255,8 +255,20 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
                 )
             store = IcebergTableStore(spark, warehouse)
             schema = result.schemas[table].ensure_pk_non_null()
+            # partition.key (IcebergDataSinkOptions): identity partition
+            # spec; format "col" or "table:col,col" lists
+            pkeys = tuple(
+                p.strip()
+                for p in str(
+                    pipeline.sink.config.get("partition.key", "") or ""
+                ).split(",")
+                if p.strip()
+            )
             store.create_table(
-                table, schema.to_spark_struct(), list(schema.primary_keys)
+                table,
+                schema.to_spark_struct(),
+                list(schema.primary_keys),
+                partition_keys=pkeys,
             )
             store.commit(table, result.changelogs[table], schema.to_spark_struct())
             summary.tables[table] = store.read(table).count()

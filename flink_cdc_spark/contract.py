@@ -1743,6 +1743,79 @@ def lake_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_partitioned_pruning",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN (o_orderkey % 9) = 4 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 18) <> 11 AND o_orderstatus = 'F'
+    """,
+)
+def iceberg_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Iceberg analog (`partition.key` identity spec): the
+    changelog commits hive-partitioned on o_orderstatus with manifest
+    partition-value summaries; the predicate read prunes manifests at
+    metadata time AND the residual filter reaches the partitioned file
+    listing (PartitionFilters asserted on the plan), then the pruned
+    state is oracle-compared."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sinks.iceberg_store import IcebergTableStore
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    mut = MutationSpec(
+        key_column="o_orderkey",
+        update_exprs={"o_totalprice": "o_totalprice * 2"},
+        update_mod=9, update_rem=4, delete_mod=18, delete_rem=11,
+    )
+    env = src.changelog("orders", "ice.orders", mut)
+    keep = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    img = lambda side: F.when(
+        F.col(side).isNotNull(),
+        F.struct(*[F.col(f"{side}.{c}").alias(c) for c in keep]),
+    )
+    env = env.select(
+        "__table_id", "__op",
+        img("before").alias("before"), img("after").alias("after"),
+        "__meta", "__seq",
+    )
+    struct = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="ice_part_contract_")
+    try:
+        store = IcebergTableStore(spark, root)
+        store.create_table(
+            "ice.orders", struct, ["o_orderkey"],
+            partition_keys=["o_orderstatus"],
+        )
+        store.commit("ice.orders", env, struct)
+        out = store.read("ice.orders", predicate={"o_orderstatus": "F"})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan:
+            raise AssertionError("expected a partition-pruned scan")
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        if "o_orderstatus" not in pf:
+            raise AssertionError(f"partition filter not pruned: {pf!r}")
+        return _pin_state(
+            spark,
+            out.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            "ice_part",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "jdbc_startup_latest_offset",
     """
     SELECT s_suppkey, s_name, CAST(999.5 AS DOUBLE) AS s_acctbal

@@ -131,8 +131,18 @@ class IcebergTableStore:
 
     # -- table lifecycle ----------------------------------------------------
     def create_table(
-        self, table: str, struct: T.StructType, primary_keys: Sequence[str]
+        self,
+        table: str,
+        struct: T.StructType,
+        primary_keys: Sequence[str],
+        partition_keys: Sequence[str] = (),
     ) -> None:
+        """``partition_keys`` (the Iceberg `partition.key` sink option):
+        an identity partition spec per the v2 metadata shape — data files
+        lay out hive-partitioned, manifests record their partition
+        values, and a partition predicate prunes manifests at metadata
+        time. Iceberg's own rule applies: partition columns must be
+        immutable per key."""
         if self._load(table) is not None:
             return
         fields = self._fields_from_struct(struct)
@@ -145,6 +155,22 @@ class IcebergTableStore:
             "current-schema-id": 0,
             # identifier-field-ids: the PK, by field id (spec's term)
             "identifier-field-ids": [name_to_id[k] for k in primary_keys],
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "source-id": name_to_id[k],
+                            "field-id": 1000 + i,
+                            "name": k,
+                            "transform": "identity",
+                        }
+                        for i, k in enumerate(partition_keys)
+                        if k in name_to_id
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
             "snapshots": [],
             "current-snapshot-id": None,
             "last-sequence-number": 0,
@@ -152,6 +178,21 @@ class IcebergTableStore:
             "_version": 0,
         }
         self._store(table, meta)
+
+    def _partition_names(self, meta: dict) -> List[str]:
+        """Current partition columns, resolved by source field id (renames
+        of the source column follow automatically)."""
+        specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+        spec = specs.get(meta.get("default-spec-id", 0))
+        if not spec:
+            return []
+        cur = self._current_schema(meta)
+        name_by_id = {f["id"]: f["name"] for f in cur["fields"]}
+        return [
+            name_by_id[f["source-id"]]
+            for f in spec["fields"]
+            if f["source-id"] in name_by_id
+        ]
 
     # -- write path ----------------------------------------------------------
     def commit(self, table: str, env: DataFrame, target_struct: T.StructType) -> int:
@@ -205,11 +246,36 @@ class IcebergTableStore:
             *[F.col("after").getField(c).alias(c) for c in payload],
         ).withColumn(_SEQ, F.lit(seq).cast("long"))
         data_path = os.path.join(ddir, "data", f"data-{snap_id:08d}.parquet")
-        data_rows.write.mode("overwrite").parquet(data_path)
+        parts = [p for p in self._partition_names(meta) if p in payload]
+        part_values = None
+        if parts:
+            # control-plane metadata: distinct partition values this file
+            # adds (bounded by partition cardinality, not row count)
+            part_values = {
+                p: sorted(
+                    str(r[0])
+                    for r in data_rows.select(p).distinct().collect()
+                    if r[0] is not None
+                )
+                for p in parts
+            }
+            data_rows.write.mode("overwrite").partitionBy(*parts).parquet(data_path)
+        else:
+            data_rows.write.mode("overwrite").parquet(data_path)
         added = self.spark.read.parquet(data_path).count()
 
-        # equality-delete file: every key whose previous version dies
-        dying = env.where(
+        # equality-delete file: every key whose previous version dies.
+        # With a partition spec, the dying keys' partition values are
+        # recorded too (from the dying image — a batch may write rows in
+        # one partition while deleting keys in another, so delete-file
+        # pruning must use its OWN values, not the data file's).
+        del_part_cols = [
+            F.coalesce(
+                F.col("before").getField(p), F.col("after").getField(p)
+            ).alias(f"__part_{p}")
+            for p in parts
+        ]
+        dying_full = env.where(
             F.col(ENVELOPE_OP).isin(OP_DELETE, OP_UPDATE)
         ).select(
             *[
@@ -217,8 +283,24 @@ class IcebergTableStore:
                     F.col("before").getField(k), F.col("after").getField(k)
                 ).alias(k)
                 for k in pk_names
-            ]
-        ).distinct().withColumn(_SEQ, F.lit(seq).cast("long"))
+            ],
+            *del_part_cols,
+        )
+        delete_part_values = None
+        if parts:
+            delete_part_values = {
+                p: sorted(
+                    str(r[0])
+                    for r in dying_full.select(f"__part_{p}").distinct().collect()
+                    if r[0] is not None
+                )
+                for p in parts
+            }
+        dying = (
+            dying_full.select(*pk_names)
+            .distinct()
+            .withColumn(_SEQ, F.lit(seq).cast("long"))
+        )
         delete_path = None
         deleted = 0
         if dying.take(1):
@@ -239,6 +321,9 @@ class IcebergTableStore:
                 os.path.relpath(delete_path, ddir) if delete_path else None
             ),
             "equality-ids": list(meta["identifier-field-ids"]),
+            # identity-partition value summaries for metadata pruning
+            "partition-values": part_values,
+            "delete-partition-values": delete_part_values,
         }
         prev = self._snapshot(meta, meta["current-snapshot-id"])
         manifests = (list(prev["manifests"]) if prev else []) + [manifest]
@@ -271,11 +356,20 @@ class IcebergTableStore:
         raise ValueError(f"unknown snapshot {snapshot_id}")
 
     # -- read path -----------------------------------------------------------
-    def read(self, table: str, snapshot_id=None) -> Optional[DataFrame]:
+    def read(
+        self, table: str, snapshot_id=None, predicate: Optional[dict] = None
+    ) -> Optional[DataFrame]:
         """State at a snapshot (default: current). Columns resolve by field
         id against the schema the snapshot recorded; equality deletes apply
         to strictly-lower data sequence numbers; the newest surviving row
-        per identifier wins."""
+        per identifier wins.
+
+        ``predicate`` ({partition-column: value}) prunes at METADATA time:
+        manifests whose recorded partition-value summaries cannot match
+        are skipped before any file IO (data files by their own values,
+        delete files by the dying keys' values), and the residual filter
+        also reaches the hive-partitioned parquet listing. Sound under
+        Iceberg's partition-immutability rule."""
         from functools import reduce
         from pyspark.sql import Window
 
@@ -315,13 +409,34 @@ class IcebergTableStore:
                     cols.append(F.lit(None).cast(dt).alias(rname))
             return df.select(*cols, F.col(_SEQ))
 
+        def _prunable(values_key: str, mf: dict) -> bool:
+            """True when the predicate proves this manifest irrelevant."""
+            if not predicate:
+                return False
+            vals = mf.get(values_key)
+            if not vals:
+                return False
+            for col, want in predicate.items():
+                if col in vals and str(want) not in vals[col]:
+                    return True
+            return False
+
         data_parts, delete_parts = [], []
         pk_ids = meta["identifier-field-ids"]
         pk_names = [name_by_id[i] for i in pk_ids if i in name_by_id]
         for mf in snap["manifests"]:
-            df = self.spark.read.parquet(os.path.join(ddir, mf["data-file"]))
-            data_parts.append(project(df, mf["name-to-id"]))
-            if mf["delete-file"]:
+            # data and delete files prune INDEPENDENTLY: a manifest may
+            # write partition X while its delete file kills keys in Y
+            if not _prunable("partition-values", mf):
+                df = self.spark.read.parquet(os.path.join(ddir, mf["data-file"]))
+                if predicate:
+                    for col, want in predicate.items():
+                        if col in df.columns:
+                            df = df.where(F.col(col) == F.lit(want))
+                data_parts.append(project(df, mf["name-to-id"]))
+            if mf["delete-file"] and not _prunable(
+                "delete-partition-values", mf
+            ):
                 dd = self.spark.read.parquet(os.path.join(ddir, mf["delete-file"]))
                 # delete files carry only key columns + sequence
                 writer = {
@@ -337,6 +452,8 @@ class IcebergTableStore:
                 )
                 delete_parts.append(keyed)
 
+        if not data_parts:  # every data manifest pruned
+            return self.spark.createDataFrame([], read_struct)
         data = reduce(lambda a, b: a.unionByName(b), data_parts)
         if delete_parts and pk_names:
             dels = reduce(lambda a, b: a.unionByName(b), delete_parts)

@@ -236,3 +236,42 @@ def test_truncate_is_delete_all_snapshot(spark, tmp_path):
         PAYLOAD,
     )
     assert [r.id for r in st.read("db.t").collect()] == [9]
+
+
+def test_partitioned_commit_prunes_manifests(spark, tmp_path):
+    """partition.key: identity spec recorded per the v2 shape, data files
+    hive-partitioned, manifests carry partition-value summaries, and a
+    partition predicate prunes at metadata time — including the
+    mixed-manifest case where a manifest writes partition X while its
+    delete file kills a key in partition Y."""
+    st = IcebergTableStore(spark, str(tmp_path / "ice"))
+    st.create_table("db.t", PAYLOAD, ["id"], partition_keys=["name"])
+    meta = st._load("db.t")
+    spec = meta["partition-specs"][0]["fields"]
+    assert [f["name"] for f in spec] == ["name"]
+    assert spec[0]["transform"] == "identity" and spec[0]["field-id"] == 1000
+
+    st.commit("db.t", _batch(spark, [
+        ("db.t", "INSERT", None, (1, "x", 1.0), {}, 1),
+        ("db.t", "INSERT", None, (2, "y", 2.0), {}, 2),
+        ("db.t", "INSERT", None, (3, "y", 3.0), {}, 3),
+    ]), PAYLOAD)
+    # second commit: writes in partition x, DELETES id=3 from partition y
+    st.commit("db.t", _batch(spark, [
+        ("db.t", "INSERT", None, (4, "x", 4.0), {}, 4),
+        ("db.t", "DELETE", (3, "y", 3.0), None, {}, 5),
+    ]), PAYLOAD)
+    meta = st._load("db.t")
+    mfs = meta["snapshots"][-1]["manifests"]
+    assert mfs[0]["partition-values"] == {"name": ["x", "y"]}
+    assert mfs[1]["partition-values"] == {"name": ["x"]}
+    assert mfs[1]["delete-partition-values"] == {"name": ["y"]}
+
+    # full read: delete applied
+    assert {r.id for r in st.read("db.t").collect()} == {1, 2, 4}
+    # partition-pruned reads
+    assert {r.id for r in st.read("db.t", predicate={"name": "x"}).collect()} == {1, 4}
+    # the y-partition read must still see the delete (mixed manifest)
+    assert {r.id for r in st.read("db.t", predicate={"name": "y"}).collect()} == {2}
+    # a never-written partition prunes everything
+    assert st.read("db.t", predicate={"name": "zz"}).count() == 0
