@@ -255,15 +255,18 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
                 )
             store = IcebergTableStore(spark, warehouse)
             schema = result.schemas[table].ensure_pk_non_null()
-            # partition.key (IcebergDataSinkOptions): identity partition
-            # spec; format "col" or "table:col,col" lists
-            pkeys = tuple(
-                p.strip()
-                for p in str(
-                    pipeline.sink.config.get("partition.key", "") or ""
-                ).split(",")
-                if p.strip()
-            )
+            # partition.key (IcebergDataSinkOptions, same per-table syntax
+            # as paimon: 'db.t1:col1,col2;db.t2:col'); a plain comma list
+            # with no table prefix applies to every sink table
+            from .sinks.lsm_store import parse_partition_keys
+
+            raw_pk = str(pipeline.sink.config.get("partition.key", "") or "")
+            if ":" in raw_pk:
+                pkeys = tuple(parse_partition_keys(raw_pk).get(table, ()))
+            else:
+                pkeys = tuple(
+                    p.strip() for p in raw_pk.split(",") if p.strip()
+                )
             store.create_table(
                 table,
                 schema.to_spark_struct(),

@@ -275,3 +275,35 @@ def test_partitioned_commit_prunes_manifests(spark, tmp_path):
     assert {r.id for r in st.read("db.t", predicate={"name": "y"}).collect()} == {2}
     # a never-written partition prunes everything
     assert st.read("db.t", predicate={"name": "zz"}).count() == 0
+
+
+def test_cli_iceberg_partition_key_option(spark, tmp_path):
+    """`sink: iceberg` accepts partition.key in the per-table syntax
+    shared with paimon ('db.t:col') and lays data out partitioned."""
+    from flink_cdc_spark.cli import run_pipeline
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    wh = tmp_path / "wh"
+    pipeline = parse_pipeline_yaml(
+        f"""
+source:
+  type: parquet
+  path: /root/testdata/sf0.001
+  tables: nation
+  primary-key.nation: n_nationkey
+sink:
+  type: iceberg
+  catalog.properties.warehouse: {wh}
+  partition.key: default.nation:n_regionkey
+pipeline:
+  name: ice-part
+  execution.runtime-mode: BATCH
+"""
+    )
+    run_pipeline(spark, pipeline)
+    store = IcebergTableStore(spark, str(wh))
+    meta = store._load("default.nation")
+    assert [f["name"] for f in meta["partition-specs"][0]["fields"]] == ["n_regionkey"]
+    pruned = store.read("default.nation", predicate={"n_regionkey": 1})
+    rows = pruned.collect()
+    assert rows and all(r.n_regionkey == 1 for r in rows)
