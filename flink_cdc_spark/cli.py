@@ -274,6 +274,13 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
                 partition_keys=pkeys,
             )
             store.commit(table, result.changelogs[table], schema.to_spark_struct())
+            # sink.compaction.enabled (IcebergDataSinkOptions): binpack
+            # rewrite after the commit; commit.interval applies per
+            # streaming commit — the batch CLI has one commit per run
+            if str(
+                pipeline.sink.config.get("sink.compaction.enabled", "false")
+            ).lower() == "true":
+                store.compact(table)
             summary.tables[table] = store.read(table).count()
             summary.sink_paths[table] = warehouse
         elif sink_type == "hudi":

@@ -479,6 +479,68 @@ class IcebergTableStore:
             )
         return data.select(*[f.name for f in read_struct.fields])
 
+    def compact(self, table: str) -> int:
+        """Binpack-style compaction (the connector's `sink.compaction.*`
+        surface / Iceberg rewrite_data_files): materialize the current
+        merged state into ONE consolidated data file and commit it as a
+        `replace` snapshot with a single manifest and no delete file —
+        read amplification drops from O(commits) manifests to 1. Older
+        snapshots keep their original manifests, so time travel across
+        the compaction still works. Metadata-only for readers: the
+        replace snapshot's content EQUALS the pre-compaction read."""
+        meta = self._load(table)
+        if meta is None:
+            raise ValueError(f"iceberg table {table} does not exist")
+        state = self.read(table)
+        cur = self._current_schema(meta)
+        id_by_name = {f["name"]: f["id"] for f in cur["fields"]}
+        seq = meta["last-sequence-number"] + 1
+        snap_id = seq
+        ddir = self._dir(table)
+        data_path = os.path.join(ddir, "data", f"compact-{snap_id:08d}.parquet")
+        rows = state.withColumn(_SEQ, F.lit(seq).cast("long"))
+        parts = [p for p in self._partition_names(meta) if p in state.columns]
+        part_values = None
+        if parts:
+            part_values = {
+                p: sorted(
+                    str(r[0])
+                    for r in rows.select(p).distinct().collect()
+                    if r[0] is not None
+                )
+                for p in parts
+            }
+            rows.write.mode("overwrite").partitionBy(*parts).parquet(data_path)
+        else:
+            rows.write.mode("overwrite").parquet(data_path)
+        added = self.spark.read.parquet(data_path).count()
+        meta["snapshots"].append(
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "schema-id": cur["schema-id"],
+                "manifests": [
+                    {
+                        "sequence-number": seq,
+                        "schema-id": cur["schema-id"],
+                        "name-to-id": id_by_name,
+                        "data-file": os.path.relpath(data_path, ddir),
+                        "delete-file": None,
+                        "equality-ids": list(meta["identifier-field-ids"]),
+                        "partition-values": part_values,
+                        "delete-partition-values": None,
+                    }
+                ],
+                "summary": {"operation": "replace", "added-records": added},
+            }
+        )
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["snapshot-log"].append({"snapshot-id": snap_id})
+        self._store(table, meta)
+        return snap_id
+
     def truncate(self, table: str) -> None:
         """TRUNCATE TABLE as a delete-all snapshot: a new snapshot with an
         EMPTY manifest list (operation "delete"). Data files stay on disk,

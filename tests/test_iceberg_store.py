@@ -307,3 +307,37 @@ pipeline:
     pruned = store.read("default.nation", predicate={"n_regionkey": 1})
     rows = pruned.collect()
     assert rows and all(r.n_regionkey == 1 for r in rows)
+
+
+def test_compaction_replace_snapshot(spark, tmp_path):
+    """compact(): one replace snapshot with a single manifest and no
+    delete file; content equals the pre-compaction read; time travel to
+    pre-compaction snapshots still resolves their own manifests; commits
+    after compaction keep applying deletes on top."""
+    st = _store(spark, tmp_path)
+    st.commit("db.t", _batch(spark, [
+        ("db.t", "INSERT", None, (1, "a", 1.0), {}, 1),
+        ("db.t", "INSERT", None, (2, "b", 2.0), {}, 2),
+    ]), PAYLOAD)
+    s2 = st.commit("db.t", _batch(spark, [
+        ("db.t", "UPDATE", (1, "a", 1.0), (1, "a2", 1.5), {}, 3),
+        ("db.t", "DELETE", (2, "b", 2.0), None, {}, 4),
+        ("db.t", "INSERT", None, (3, "c", 3.0), {}, 5),
+    ]), PAYLOAD)
+    before = {(r.id, r.name, r.v) for r in st.read("db.t").collect()}
+    sc = st.compact("db.t")
+    meta = st._load("db.t")
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] == "replace"
+    assert len(snap["manifests"]) == 1 and snap["manifests"][0]["delete-file"] is None
+    after = {(r.id, r.name, r.v) for r in st.read("db.t").collect()}
+    assert after == before == {(1, "a2", 1.5), (3, "c", 3.0)}
+    # time travel to the pre-compaction snapshot
+    tt = {(r.id, r.name) for r in st.read("db.t", snapshot_id=s2).collect()}
+    assert tt == {(1, "a2"), (3, "c")}
+    # a post-compaction delete still wins over the compacted file
+    st.commit("db.t", _batch(spark, [
+        ("db.t", "DELETE", (1, "a2", 1.5), None, {}, 6),
+    ]), PAYLOAD)
+    assert {r.id for r in st.read("db.t").collect()} == {3}
+    assert sc == s2 + 1
