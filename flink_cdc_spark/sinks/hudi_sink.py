@@ -233,6 +233,32 @@ class HudiTableStore:
         )
         return instant
 
+    def compact(self, table: str) -> int:
+        """MOR compaction (Hudi's deltacommit -> commit rewrite): resolve
+        the accumulated log files per record key (keeping each winner's
+        ORDERING value and tombstones — a later log row with a LOWER
+        precombine value must still lose to the compacted winner) into
+        one consolidated bucket-partitioned slice; subsequent reads merge
+        only logs newer than the compaction instant. No-op for COW."""
+        props = self._load_cfg(table)
+        if props["hoodie.table.type"] != MERGE_ON_READ:
+            return 0
+        current = self._read_files(table, props)
+        if current is None:
+            return 0
+        resolved = self._resolve(current, props)
+        instants = self._instants(table)
+        instant = (instants[-1] + 1) if instants else 1
+        out = os.path.join(self._dir(table), f"clog-{instant:08d}")
+        resolved.write.mode("overwrite").partitionBy(_BUCKET).parquet(out)
+        count = self.spark.read.parquet(out).count()
+        self._write_instant(
+            table, instant, "commit",
+            {"records": count, "file": os.path.basename(out),
+             "operation": "compaction"},
+        )
+        return instant
+
     # -- read path -----------------------------------------------------------
     def _read_files(self, table: str, props: dict) -> Optional[DataFrame]:
         from functools import reduce
@@ -249,7 +275,17 @@ class HudiTableStore:
             return self.spark.read.parquet(
                 os.path.join(ddir, f"base-{bases[-1]:08d}")
             )
+        # MOR: the latest compacted slice (if any) replaces all logs at or
+        # below its instant; only later deltacommit logs merge on top
+        compacted = [i for i in instants if os.path.isdir(
+            os.path.join(ddir, f"clog-{i:08d}"))]
+        floor = compacted[-1] if compacted else 0
+        if floor:
+            parts.append(self.spark.read.parquet(
+                os.path.join(ddir, f"clog-{floor:08d}")))
         for i in instants:
+            if i <= floor:
+                continue
             p = os.path.join(ddir, f"log-{i:08d}")
             if os.path.isdir(p):
                 parts.append(self.spark.read.parquet(p))

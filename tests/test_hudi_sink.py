@@ -164,3 +164,37 @@ def test_option_surface():
         validate_hudi_options({"path": "/tmp/x", "bogus": 1})
     with pytest.raises(ValueError, match="BUCKET"):
         validate_hudi_options({"path": "/tmp/x", "index.type": "FLINK_STATE"})
+
+
+def test_mor_compaction_preserves_semantics(spark, tmp_path):
+    """compact(): deltacommit logs collapse into one commit slice; reads
+    merge only newer logs on top; precombine semantics survive — a
+    post-compaction row with a LOWER ordering value still loses to the
+    compacted winner, and tombstones stay effective."""
+    st = _store(spark, tmp_path, table_type=MERGE_ON_READ, ordering_field="ord")
+    st.upsert("db.t", _batch(spark, [
+        ("db.t", "INSERT", None, (1, "a", 5), {}, 1),
+        ("db.t", "INSERT", None, (2, "b", 1), {}, 2),
+        ("db.t", "INSERT", None, (3, "c", 1), {}, 3),
+    ]), PAYLOAD)
+    st.upsert("db.t", _batch(spark, [
+        ("db.t", "DELETE", (3, "c", 1), None, {}, 4),
+    ]), PAYLOAD)
+    before = {(r.id, r.name) for r in st.read("db.t").collect()}
+    ci = st.compact("db.t")
+    assert ci == 3
+    after = {(r.id, r.name) for r in st.read("db.t").collect()}
+    assert after == before == {(1, "a"), (2, "b")}
+    tl = st.timeline("db.t")
+    assert tl[-1]["action"] == "commit"
+    assert tl[-1]["operation"] == "compaction"
+    # lower-ordering late arrival for id=1 must LOSE to the compacted row
+    st.upsert("db.t", _batch(spark, [
+        ("db.t", "UPDATE", (1, "a", 5), (1, "stale", 2), {}, 5),
+        ("db.t", "INSERT", None, (4, "d", 1), {}, 6),
+    ]), PAYLOAD)
+    state = {r.id: r.name for r in st.read("db.t").collect()}
+    assert state == {1: "a", 2: "b", 4: "d"}
+    # COW: compaction is a no-op
+    st2 = _store(spark, tmp_path / "cow", table_type="COPY_ON_WRITE")
+    assert st2.compact("db.t") == 0
