@@ -3627,15 +3627,23 @@ _PRIORITY = [
     "tpch_q3_shipping_priority",
     "streaming_static_enrich",
     "corpus_training_pipeline_v2",
-    # rotation (r8 verdict item 9): after the 11 new/fixed rows above,
+    # fourth/fifth-wave r9 rows (landed after the first rotation pass):
+    "streaming_session_windows",
+    "text_bpe_pair_counts",
+    "join_salted_skew",
+    "iceberg_partitioned_pruning",
+    # r8-green rows whose CONTRACT changed this round (U/D records now
+    # replay through the kafka source; must re-verify under the driver):
+    "kafka_source_topic_replay",
+    # rotation (r8 verdict item 9): after the new/changed rows above,
     # the rows whose latest green signal is r7 fill the rest of the
-    # 50-row window. With 9 new queries this round the window cannot
-    # hold all 48 stale rows — the 9 displaced tail rows below stay
+    # 50-row window. With 14 new + 2 changed rows this round the window
+    # cannot hold all 48 stale rows — the displaced tail rows below stay
     # r7-green (locally re-verified via scripts/check_contract.py, full
-    # 107/107 sweep) and lead r10's window. This round's other touched
-    # rows (kafka_source_topic_replay now replaying U/D records, the
-    # reworked dedup_ngram_jaccard / dedup_minhash_lsh verification)
-    # were r8-green and re-verified locally at sf0.01 AND sf0.1.
+    # 111/111 sweep) and lead r10's window. This round's other touched
+    # rows (the reworked dedup_ngram_jaccard / dedup_minhash_lsh
+    # verification) were r8-green and re-verified locally at sf0.01 AND
+    # sf0.1.
     "changelog_materialize",
     "update_split_filter",
     "route_merge_tables",
