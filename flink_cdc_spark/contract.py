@@ -3632,6 +3632,8 @@ _PRIORITY = [
     "text_bpe_pair_counts",
     "join_salted_skew",
     "iceberg_partitioned_pruning",
+    "data_dsir_select",
+    "data_temperature_mix",
     # r8-green rows whose CONTRACT changed this round (U/D records now
     # replay through the kafka source; must re-verify under the driver):
     "kafka_source_topic_replay",

@@ -455,6 +455,16 @@ def data_mix_hash_sample(spark, sf_dir):
     )
 
 
+@register("data_temperature_mix", sampling.temperature_mix_oracle_sql())
+def data_temperature_mix(spark, sf_dir):
+    """alpha=0.5 temperature-balanced source mixing (XLM-R/mT5 sampler):
+    per-source rates computed FROM the data (n_s^0.5, flattening head
+    sources), materialized as a salted md5-threshold hash sample — one
+    tiny source groupBy + broadcast join + map-only filter; sqrt/floor
+    integer-micro-unit discipline keeps both engines bit-identical."""
+    return sampling.temperature_mix(_docs(spark, sf_dir))
+
+
 @register("text_vocab_topk", sampling.vocab_topk_oracle_sql())
 def text_vocab_topk(spark, sf_dir):
     """Corpus-level vocabulary top-k (occurrences + document frequency):
@@ -715,6 +725,24 @@ def text_tfidf_topk(spark, sf_dir):
     from . import ranking
 
     return ranking.tfidf_topk(_docs(spark, sf_dir))
+
+
+def _dsir_oracle():
+    from . import ranking
+
+    return ranking.dsir_importance_oracle_sql()
+
+
+@register("data_dsir_select", _dsir_oracle())
+def data_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    features (md5-prefix string buckets, portable across engines), raw and
+    target histograms from ONE groupBy, a <=4096-row broadcast log-ratio
+    model, per-doc DECIMAL-summed scores, deterministic top-k by
+    (score DESC, doc_id)."""
+    from . import ranking
+
+    return ranking.dsir_importance(_docs(spark, sf_dir))
 
 
 def _sessions_native_oracle():

@@ -128,6 +128,105 @@ def hash_split_oracle_sql(
     """
 
 
+TMIX_TARGET_ROWS = 200
+
+
+def temperature_mix(
+    df: DataFrame,
+    target_rows: int = TMIX_TARGET_ROWS,
+    key: str = "doc_id",
+    source: str = "source",
+) -> DataFrame:
+    """alpha=0.5 temperature-balanced source mixing (the multilingual
+    pretraining sampler of XLM-R/mT5: sample source s with probability
+    proportional to n_s^alpha, flattening head sources and boosting tail
+    sources), materialized as a deterministic hash sample whose expected
+    size is target_rows.
+
+    Unlike stratified_hash_sample the per-source rates are computed FROM
+    THE DATA (rate_s = target * n_s^alpha / (n_s * sum_t n_t^alpha)), so
+    the op is one tiny groupBy on source (map-side combined, |sources|
+    rows) + a broadcast join + a map-only filter — the same 100-TB shape
+    as the static sampler, one exchange total.
+
+    Determinism across engines, with no float-summation hazard: alpha is
+    fixed at 0.5 so n^alpha is sqrt (IEEE correctly-rounded in BOTH
+    engines, unlike pow), each sqrt is floored to integer micro-units
+    BEFORE the cross-source sum (integer sum — immune to partial-agg
+    order), and the final rate is two exact-operand divisions and one
+    multiply, each correctly rounded identically. The rate becomes an
+    8-hex-char threshold compared against the salted md5 prefix of the
+    key ('g0000000' sentinel keeps everything when rate >= 1)."""
+    counts = df.groupBy(source).agg(F.count(F.lit(1)).alias("n"))
+    mix = counts.select(
+        source,
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    # corpus total via a GLOBAL WINDOW over the |sources|-row relation —
+    # an agg + crossJoin would recompute the source-count corpus pass
+    rates = mix.select(
+        source,
+        (
+            (
+                F.lit(float(target_rows))
+                / F.sum("s_int").over(Window.partitionBy(F.lit(1))).cast("double")
+            )
+            * (F.col("s_int").cast("double") / F.col("n").cast("double"))
+        ).alias("rate"),
+    )
+    thresh = F.when(F.col("rate") >= 1.0, F.lit("g0000000")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))),
+            8,
+            "0",
+        )
+    )
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(":tmix"))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(rates.select(source, thresh.alias("thresh"))), source)
+        .where(prefix < F.col("thresh"))
+        .select(key, source, "lang", "n_chars")
+    )
+
+
+def temperature_mix_oracle_sql(
+    table: str = "documents",
+    target_rows: int = TMIX_TARGET_ROWS,
+    key: str = "doc_id",
+    source: str = "source",
+) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT {source}, COUNT(*) AS n FROM {table} GROUP BY {source}
+    ), mix AS (
+      SELECT {source}, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_int
+      FROM counts
+    ), tot AS (
+      SELECT SUM(s_int) AS s_tot FROM mix
+    ), rates AS (
+      SELECT {source},
+             (({target_rows}.0 / CAST(s_tot AS DOUBLE))
+              * (CAST(s_int AS DOUBLE) / CAST(n AS DOUBLE))) AS rate
+      FROM mix, tot
+    ), thresholds AS (
+      SELECT {source},
+             CASE WHEN rate >= 1.0 THEN 'g0000000'
+                  ELSE printf('%08x',
+                         CAST(floor(rate * 4294967296.0) AS BIGINT)) END AS thresh
+      FROM rates
+    )
+    SELECT t.{key}, t.{source}, t.lang, t.n_chars
+    FROM {table} t JOIN thresholds th USING ({source})
+    WHERE substr(md5(CAST(t.{key} AS VARCHAR) || ':tmix'), 1, 8) < th.thresh
+    """
+
+
 def vocab_topk(
     df: DataFrame, text: str = "text", k: int = 50
 ) -> DataFrame:

@@ -553,6 +553,56 @@ def test_tfidf_topk_ordering(spark):
     assert max(rk for (_, rk) in rows) == 2
 
 
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR importance weights rank documents sharing the target subset's
+    n-grams above documents that don't; a single-token doc contributes
+    no bigrams (the sequence(0,-1) guard) but still gets a score."""
+    from flink_cdc_spark.datapipe import ranking
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta", "en"),
+         (2, "alpha beta gamma", "en"),
+         (3, "alpha beta alpha", "fr"),      # target-like but raw-labelled
+         (4, "zeta eta theta iota", "fr"),   # nothing in common with target
+         (5, "alpha", "fr")],                # 1 token -> unigram only
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    out = ranking.dsir_importance(docs, target_lang="en", k=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # the disjoint-vocabulary doc must rank strictly below the
+    # target-overlapping ones
+    assert all(rows[4].score < rows[d].score for d in (1, 2, 3))
+    # 1-token doc: exactly one feature (its unigram), no bigram blowup
+    assert rows[5].n_feat == 1
+
+
+def test_temperature_mix_flattens_head_sources(spark):
+    """alpha=0.5 sampling keeps a LARGER fraction of a tail source than
+    of a head source (rate ratio = sqrt(n_head/n_tail)), with expected
+    total near target_rows; rate >= 1 keeps a tiny source whole."""
+    from flink_cdc_spark.datapipe import sampling
+
+    rows = (
+        [(i, "head", "en", 10) for i in range(3000)]
+        + [(10_000 + i, "tail", "en", 10) for i in range(300)]
+        + [(20_000 + i, "tiny", "en", 10) for i in range(3)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT"
+    )
+    out = sampling.temperature_mix(docs, target_rows=600)
+    kept = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in kept}
+    frac_head = by_src.get("head", 0) / 3000
+    frac_tail = by_src.get("tail", 0) / 300
+    assert frac_tail > frac_head  # temperature flattening
+    # tiny source: rate = target*s_int/(s_tot*n) >= 1 -> kept whole
+    assert by_src.get("tiny", 0) == 3
+    total = sum(by_src.values())
+    assert 400 <= total <= 800  # expected ~600, hash-sample variance
+
+
 def test_session_window_native_boundary(spark):
     """Spark's session_window MERGES an event at exactly t+gap into the
     same session (touching windows merge; split only on diff > gap) —
