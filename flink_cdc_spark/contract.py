@@ -3634,6 +3634,7 @@ _PRIORITY = [
     "iceberg_partitioned_pruning",
     "data_dsir_select",
     "data_temperature_mix",
+    "text_gopher_rules",
     # r8-green rows whose CONTRACT changed this round (U/D records now
     # replay through the kafka source; must re-verify under the driver):
     "kafka_source_topic_replay",

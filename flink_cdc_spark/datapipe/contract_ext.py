@@ -473,6 +473,15 @@ def text_vocab_topk(spark, sf_dir):
     return sampling.vocab_topk(_docs(spark, sf_dir))
 
 
+@register("text_gopher_rules", textstats.gopher_rules_oracle_sql())
+def text_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality filter (word-count bounds, mean word
+    length, alphabetic-word fraction, stop-word presence) — map-only
+    array expressions, every threshold an integer cross-multiplication
+    so the oracle agrees bit-for-bit."""
+    return textstats.gopher_rules(_docs(spark, sf_dir))
+
+
 @register("text_pii_scrub", sampling.pii_scrub_oracle_sql(table=sampling.PII_SALTED_ORACLE_CTE))
 def text_pii_scrub(spark, sf_dir):
     """PII redaction (emails/phones/IPv4) with per-kind hit counts —

@@ -295,3 +295,95 @@ def decontaminate_oracle_sql(
     WHERE d.{key} % {bench_mod} <> 0
       AND d.{key} NOT IN (SELECT {key} FROM contaminated)
     """
+
+
+# -- Gopher quality rules (Rae et al. 2021, public) ---------------------------
+
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3  # mean word length bounds (integer cross-multiplied)
+GOPHER_MAX_MWL = 10
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_FRAC = (4, 5)  # >= 4/5 of words contain a letter
+
+
+def gopher_rules(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """-> (doc_id, n_words, wc_ok, mwl_ok, alpha_ok, stop_ok, keep): the
+    Gopher rule-based document filter — word-count bounds, mean word
+    length in [3, 10], >= 80% of words containing an alphabetic char,
+    and >= 2 distinct stop words present.
+
+    Map-only (array expressions over the token list; no explode, no
+    shuffle, no UDF) — the cheapest possible 100-TB quality pass.
+    Determinism: every ratio threshold is an integer cross-multiplication
+    (3*nw <= chars <= 10*nw, 5*alpha >= 4*nw), so there is no float
+    rounding to diverge between engines; distinct-stopword presence is a
+    sum of array_contains indicators (list-intersection semantics differ
+    on duplicates across engines — indicators don't).
+    """
+    toks = F.expr(
+        f"filter(split(lower(trim(regexp_replace({text}, '\\\\s+', ' '))), ' '),"
+        " t -> t <> '')"
+    )
+    base = df.select(
+        F.col(key),
+        toks.alias("toks"),
+    ).select(
+        F.col(key),
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.expr("aggregate(toks, 0L, (acc, w) -> acc + length(w))").alias("wchars"),
+        F.expr("size(filter(toks, w -> w rlike '[a-z]'))").cast("bigint").alias("alpha_words"),
+        sum(
+            F.expr(f"CASE WHEN array_contains(toks, '{s}') THEN 1 ELSE 0 END")
+            for s in GOPHER_STOPWORDS
+        ).cast("bigint").alias("n_stop"),
+    )
+    an, ad = GOPHER_MIN_ALPHA_FRAC
+    wc_ok = (F.col("n_words") >= GOPHER_MIN_WORDS) & (F.col("n_words") <= GOPHER_MAX_WORDS)
+    mwl_ok = (F.col("wchars") >= GOPHER_MIN_MWL * F.col("n_words")) & (
+        F.col("wchars") <= GOPHER_MAX_MWL * F.col("n_words")
+    )
+    alpha_ok = F.lit(ad) * F.col("alpha_words") >= F.lit(an) * F.col("n_words")
+    stop_ok = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    return base.select(
+        F.col(key),
+        "n_words",
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & mwl_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+def gopher_rules_oracle_sql(table: str = "documents", key: str = "doc_id", text: str = "text") -> str:
+    toks = (
+        f"list_filter(string_split(lower(trim(regexp_replace({text}, '\\s+', ' ', 'g'))), ' '),"
+        " t -> t <> '')"
+    )
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(toks, '{s}') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    an, ad = GOPHER_MIN_ALPHA_FRAC
+    return f"""
+    WITH base AS (
+      SELECT {key},
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS wchars,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
+             CAST({stop_sum} AS BIGINT) AS n_stop
+      FROM (SELECT {key}, {toks} AS toks FROM {table})
+    )
+    SELECT {key}, n_words,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS wc_ok,
+           (wchars >= {GOPHER_MIN_MWL} * n_words AND wchars <= {GOPHER_MAX_MWL} * n_words) AS mwl_ok,
+           ({ad} * alpha_words >= {an} * n_words) AS alpha_ok,
+           (n_stop >= {GOPHER_MIN_STOPWORDS}) AS stop_ok,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND wchars >= {GOPHER_MIN_MWL} * n_words AND wchars <= {GOPHER_MAX_MWL} * n_words
+            AND {ad} * alpha_words >= {an} * n_words
+            AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+    FROM base
+    """

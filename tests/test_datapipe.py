@@ -603,6 +603,32 @@ def test_temperature_mix_flattens_head_sources(spark):
     assert 400 <= total <= 800  # expected ~600, hash-sample variance
 
 
+def test_gopher_rules_each_rule_rejects(spark):
+    """Each Gopher rule fires independently: short doc, numeric-only doc
+    (alpha fraction + mean-word-length), stopword-free doc, and a doc
+    passing all four. The synthetic corpus never fails mwl/alpha, so the
+    crafted docs pin those branches."""
+    from flink_cdc_spark.datapipe import textstats
+
+    good = "the cat and the dog ran to a tree of green leaves and " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                    # all pass
+            (2, "the a of and to"),                       # too short
+            (3, "1 2 3 4 5 " * 6 + "the a of and to"),    # alpha frac + mwl low
+            (4, "zebra " * 30),                           # no stopwords
+            (5, ("x" * 40 + " ") * 12 + good),            # mwl high
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.doc_id: r for r in textstats.gopher_rules(docs).collect()}
+    assert rows[1].keep
+    assert not rows[2].wc_ok and not rows[2].keep
+    assert not rows[3].alpha_ok and not rows[3].mwl_ok and not rows[3].keep
+    assert not rows[4].stop_ok and not rows[4].keep
+    assert not rows[5].mwl_ok and not rows[5].keep and rows[5].alpha_ok
+
+
 def test_session_window_native_boundary(spark):
     """Spark's session_window MERGES an event at exactly t+gap into the
     same session (touching windows merge; split only on diff > gap) —
