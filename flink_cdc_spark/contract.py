@@ -3635,6 +3635,7 @@ _PRIORITY = [
     "data_dsir_select",
     "data_temperature_mix",
     "text_gopher_rules",
+    "events_retention_cohorts",
     # r8-green rows whose CONTRACT changed this round (U/D records now
     # replay through the kafka source; must re-verify under the driver):
     "kafka_source_topic_replay",

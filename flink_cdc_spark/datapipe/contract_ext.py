@@ -868,6 +868,25 @@ def events_transition_matrix(spark, sf_dir):
     return features.event_transitions(ev)
 
 
+def _retention_oracle():
+    from . import features
+
+    return features.retention_cohorts_oracle_sql()
+
+
+@register("events_retention_cohorts", _retention_oracle())
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention (first-seen-day cohorts x active-day offsets,
+    distinct users): cohort day from a min window over the ONE user
+    exchange, integer-div day buckets from invariant micros — three
+    sublinear-key exchanges, no floats."""
+    from . import features
+    from ..sources.parquet_source import ParquetTableSource
+
+    ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
+    return features.retention_cohorts(ev)
+
+
 def _corpus_pipeline_oracle() -> str:
     """Composite oracle for the v2 corpus pipeline — exact dedup ->
     overlapping-chunk -> sharded epoch shuffle -> split labels — chained

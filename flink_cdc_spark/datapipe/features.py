@@ -372,3 +372,77 @@ def event_transitions_oracle_sql(
     FROM pairs WHERE to_type IS NOT NULL
     GROUP BY from_type, to_type
     """
+
+
+DAY_US = 86_400_000_000
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """-> (cohort_day, day_offset, n_users): classic cohort retention —
+    users grouped by first-seen day, counted once per active day offset.
+    The product-analytics staple over event logs.
+
+    Scale shape: the cohort day comes from a min() WINDOW over the user
+    partition (reusing the one user exchange — not a groupBy + re-join,
+    which would shuffle the events twice); (user, cohort, offset) is
+    then deduplicated by an agg keyed on bounded-cardinality attributes
+    and counted map-side. Three exchanges total, all on keys whose
+    cardinality is corpus-sublinear (users; cohort x offset x user;
+    cohort x offset).
+
+    Determinism: day buckets are integer division of the
+    session-timezone-invariant int64 micros — no date/tz functions, no
+    floats anywhere.
+    """
+    base = (
+        events.where(F.col(ts).isNotNull() & F.col(user).isNotNull())
+        .select(
+            F.col(user).alias("user_id"),
+            _epoch_micros_expr(events, ts).alias("t_us"),
+        )
+        # integer `div`, not double `/` + cast: bit-exact like DuckDB's //
+        .select("user_id", F.expr(f"t_us div {DAY_US}").alias("day"))
+    )
+    cohort = base.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    active = (
+        cohort.select(
+            "user_id",
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset", "user_id")
+        .agg(F.lit(1))
+    )
+    return active.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+def retention_cohorts_oracle_sql(
+    table: str = "events",
+    user: str = "user_id",
+    ts: str = "ts",
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {user} AS user_id,
+             CAST(epoch_us({ts}) // {DAY_US} AS BIGINT) AS day
+      FROM {table}
+      WHERE {ts} IS NOT NULL AND {user} IS NOT NULL
+    ), cohort AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM base
+    ), active AS (
+      SELECT DISTINCT cohort_day, day - cohort_day AS day_offset, user_id
+      FROM cohort
+    )
+    SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active GROUP BY cohort_day, day_offset
+    """

@@ -629,6 +629,36 @@ def test_gopher_rules_each_rule_rejects(spark):
     assert not rows[5].mwl_ok and not rows[5].keep and rows[5].alpha_ok
 
 
+def test_retention_cohorts_counts_users_once_per_offset(spark):
+    """A user active twice in the same day counts once; cohorts anchor to
+    the user's first-seen day; day buckets are integer micros div."""
+    from flink_cdc_spark.datapipe import features
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, u, day, hour=0):
+        return (eid, u, d0 + dt.timedelta(days=day, hours=hour))
+
+    ev = spark.createDataFrame(
+        [
+            row(1, 1, 0), row(2, 1, 0, 3),  # same user, same day twice
+            row(3, 1, 2),                   # active at offset 2
+            row(4, 2, 0), row(5, 2, 1),     # cohort day 0, offset 0 and 1
+            row(6, 3, 1),                   # later cohort, offset 0 only
+        ],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    out = {(r.cohort_day, r.day_offset): r.n_users
+           for r in features.retention_cohorts(ev).collect()}
+    base_day = int(d0.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6) // features.DAY_US
+    assert out[(base_day, 0)] == 2      # users 1 and 2, once each
+    assert out[(base_day, 1)] == 1      # user 2
+    assert out[(base_day, 2)] == 1      # user 1
+    assert out[(base_day + 1, 0)] == 1  # user 3's own cohort
+    assert len(out) == 4
+
+
 def test_session_window_native_boundary(spark):
     """Spark's session_window MERGES an event at exactly t+gap into the
     same session (touching windows merge; split only on diff > gap) —
