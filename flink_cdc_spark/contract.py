@@ -1295,6 +1295,43 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
+def _retract_agg_oracle():
+    from .streaming.retract_agg import retract_aggregate_oracle_sql
+
+    final_sql = _ORDERS_MUT.oracle_final_state_sql(
+        "orders", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey"]
+    )
+    return retract_aggregate_oracle_sql(final_sql, "o_orderstatus", "o_totalprice")
+
+
+@register("streaming_retract_aggregate", _retract_agg_oracle())
+def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained GROUP BY aggregate under a CDC changelog
+    (Flink's accumulate/retract protocol): the orders changelog replayed
+    as four micro-batches (inserts split across two, then the
+    group-MOVING updates — o_orderstatus flips to 'U' — then deletes),
+    each epoch merging map-side-combined (group, delta) contributions
+    into a group-cardinality state table keyed by epoch id (idempotent
+    foreachBatch). The maintained state must equal a from-scratch
+    aggregate over the post-changelog final state — the oracle. Money in
+    exact integer cents (tpch_q1 discipline)."""
+    import tempfile
+
+    from .streaming.retract_agg import RetractAggregateStream
+
+    pin_session(spark)
+    env = ParquetTableSource(spark, sf_dir).changelog(
+        "orders", "default.orders", _ORDERS_MUT
+    )
+    work = tempfile.mkdtemp(prefix="cdc_retract_", dir="/tmp")
+    ra = RetractAggregateStream(spark, work, "o_orderstatus", "o_totalprice")
+    ra.stage(env, "o_orderkey")
+    ra.run()
+    result = ra.current_state()
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
 def _enrich_oracle():
     from .streaming.enrich import stream_static_enrich_oracle_sql
 
@@ -3636,6 +3673,7 @@ _PRIORITY = [
     "data_temperature_mix",
     "text_gopher_rules",
     "events_retention_cohorts",
+    "streaming_retract_aggregate",
     # r8-green rows whose CONTRACT changed this round (U/D records now
     # replay through the kafka source; must re-verify under the driver):
     "kafka_source_topic_replay",

@@ -1,0 +1,229 @@
+"""Incremental (retract-stream) aggregate maintenance over a CDC changelog.
+
+The Flink-SQL capability the reference pipeline feeds but does not itself
+provide: a continuously-maintained GROUP BY aggregate that stays correct
+under INSERT / UPDATE / DELETE — updates RETRACT their before-image
+contribution (including moving a row between groups when the group column
+itself changes) and add the after-image; deletes retract; groups whose
+row count reaches zero disappear. This is the accumulate/retract protocol
+of Flink's AggregateFunction (public semantics), expressed Spark-first:
+each change event becomes at most two (group, delta) contribution rows,
+micro-batch deltas are map-side-combined, and the running state is a
+group-cardinality-sized table merged once per epoch.
+
+Scale shape: the per-batch work is one hash aggregation over the batch's
+contribution rows (map-side combined, shuffle keyed on the group) plus a
+full-outer merge against a state table whose size is the number of LIVE
+GROUPS — corpus-sublinear, so rewriting it per epoch is cheap even when
+the changelog is 100 TB. State versions are keyed by epoch id and each
+epoch merges from its committed PREDECESSOR version, so a replayed epoch
+(foreachBatch crash-retry) rewrites the same version deterministically
+instead of double-applying — the standard idempotent-foreachBatch
+pattern.
+
+Determinism: money sums use the exact-cents idiom (floor(x*100 + 0.5) as
+BIGINT — the tpch_q1 discipline): every delta and every running sum is an
+integer, immune to engine/partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.envelope import (
+    ENVELOPE_OP,
+    OP_DELETE,
+    OP_INSERT,
+    OP_REPLACE,
+    OP_UPDATE,
+)
+
+N_REPLAY_BATCHES = 4
+
+
+def _cents(col: F.Column) -> F.Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
+
+
+def contribution_deltas(env: DataFrame, group: str, value: str) -> DataFrame:
+    """Envelope rows -> per-group (d_cents, dn) deltas for this batch.
+
+    after images accumulate (+value, +1) for INSERT/UPDATE/REPLACE;
+    before images retract (-value, -1) for UPDATE/DELETE — a group-moving
+    UPDATE therefore contributes to BOTH groups. REPLACE is accumulated
+    only (its retraction needs per-key state; the sources in this repo
+    emit REPLACE only for key-complete upsert sinks, not here)."""
+    after_side = env.where(
+        F.col(ENVELOPE_OP).isin(OP_INSERT, OP_UPDATE, OP_REPLACE)
+    ).select(
+        F.col(f"after.{group}").alias("grp"),
+        _cents(F.col(f"after.{value}")).alias("d_cents"),
+        F.lit(1).cast("bigint").alias("dn"),
+    )
+    before_side = env.where(
+        F.col(ENVELOPE_OP).isin(OP_UPDATE, OP_DELETE)
+    ).select(
+        F.col(f"before.{group}").alias("grp"),
+        (-_cents(F.col(f"before.{value}"))).alias("d_cents"),
+        F.lit(-1).cast("bigint").alias("dn"),
+    )
+    return (
+        after_side.unionByName(before_side)
+        .groupBy("grp")
+        .agg(
+            F.sum("d_cents").alias("d_cents"),
+            F.sum("dn").alias("dn"),
+        )
+    )
+
+
+def merge_state(prev: Optional[DataFrame], deltas: DataFrame) -> DataFrame:
+    """Full-outer combine of the running state with one batch's deltas;
+    groups whose row count reaches zero are retracted away entirely."""
+    if prev is None:
+        merged = deltas.select(
+            "grp",
+            F.col("dn").alias("n_rows"),
+            F.col("d_cents").alias("sum_cents"),
+        )
+    else:
+        merged = (
+            prev.join(deltas, "grp", "full_outer")
+            .select(
+                "grp",
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                ).alias("n_rows"),
+                (
+                    F.coalesce(F.col("sum_cents"), F.lit(0))
+                    + F.coalesce(F.col("d_cents"), F.lit(0))
+                ).alias("sum_cents"),
+            )
+        )
+    return merged.where(F.col("n_rows") != 0)
+
+
+class RetractAggregateStream:
+    """Drives a staged changelog through a checkpointed Structured
+    Streaming query that maintains the aggregate state epoch by epoch."""
+
+    def __init__(self, spark: SparkSession, work_dir: str, group: str, value: str):
+        self.spark = spark
+        self.group = group
+        self.value = value
+        self.active = os.path.join(work_dir, "active")
+        self.ckpt = os.path.join(work_dir, "ckpt")
+        self.state_dir = os.path.join(work_dir, "state")
+        os.makedirs(self.active, exist_ok=True)
+        os.makedirs(self.state_dir, exist_ok=True)
+        self._schema = None
+
+    # -- staging ------------------------------------------------------------
+
+    def stage(self, env: DataFrame, key_column: str) -> None:
+        """Split the changelog into N_REPLAY_BATCHES single-file parquet
+        batches — inserts spread over the first two (by key parity), then
+        updates, then deletes — so retractions always target rows
+        accumulated in EARLIER micro-batches."""
+        env = env.withColumn(
+            "__b",
+            F.when(
+                F.col(ENVELOPE_OP) == OP_INSERT,
+                (F.col(f"after.{key_column}") % 2).cast("int"),
+            )
+            .when(F.col(ENVELOPE_OP) == OP_UPDATE, F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+        self._schema = env.drop("__b").schema
+        now = time.time()
+        for b in range(N_REPLAY_BATCHES):
+            d = os.path.join(self.active, f"stage_b{b}")
+            env.where(F.col("__b") == b).drop("__b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    # one file per replay batch, mtimes increasing: with
+                    # maxFilesPerTrigger=1 the file source delivers them
+                    # as separate ordered micro-batches
+                    shutil.move(
+                        os.path.join(d, fn), os.path.join(self.active, f"b{b}.parquet")
+                    )
+                    os.utime(
+                        os.path.join(self.active, f"b{b}.parquet"),
+                        (now + b, now + b),
+                    )
+            shutil.rmtree(d)
+
+    # -- state versioning ---------------------------------------------------
+
+    def _committed_versions(self):
+        out = []
+        for fn in os.listdir(self.state_dir):
+            if fn.startswith("v") and os.path.exists(
+                os.path.join(self.state_dir, fn, "_SUCCESS")
+            ):
+                out.append(int(fn[1:]))
+        return sorted(out)
+
+    def _read_version(self, v: int) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.state_dir, f"v{v}"))
+
+    # -- the streaming query ------------------------------------------------
+
+    def run(self) -> None:
+        group, value = self.group, self.value
+
+        def merge_epoch(batch_df, epoch_id):
+            deltas = contribution_deltas(batch_df, group, value)
+            prior = [v for v in self._committed_versions() if v < epoch_id]
+            prev = self._read_version(max(prior)) if prior else None
+            merged = merge_state(prev, deltas)
+            # keyed by epoch id: a crash-retried epoch rewrites v{epoch}
+            # from the same predecessor — idempotent, never double-applied
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, f"v{epoch_id}")
+            )
+
+        stream = (
+            self.spark.readStream.schema(self._schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.active)
+        )
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(merge_epoch)
+            .option("checkpointLocation", self.ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def current_state(self) -> DataFrame:
+        versions = self._committed_versions()
+        if not versions:
+            return self.spark.createDataFrame(
+                [], "grp string, n_rows bigint, sum_cents bigint"
+            )
+        return self._read_version(versions[-1])
+
+
+def retract_aggregate_oracle_sql(
+    final_state_sql: str, group: str, value: str
+) -> str:
+    """The incremental invariant: maintained state == recompute from the
+    post-changelog final state (exact-cents money discipline)."""
+    return f"""
+    WITH final AS ({final_state_sql})
+    SELECT {group} AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor({value} * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM final GROUP BY {group}
+    """

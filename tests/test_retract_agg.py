@@ -1,0 +1,113 @@
+"""Retract-stream incremental aggregate maintenance (streaming/retract_agg)."""
+
+from pyspark.sql import functions as F
+
+from flink_cdc_spark.sources.envelope import (
+    ENVELOPE_META,
+    ENVELOPE_OP,
+    ENVELOPE_SEQ,
+    ENVELOPE_TABLE_ID,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+)
+from flink_cdc_spark.streaming.retract_agg import (
+    RetractAggregateStream,
+    contribution_deltas,
+    merge_state,
+)
+
+_PAYLOAD = "struct<k:bigint, grp:string, v:double>"
+
+
+def _env(spark, rows):
+    """rows: (op, before(k,grp,v)|None, after|None, seq)"""
+    data = [
+        ("t.t", op, before, after, {}, seq) for op, before, after, seq in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        f"{ENVELOPE_TABLE_ID} string, {ENVELOPE_OP} string, "
+        f"before {_PAYLOAD}, after {_PAYLOAD}, "
+        f"{ENVELOPE_META} map<string,string>, {ENVELOPE_SEQ} bigint",
+    )
+
+
+def test_group_moving_update_contributes_to_both_groups(spark):
+    env = _env(spark, [
+        (OP_UPDATE, (2, "A", 20.0), (2, "B", 25.0), 10),
+    ])
+    deltas = {r.grp: (r.d_cents, r.dn)
+              for r in contribution_deltas(env, "grp", "v").collect()}
+    assert deltas["A"] == (-2000, -1)
+    assert deltas["B"] == (2500, 1)
+
+
+def test_merge_state_drops_zero_count_groups(spark):
+    prev = spark.createDataFrame(
+        [("A", 1, 1000), ("B", 2, 5500)],
+        "grp string, n_rows bigint, sum_cents bigint",
+    )
+    deltas = spark.createDataFrame(
+        [("A", -1000, -1), ("C", 700, 1)],
+        "grp string, d_cents bigint, dn bigint",
+    )
+    out = {r.grp: (r.n_rows, r.sum_cents)
+           for r in merge_state(prev, deltas).collect()}
+    assert "A" not in out          # count reached zero -> retracted away
+    assert out["B"] == (2, 5500)   # untouched group carried
+    assert out["C"] == (1, 700)    # new group appears
+
+
+def test_end_to_end_stream_matches_recompute(spark, tmp_path):
+    """Inserts, a group-moving update, and deletes across four ordered
+    micro-batches: the maintained state equals a from-scratch aggregate
+    of the final table state."""
+    env = _env(spark, [
+        (OP_INSERT, None, (1, "A", 10.0), 1),
+        (OP_INSERT, None, (2, "A", 20.0), 2),
+        (OP_INSERT, None, (3, "B", 30.0), 3),
+        (OP_UPDATE, (2, "A", 20.0), (2, "B", 25.0), 10),  # A -> B move
+        (OP_DELETE, (3, "B", 30.0), None, 20),
+        (OP_DELETE, (1, "A", 10.0), None, 21),            # A count -> 0
+    ])
+    ra = RetractAggregateStream(spark, str(tmp_path / "work"), "grp", "v")
+    ra.stage(env, "k")
+    ra.run()
+    out = {r.grp: (r.n_rows, r.sum_cents) for r in ra.current_state().collect()}
+    assert out == {"B": (1, 2500)}  # only k2 survives, moved to B
+    # four committed epochs, one per staged micro-batch
+    assert len(ra._committed_versions()) == 4
+
+
+def test_epoch_retry_is_idempotent(spark, tmp_path):
+    """Re-running an epoch's merge (foreachBatch crash-retry) rewrites
+    the same version from the same predecessor — state is unchanged."""
+    env = _env(spark, [
+        (OP_INSERT, None, (1, "A", 10.0), 1),
+        (OP_INSERT, None, (2, "B", 20.0), 2),
+        (OP_UPDATE, (2, "B", 20.0), (2, "B", 99.0), 10),
+        (OP_DELETE, (1, "A", 10.0), None, 20),
+    ])
+    ra = RetractAggregateStream(spark, str(tmp_path / "work"), "grp", "v")
+    ra.stage(env, "k")
+    ra.run()
+    before = sorted(
+        (r.grp, r.n_rows, r.sum_cents) for r in ra.current_state().collect()
+    )
+    versions = ra._committed_versions()
+    last = versions[-1]
+    # replay the LAST epoch against the same predecessor
+    batch_df = ra.spark.read.schema(ra._schema).parquet(
+        f"{ra.active}/b3.parquet"
+    )
+    deltas = contribution_deltas(batch_df, "grp", "v")
+    prior = [v for v in versions if v < last]
+    prev = ra._read_version(max(prior))
+    merge_state(prev, deltas).write.mode("overwrite").parquet(
+        f"{ra.state_dir}/v{last}"
+    )
+    after = sorted(
+        (r.grp, r.n_rows, r.sum_cents) for r in ra.current_state().collect()
+    )
+    assert before == after == [("B", 1, 9900)]
