@@ -30,3 +30,25 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     lineitem join, grouped revenue, deterministic top-10."""
     cust, orders, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
     return tpch.q3_shipping_priority(cust, orders, li)
+
+
+@register("tpch_q5_local_supplier_volume", tpch.q5_oracle_sql())
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: region->nation broadcast cascade prunes customer
+    and supplier before the single big lineitem x orders shuffle join;
+    same-nation locality enforced on the joined row; 5-row aggregate."""
+    reg, nat, cust, supp, orders, li = _tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier",
+        "orders", "lineitem",
+    )
+    return tpch.q5_local_supplier_volume(reg, nat, cust, supp, orders, li)
+
+
+@register("tpch_q18_large_volume_customer", tpch.q18_oracle_sql())
+def tpch_q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: lineitem self-aggregation with the HAVING filter
+    applied before any join; the sublinear heavy-order relation
+    broadcasts onto orders then customer — the big tables never shuffle
+    for a join; deterministic top-100."""
+    cust, orders, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return tpch.q18_large_volume_customer(cust, orders, li)

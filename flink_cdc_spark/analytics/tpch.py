@@ -139,3 +139,157 @@ def q3_oracle_sql(
     ORDER BY revenue_micros DESC, o_orderdate_us ASC, l_orderkey ASC
     LIMIT 10
     """
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_FROM = "1996-01-01"
+Q5_DATE_TO = "1997-01-01"
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    r_name: str = Q5_REGION,
+    date_from: str = Q5_DATE_FROM,
+    date_to: str = Q5_DATE_TO,
+) -> DataFrame:
+    """-> (n_name, revenue_micros): Q5's six-table star — revenue by
+    nation for `r_name`-region customers served by SAME-NATION suppliers
+    within the order-date year.
+
+    Plan shape: region->nation is a broadcast cascade onto supplier and
+    customer (dims resolve executor-side; the nation filter prunes both
+    fact-feeding joins BEFORE any big shuffle); orders carries its pushed
+    date-range filter into the lineitem join on orderkey; the
+    c_nationkey = s_nationkey locality constraint is enforced on the
+    joined row. One big-fact shuffle join (lineitem x orders), broadcast
+    everywhere else, final 5-row aggregate map-side combined."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    nations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == r_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nations), customer.c_nationkey == nations.n_nationkey
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nk"), "n_name")
+    supp = supplier.join(
+        F.broadcast(nations.select("n_nationkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
+    )
+    joined = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .where(F.col("cust_nk") == F.col("supp_nk"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum("rev").cast("decimal(38,0)").alias("revenue_micros"))
+        .orderBy(F.col("revenue_micros").desc(), F.col("n_name").asc())
+    )
+
+
+def q5_oracle_sql(
+    r_name: str = Q5_REGION,
+    date_from: str = Q5_DATE_FROM,
+    date_to: str = Q5_DATE_TO,
+) -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    return f"""
+    SELECT n_name,
+           CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS revenue_micros
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{r_name}'
+      AND o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{date_to} 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue_micros DESC, n_name ASC
+    """
+
+
+Q18_QTY_CENTS = 180 * 100
+
+
+def q18_large_volume_customer(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_cents: int = Q18_QTY_CENTS,
+) -> DataFrame:
+    """-> top-100 (c_custkey, o_orderkey, o_orderdate_us,
+    o_total_cents, sum_qty_cents): Q18 — orders whose total line
+    quantity exceeds the threshold, with their customer.
+
+    Plan shape: ONE exchange aggregates lineitem by orderkey with the
+    HAVING filter applied before anything joins; the qualifying-order
+    relation (corpus-sublinear: heavy orders only) broadcasts onto
+    orders, and that filtered result broadcasts onto customer — the two
+    big tables never shuffle for a join. Top-100 is
+    TakeOrderedAndProject with a fully deterministic tie-break."""
+    qty = F.expr(_CENTS.format(col="l_quantity"))
+    heavy = (
+        lineitem.select("l_orderkey", qty.alias("qc"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("qc").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_qty_cents"))
+        .where(F.col("sum_qty_cents") > qty_cents)
+    )
+    ords = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
+            "cast(o_orderdate as timestamp_ntz))"
+        ).alias("o_orderdate_us"),
+        F.expr(_CENTS.format(col="o_totalprice")).alias("o_total_cents"),
+    )
+    return (
+        ords.join(F.broadcast(heavy), ords.o_orderkey == heavy.l_orderkey)
+        .join(customer.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_orderdate_us", "o_total_cents", "sum_qty_cents")
+        .orderBy(
+            F.col("o_total_cents").desc(),
+            F.col("o_orderdate_us").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def q18_oracle_sql(qty_cents: int = Q18_QTY_CENTS) -> str:
+    qty = _CENTS.format(col="l_quantity")
+    cents = _CENTS.format(col="o_totalprice")
+    return f"""
+    WITH heavy AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST({qty} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_qty_cents
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum_qty_cents > {qty_cents}
+    )
+    SELECT c_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+           CAST({cents} AS BIGINT) AS o_total_cents, sum_qty_cents
+    FROM orders
+    JOIN heavy ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_total_cents DESC, o_orderdate_us ASC, o_orderkey ASC
+    LIMIT 100
+    """

@@ -3674,6 +3674,8 @@ _PRIORITY = [
     "text_gopher_rules",
     "events_retention_cohorts",
     "streaming_retract_aggregate",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
     # r8-green rows whose CONTRACT changed this round (U/D records now
     # replay through the kafka source; must re-verify under the driver):
     "kafka_source_topic_replay",

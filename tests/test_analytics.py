@@ -53,3 +53,57 @@ def test_q3_top10_deterministic(spark):
     out = tpch.q3_shipping_priority(cust, orders, li).collect()
     assert [r.l_orderkey for r in out] == [100, 101]
     assert all(int(r.revenue_micros) == 1000 * 1000000 for r in out)
+
+
+def test_q5_same_nation_constraint(spark):
+    """Only lineitems whose supplier shares the customer's nation count;
+    non-region nations are pruned by the broadcast cascade."""
+    t = datetime.datetime(1996, 6, 1)
+    reg = spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")], "r_regionkey int, r_name string"
+    )
+    nat = spark.createDataFrame(
+        [(10, "JAPAN", 0), (11, "CHINA", 0), (20, "FRANCE", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    cust = spark.createDataFrame(
+        [(1, 10), (2, 20)], "c_custkey long, c_nationkey int"
+    )
+    supp = spark.createDataFrame(
+        [(5, 10), (6, 11)], "s_suppkey long, s_nationkey int"
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, t), (101, 2, t)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    )
+    li = spark.createDataFrame(
+        [
+            (100, 5, 10.0, 0.0),   # JAPAN cust, JAPAN supp -> counts
+            (100, 6, 10.0, 0.0),   # JAPAN cust, CHINA supp -> locality fails
+            (101, 5, 10.0, 0.0),   # FRANCE cust -> region pruned
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    out = tpch.q5_local_supplier_volume(reg, nat, cust, supp, orders, li).collect()
+    assert [(r.n_name, int(r.revenue_micros)) for r in out] == [
+        ("JAPAN", 1000 * 1000000)
+    ]
+
+
+def test_q18_having_filter_precedes_joins(spark):
+    t = datetime.datetime(1996, 6, 1)
+    cust = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(100, 1, t, 50.0), (101, 2, t, 60.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(100, 100.0), (100, 90.0),    # 190 > 180 -> heavy
+         (101, 30.0)],                 # light -> excluded
+        "l_orderkey long, l_quantity double",
+    )
+    out = tpch.q18_large_volume_customer(cust, orders, li).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.c_custkey, r.o_orderkey, int(r.o_total_cents),
+            int(r.sum_qty_cents)) == (1, 100, 5000, 19000)
