@@ -1332,6 +1332,82 @@ def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
+_CUST_VIEW_MUT = MutationSpec(
+    key_column="c_custkey",
+    update_exprs={"c_acctbal": "c_acctbal + 50", "c_mktsegment": "'VIEWSEG'"},
+)
+
+_VIEW_SUPERSET = [
+    ("o_orderkey", "bigint"),
+    ("o_totalprice", "double"),
+    ("o_orderstatus", "string"),
+    ("o_custkey", "bigint"),
+    ("c_custkey", "bigint"),
+    ("c_name", "string"),
+    ("c_acctbal", "double"),
+    ("c_mktsegment", "string"),
+]
+
+
+def _inc_join_oracle():
+    fo = _ORDERS_MUT.oracle_final_state_sql(
+        "orders", ["o_orderkey", "o_totalprice", "o_orderstatus", "o_custkey"]
+    )
+    fc = _CUST_VIEW_MUT.oracle_final_state_sql(
+        "customer", ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    )
+    return f"""
+    WITH fo AS ({fo}), fc AS ({fc})
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           c_name, c_acctbal, c_mktsegment
+    FROM fo JOIN fc ON o_custkey = c_custkey
+    """
+
+
+@register("streaming_incremental_join_view", _inc_join_oracle())
+def streaming_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance: orders ⋈ customer kept
+    correct under I/U/D on BOTH sides, replayed as four interleaved
+    micro-batches over one harmonized-payload stream. Each epoch repairs
+    only view rows whose left pk or join key the batch touched (broadcast
+    semi/anti-joins on the delta-sized key sets — the unaffected bulk
+    carries forward untouched) and is idempotent under foreachBatch
+    retry (epoch-keyed state versions). Oracle: the maintained view ==
+    the batch join of the two post-changelog final states — customer
+    deletes must drop their orders' view rows, customer updates must
+    rewrite every referencing row."""
+    import tempfile
+
+    from .streaming.incremental_join import IncrementalJoinView, harmonize_envelope
+
+    pin_session(spark)
+    src = ParquetTableSource(spark, sf_dir)
+    orders_env = harmonize_envelope(
+        src.changelog("orders", "default.orders", _ORDERS_MUT), _VIEW_SUPERSET
+    )
+    cust_env = harmonize_envelope(
+        src.changelog("customer", "default.customer", _CUST_VIEW_MUT),
+        _VIEW_SUPERSET,
+    )
+    work = tempfile.mkdtemp(prefix="cdc_incjoin_", dir="/tmp")
+    ijv = IncrementalJoinView(
+        spark,
+        work,
+        left_table_id="default.orders",
+        right_table_id="default.customer",
+        pk_left="o_orderkey",
+        join_key="o_custkey",
+        pk_right="c_custkey",
+        left_cols=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+        right_cols=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+    )
+    ijv.stage(orders_env.unionByName(cust_env))
+    ijv.run()
+    result = ijv.current_view()
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
 def _enrich_oracle():
     from .streaming.enrich import stream_static_enrich_oracle_sql
 
@@ -3674,6 +3750,7 @@ _PRIORITY = [
     "text_gopher_rules",
     "events_retention_cohorts",
     "streaming_retract_aggregate",
+    "streaming_incremental_join_view",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     # r8-green rows whose CONTRACT changed this round (U/D records now

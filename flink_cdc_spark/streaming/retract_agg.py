@@ -191,19 +191,23 @@ class RetractAggregateStream:
                 os.path.join(self.state_dir, f"v{epoch_id}")
             )
 
+        from .windowed import STATE_PARTITIONS, scoped_shuffle_partitions
+
         stream = (
             self.spark.readStream.schema(self._schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(self.active)
         )
-        q = (
-            stream.writeStream.outputMode("update")
-            .foreachBatch(merge_epoch)
-            .option("checkpointLocation", self.ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # tiny per-epoch relations: full shuffle width is pure overhead
+        with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
+            q = (
+                stream.writeStream.outputMode("update")
+                .foreachBatch(merge_epoch)
+                .option("checkpointLocation", self.ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
 
     def current_state(self) -> DataFrame:
         versions = self._committed_versions()

@@ -1,0 +1,120 @@
+"""Incremental join-view maintenance (streaming/incremental_join)."""
+
+from flink_cdc_spark.sources.envelope import (
+    ENVELOPE_META,
+    ENVELOPE_OP,
+    ENVELOPE_SEQ,
+    ENVELOPE_TABLE_ID,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+)
+from flink_cdc_spark.streaming.incremental_join import IncrementalJoinView
+
+_PAYLOAD = (
+    "struct<o_pk:bigint, o_fk:bigint, o_val:string,"
+    " c_pk:bigint, c_name:string>"
+)
+
+
+def _env(spark, rows):
+    """rows: (table_id, op, before|None, after|None, seq); payload tuples
+    are (o_pk, o_fk, o_val, c_pk, c_name) with None padding."""
+    data = [(tid, op, b, a, {}, seq) for tid, op, b, a, seq in rows]
+    return spark.createDataFrame(
+        data,
+        f"{ENVELOPE_TABLE_ID} string, {ENVELOPE_OP} string, "
+        f"before {_PAYLOAD}, after {_PAYLOAD}, "
+        f"{ENVELOPE_META} map<string,string>, {ENVELOPE_SEQ} bigint",
+    )
+
+
+def _o(pk, fk, val):
+    return (pk, fk, val, None, None)
+
+
+def _c(pk, name):
+    return (None, None, None, pk, name)
+
+
+def _build(spark, tmp_path, rows):
+    ijv = IncrementalJoinView(
+        spark,
+        str(tmp_path / "work"),
+        left_table_id="t.orders",
+        right_table_id="t.cust",
+        pk_left="o_pk",
+        join_key="o_fk",
+        pk_right="c_pk",
+        left_cols=["o_pk", "o_fk", "o_val"],
+        right_cols=["c_pk", "c_name"],
+    )
+    ijv.stage(_env(spark, rows))
+    ijv.run()
+    return ijv
+
+
+def test_view_tracks_both_sides(spark, tmp_path):
+    """Right-side update rewrites every referencing view row; right-side
+    delete drops them; left-side update can re-point the join key."""
+    rows = [
+        ("t.cust", OP_INSERT, None, _c(10, "ann"), 1),
+        ("t.cust", OP_INSERT, None, _c(11, "bob"), 2),
+        ("t.cust", OP_INSERT, None, _c(12, "cyd"), 3),
+        ("t.orders", OP_INSERT, None, _o(1, 10, "a"), 4),
+        ("t.orders", OP_INSERT, None, _o(2, 10, "b"), 5),
+        ("t.orders", OP_INSERT, None, _o(3, 11, "c"), 6),
+        ("t.orders", OP_INSERT, None, _o(4, 12, "d"), 7),
+        # updates (batch 2): rename ann -> ANN, re-point order 3 to cust 12
+        ("t.cust", OP_UPDATE, _c(10, "ann"), _c(10, "ANN"), 10),
+        ("t.orders", OP_UPDATE, _o(3, 11, "c"), _o(3, 12, "c2"), 11),
+        # deletes (batch 3): cust 12 disappears -> orders 3 and 4 leave the view
+        ("t.cust", OP_DELETE, _c(12, "cyd"), None, 20),
+    ]
+    ijv = _build(spark, tmp_path, rows)
+    view = {(r.o_pk): (r.o_fk, r.o_val, r.c_name)
+            for r in ijv.current_view().collect()}
+    assert view == {
+        1: (10, "a", "ANN"),
+        2: (10, "b", "ANN"),
+        # order 3 re-pointed to cust 12, which was then deleted -> gone
+        # order 4 referenced cust 12 -> gone
+    }
+
+
+def test_insert_then_delete_same_batch_never_materializes(spark, tmp_path):
+    rows = [
+        ("t.cust", OP_INSERT, None, _c(10, "ann"), 1),
+        ("t.orders", OP_INSERT, None, _o(2, 10, "b"), 2),
+        # key 5: born and killed inside the deletes batch (seq order)
+        ("t.orders", OP_INSERT, None, _o(5, 10, "x"), 3),
+        ("t.orders", OP_DELETE, _o(5, 10, "x"), None, 30),
+    ]
+    ijv = _build(spark, tmp_path, rows)
+    pks = sorted(r.o_pk for r in ijv.current_view().collect())
+    assert pks == [2]
+
+
+def test_epoch_retry_is_idempotent(spark, tmp_path):
+    """Re-running the last epoch's merge rewrites the same versions from
+    the same predecessors — view unchanged (foreachBatch retry safety)."""
+    rows = [
+        ("t.cust", OP_INSERT, None, _c(10, "ann"), 1),
+        ("t.orders", OP_INSERT, None, _o(1, 10, "a"), 2),
+        ("t.orders", OP_INSERT, None, _o(2, 10, "b"), 3),
+        ("t.orders", OP_UPDATE, _o(2, 10, "b"), _o(2, 10, "B"), 10),
+        ("t.orders", OP_DELETE, _o(1, 10, "a"), None, 20),
+    ]
+    ijv = _build(spark, tmp_path, rows)
+    before = sorted(
+        (r.o_pk, r.o_val, r.c_name) for r in ijv.current_view().collect()
+    )
+    last = ijv._versions("view")[-1]
+    batch_df = ijv.spark.read.schema(ijv._schema).parquet(
+        f"{ijv.active}/b3.parquet"
+    )
+    ijv._merge_epoch(batch_df, last)
+    after = sorted(
+        (r.o_pk, r.o_val, r.c_name) for r in ijv.current_view().collect()
+    )
+    assert before == after == [(2, "B", "ann")]
