@@ -118,3 +118,40 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
         (r.o_pk, r.o_val, r.c_name) for r in ijv.current_view().collect()
     )
     assert before == after == [(2, "B", "ann")]
+
+
+def test_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A fresh IncrementalJoinView over the same work dir processes only
+    NEW batch files (the checkpoint already committed b0-b3) and keeps
+    maintaining the same state lineage."""
+    import os
+    import time
+
+    rows = [
+        ("t.cust", OP_INSERT, None, _c(10, "ann"), 1),
+        ("t.orders", OP_INSERT, None, _o(1, 10, "a"), 2),
+        ("t.orders", OP_INSERT, None, _o(2, 10, "b"), 3),
+    ]
+    ijv = _build(spark, tmp_path, rows)
+    n_epochs = len(ijv._versions("view"))
+    # a later batch file: delete order 1
+    late = _env(spark, [("t.orders", OP_DELETE, _o(1, 10, "a"), None, 30)])
+    d = str(tmp_path / "late")
+    late.coalesce(1).write.mode("overwrite").parquet(d)
+    for fn in os.listdir(d):
+        if fn.endswith(".parquet"):
+            dst = os.path.join(ijv.active, "b9.parquet")
+            os.rename(os.path.join(d, fn), dst)
+            t = time.time() + 60
+            os.utime(dst, (t, t))
+    ijv2 = IncrementalJoinView(
+        spark, str(tmp_path / "work"),
+        left_table_id="t.orders", right_table_id="t.cust",
+        pk_left="o_pk", join_key="o_fk", pk_right="c_pk",
+        left_cols=["o_pk", "o_fk", "o_val"], right_cols=["c_pk", "c_name"],
+    )
+    ijv2._schema = ijv._schema
+    ijv2.run()
+    assert len(ijv2._versions("view")) == n_epochs + 1  # exactly one new epoch
+    view = sorted((r.o_pk, r.c_name) for r in ijv2.current_view().collect())
+    assert view == [(2, "ann")]
