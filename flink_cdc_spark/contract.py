@@ -1315,17 +1315,26 @@ def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch). The maintained state must equal a from-scratch
     aggregate over the post-changelog final state — the oracle. Money in
     exact integer cents (tpch_q1 discipline)."""
+    import hashlib
+    import os
     import tempfile
 
     from .streaming.retract_agg import RetractAggregateStream
 
     pin_session(spark)
-    env = ParquetTableSource(spark, sf_dir).changelog(
-        "orders", "default.orders", _ORDERS_MUT
-    )
+    # staging is deterministic per sf_dir: share it across runs (the
+    # windowed-watermark pattern); checkpoint + state stay per-run
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = f"/tmp/flink_cdc_spark_retract/{key}"
     work = tempfile.mkdtemp(prefix="cdc_retract_", dir="/tmp")
-    ra = RetractAggregateStream(spark, work, "o_orderstatus", "o_totalprice")
-    ra.stage(env, "o_orderkey")
+    ra = RetractAggregateStream(
+        spark, work, "o_orderstatus", "o_totalprice", staged_dir=staged
+    )
+    if not ra.staged():
+        env = ParquetTableSource(spark, sf_dir).changelog(
+            "orders", "default.orders", _ORDERS_MUT
+        )
+        ra.stage(env, "o_orderkey")
     ra.run()
     result = ra.current_state()
     rows = result.collect()
@@ -1376,19 +1385,14 @@ def streaming_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFra
     the batch join of the two post-changelog final states — customer
     deletes must drop their orders' view rows, customer updates must
     rewrite every referencing row."""
+    import hashlib
     import tempfile
 
     from .streaming.incremental_join import IncrementalJoinView, harmonize_envelope
 
     pin_session(spark)
-    src = ParquetTableSource(spark, sf_dir)
-    orders_env = harmonize_envelope(
-        src.changelog("orders", "default.orders", _ORDERS_MUT), _VIEW_SUPERSET
-    )
-    cust_env = harmonize_envelope(
-        src.changelog("customer", "default.customer", _CUST_VIEW_MUT),
-        _VIEW_SUPERSET,
-    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = f"/tmp/flink_cdc_spark_incjoin/{key}"
     work = tempfile.mkdtemp(prefix="cdc_incjoin_", dir="/tmp")
     ijv = IncrementalJoinView(
         spark,
@@ -1400,8 +1404,18 @@ def streaming_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFra
         pk_right="c_custkey",
         left_cols=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
         right_cols=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+        staged_dir=staged,
     )
-    ijv.stage(orders_env.unionByName(cust_env))
+    if not ijv.staged():
+        src = ParquetTableSource(spark, sf_dir)
+        orders_env = harmonize_envelope(
+            src.changelog("orders", "default.orders", _ORDERS_MUT), _VIEW_SUPERSET
+        )
+        cust_env = harmonize_envelope(
+            src.changelog("customer", "default.customer", _CUST_VIEW_MUT),
+            _VIEW_SUPERSET,
+        )
+        ijv.stage(orders_env.unionByName(cust_env))
     ijv.run()
     result = ijv.current_view()
     rows = result.collect()

@@ -39,6 +39,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sinks.materialize import materialize_changelog
+from .retract_agg import stage_replay_batches
 from ..sources.envelope import ENVELOPE_OP, ENVELOPE_TABLE_ID, OP_DELETE, OP_INSERT, OP_UPDATE
 
 N_REPLAY_BATCHES = 4
@@ -83,6 +84,7 @@ class IncrementalJoinView:
         pk_right: str,
         left_cols,
         right_cols,
+        staged_dir: Optional[str] = None,
     ):
         self.spark = spark
         self.left_table_id = left_table_id
@@ -92,7 +94,7 @@ class IncrementalJoinView:
         self.pk_right = pk_right
         self.left_cols = list(left_cols)
         self.right_cols = list(right_cols)
-        self.active = os.path.join(work_dir, "active")
+        self.active = staged_dir or os.path.join(work_dir, "active")
         self.ckpt = os.path.join(work_dir, "ckpt")
         self.state_dir = os.path.join(work_dir, "state")
         os.makedirs(self.active, exist_ok=True)
@@ -118,23 +120,7 @@ class IncrementalJoinView:
             .otherwise(F.lit(3)),
         )
         self._schema = env.drop("__b").schema
-        now = time.time()
-        for b in range(N_REPLAY_BATCHES):
-            d = os.path.join(self.active, f"stage_b{b}")
-            env.where(F.col("__b") == b).drop("__b").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(d)
-            for fn in os.listdir(d):
-                if fn.endswith(".parquet"):
-                    shutil.move(
-                        os.path.join(d, fn),
-                        os.path.join(self.active, f"b{b}.parquet"),
-                    )
-                    os.utime(
-                        os.path.join(self.active, f"b{b}.parquet"),
-                        (now + b, now + b),
-                    )
-            shutil.rmtree(d)
+        stage_replay_batches(env, self.active)
 
     # -- state versioning (retract_agg pattern) -----------------------------
 
@@ -222,7 +208,14 @@ class IncrementalJoinView:
         view_new = repaired if carried is None else carried.unionByName(repaired)
         self._write("view", epoch_id, view_new)
 
+    def staged(self) -> bool:
+        return os.path.exists(os.path.join(self.active, "_STAGED"))
+
     def run(self) -> None:
+        if self._schema is None:  # attached to a pre-staged directory
+            self._schema = self.spark.read.parquet(
+                os.path.join(self.active, "b0.parquet")
+            ).schema
         from .windowed import STATE_PARTITIONS, scoped_shuffle_partitions
 
         stream = (
