@@ -3765,6 +3765,7 @@ _PRIORITY = [
     "events_retention_cohorts",
     "streaming_retract_aggregate",
     "streaming_incremental_join_view",
+    "events_value_quantiles",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     # r8-green rows whose CONTRACT changed this round (U/D records now

@@ -887,6 +887,24 @@ def events_retention_cohorts(spark, sf_dir):
     return features.retention_cohorts(ev)
 
 
+def _quantiles_oracle():
+    from . import features
+
+    return features.value_quantiles_oracle_sql()
+
+
+@register("events_value_quantiles", _quantiles_oracle())
+def events_value_quantiles(spark, sf_dir):
+    """Exact discrete quantiles (PERCENTILE_DISC ordered-set aggregate)
+    of value-cents per event type — disc on integers, so no
+    interpolation arithmetic can diverge engines; one group exchange."""
+    from . import features
+    from ..sources.parquet_source import ParquetTableSource
+
+    ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
+    return features.value_quantiles(ev)
+
+
 def _corpus_pipeline_oracle() -> str:
     """Composite oracle for the v2 corpus pipeline — exact dedup ->
     overlapping-chunk -> sharded epoch shuffle -> split labels — chained

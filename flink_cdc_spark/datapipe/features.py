@@ -446,3 +446,58 @@ def retention_cohorts_oracle_sql(
     SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM active GROUP BY cohort_day, day_offset
     """
+
+
+QUANTILE_PS = (0.5, 0.9, 0.99)
+
+
+def value_quantiles(
+    events: DataFrame,
+    etype: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """-> (event_type, n, p50_cents, p90_cents, p99_cents): exact
+    discrete quantiles of the value distribution per event type — the
+    SQL-standard ordered-set aggregate PERCENTILE_DISC (smallest element
+    whose cumulative distribution reaches p), verified differentially
+    against DuckDB's quantile_disc on randomized data before the oracle
+    was trusted.
+
+    Determinism: disc (not cont) on integer cents — the aggregate picks
+    an ACTUAL element, so there is no interpolation arithmetic to
+    diverge. One exchange on the group key; Spark's exact percentile
+    buffers a group's values, so group cardinality bounds memory — for
+    corpus-sized groups the approx_percentile sketch is the scale path;
+    this op gates the exact operator the sketch is judged against."""
+    cents = F.expr(f"CAST(floor({value} * 100 + 0.5) AS BIGINT)")
+    base = events.where(F.col(value).isNotNull()).select(
+        F.col(etype).alias("event_type"), cents.alias("v_cents")
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")] + [
+        F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY v_cents)")
+        .cast("bigint")
+        .alias(f"p{int(p * 100)}_cents")
+        for p in QUANTILE_PS
+    ]
+    return base.groupBy("event_type").agg(*aggs)
+
+
+def value_quantiles_oracle_sql(
+    table: str = "events",
+    etype: str = "event_type",
+    value: str = "value",
+) -> str:
+    cents = f"CAST(floor({value} * 100 + 0.5) AS BIGINT)"
+    qs = ",\n           ".join(
+        f"CAST(quantile_disc(v_cents, {p}) AS BIGINT) AS p{int(p * 100)}_cents"
+        for p in QUANTILE_PS
+    )
+    return f"""
+    WITH base AS (
+      SELECT {etype} AS event_type, {cents} AS v_cents
+      FROM {table} WHERE {value} IS NOT NULL
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {qs}
+    FROM base GROUP BY event_type
+    """

@@ -903,3 +903,18 @@ def test_salted_join_equals_plain_join(spark):
             for r in skew.salted_join(big, small, "k", "uniq",
                                       n_salt=4, how="left").collect()}
     assert left == plain | {(9, 102, None)}
+
+
+def test_value_quantiles_disc_picks_actual_elements(spark):
+    """percentile_disc returns the smallest element whose cumulative
+    distribution reaches p — an actual element, never an interpolation."""
+    from flink_cdc_spark.datapipe import features
+
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 7.77)],
+        "event_type STRING, value DOUBLE",
+    )
+    rows = {r.event_type: r for r in features.value_quantiles(ev).collect()}
+    assert (rows["a"].n, rows["a"].p50_cents, rows["a"].p90_cents,
+            rows["a"].p99_cents) == (4, 200, 400, 400)
+    assert (rows["b"].n, rows["b"].p50_cents) == (1, 777)
