@@ -677,7 +677,7 @@ sink: {type: values}
 transform:
   - source-table: db.customer
     projection: "*, CHAR_LENGTH(c_name) AS name_len"
-    primary-key: c_custkey
+    primary-keys: c_custkey
 pipeline: {execution.runtime-mode: BATCH, schema.change.behavior: EVOLVE}
 """
     composer = EventPipelineComposer(spark, parse_pipeline_yaml(yaml_text))
@@ -3710,7 +3710,7 @@ transform:
   - source-table: default.nation
     projection: n_nationkey, n_name, UPPER(n_name) AS upper_name
     filter: n_regionkey > 1
-    primary-key: n_nationkey
+    primary-keys: n_nationkey
 pipeline:
   name: cli-e2e
   execution.runtime-mode: BATCH

@@ -24,6 +24,70 @@ from .definition import (
 )
 
 
+# Strict key validation (YamlPipelineDefinitionParser.java:130-146,
+# 281-347, 451-500): unknown keys fail loudly instead of being silently
+# ignored; required keys are checked per block; list blocks must be
+# arrays. Messages mirror the reference (rules corpus
+# flink-cdc-pipeline-e2e-tests/src/test/resources/rules/*.yaml).
+_TOP_LEVEL_NAME = "top-level"
+_BLOCK_KEYS = {
+    _TOP_LEVEL_NAME: (["source", "sink"], ["route", "transform", "pipeline"]),
+    "route": (["source-table", "sink-table"], ["replace-symbol", "description"]),
+    "transform": (
+        ["source-table"],
+        [
+            "projection",
+            "filter",
+            "primary-keys",
+            "partition-keys",
+            "table-options",
+            "table-options.delimiter",
+            "description",
+            "converter-after-transform",
+        ],
+    ),
+    "UDF": (["name", "classpath"], ["options"]),
+}
+
+
+def _validate_keys(context: str, block: dict) -> None:
+    required, optional = _BLOCK_KEYS[context]
+    valid = required + optional
+    for key in block:
+        if key not in valid:
+            if context == _TOP_LEVEL_NAME:
+                raise ValueError(
+                    f"Unexpected key `{key}` in YAML top-level block.\n"
+                    f"Allowed keys in this context are: {valid}\n"
+                    'Note: Flink configurations should be defined in '
+                    '"Runtime Configurations" instead of YAML scripts.'
+                )
+            raise ValueError(
+                f"Unexpected key `{key}` in YAML {context} block.\n"
+                f"Allowed keys in this context are: {valid}\n"
+                f"Note: option {key}: {block[key]!r} is unexpected. It was "
+                "silently ignored in previous versions, and probably should "
+                "be removed."
+            )
+    for key in required:
+        if key not in block:
+            raise ValueError(
+                f'Missing required field "{key}" in {context} configuration'
+            )
+
+
+def _validate_array(context: str, node) -> list:
+    if node is None:
+        return []
+    if not isinstance(node, list):
+        raise ValueError(
+            f"YAML {context} block is expecting an array children, but got "
+            f"{type(node).__name__} ({node!r}). Perhaps you missed a dash "
+            "prefix `-`?"
+        )
+    return node
+
+
 def _split_keys(value) -> tuple:
     if value is None:
         return ()
@@ -58,10 +122,7 @@ def parse_pipeline_yaml(text: str, global_config: dict | None = None) -> Pipelin
         doc["pipeline"] = merged
     if not isinstance(doc, dict):
         raise ValueError("Pipeline YAML must be a mapping")
-    if "source" not in doc:
-        raise ValueError("Missing required 'source' block")
-    if "sink" not in doc:
-        raise ValueError("Missing required 'sink' block")
+    _validate_keys(_TOP_LEVEL_NAME, doc)
 
     src_block = dict(doc["source"])
     source = SourceDef(
@@ -82,7 +143,8 @@ def parse_pipeline_yaml(text: str, global_config: dict | None = None) -> Pipelin
     )
 
     routes = []
-    for r in doc.get("route") or []:
+    for r in _validate_array("route", doc.get("route")):
+        _validate_keys("route", r)
         routes.append(
             RouteDef(
                 source_table=r["source-table"],
@@ -93,7 +155,8 @@ def parse_pipeline_yaml(text: str, global_config: dict | None = None) -> Pipelin
         )
 
     transforms = []
-    for t in doc.get("transform") or []:
+    for t in _validate_array("transform", doc.get("transform")):
+        _validate_keys("transform", t)
         transforms.append(
             TransformDef(
                 source_table=t["source-table"],
@@ -108,14 +171,18 @@ def parse_pipeline_yaml(text: str, global_config: dict | None = None) -> Pipelin
         )
 
     pipeline_block = dict(doc.get("pipeline") or {})
-    udfs = [
-        UdfDef(
-            name=u["name"],
-            classpath=u["classpath"],
-            options=dict(u.get("options") or {}),
+    udfs = []
+    for u in _validate_array(
+        "UDF", pipeline_block.pop("user-defined-function", None)
+    ):
+        _validate_keys("UDF", u)
+        udfs.append(
+            UdfDef(
+                name=u["name"],
+                classpath=u["classpath"],
+                options=dict(u.get("options") or {}),
+            )
         )
-        for u in pipeline_block.pop("user-defined-function", None) or []
-    ]
     models = [
         ModelDef(
             model_name=m["model-name"],

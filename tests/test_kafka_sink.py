@@ -202,7 +202,7 @@ sink:
 transform:
   - source-table: default.nation
     projection: n_nationkey, n_name
-    primary-key: n_nationkey
+    primary-keys: n_nationkey
 pipeline:
   name: kafka-spool
   execution.runtime-mode: BATCH

@@ -158,7 +158,7 @@ transform:
   - source-table: app.orders
     projection: id, UPPER(item) AS item_u, qty
     filter: qty >= 2
-    primary-key: id
+    primary-keys: id
 pipeline:
   name: mysql-wire-replay
   execution.runtime-mode: BATCH
@@ -631,7 +631,7 @@ sink:
 transform:
   - source-table: app.t
     projection: id, v, op_ts AS opts
-    primary-key: id
+    primary-keys: id
 pipeline:
   name: op-ts-meta
   execution.runtime-mode: BATCH
