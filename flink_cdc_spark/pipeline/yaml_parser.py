@@ -189,7 +189,7 @@ def parse_pipeline_yaml(text: str, global_config: dict | None = None) -> Pipelin
             class_name=m["class-name"],
             options={k: v for k, v in m.items() if k not in ("model-name", "class-name")},
         )
-        for m in pipeline_block.pop("model", None) or []
+        for m in _validate_array("model", pipeline_block.pop("model", None))
     ]
 
     config = PipelineConfig(

@@ -89,3 +89,21 @@ def test_route_must_be_array():
 def test_transform_must_be_array():
     msg = _err(_VALID + "transform:\n  source-table: foo.bar\n")
     assert "YAML transform block is expecting an array children" in msg
+
+
+def test_model_must_be_array():
+    msg = _err(
+        _VALID
+        + "pipeline:\n  model:\n    model-name: GET_EMBEDDING\n"
+        + "    class-name: OpenAIEmbeddingModel\n"
+    )
+    assert "YAML model block is expecting an array children" in msg
+
+
+def test_udf_must_be_array():
+    msg = _err(
+        _VALID
+        + "pipeline:\n  user-defined-function:\n    name: addone\n"
+        + "    classpath: a.b.C\n"
+    )
+    assert "YAML UDF block is expecting an array children" in msg
