@@ -1428,6 +1428,45 @@ def _enrich_oracle():
     return stream_static_enrich_oracle_sql()
 
 
+def _stream_join_oracle():
+    from .streaming.stream_join import stream_interval_join_oracle_sql
+
+    return stream_interval_join_oracle_sql()
+
+
+@register("streaming_interval_join", _stream_join_oracle())
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click-to-view attribution within a
+    bounded window): both sides replay from the same staged batches, so
+    matches span micro-batches and sit in two-sided join state until the
+    partner arrives. Watermark delay beyond the dataset span keeps it
+    lossless — drained output == the batch pair join (the oracle)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .streaming.stream_join import stream_interval_join
+    from .streaming.windowed import write_replay_batches
+
+    pin_session(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = f"/tmp/flink_cdc_spark_wm/{key}/src"
+    marker = f"{staged}/_READY"
+    if not os.path.exists(marker):
+        events = (
+            ParquetTableSource(spark, sf_dir)
+            .snapshot("events")
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+        write_replay_batches(events, staged)
+        with open(marker, "w") as f:
+            f.write("ok")
+    work = tempfile.mkdtemp(prefix="cdc_sjoin_", dir="/tmp")
+    result = stream_interval_join(spark, staged, work)
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
 @register("streaming_static_enrich", _enrich_oracle())
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the replayed event stream LEFT-joined per
@@ -3766,6 +3805,7 @@ _PRIORITY = [
     "streaming_retract_aggregate",
     "streaming_incremental_join_view",
     "events_value_quantiles",
+    "streaming_interval_join",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     # r8-green rows whose CONTRACT changed this round (U/D records now

@@ -407,3 +407,48 @@ def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
     out = stream_static_enrich(spark, str(staged), dim, str(tmp_path / "work"))
     got = {(r.event_id, r.segment) for r in out.collect()}
     assert got == {(1, "BUILDING"), (2, "AUTO"), (3, None)}
+
+
+def test_stream_interval_join_matches_across_batches(spark, tmp_path):
+    """A view in batch 0 must stay in join state until its click arrives
+    in batch 2; pairs outside the window or for other users don't emit."""
+    import json
+    import os
+    import time
+
+    from flink_cdc_spark.streaming.stream_join import stream_interval_join
+
+    staged = tmp_path / "src"
+    base = 1_700_000_000_000_000  # epoch micros
+
+    def write_batch(name, rows, order):
+        d = staged / name
+        d.mkdir(parents=True)
+        p = d / "data.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        t = time.time() + order
+        os.utime(p, (t, t))
+
+    minute = 60_000_000
+    write_batch("b0", [
+        {"event_id": 1, "ts_us": base, "user_id": 7, "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts_us": base, "user_id": 8, "event_type": "view", "value": 1.0},
+    ], 0)
+    write_batch("b1", [
+        {"event_id": 3, "ts_us": base + 10 * minute, "user_id": 7,
+         "event_type": "click", "value": 1.0},
+    ], 1)
+    write_batch("b2", [
+        # user 7 again, but 90 min after the view: outside the window
+        {"event_id": 4, "ts_us": base + 90 * minute, "user_id": 7,
+         "event_type": "click", "value": 1.0},
+        # user 8's click arrives two batches after their view: must match
+        {"event_id": 5, "ts_us": base + 30 * minute, "user_id": 8,
+         "event_type": "click", "value": 1.0},
+    ], 2)
+
+    out = stream_interval_join(spark, str(staged), str(tmp_path / "work"))
+    pairs = sorted((r.view_id, r.click_id) for r in out.collect())
+    assert pairs == [(1, 3), (2, 5)]
