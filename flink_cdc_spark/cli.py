@@ -267,11 +267,19 @@ def _write_sink(spark, pipeline: PipelineDef, result, summary: RunSummary) -> No
                 pkeys = tuple(
                     p.strip() for p in raw_pk.split(",") if p.strip()
                 )
+            # table.properties. prefix (IcebergDataSinkOptions): stored
+            # verbatim in the v2 metadata properties map
+            tprops = {
+                k[len("table.properties."):]: str(v)
+                for k, v in pipeline.sink.config.items()
+                if k.startswith("table.properties.")
+            }
             store.create_table(
                 table,
                 schema.to_spark_struct(),
                 list(schema.primary_keys),
                 partition_keys=pkeys,
+                properties=tprops,
             )
             store.commit(table, result.changelogs[table], schema.to_spark_struct())
             # sink.compaction.enabled (IcebergDataSinkOptions): binpack

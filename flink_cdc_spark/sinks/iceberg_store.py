@@ -136,13 +136,18 @@ class IcebergTableStore:
         struct: T.StructType,
         primary_keys: Sequence[str],
         partition_keys: Sequence[str] = (),
+        properties: Optional[dict] = None,
     ) -> None:
         """``partition_keys`` (the Iceberg `partition.key` sink option):
         an identity partition spec per the v2 metadata shape — data files
         lay out hive-partitioned, manifests record their partition
         values, and a partition predicate prunes manifests at metadata
         time. Iceberg's own rule applies: partition columns must be
-        immutable per key."""
+        immutable per key.
+
+        ``properties`` (the `table.properties.` prefix surface of
+        IcebergDataSinkOptions): stored verbatim in the v2 metadata
+        `properties` map at creation."""
         if self._load(table) is not None:
             return
         fields = self._fields_from_struct(struct)
@@ -171,6 +176,7 @@ class IcebergTableStore:
                 }
             ],
             "default-spec-id": 0,
+            "properties": dict(properties or {}),
             "snapshots": [],
             "current-snapshot-id": None,
             "last-sequence-number": 0,

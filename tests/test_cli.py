@@ -304,6 +304,8 @@ source:
 sink:
   type: iceberg
   catalog.properties.warehouse: {wh}
+  table.properties.write.format.default: parquet
+  table.properties.commit.retry.num-retries: "3"
 pipeline:
   name: iceberg-e2e
   execution.runtime-mode: BATCH
@@ -316,6 +318,12 @@ pipeline:
     assert st.read("default.region").count() == 5
     assert len(st.snapshots("default.region")) == 1
     assert os.path.isdir(wh / "default.region" / "metadata")
+    # table.properties. prefix persisted verbatim in the v2 metadata
+    meta = st._load("default.region")
+    assert meta["properties"] == {
+        "write.format.default": "parquet",
+        "commit.retry.num-retries": "3",
+    }
 
 
 def test_global_config_layers_under_pipeline(tmp_path, spark):
