@@ -52,3 +52,18 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     for a join; deterministic top-100."""
     cust, orders, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
     return tpch.q18_large_volume_customer(cust, orders, li)
+
+
+@register("join_bucketed_colocated", __import__("flink_cdc_spark.analytics.bucketed", fromlist=["b"]).bucketed_revenue_oracle_sql())
+def join_bucketed_colocated(spark, sf_dir):
+    """Co-located bucketed join: both sides written once bucketed+sorted
+    on the join key, so the repeated sort-merge join runs with ZERO
+    exchanges and no per-side sort (plan-asserted in pytest) — the
+    pre-partitioning strategy for every-query fact x dim joins."""
+    import hashlib
+
+    from . import bucketed
+
+    cust, orders = _tables(spark, sf_dir, "customer", "orders")
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return bucketed.bucketed_revenue_by_segment(spark, orders, cust, suffix)

@@ -107,3 +107,42 @@ def test_q18_having_filter_precedes_joins(spark):
     r = out[0]
     assert (r.c_custkey, r.o_orderkey, int(r.o_total_cents),
             int(r.sum_qty_cents)) == (1, 100, 5000, 19000)
+
+
+def test_bucketed_join_has_no_exchange_before_join(spark):
+    """The co-located bucketed join's physical plan contains NO Exchange
+    below the SortMergeJoin (bucket i joins bucket i directly); the only
+    exchange is the final aggregate's."""
+    from flink_cdc_spark.analytics import bucketed
+
+    orders = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(100)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(i, f"SEG{i % 3}") for i in range(7)],
+        "c_custkey long, c_mktsegment string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = bucketed.bucketed_revenue_by_segment(spark, orders, cust, "ut")
+        rows = {r.c_mktsegment: (r.n_orders, int(r.total_cents))
+                for r in out.collect()}
+        # after execution the AQE plan is final
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan[:800]
+    join_part = plan.split("SortMergeJoin")[-1]
+    # everything BELOW the join (its inputs) must be exchange-free
+    assert "Exchange" not in join_part, join_part[:800]
+    assert "SelectedBucketsCount" in plan  # bucketed scans engaged
+    # independent recompute
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0])
+    for i in range(100):
+        seg = f"SEG{(i % 7) % 3}"
+        exp[seg][0] += 1
+        exp[seg][1] += int(i * 100)
+    assert rows == {k: tuple(v) for k, v in exp.items()}
