@@ -3807,6 +3807,7 @@ _PRIORITY = [
     "events_value_quantiles",
     "streaming_interval_join",
     "join_bucketed_colocated",
+    "sim_filtered_topk",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     # r8-green rows whose CONTRACT changed this round (U/D records now

@@ -49,6 +49,17 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(_pin(spark), spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+@register("sim_filtered_topk", similarity.filtered_topk_oracle_sql(n_queries=N_SIM_QUERIES))
+def sim_filtered_topk(spark, sf_dir):
+    """Metadata-filtered vector search: the label predicate is pushed
+    into the scan BEFORE normalization and the distance join (pre-filter
+    keeps top-k exact over the restricted set; post-filter would lose
+    recall). Same broadcast-query bounded-window shape as cosine_topk."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
+    return similarity.filtered_topk(embs, queries)
+
+
 @register("dedup_exact", dedup.exact_dedup_oracle_sql())
 def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))

@@ -464,3 +464,78 @@ def quantized_topk_oracle_sql(
     )
     SELECT query_id, nbr_id, rank, qcosine FROM ranked WHERE rank <= {k}
     """.replace("FROM ranked_src", "FROM scored")
+
+
+# --------------------------------------------------------------------------
+# metadata-filtered top-k (filtered vector search)
+# --------------------------------------------------------------------------
+
+FILTER_LABELS = (0, 1)
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    labels=FILTER_LABELS,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    label: str = "label",
+) -> DataFrame:
+    """Filtered vector search: top-k cosine neighbors restricted to
+    corpus vectors whose metadata label is in `labels` — the production
+    retrieval shape (tenant / language / freshness filters).
+
+    PRE-filter by construction: the predicate lands in the parquet scan
+    BEFORE normalization and the distance join, so the candidate set —
+    and every downstream byte — shrinks first. Post-filtering a top-k
+    would return < k rows and recall losses; pre-filtering keeps the
+    top-k exact over the restricted set. Plan shape otherwise identical
+    to cosine_topk (broadcast queries, per-query bounded window)."""
+    c = corpus.where(F.col(label).isin(*labels)).selectExpr(
+        f"{key} AS nbr_id", f"{_unit_expr(vec)} AS cu"
+    )
+    q = queries.selectExpr(f"{key} AS query_id", f"{_unit_expr(vec)} AS qu")
+    scored = c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id")).select(
+        "query_id",
+        "nbr_id",
+        F.round(F.expr(_dot("qu", "cu")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cosine")
+    )
+
+
+def filtered_topk_oracle_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    labels=FILTER_LABELS,
+    k: int = TOPK_DEFAULT,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    label: str = "label",
+) -> str:
+    lbl = ", ".join(str(x) for x in labels)
+    return f"""
+    WITH q AS (
+      SELECT {key} AS query_id, {_unit_duck(vec)} AS qu
+      FROM {table} WHERE {key} < {n_queries}
+    ),
+    c AS (
+      SELECT {key} AS nbr_id, {_unit_duck(vec)} AS cu
+      FROM {table} WHERE {label} IN ({lbl})
+    ),
+    scored AS (
+      SELECT q.query_id, c.nbr_id, round({_dot_duck('q.qu', 'c.cu')}, 4) AS cosine
+      FROM c, q WHERE c.nbr_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """

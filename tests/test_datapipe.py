@@ -918,3 +918,22 @@ def test_value_quantiles_disc_picks_actual_elements(spark):
     assert (rows["a"].n, rows["a"].p50_cents, rows["a"].p90_cents,
             rows["a"].p99_cents) == (4, 200, 400, 400)
     assert (rows["b"].n, rows["b"].p50_cents) == (1, 777)
+
+
+def test_filtered_topk_respects_label_predicate(embs, spark):
+    """Every returned neighbor carries an allowed label, and the result
+    is the exact top-k over the restricted set (not a post-filtered
+    global top-k, which could return fewer than k rows)."""
+    from flink_cdc_spark.datapipe import similarity
+
+    q = embs.where("vec_id < 3")
+    out = similarity.filtered_topk(embs, q, labels=(0, 1), k=4).collect()
+    allowed = {r.vec_id for r in embs.where("label in (0, 1)").collect()}
+    assert all(r.nbr_id in allowed for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert len(rows) == 4  # pre-filter keeps full k
+        cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)
