@@ -111,3 +111,33 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
         (r.grp, r.n_rows, r.sum_cents) for r in ra.current_state().collect()
     )
     assert before == after == [("B", 1, 9900)]
+
+
+def test_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A fresh RetractAggregateStream over the same work dir processes
+    only NEW batch files and keeps extending the same state lineage."""
+    import os
+    import time
+
+    env = _env(spark, [
+        (OP_INSERT, None, (1, "A", 10.0), 1),
+        (OP_INSERT, None, (2, "B", 20.0), 2),
+    ])
+    ra = RetractAggregateStream(spark, str(tmp_path / "work"), "grp", "v")
+    ra.stage(env, "k")
+    ra.run()
+    n = len(ra._committed_versions())
+    late = _env(spark, [(OP_DELETE, (2, "B", 20.0), None, 30)])
+    d = str(tmp_path / "late")
+    late.coalesce(1).write.mode("overwrite").parquet(d)
+    for fn in os.listdir(d):
+        if fn.endswith(".parquet"):
+            dst = os.path.join(ra.active, "b9.parquet")
+            os.rename(os.path.join(d, fn), dst)
+            t = time.time() + 60
+            os.utime(dst, (t, t))
+    ra2 = RetractAggregateStream(spark, str(tmp_path / "work"), "grp", "v")
+    ra2.run()  # schema inferred from the staged files
+    assert len(ra2._committed_versions()) == n + 1
+    out = {r.grp: (r.n_rows, r.sum_cents) for r in ra2.current_state().collect()}
+    assert out == {"A": (1, 1000)}
