@@ -1336,9 +1336,7 @@ def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ra.stage(env, "o_orderkey")
     ra.run()
-    result = ra.current_state()
-    rows = result.collect()
-    return spark.createDataFrame(rows, result.schema)
+    return ra.current_state()
 
 
 _CUST_VIEW_MUT = MutationSpec(
@@ -1417,9 +1415,9 @@ def streaming_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFra
         )
         ijv.stage(orders_env.unionByName(cust_env))
     ijv.run()
-    result = ijv.current_view()
-    rows = result.collect()
-    return spark.createDataFrame(rows, result.schema)
+    # parquet-backed result: the state dir outlives the call, so no
+    # driver roundtrip of the 135k-row view is needed
+    return ijv.current_view()
 
 
 def _enrich_oracle():
