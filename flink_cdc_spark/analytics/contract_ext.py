@@ -67,3 +67,12 @@ def join_bucketed_colocated(spark, sf_dir):
     cust, orders = _tables(spark, sf_dir, "customer", "orders")
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return bucketed.bucketed_revenue_by_segment(spark, orders, cust, suffix)
+
+
+@register("tpch_q13_customer_distribution", tpch.q13_oracle_sql())
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: orders pre-aggregated to (custkey, count) before
+    the LEFT join (customer never probes raw orders), null-preserving
+    zero-order bucket, second bounded-key aggregate."""
+    cust, orders = _tables(spark, sf_dir, "customer", "orders")
+    return tpch.q13_customer_distribution(cust, orders)

@@ -293,3 +293,44 @@ def q18_oracle_sql(qty_cents: int = Q18_QTY_CENTS) -> str:
     ORDER BY o_total_cents DESC, o_orderdate_us ASC, o_orderkey ASC
     LIMIT 100
     """
+
+
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """-> (c_count, custdist): TPC-H Q13 — the distribution of orders
+    per customer INCLUDING zero-order customers (the left outer join's
+    null-preserving branch feeds the c_count=0 bucket, which an inner
+    join would silently drop).
+
+    Plan shape: orders aggregates to (custkey, count) first — one
+    exchange on the corpus-sublinear customer key — and the LEFT join
+    probes customer against that reduced relation, never raw orders;
+    the final distribution is a second map-side-combined aggregate over
+    a bounded key (distinct order counts). Integer-only, no float
+    discipline needed."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_count")
+    )
+    joined = customer.select("c_custkey").join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    )
+    return (
+        joined.select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+def q13_oracle_sql() -> str:
+    return """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COALESCE(cnt, 0) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN (
+        SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+      ) oc ON c_custkey = o_custkey
+    )
+    GROUP BY c_count
+    """

@@ -3806,6 +3806,7 @@ _PRIORITY = [
     "streaming_interval_join",
     "join_bucketed_colocated",
     "sim_filtered_topk",
+    "tpch_q13_customer_distribution",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     # r8-green rows whose CONTRACT changed this round (U/D records now

@@ -146,3 +146,15 @@ def test_bucketed_join_has_no_exchange_before_join(spark):
         exp[seg][0] += 1
         exp[seg][1] += int(i * 100)
     assert rows == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_q13_includes_zero_order_customers(spark):
+    t = datetime.datetime(1996, 6, 1)
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(100, 1, t), (101, 1, t), (102, 2, t)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    )
+    out = {r.c_count: r.custdist
+           for r in tpch.q13_customer_distribution(cust, orders).collect()}
+    assert out == {2: 1, 1: 1, 0: 1}  # cust 3 has zero orders, kept
