@@ -1033,3 +1033,59 @@ def join_salted_skew(spark, sf_dir):
         ).cast("decimal(38,0)").alias("revenue_cents"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+def _corpus_v3_oracle():
+    """Composite oracle for the v3 curriculum pipeline — Gopher rule
+    filter -> DSIR importance top-k -> temperature source mixing ->
+    split labels — chained from the same per-op SQL generators."""
+    from . import ranking, sampling, textstats
+
+    gopher = textstats.gopher_rules_oracle_sql()
+    dsir = ranking.dsir_importance_oracle_sql(table="kept")
+    mix = sampling.temperature_mix_oracle_sql(table="selected", target_rows=120)
+    split = sampling.hash_split_oracle_sql(table="documents")
+    return f"""
+    WITH gr AS ({gopher}),
+    kept AS (
+      SELECT d.* FROM documents d JOIN gr ON gr.doc_id = d.doc_id AND gr.keep
+    ),
+    sel AS ({dsir}),
+    selected AS (
+      SELECT k.* FROM kept k JOIN sel ON sel.doc_id = k.doc_id
+    ),
+    mixed AS ({mix}),
+    splits AS ({split})
+    SELECT m.doc_id, m.source, m.lang, s.score, sp.split
+    FROM mixed m
+    JOIN sel s ON s.doc_id = m.doc_id
+    JOIN splits sp ON sp.doc_id = m.doc_id
+    """
+
+
+@register("corpus_training_pipeline_v3", _corpus_v3_oracle())
+def corpus_training_pipeline_v3(spark, sf_dir):
+    """The curriculum-shaping half of the training pipeline composed
+    end-to-end: Gopher rule filter (map-only integer thresholds) -> DSIR
+    importance top-k toward the target distribution (two corpus passes,
+    broadcast log-ratio model) -> alpha=0.5 temperature source mixing
+    (rates FROM the surviving data) -> growth-stable split labels.
+    Every stage is the standalone oracle-gated op; this row gates their
+    COMPOSITION — each stage's input is the previous stage's survivors,
+    so rate/model fitting happens on the filtered corpus, not the raw
+    one."""
+    from . import ranking, sampling, textstats
+
+    docs = _docs(spark, sf_dir)
+    keep = textstats.gopher_rules(docs).where("keep").select("doc_id")
+    kept = docs.join(F.broadcast(keep), "doc_id", "left_semi")
+    sel = ranking.dsir_importance(kept)
+    selected = kept.join(F.broadcast(sel.select("doc_id")), "doc_id", "left_semi")
+    mixed = sampling.temperature_mix(selected, target_rows=120)
+    splits = sampling.hash_split(docs)
+    return (
+        mixed.select("doc_id", "source", "lang")
+        .join(F.broadcast(sel.select("doc_id", "score")), "doc_id")
+        .join(splits, "doc_id")
+        .select("doc_id", "source", "lang", "score", "split")
+    )
