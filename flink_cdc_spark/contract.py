@@ -3808,6 +3808,7 @@ _PRIORITY = [
     "sim_filtered_topk",
     "tpch_q13_customer_distribution",
     "corpus_training_pipeline_v3",
+    "sim_hybrid_retrieval",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     # r8-green rows whose CONTRACT changed this round (U/D records now

@@ -60,6 +60,15 @@ def sim_filtered_topk(spark, sf_dir):
     return similarity.filtered_topk(embs, queries)
 
 
+@register("sim_hybrid_retrieval", similarity.hybrid_retrieval_oracle_sql())
+def sim_hybrid_retrieval(spark, sf_dir):
+    """Hybrid RAG retrieval: lexical candidate generation (inverted-index
+    probe on the query's top tf-idf term — one term-key exchange, never
+    all-pairs) re-ranked by embedding cosine in a bounded per-query
+    window. doc_id == vec_id in the corpus."""
+    return similarity.hybrid_retrieval(_docs(spark, sf_dir), _embs(spark, sf_dir))
+
+
 @register("dedup_exact", dedup.exact_dedup_oracle_sql())
 def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))

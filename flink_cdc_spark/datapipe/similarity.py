@@ -539,3 +539,96 @@ def filtered_topk_oracle_sql(
     )
     SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: lexical candidate generation + vector re-rank
+# --------------------------------------------------------------------------
+
+HYBRID_TOPK = 5
+
+
+def hybrid_retrieval(
+    docs: DataFrame,
+    embs: DataFrame,
+    n_queries: int = 5,
+    k: int = HYBRID_TOPK,
+) -> DataFrame:
+    """-> (query_id, nbr_id, rank, cosine): the RAG retrieval shape —
+    LEXICAL candidate generation (documents sharing the query's top
+    tf-idf term; an equality join on the term, never all-pairs) followed
+    by VECTOR re-ranking (cosine over the embedding column, bounded
+    per-query window).
+
+    Scale: candidate generation is the inverted-index probe — one
+    exchange on the term key, candidate count bounded by the term's
+    document frequency, so the expensive vector math runs on a sliver of
+    the corpus. The re-rank joins embeddings by id (broadcast the
+    query-side). doc_id == vec_id in the test corpus."""
+    from .ranking import tfidf_topk
+
+    top1 = tfidf_topk(docs, k=1).select("doc_id", "term")
+    q_terms = top1.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), F.col("term").alias("q_term")
+    )
+    cands = (
+        top1.join(F.broadcast(q_terms), top1.term == q_terms.q_term)
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("nbr_id"))
+    )
+    unit = embs.selectExpr("vec_id", f"{_unit_expr('embedding')} AS u")
+    q_unit = unit.selectExpr("vec_id AS query_id", "u AS qu")
+    n_unit = unit.selectExpr("vec_id AS nbr_id", "u AS nu")
+    scored = (
+        cands.join(F.broadcast(q_unit), "query_id")
+        .join(n_unit, "nbr_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(F.expr(_dot("qu", "nu")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cosine")
+    )
+
+
+def hybrid_retrieval_oracle_sql(
+    docs: str = "documents",
+    embs: str = "embeddings",
+    n_queries: int = 5,
+    k: int = HYBRID_TOPK,
+) -> str:
+    from .ranking import tfidf_topk_oracle_sql
+
+    tfidf = tfidf_topk_oracle_sql(table=docs, k=1)
+    return f"""
+    WITH top1 AS (SELECT doc_id, term FROM ({tfidf})),
+    q_terms AS (
+      SELECT doc_id AS query_id, term AS q_term FROM top1
+      WHERE doc_id < {n_queries}
+    ),
+    cands AS (
+      SELECT q.query_id, t.doc_id AS nbr_id
+      FROM top1 t JOIN q_terms q ON t.term = q.q_term
+      WHERE t.doc_id <> q.query_id
+    ),
+    unit AS (SELECT vec_id, {_unit_duck('embedding')} AS u FROM {embs}),
+    scored AS (
+      SELECT c.query_id, c.nbr_id,
+             round({_dot_duck('qu.u', 'nu.u')}, 4) AS cosine
+      FROM cands c
+      JOIN unit qu ON qu.vec_id = c.query_id
+      JOIN unit nu ON nu.vec_id = c.nbr_id
+    ),
+    ranked AS (
+      SELECT query_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, nbr_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """

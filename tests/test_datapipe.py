@@ -937,3 +937,22 @@ def test_filtered_topk_respects_label_predicate(embs, spark):
         assert len(rows) == 4  # pre-filter keeps full k
         cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_hybrid_retrieval_candidates_share_query_term(docs, embs, spark):
+    """Every returned neighbor shares the query's top tf-idf term (the
+    lexical gate really gates), and ranks order by cosine descending."""
+    from flink_cdc_spark.datapipe import ranking, similarity
+
+    out = similarity.hybrid_retrieval(docs, embs, n_queries=3, k=3).collect()
+    assert out
+    top1 = {r.doc_id: r.term for r in ranking.tfidf_topk(docs, k=1).collect()}
+    for r in out:
+        assert top1[r.nbr_id] == top1[r.query_id]
+        assert r.nbr_id != r.query_id
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)
