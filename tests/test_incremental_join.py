@@ -155,3 +155,49 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
     assert len(ijv2._versions("view")) == n_epochs + 1  # exactly one new epoch
     view = sorted((r.o_pk, r.c_name) for r in ijv2.current_view().collect())
     assert view == [(2, "ann")]
+
+
+def test_harmonize_envelope_roundtrip(spark):
+    """Casting a table's changelog to the superset payload and projecting
+    its own columns back is the identity — images stay aligned, ops and
+    seq untouched, foreign columns null."""
+    from flink_cdc_spark.streaming.incremental_join import harmonize_envelope
+
+    env = _env(spark, [
+        ("t.orders", OP_INSERT, None, _o(1, 10, "a"), 1),
+        ("t.orders", OP_UPDATE, _o(1, 10, "a"), _o(1, 11, "b"), 2),
+        ("t.orders", OP_DELETE, _o(1, 11, "b"), None, 3),
+    ])
+    # narrow the source to ONLY the orders columns first (as a real
+    # per-table changelog would be), then harmonize up to the superset
+    from pyspark.sql import functions as F
+
+    def narrow(side):
+        # struct DOWN-casts are rejected; rebuild field-wise, preserving
+        # null images
+        return F.when(
+            F.col(side).isNotNull(),
+            F.struct(*[F.col(f"{side}.{c}").alias(c)
+                       for c in ("o_pk", "o_fk", "o_val")]),
+        ).alias(side)
+
+    src = env.select(
+        ENVELOPE_TABLE_ID, ENVELOPE_OP,
+        narrow("before"), narrow("after"),
+        ENVELOPE_META, ENVELOPE_SEQ,
+    )
+    superset = [("o_pk", "bigint"), ("o_fk", "bigint"), ("o_val", "string"),
+                ("c_pk", "bigint"), ("c_name", "string")]
+    harmonized = harmonize_envelope(src, superset)
+    rows = {r[ENVELOPE_SEQ]: r for r in harmonized.collect()}
+    assert rows[2]["before"].o_fk == 10 and rows[2]["after"].o_fk == 11
+    assert rows[2]["before"].c_pk is None and rows[2]["after"].c_name is None
+    assert rows[1]["before"] is None and rows[3]["after"] is None
+    assert sorted(rows) == [1, 2, 3]
+    # projecting the original columns back equals the narrow source
+    back = harmonized.select(
+        ENVELOPE_TABLE_ID, ENVELOPE_OP,
+        narrow("before"), narrow("after"),
+        ENVELOPE_META, ENVELOPE_SEQ,
+    )
+    assert sorted(map(str, back.collect())) == sorted(map(str, src.collect()))
