@@ -3809,6 +3809,7 @@ _PRIORITY = [
     "tpch_q13_customer_distribution",
     "corpus_training_pipeline_v3",
     "sim_hybrid_retrieval",
+    "text_crossdoc_overlap",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     # r8-green rows whose CONTRACT changed this round (U/D records now

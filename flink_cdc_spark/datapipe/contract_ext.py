@@ -493,6 +493,15 @@ def text_vocab_topk(spark, sf_dir):
     return sampling.vocab_topk(_docs(spark, sf_dir))
 
 
+@register("text_crossdoc_overlap", textstats.crossdoc_ngram_overlap_oracle_sql())
+def text_crossdoc_overlap(spark, sf_dir):
+    """Cross-document n-gram duplication fraction (C4 boilerplate
+    signal): distinct (doc, gram) first, gram document-frequency as a
+    window over that relation, per-doc aggregate — corpus-sublinear
+    exchanges only."""
+    return textstats.crossdoc_ngram_overlap(_docs(spark, sf_dir))
+
+
 @register("text_gopher_rules", textstats.gopher_rules_oracle_sql())
 def text_gopher_rules(spark, sf_dir):
     """Gopher rule-based quality filter (word-count bounds, mean word

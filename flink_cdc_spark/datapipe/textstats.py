@@ -387,3 +387,87 @@ def gopher_rules_oracle_sql(table: str = "documents", key: str = "doc_id", text:
             AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
     FROM base
     """
+
+
+# -- cross-document n-gram duplication (C4-style boilerplate signal) ----------
+
+XDOC_NGRAM = 3
+
+
+def crossdoc_ngram_overlap(
+    df: DataFrame, key: str = "doc_id", text: str = "text", n: int = XDOC_NGRAM
+) -> DataFrame:
+    """-> (doc_id, n_grams, n_dup, dup_frac): per document, the fraction
+    of its DISTINCT word n-grams that also appear in at least one OTHER
+    document — the cross-corpus boilerplate signal (repetition_stats is
+    intra-doc; decontaminate is benchmark-set overlap; this is
+    corpus-burstiness, the C4 cleanup heuristic).
+
+    Scale shape: distinct (doc, gram) pairs first (one exchange, shrinks
+    the relation before anything global), gram document-frequency as a
+    WINDOW over the gram partition of that same relation (not a
+    groupBy + re-join), then a per-doc aggregate. Two exchanges on
+    (doc x gram) and gram, one on doc — all corpus-sublinear after the
+    distinct. Ratio rounds at 4dp from integer counts (portable)."""
+    words = _WORDS.format(col=text)
+    grams = (
+        df.select(
+            F.col(key),
+            F.explode(F.expr(_ngram_expr(words, n))).alias("gram"),
+        )
+        .where(F.col("gram") != "")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    dfreq = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    return (
+        dfreq.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            F.col(key),
+            "n_grams",
+            "n_dup",
+            F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def crossdoc_ngram_overlap_oracle_sql(
+    table: str = "documents", key: str = "doc_id", text: str = "text", n: int = XDOC_NGRAM
+) -> str:
+    w = f"list_filter(string_split(lower(trim(regexp_replace({text}, '\\s+', ' ', 'g'))), ' '), t -> t <> '')"
+    joined = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    grams = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n - 1}), i -> {joined}) "
+        f"ELSE [] END"
+    )
+    return f"""
+    WITH grams AS (
+      SELECT DISTINCT {key}, gram FROM (
+        SELECT {key}, unnest({grams}) AS gram
+        FROM (SELECT {key}, {w} AS w FROM {table})
+      ) WHERE gram <> ''
+    ),
+    dfreq AS (
+      SELECT {key}, gram,
+             COUNT(*) OVER (PARTITION BY gram) AS df
+      FROM grams
+    )
+    SELECT {key},
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+             AS dup_frac
+    FROM dfreq GROUP BY {key}
+    """

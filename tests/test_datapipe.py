@@ -956,3 +956,25 @@ def test_hybrid_retrieval_candidates_share_query_term(docs, embs, spark):
     for rows in by_q.values():
         cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_crossdoc_overlap_counts_shared_grams_once(spark):
+    """A 3-gram shared with ANOTHER doc counts as duplicated; repeats
+    within one doc do not (distinct-first); short docs are absent."""
+    from flink_cdc_spark.datapipe import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: 'a b c', 'b c d'
+            (2, "a b c x y"),        # shares 'a b c' with doc 1
+            (3, "q r s q r s"),      # intra-doc repeat only: no cross dup
+            (4, "zz yy"),            # < 3 tokens -> excluded
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.doc_id: r for r in textstats.crossdoc_ngram_overlap(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].n_grams, rows[1].n_dup) == (2, 1)
+    assert (rows[2].n_grams, rows[2].n_dup) == (3, 1)
+    assert rows[3].n_dup == 0 and rows[3].dup_frac == 0.0
+    assert rows[1].dup_frac == 0.5
