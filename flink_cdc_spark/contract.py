@@ -3810,6 +3810,7 @@ _PRIORITY = [
     "corpus_training_pipeline_v3",
     "sim_hybrid_retrieval",
     "text_crossdoc_overlap",
+    "events_value_outliers",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     # r8-green rows whose CONTRACT changed this round (U/D records now

@@ -934,6 +934,25 @@ def events_value_quantiles(spark, sf_dir):
     return features.value_quantiles(ev)
 
 
+def _outliers_oracle():
+    from . import features
+
+    return features.value_outliers_oracle_sql()
+
+
+@register("events_value_outliers", _outliers_oracle())
+def events_value_outliers(spark, sf_dir):
+    """Integer-exact 3-sigma outliers per event type: the z-score rule
+    squared into (n*x - sum)^2 > k^2*(n*sumsq - sum^2) so no mean/std
+    float is ever materialized — one bounded-key aggregate broadcast
+    back onto a map-only filter."""
+    from . import features
+    from ..sources.parquet_source import ParquetTableSource
+
+    ev = _spread(_pin(spark), ParquetTableSource(spark, sf_dir).snapshot("events"))
+    return features.value_outliers(ev)
+
+
 def _corpus_pipeline_oracle() -> str:
     """Composite oracle for the v2 corpus pipeline — exact dedup ->
     overlapping-chunk -> sharded epoch shuffle -> split labels — chained

@@ -501,3 +501,80 @@ def value_quantiles_oracle_sql(
            {qs}
     FROM base GROUP BY event_type
     """
+
+
+OUTLIER_K = 3  # the classic 3-sigma rule
+
+
+def value_outliers(
+    events: DataFrame,
+    etype: str = "event_type",
+    event_id: str = "event_id",
+    value: str = "value",
+    k: int = OUTLIER_K,
+) -> DataFrame:
+    """-> (event_id, event_type, v_cents): events whose value deviates
+    from their type's mean by more than k population standard deviations
+    — the z-score outlier rule made INTEGER-EXACT by squaring:
+
+        |x - mean| > k * std
+      <=>  (n*x - sum)^2 > k^2 * (n*sumsq - sum^2)
+
+    so no mean/std float is ever materialized and both engines agree
+    bit-for-bit (all terms DECIMAL(38,0) products of integer cents).
+
+    Scale shape: one map-side-combined aggregate to |event types| rows,
+    broadcast back, then a map-only filter — the whole detection is one
+    exchange on a bounded key."""
+    cents = F.expr(f"CAST(floor({value} * 100 + 0.5) AS BIGINT)")
+    base = events.where(F.col(value).isNotNull()).select(
+        F.col(event_id).alias("event_id"),
+        F.col(etype).alias("event_type"),
+        cents.alias("v_cents"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(F.col("v_cents"))).cast("decimal(38,0)").alias("s"),
+        F.sum(d(F.col("v_cents")) * d(F.col("v_cents")))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    joined = base.join(F.broadcast(stats), "event_type")
+    lhs = d(F.col("n")) * d(F.col("v_cents")) - F.col("s")
+    rhs = (
+        F.lit(k * k)
+        * (d(F.col("n")) * F.col("sq") - F.col("s") * F.col("s"))
+    )
+    return joined.where(lhs * lhs > rhs).select(
+        "event_id", "event_type", "v_cents"
+    )
+
+
+def value_outliers_oracle_sql(
+    table: str = "events",
+    etype: str = "event_type",
+    event_id: str = "event_id",
+    value: str = "value",
+    k: int = OUTLIER_K,
+) -> str:
+    cents = f"CAST(floor({value} * 100 + 0.5) AS BIGINT)"
+    return f"""
+    WITH base AS (
+      SELECT {event_id} AS event_id, {etype} AS event_type,
+             {cents} AS v_cents
+      FROM {table} WHERE {value} IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v_cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(v_cents AS DECIMAL(38,0))
+                      * CAST(v_cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+      FROM base GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type, b.v_cents
+    FROM base b JOIN stats st USING (event_type)
+    WHERE (CAST(st.n AS DECIMAL(38,0)) * CAST(b.v_cents AS DECIMAL(38,0)) - st.s)
+          * (CAST(st.n AS DECIMAL(38,0)) * CAST(b.v_cents AS DECIMAL(38,0)) - st.s)
+        > {k * k} * (CAST(st.n AS DECIMAL(38,0)) * st.sq - st.s * st.s)
+    """

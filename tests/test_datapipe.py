@@ -978,3 +978,21 @@ def test_crossdoc_overlap_counts_shared_grams_once(spark):
     assert (rows[2].n_grams, rows[2].n_dup) == (3, 1)
     assert rows[3].n_dup == 0 and rows[3].dup_frac == 0.0
     assert rows[1].dup_frac == 0.5
+
+
+def test_value_outliers_integer_exact_threshold(spark):
+    """Squared z-score rule flags exactly the values beyond k sigma; a
+    constant-valued type (zero variance) flags nothing except values
+    differing at all... which cannot exist; boundary value at exactly
+    k*std is NOT an outlier (strict >)."""
+    from flink_cdc_spark.datapipe import features
+
+    rows = (
+        # type 'a': 8 values of 10.00, one of 1000.00 (way out)
+        [(i, "a", 10.0) for i in range(8)] + [(8, "a", 1000.0)]
+        # type 'b': constant — no outliers possible
+        + [(100 + i, "b", 5.0) for i in range(5)]
+    )
+    ev = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, value DOUBLE")
+    out = {(r.event_type, r.event_id) for r in features.value_outliers(ev).collect()}
+    assert out == {("a", 8)}
