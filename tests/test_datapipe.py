@@ -988,11 +988,13 @@ def test_value_outliers_integer_exact_threshold(spark):
     from flink_cdc_spark.datapipe import features
 
     rows = (
-        # type 'a': 8 values of 10.00, one of 1000.00 (way out)
-        [(i, "a", 10.0) for i in range(8)] + [(8, "a", 1000.0)]
+        # type 'a': 15 values of 10.00, one extreme. A lone outlier among
+        # n points has z at most (n-1)/sqrt(n) under the population std
+        # that INCLUDES it, so n must exceed 10 for 3-sigma to fire
+        [(i, "a", 10.0) for i in range(15)] + [(15, "a", 1000.0)]
         # type 'b': constant — no outliers possible
         + [(100 + i, "b", 5.0) for i in range(5)]
     )
     ev = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, value DOUBLE")
     out = {(r.event_type, r.event_id) for r in features.value_outliers(ev).collect()}
-    assert out == {("a", 8)}
+    assert out == {("a", 15)}
