@@ -1,0 +1,60 @@
+"""Priority-window invariants (the r8 verdict's rotation rule): the
+driver's CORRECTNESS gate evaluates only the first 50 entries of
+queries(), so
+
+  * every query that has NEVER received a green driver row must sit
+    inside the upcoming window — a brand-new operator with no oracle
+    signal at all is the weakest possible state;
+  * every _PRIORITY name must actually exist in the registry (a typo'd
+    entry silently wastes a window slot).
+"""
+
+import glob
+import json
+
+import __spark_entry__ as entry
+from flink_cdc_spark.contract import _PRIORITY
+
+WINDOW = 50
+
+
+def _driver_green():
+    seen = set()
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        results = data.get("results", data)
+        if not isinstance(results, dict):
+            continue
+        for name, row in results.items():
+            if isinstance(row, dict) and (
+                row.get("rows_match") or row.get("match") or row.get("ok")
+            ):
+                seen.add(name)
+    return seen
+
+
+def test_never_verified_queries_lead_the_window():
+    keys = list(entry.queries().keys())
+    green = _driver_green()
+    unseen = [q for q in keys if q not in green]
+    window = set(keys[:WINDOW])
+    missing = [q for q in unseen if q not in window]
+    assert not missing, (
+        f"{len(missing)} queries have no driver row and are OUTSIDE the "
+        f"{WINDOW}-row window: {missing}"
+    )
+
+
+def test_priority_names_resolve():
+    keys = set(entry.queries().keys())
+    stale = [n for n in _PRIORITY if n not in keys]
+    assert not stale, f"_PRIORITY entries not in the registry: {stale}"
+
+
+def test_every_query_has_an_oracle():
+    q = set(entry.queries().keys())
+    o = set(entry.oracle_sql().keys())
+    assert q == o, f"queries without oracle: {q - o}; orphan oracles: {o - q}"
