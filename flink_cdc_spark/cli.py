@@ -677,7 +677,12 @@ def main(argv=None) -> int:
             raise SystemExit("--global-config must contain a YAML mapping")
 
     with open(args.yaml_file) as f:
-        pipeline = parse_pipeline_yaml(f.read(), global_config=global_defaults)
+        try:
+            pipeline = parse_pipeline_yaml(f.read(), global_config=global_defaults)
+        except ValueError as e:
+            # definition errors print as the reference CliFrontend does —
+            # the message, not a traceback
+            raise SystemExit(str(e))
 
     if args.command == "validate":
         print(f"pipeline: {pipeline.config.name}")

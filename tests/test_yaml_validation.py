@@ -107,3 +107,17 @@ def test_udf_must_be_array():
         + "    classpath: a.b.C\n"
     )
     assert "YAML UDF block is expecting an array children" in msg
+
+
+def test_cli_validate_prints_message_not_traceback(tmp_path, capsys):
+    """`validate` on a bad definition exits 1 with the clean message (the
+    CliFrontend behavior), never a traceback."""
+    import pytest as _pytest
+
+    from flink_cdc_spark.cli import main
+
+    y = tmp_path / "bad.yaml"
+    y.write_text("source: {type: values}\nsink: {type: values}\nmapping: [1]\n")
+    with _pytest.raises(SystemExit) as ei:
+        main(["validate", str(y)])
+    assert "Unexpected key `mapping` in YAML top-level block." in str(ei.value)
