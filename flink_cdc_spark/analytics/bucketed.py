@@ -71,7 +71,10 @@ def bucketed_revenue_by_segment(
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(cents.cast("decimal(38,0)")).cast("decimal(38,0)").alias("total_cents"),
+            # DECIMAL accumulation internal; terminal BIGINT (cents sums fit
+            # int64: 1e7 cents/order x 1.5e11 orders ~ 1.5e18 < 2^63) — no
+            # decimal dtype may reach a contract result schema.
+            F.sum(cents.cast("decimal(38,0)")).cast("bigint").alias("total_cents"),
         )
     )
 
@@ -81,7 +84,7 @@ def bucketed_revenue_oracle_sql() -> str:
     return f"""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total_cents
+           CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS BIGINT) AS total_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """

@@ -47,9 +47,15 @@ def q1_pricing_summary(lineitem: DataFrame, cutoff: str = Q1_CUTOFF) -> DataFram
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("qty_c").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_qty_cents"),
-            F.sum(F.col("cents").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_base_cents"),
-            F.sum("disc_prod").cast("decimal(38,0)").alias("sum_disc_micros"),
+            # Terminal types: the DECIMAL(38,0) accumulation stays internal
+            # (exact cross-engine sums); the OUTPUT schema carries no decimal
+            # because collectors normalize Decimal asymmetrically (pandas/Arrow
+            # float64-ization). Cents sums provably fit int64 (1e7 cents/row x
+            # 1e11 rows/group ~ 1e18 < 2^63); micro-unit products (1e13/row)
+            # do not at scale, so they ship as exact STRING digits.
+            F.sum(F.col("qty_c").cast("decimal(38,0)")).cast("bigint").alias("sum_qty_cents"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint").alias("sum_base_cents"),
+            F.sum("disc_prod").cast("decimal(38,0)").cast("string").alias("sum_disc_micros"),
             F.count("*").cast("bigint").alias("count_order"),
         )
     )
@@ -61,9 +67,9 @@ def q1_oracle_sql(table: str = "lineitem", cutoff: str = Q1_CUTOFF) -> str:
     qty = _CENTS.format(col="l_quantity")
     return f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST({qty} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_qty_cents,
-           CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_base_cents,
-           CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS sum_disc_micros,
+           CAST(sum(CAST({qty} AS DECIMAL(38,0))) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(CAST({cents} AS DECIMAL(38,0))) AS BIGINT) AS sum_base_cents,
+           CAST(CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS VARCHAR) AS sum_disc_micros,
            CAST(count(*) AS BIGINT) AS count_order
     FROM {table}
     WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
@@ -105,7 +111,8 @@ def q3_shipping_priority(
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate_us")
-        .agg(F.sum("rev").cast("decimal(38,0)").alias("revenue_micros"))
+        # per-order micro sum is bounded (<=7 line items x ~7e13) — fits int64
+        .agg(F.sum("rev").cast("decimal(38,0)").cast("bigint").alias("revenue_micros"))
         .orderBy(
             F.col("revenue_micros").desc(),
             F.col("o_orderdate_us").asc(),
@@ -127,7 +134,7 @@ def q3_oracle_sql(
     disc = _MICRO.format(col="l_discount")
     return f"""
     SELECT l_orderkey,
-           CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS revenue_micros,
+           CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS BIGINT) AS revenue_micros,
            epoch_us(o_orderdate) AS o_orderdate_us
     FROM {customer}
     JOIN {orders} ON c_custkey = o_custkey
@@ -198,8 +205,12 @@ def q5_local_supplier_volume(
     )
     return (
         joined.groupBy("n_name")
-        .agg(F.sum("rev").cast("decimal(38,0)").alias("revenue_micros"))
-        .orderBy(F.col("revenue_micros").desc(), F.col("n_name").asc())
+        # per-nation micro sum is corpus-proportional (can exceed int64 at
+        # 100 TB) — ship exact digits as STRING; order on the decimal value
+        # BEFORE the terminal cast so the sort stays numeric.
+        .agg(F.sum("rev").cast("decimal(38,0)").alias("_rev_dec"))
+        .orderBy(F.col("_rev_dec").desc(), F.col("n_name").asc())
+        .select("n_name", F.col("_rev_dec").cast("string").alias("revenue_micros"))
     )
 
 
@@ -212,7 +223,7 @@ def q5_oracle_sql(
     disc = _MICRO.format(col="l_discount")
     return f"""
     SELECT n_name,
-           CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS revenue_micros
+           CAST(CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS VARCHAR) AS revenue_micros
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -223,7 +234,7 @@ def q5_oracle_sql(
       AND o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
       AND o_orderdate < TIMESTAMP '{date_to} 00:00:00'
     GROUP BY n_name
-    ORDER BY revenue_micros DESC, n_name ASC
+    ORDER BY sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) DESC, n_name ASC
     """
 
 
@@ -250,7 +261,8 @@ def q18_large_volume_customer(
     heavy = (
         lineitem.select("l_orderkey", qty.alias("qc"))
         .groupBy("l_orderkey")
-        .agg(F.sum(F.col("qc").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_qty_cents"))
+        # per-order qty-cents sum is bounded (<=7 items x 5000) — fits int64
+        .agg(F.sum(F.col("qc").cast("decimal(38,0)")).cast("bigint").alias("sum_qty_cents"))
         .where(F.col("sum_qty_cents") > qty_cents)
     )
     ords = orders.select(
@@ -281,7 +293,7 @@ def q18_oracle_sql(qty_cents: int = Q18_QTY_CENTS) -> str:
     return f"""
     WITH heavy AS (
       SELECT l_orderkey,
-             CAST(sum(CAST({qty} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_qty_cents
+             CAST(sum(CAST({qty} AS DECIMAL(38,0))) AS BIGINT) AS sum_qty_cents
       FROM lineitem GROUP BY l_orderkey
       HAVING sum_qty_cents > {qty_cents}
     )

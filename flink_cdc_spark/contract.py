@@ -3772,76 +3772,21 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 # component gets the hard oracle signal at least once; long-stable rows
 # (driver-green in earlier rounds) absorb the overflow past the window.
 _PRIORITY = [
-    # r8's one red row (oracle rewritten for DuckDB 1.0.0's lateral
-    # generate_series restriction — the Spark plan was already correct):
-    "data_chunk_overlap",
-    # r8's latent oracle divergence (gap-boundary semantics corrected and
-    # pinned with exact-gap probe rows unioned into the fixture):
-    "events_session_window_native",
-    # new in round 9 (as-of join, rolling features, split labels) — these
-    # displace the three stale tail rows below into r10's window (the
-    # displaced rows stay r7-green and pytest-covered; a brand-new op
-    # with no driver row at all is the weaker state):
-    "events_asof_enrich",
-    "events_rolling_features",
-    "data_hash_split",
-    "events_funnel_stages",
-    "events_transition_matrix",
+    # ---- round-10 window -------------------------------------------------
+    # Rows whose CONTRACT changed this round lead (r9's seven hash-red
+    # rows: terminal DECIMAL columns now cast to BIGINT/STRING on BOTH
+    # engine and oracle sides — the driver's collector normalizes Decimal
+    # asymmetrically; values were already verified identical):
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "streaming_static_enrich",
-    "corpus_training_pipeline_v2",
-    # fourth/fifth-wave r9 rows (landed after the first rotation pass):
-    "streaming_session_windows",
-    "text_bpe_pair_counts",
-    "join_salted_skew",
-    "iceberg_partitioned_pruning",
-    "data_dsir_select",
-    "data_temperature_mix",
-    "text_gopher_rules",
-    "events_retention_cohorts",
-    "streaming_retract_aggregate",
-    "streaming_incremental_join_view",
-    "events_value_quantiles",
-    "streaming_interval_join",
-    "join_bucketed_colocated",
-    "sim_filtered_topk",
-    "tpch_q13_customer_distribution",
-    "corpus_training_pipeline_v3",
-    "sim_hybrid_retrieval",
-    "text_crossdoc_overlap",
-    "events_value_outliers",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
-    # r8-green rows whose CONTRACT changed this round (U/D records now
-    # replay through the kafka source; must re-verify under the driver):
-    "kafka_source_topic_replay",
-    # rotation (r8 verdict item 9): after the new/changed rows above,
-    # the rows whose latest green signal is r7 fill the rest of the
-    # 50-row window. With 14 new + 2 changed rows this round the window
-    # cannot hold all 48 stale rows — the displaced tail rows below stay
-    # r7-green (locally re-verified via scripts/check_contract.py, full
-    # 111/111 sweep) and lead r10's window. This round's other touched
-    # rows (the reworked dedup_ngram_jaccard / dedup_minhash_lsh
-    # verification) were r8-green and re-verified locally at sf0.01 AND
-    # sf0.1.
-    "changelog_materialize",
-    "update_split_filter",
-    "route_merge_tables",
-    "metadata_columns",
-    "fn_string_suite",
-    "fn_string_regexp",
-    "fn_temporal_suite",
-    "fn_arith_cast_suite",
-    "fn_conditional_comparison",
-    "fn_null_propagation",
-    "fn_variant_json",
-    "schema_evolution_add_column",
-    "schema_evolution_through_projection",
-    "schema_evolution_lenient_rename",
-    "transform_soft_delete",
-    "schema_evolution_ignore",
-    "schema_evolution_exclude_add_column",
+    "events_rolling_features",
+    "join_salted_skew",
+    "join_bucketed_colocated",
+    # (new r10 queries are inserted here as they land — memory rule)
+    # Then the 31 rows whose latest driver signal is r7 (3 rounds old at
+    # r10 close if skipped again — the r9 verdict's structural miss):
     "schema_evolution_try_evolve",
     "jdbc_newly_added_table",
     "lake_partitioned_pruning",
@@ -3873,6 +3818,23 @@ _PRIORITY = [
     "text_bigram_logprob",
     "text_unigram_logprob",
     "sim_quantized_topk",
+    # Rows touched by this round's plan/ADVICE fixes (decoder window
+    # partitioning, incremental-join state merge, outlier overflow guard,
+    # hybrid-retrieval candidate probe) — re-verify under the driver:
+    "sqlserver_cdc_table_decode",
+    "streaming_incremental_join_view",
+    "events_value_outliers",
+    "sim_hybrid_retrieval",
+    # r8 filler, oldest-first registry order (the remaining r8 rows stay
+    # r8-green and lead r11's window; r9 rows are 1 round old — fine):
+    "transform_project_filter",
+    "kafka_debezium_roundtrip",
+    "kafka_segment_log_roundtrip",
+    "kafka_canal_roundtrip",
+    "es_bulk_roundtrip",
+    "streaming_pipeline_evolution",
+    "streaming_windowed_watermark",
+    "distributed_schema_reduction",
 ]
 
 

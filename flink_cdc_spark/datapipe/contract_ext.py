@@ -1031,7 +1031,7 @@ def text_bpe_pair_counts(spark, sf_dir):
     "join_salted_skew",
     """
     SELECT o_orderstatus,
-           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DECIMAL(38,0))
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS revenue_cents,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1067,7 +1067,7 @@ def join_salted_skew(spark, sf_dir):
             F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").cast(
                 "decimal(38,0)"
             )
-        ).cast("decimal(38,0)").alias("revenue_cents"),
+        ).cast("bigint").alias("revenue_cents"),
         F.count("*").cast("bigint").alias("n"),
     )
 

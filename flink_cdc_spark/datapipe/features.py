@@ -142,10 +142,17 @@ def rolling_event_features(
     event_id: str = "event_id",
     value: str = "value",
 ) -> DataFrame:
-    """-> (event_id, user_id, t_us, n_trail, sum_trail): per event, the
-    count and exact-decimal sum of the same user's events in the trailing
-    `days`-day window [t - days, t] (inclusive both ends; equal-instant
-    peers are all included by the RANGE frame in both engines)."""
+    """-> (event_id, user_id, t_us, n_trail, sum_trail_micros): per
+    event, the count and exact integer micro-unit sum of the same user's
+    event values in the trailing `days`-day window [t - days, t]
+    (inclusive both ends; equal-instant peers are all included by the
+    RANGE frame in both engines).
+
+    Values are floored to integer micro-units per row BEFORE the
+    cross-row sum (the repo-wide exact-arithmetic idiom), accumulated as
+    DECIMAL(38,0) internally, and shipped as BIGINT — a per-user 7-day
+    sum is bounded far below int64, and no decimal dtype may reach a
+    contract result schema (collectors normalize Decimal asymmetrically)."""
     span_us = days * 86_400 * 1_000_000
     base = events.where(
         F.col(ts).isNotNull() & F.col(user).isNotNull()
@@ -153,7 +160,7 @@ def rolling_event_features(
         F.col(user).alias("user_id"),
         _epoch_micros_expr(events, ts).alias("t_us"),
         F.col(event_id).alias("event_id"),
-        F.col(value).cast("decimal(18,6)").alias("v"),
+        F.expr(f"CAST(floor({value} * 1000000 + 0.5) AS BIGINT)").alias("v_us"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -165,7 +172,7 @@ def rolling_event_features(
         "user_id",
         "t_us",
         F.count("*").over(w).cast("bigint").alias("n_trail"),
-        F.sum("v").over(w).cast("decimal(38,6)").alias("sum_trail"),
+        F.sum(F.col("v_us").cast("decimal(38,0)")).over(w).cast("bigint").alias("sum_trail_micros"),
     )
 
 
@@ -182,13 +189,13 @@ def rolling_event_features_oracle_sql(
     WITH base AS (
       SELECT {user} AS user_id, epoch_us({ts}) AS t_us,
              {event_id} AS event_id,
-             CAST({value} AS DECIMAL(18,6)) AS v
+             CAST(floor({value} * 1000000 + 0.5) AS BIGINT) AS v_us
       FROM {table}
       WHERE {ts} IS NOT NULL AND {user} IS NOT NULL
     )
     SELECT event_id, user_id, t_us,
            CAST(count(*) OVER w AS BIGINT) AS n_trail,
-           CAST(sum(v) OVER w AS DECIMAL(38,6)) AS sum_trail
+           CAST(sum(CAST(v_us AS DECIMAL(38,0))) OVER w AS BIGINT) AS sum_trail_micros
     FROM base
     WINDOW w AS (PARTITION BY user_id ORDER BY t_us
                  RANGE BETWEEN {span_us} PRECEDING AND CURRENT ROW)

@@ -766,10 +766,10 @@ def test_asof_enrich_boundaries(spark):
 
 
 def test_rolling_features_window_edges(spark):
-    """RANGE frame is inclusive at exactly -7 days; decimal sums are
-    exact; equal-instant peers all count."""
+    """RANGE frame is inclusive at exactly -7 days; micro-unit integer
+    sums are exact; equal-instant peers all count; no decimal dtype in
+    the output schema (driver-collector invariant)."""
     import datetime
-    from decimal import Decimal
 
     from flink_cdc_spark.datapipe import features
 
@@ -784,11 +784,12 @@ def test_rolling_features_window_edges(spark):
          (5, t0, 5, 8.0)],               # equal-instant peer
         "event_id long, ts timestamp_ntz, user_id long, value double",
     )
-    got = {r.event_id: (r.n_trail, r.sum_trail)
-           for r in features.rolling_event_features(ev).collect()}
-    assert got[4] == (4, Decimal("14.750000"))
-    assert got[5] == (4, Decimal("14.750000"))  # peers share the frame
-    assert got[2] == (2, Decimal("3.750000"))   # event 1 is 1d earlier
+    out = features.rolling_event_features(ev)
+    assert "decimal" not in out.schema["sum_trail_micros"].dataType.simpleString()
+    got = {r.event_id: (r.n_trail, r.sum_trail_micros) for r in out.collect()}
+    assert got[4] == (4, 14_750_000)
+    assert got[5] == (4, 14_750_000)  # peers share the frame
+    assert got[2] == (2, 3_750_000)   # event 1 is 1d earlier
 
 
 def test_hash_split_deterministic_and_stable(spark):

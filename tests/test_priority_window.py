@@ -16,6 +16,28 @@ import __spark_entry__ as entry
 from flink_cdc_spark.contract import _PRIORITY
 
 WINDOW = 50
+MAX_SIGNAL_AGE = 2  # rounds — the r9 verdict's rotation invariant
+
+
+def _latest_round_per_query():
+    """name -> latest round a CORRECTNESS_r*.json artifact mentions it
+    (mention = driver evaluated it that round), plus the next round
+    number the planned window will run under."""
+    latest = {}
+    max_round = 0
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            data = json.load(open(path))
+        except Exception:
+            continue
+        results = data.get("results", data)
+        if not isinstance(results, dict):
+            continue
+        max_round = max(max_round, rnd)
+        for name in results:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest, max_round + 1
 
 
 def _driver_green():
@@ -34,6 +56,26 @@ def _driver_green():
             ):
                 seen.add(name)
     return seen
+
+
+def test_no_row_goes_three_rounds_unverified():
+    """The r9 verdict's structural miss, pinned: under the PLANNED
+    window, every registry row's latest driver signal must end the
+    upcoming round at most MAX_SIGNAL_AGE rounds old — i.e. any row
+    whose last signal is older than that must sit inside the head-50."""
+    keys = list(entry.queries().keys())
+    latest, next_round = _latest_round_per_query()
+    window = set(keys[:WINDOW])
+    stale = [
+        (q, latest.get(q, 0))
+        for q in keys
+        if q not in window and next_round - latest.get(q, 0) > MAX_SIGNAL_AGE
+    ]
+    assert not stale, (
+        f"rows outside the {WINDOW}-row window whose last driver signal "
+        f"would be >{MAX_SIGNAL_AGE} rounds old after round {next_round}: "
+        f"{stale} — rotate _PRIORITY"
+    )
 
 
 def test_never_verified_queries_lead_the_window():
