@@ -107,11 +107,16 @@ def test_sqlserver_ct_decode(spark):
 
 
 def test_sqlserver_ct_decode_no_self_join(spark):
-    """The 3/4 pairing must be one aggregation, not a self-join (one
-    bounded shuffle per polled slice)."""
+    """The 3/4 pairing must be one aggregation, not a SELF-join of the
+    change relation. The r10 rank decomposition adds one BROADCAST join
+    of the tiny per-LSN offset aggregate — allowed; a shuffle join of
+    the big side is not. The change rows themselves must never hit a
+    single-partition (global) window — the rank window must be
+    partitioned by __lsn."""
     env = decode_cdc_table(_ct_fixture(spark), "dbo.items")
     plan = env._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "dense_rank(__sv" in plan and "windowspecdefinition(__lsn" in plan
 
 
 # -- Oracle LogMiner-shape decode -------------------------------------------
