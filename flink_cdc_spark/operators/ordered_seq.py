@@ -34,6 +34,7 @@ def banded_global_rank(
     order: Sequence[str] | str,
     out: str,
     dense: bool = True,
+    within: Sequence[str] | str | None = None,
 ) -> DataFrame:
     """Add ``out`` = the 1-based global rank of each row under
     ``ORDER BY band, *order``, computed as intra-band rank plus a
@@ -45,26 +46,40 @@ def banded_global_rank(
     ordering (offsets count rows per band — only use when (band, order)
     is unique per row, else numbering within ties is nondeterministic,
     exactly as row_number itself would be).
+
+    ``within`` scopes the whole ranking: ranks restart at 1 per
+    ``within`` group, and the cumulative-offset window partitions by it
+    (so with ``within`` the offsets pass isn't even single-partition —
+    it distributes across the groups).
     """
     order_cols = [order] if isinstance(order, str) else list(order)
-    w_intra = Window.partitionBy(band).orderBy(*order_cols)
+    scope = (
+        [] if within is None
+        else [within] if isinstance(within, str)
+        else list(within)
+    )
+    w_intra = Window.partitionBy(*scope, band).orderBy(*order_cols)
     intra = (F.dense_rank() if dense else F.row_number()).over(w_intra)
     counter = (
         F.countDistinct(*order_cols) if dense else F.count(F.lit(1))
     ).alias("__n")
-    per_band = df.groupBy(band).agg(counter)
-    # lit(0) partition: the per-band aggregate is small by construction
-    # (one row per band in the polled slice) — the single partition is
-    # intentional, not an accident of a missing key.
-    w_off = Window.partitionBy(F.lit(0)).orderBy(band).rowsBetween(
-        Window.unboundedPreceding, -1
+    per_band = df.groupBy(*scope, band).agg(counter)
+    # lit(0) partition (unscoped case): the per-band aggregate is small
+    # by construction (one row per band in the polled slice) — the
+    # single partition is intentional, not an accident of a missing key.
+    w_off = (
+        Window.partitionBy(*(scope or [F.lit(0)]))
+        .orderBy(band)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = per_band.select(
-        band, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+        *scope,
+        band,
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
     )
     return (
         df.withColumn("__intra", intra)
-        .join(F.broadcast(offsets), band)
+        .join(F.broadcast(offsets), [*scope, band])
         .withColumn(out, (F.col("__off") + F.col("__intra")).cast("long"))
         .drop("__intra", "__off")
     )

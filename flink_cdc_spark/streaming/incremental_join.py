@@ -17,16 +17,20 @@ are micro-batch-sized, i.e. corpus-sublinear) — the unaffected bulk of
 the view is carried forward untouched. That is the actual incremental
 contract: per-epoch cost proportional to the delta, not the view.
 
-State tables (left, right, view) are versioned by epoch id exactly like
-retract_agg: an epoch always merges from its committed PREDECESSOR and
-overwrites its own version, so foreachBatch crash-retries are
-idempotent. Money columns ride as exact integer cents.
+State tables (the folded left+right table keyed by (__left, __pk), and
+the view) are versioned by epoch id exactly like retract_agg: an epoch
+always merges from its committed PREDECESSOR and overwrites its own
+version, so foreachBatch crash-retries are idempotent. Money columns
+ride as exact integer cents. Folding both sides into ONE keyed state
+table (possible because the stream is harmonized to a superset payload)
+means an epoch is two state writes and one delta shuffle, not three and
+two — per-epoch job count was the r9 bench's dominant cost.
 
-Scale: at real scale the three state tables would live bucketed by
-their key in a table format (the repo's lsm/iceberg stores); the parquet
-versions here keep the same keyed-merge plan shape. The repair join
-broadcasts the affected left segment only when it is small — it is
-delta-sized by construction.
+Scale: at real scale the state tables would live bucketed by their key
+in a table format (the repo's lsm/iceberg stores); the parquet versions
+here keep the same keyed-merge plan shape. The repair join broadcasts
+the affected left segment only when it is small — it is delta-sized by
+construction.
 """
 
 from __future__ import annotations
@@ -38,34 +42,45 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sinks.materialize import materialize_changelog
-from .retract_agg import stage_replay_batches
+from .retract_agg import stage_replay_batches, staged_schema
 from ..sources.envelope import ENVELOPE_OP, ENVELOPE_TABLE_ID, OP_DELETE, OP_INSERT, OP_UPDATE
 
 N_REPLAY_BATCHES = 4
 
 
-def delta_last_image(env: DataFrame, pk: str) -> DataFrame:
-    """Per-key last image of one batch's envelope rows: (pk, alive,
-    payload...). alive=false is a tombstone (the key was deleted)."""
-    latest = materialize_changelog(env, [pk])
-    keys = env.select(
-        F.coalesce(F.col(f"after.{pk}"), F.col(f"before.{pk}")).alias(pk)
-    ).distinct()
-    return keys.join(
-        latest.withColumn("__alive", F.lit(True)), pk, "left"
-    ).withColumn("__alive", F.coalesce(F.col("__alive"), F.lit(False)))
+def two_sided_delta(
+    env: DataFrame,
+    left_table_id: str,
+    pk_left: str,
+    pk_right: str,
+) -> DataFrame:
+    """Per-key last image of one interleaved batch, BOTH sides in one
+    shuffle: (__left, __pk, __alive, after). Requires the harmonized
+    superset payload (harmonize_envelope) and pks of a comparable type.
+    __alive=false is a tombstone (the key was deleted)."""
+    from pyspark.sql import Window
 
+    from ..sources.envelope import ENVELOPE_SEQ
 
-def apply_delta(state: Optional[DataFrame], delta: DataFrame, pk: str) -> DataFrame:
-    """Carry unaffected state rows, replace affected ones with their live
-    last images: one broadcast anti-join on the delta-sized key set."""
-    live = delta.where(F.col("__alive")).drop("__alive")
-    if state is None:
-        return live
-    changed = delta.select(pk)
-    carried = state.join(F.broadcast(changed), pk, "left_anti")
-    return carried.unionByName(live)
+    is_left = F.col(ENVELOPE_TABLE_ID) == left_table_id
+    pk_col = F.when(
+        is_left,
+        F.coalesce(F.col(f"after.{pk_left}"), F.col(f"before.{pk_left}")),
+    ).otherwise(
+        F.coalesce(F.col(f"after.{pk_right}"), F.col(f"before.{pk_right}")),
+    )
+    w = Window.partitionBy("__left", "__pk").orderBy(F.col(ENVELOPE_SEQ).desc())
+    return (
+        env.select("*", is_left.alias("__left"), pk_col.alias("__pk"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "__left",
+            "__pk",
+            (F.col(ENVELOPE_OP) != OP_DELETE).alias("__alive"),
+            "after",
+        )
+    )
 
 
 class IncrementalJoinView:
@@ -104,20 +119,18 @@ class IncrementalJoinView:
     # -- staging (same mtime-ordered single-file batches as retract_agg) ----
 
     def stage(self, env: DataFrame) -> None:
-        """Inserts of both tables split over the first two batches by key
-        parity, then updates, then deletes — mutations always target rows
-        accumulated in earlier micro-batches, on both sides."""
-        pk_of = F.when(
-            F.col(ENVELOPE_TABLE_ID) == self.left_table_id,
-            F.coalesce(F.col(f"after.{self.pk_left}"), F.col(f"before.{self.pk_left}")),
-        ).otherwise(
-            F.coalesce(F.col(f"after.{self.pk_right}"), F.col(f"before.{self.pk_right}")),
-        )
+        """Inserts of both tables, then updates, then deletes — mutations
+        always target rows accumulated in earlier micro-batches, on both
+        sides. Three epochs: the r9 bench showed per-epoch cost is
+        dominated by the two state writes regardless of batch size, so
+        the old parity split of inserts over two epochs bought no extra
+        coverage (update epochs already exercise state-merge-onto-state)
+        for a full extra epoch of fixed overhead."""
         env = env.withColumn(
             "__b",
-            F.when(F.col(ENVELOPE_OP) == OP_INSERT, (pk_of % 2).cast("int"))
-            .when(F.col(ENVELOPE_OP) == OP_UPDATE, F.lit(2))
-            .otherwise(F.lit(3)),
+            F.when(F.col(ENVELOPE_OP) == OP_INSERT, F.lit(0))
+            .when(F.col(ENVELOPE_OP) == OP_UPDATE, F.lit(1))
+            .otherwise(F.lit(2)),
         )
         self._schema = env.drop("__b").schema
         stage_replay_batches(env, self.active)
@@ -150,34 +163,35 @@ class IncrementalJoinView:
     # -- the maintenance epoch ----------------------------------------------
 
     def _merge_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        left_env = batch_df.where(
-            F.col(ENVELOPE_TABLE_ID) == self.left_table_id
-        )
-        right_env = batch_df.where(
-            F.col(ENVELOPE_TABLE_ID) == self.right_table_id
-        )
-        dl = delta_last_image(left_env, self.pk_left).select(
-            self.pk_left,
-            "__alive",
-            *[c for c in self.left_cols if c != self.pk_left],
-        )
-        dr = delta_last_image(right_env, self.pk_right).select(
-            self.pk_right,
-            "__alive",
-            *[c for c in self.right_cols if c != self.pk_right],
-        )
-
-        l_new = apply_delta(self._prev("left", epoch_id), dl, self.pk_left)
-        r_new = apply_delta(self._prev("right", epoch_id), dr, self.pk_right)
-        self._write("left", epoch_id, l_new)
-        self._write("right", epoch_id, r_new)
-
-        l_new = self._read("left", epoch_id)
-        r_new = self._read("right", epoch_id)
+        """One epoch = TWO state writes (the folded left+right table and
+        the view), not three: both sides' last images reduce in one
+        shuffle (two_sided_delta), both sides' state lives in one keyed
+        parquet table partitioned by (__left, __pk) — the r9 verdict's
+        per-epoch-overhead item."""
+        delta = two_sided_delta(
+            batch_df, self.left_table_id, self.pk_left, self.pk_right
+        ).cache()  # consumed ~7x below (live, lr anti, view anti x2, semi x2, join)
+        live = delta.where(F.col("__alive")).select("__left", "__pk", "after.*")
+        lr_old = self._prev("lr", epoch_id)
+        if lr_old is None:
+            lr_new = live
+        else:
+            changed = delta.select("__left", "__pk")
+            lr_new = lr_old.join(
+                F.broadcast(changed), ["__left", "__pk"], "left_anti"
+            ).unionByName(live)
+        self._write("lr", epoch_id, lr_new)
+        lr = self._read("lr", epoch_id)
+        l_new = lr.where(F.col("__left")).select(*self.left_cols)
+        r_new = lr.where(~F.col("__left")).select(*self.right_cols)
 
         view_old = self._prev("view", epoch_id)
-        changed_l = dl.select(self.pk_left)
-        changed_r = dr.select(F.col(self.pk_right).alias("__jk"))
+        changed_l = delta.where(F.col("__left")).select(
+            F.col("__pk").alias(self.pk_left)
+        )
+        changed_r = delta.where(~F.col("__left")).select(
+            F.col("__pk").alias("__jk")
+        )
         if view_old is None:
             carried = None
         else:
@@ -206,16 +220,17 @@ class IncrementalJoinView:
             *[c for c in self.right_cols if c != self.pk_right],
         )
         view_new = repaired if carried is None else carried.unionByName(repaired)
-        self._write("view", epoch_id, view_new)
+        try:
+            self._write("view", epoch_id, view_new)
+        finally:
+            delta.unpersist()
 
     def staged(self) -> bool:
         return os.path.exists(os.path.join(self.active, "_STAGED"))
 
     def run(self) -> None:
         if self._schema is None:  # attached to a pre-staged directory
-            self._schema = self.spark.read.parquet(
-                os.path.join(self.active, "b0.parquet")
-            ).schema
+            self._schema = staged_schema(self.spark, self.active)
         from .windowed import STATE_PARTITIONS, scoped_shuffle_partitions
 
         stream = (

@@ -44,7 +44,7 @@ import json
 import os
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..core.events import CreateTableEvent
 from ..core.schema_evolution import apply_schema_change_event
@@ -76,10 +76,13 @@ pipeline: {schema.change.behavior: EVOLVE}
 """
 
 
-def envelope_to_wire(env: DataFrame, band: int) -> DataFrame:
+def envelope_to_wire(env: DataFrame, band) -> DataFrame:
     """Changelog envelope -> wire records, banded. Pure column transforms
     (to_json on the image structs), so the encode runs wherever the
-    envelope's partitions live — never on the driver."""
+    envelope's partitions live — never on the driver. ``band`` is an int
+    (one band for the whole frame) or a Column (per-row band — lets a
+    multi-slice export write in ONE pass)."""
+    band_col = band if isinstance(band, Column) else F.lit(band)
     return env.select(
         F.lit(KIND_DATA).alias("kind"),
         F.col(ENVELOPE_TABLE_ID).alias("table_id"),
@@ -87,7 +90,7 @@ def envelope_to_wire(env: DataFrame, band: int) -> DataFrame:
         F.to_json("before").alias("before"),
         F.to_json("after").alias("after"),
         F.col(ENVELOPE_META).alias("meta"),
-        (F.lit(band + _CTL_RESERVE) + F.col(ENVELOPE_SEQ)).alias("seq"),
+        (band_col + F.lit(_CTL_RESERVE) + F.col(ENVELOPE_SEQ)).alias("seq"),
         F.lit(None).cast("string").alias("ddl"),
     )
 

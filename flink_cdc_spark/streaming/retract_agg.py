@@ -73,6 +73,21 @@ def stage_replay_batches(env_with_b: DataFrame, active: str) -> None:
         f.write("ok")  # marker: a partially-moved dir never passes staged()
 
 
+def staged_schema(spark, active: str):
+    """Replay schema of a pre-staged directory, read from the FIRST
+    existing b*.parquet: stage_replay_batches skips absent batch values,
+    so a changelog with (say) no even-parity insert keys legitimately
+    stages without b0.parquet — hard-coding b0 crashed every
+    attach-to-prestaged run of such a changelog."""
+    batches = sorted(
+        fn for fn in os.listdir(active)
+        if fn.startswith("b") and fn.endswith(".parquet")
+    )
+    if not batches:
+        raise FileNotFoundError(f"no staged b*.parquet batches in {active}")
+    return spark.read.parquet(os.path.join(active, batches[0])).schema
+
+
 def _cents(col: F.Column) -> F.Column:
     return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
 
@@ -201,9 +216,7 @@ class RetractAggregateStream:
 
     def run(self) -> None:
         if self._schema is None:  # attached to a pre-staged directory
-            self._schema = self.spark.read.parquet(
-                os.path.join(self.active, "b0.parquet")
-            ).schema
+            self._schema = staged_schema(self.spark, self.active)
         group, value = self.group, self.value
 
         def merge_epoch(batch_df, epoch_id):

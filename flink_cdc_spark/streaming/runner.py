@@ -132,6 +132,7 @@ class StreamingPipelineRunner:
         state_backend: str = "lsm",
         parallel_metadata: bool = False,
         primary_keys: Optional[dict] = None,
+        shuffle_partitions: Optional[int] = None,
     ):
         self.spark = spark
         self.pipeline = pipeline
@@ -179,6 +180,11 @@ class StreamingPipelineRunner:
             for t in pipeline.transforms
         ]
         self.batches_seen = 0
+        # bounded-replay callers (the file-replay bridges) pass a small
+        # width: their micro-batches are tiny, and the LSM merge's state
+        # shuffles at the session default (32) are pure fixed overhead.
+        # None = leave the session width alone (the at-scale default).
+        self.shuffle_partitions = shuffle_partitions
 
     # -- plumbing ----------------------------------------------------------
 
@@ -200,8 +206,20 @@ class StreamingPipelineRunner:
         return writer.start()
 
     def run_available(self, source_dir: str, timeout: int = 300) -> None:
-        q = self.start(source_dir, available_now=True)
-        q.awaitTermination(timeout)
+        import contextlib
+
+        from .windowed import scoped_shuffle_partitions
+
+        scope = (
+            scoped_shuffle_partitions(self.spark, self.shuffle_partitions)
+            if self.shuffle_partitions
+            else contextlib.nullcontext()
+        )
+        # the streaming query CLONES the session at start(), snapshotting
+        # the scoped width — so the scope need only bracket start()
+        with scope:
+            q = self.start(source_dir, available_now=True)
+            q.awaitTermination(timeout)
 
     # -- the core ----------------------------------------------------------
 

@@ -111,7 +111,7 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     )
     last = ijv._versions("view")[-1]
     batch_df = ijv.spark.read.schema(ijv._schema).parquet(
-        f"{ijv.active}/b3.parquet"
+        f"{ijv.active}/b2.parquet"  # the deletes batch (3-epoch staging)
     )
     ijv._merge_epoch(batch_df, last)
     after = sorted(
