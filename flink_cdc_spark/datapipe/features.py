@@ -530,6 +530,15 @@ def value_outliers(
     so no mean/std float is ever materialized and both engines agree
     bit-for-bit (all terms DECIMAL(38,0) products of integer cents).
 
+    Overflow is a RAISE, never a silent drop: with non-ANSI Spark a
+    DECIMAL(38,0) overflow yields NULL, so the predicate would silently
+    discard exactly the extreme rows an outlier detector exists to find
+    (DuckDB's HUGEINT arithmetic would NOT overflow — a silent
+    cross-engine divergence). Both squared terms are bounded by
+    4*(n*max|x|)^2, so the per-type guard n*max|x| <= 1e18 (checked on
+    the |event types|-row aggregate via assert_true, essentially free)
+    proves every product stays inside DECIMAL(38,0).
+
     Scale shape: one map-side-combined aggregate to |event types| rows,
     broadcast back, then a map-only filter — the whole detection is one
     exchange on a bounded key."""
@@ -546,6 +555,17 @@ def value_outliers(
         F.sum(d(F.col("v_cents")) * d(F.col("v_cents")))
         .cast("decimal(38,0)")
         .alias("sq"),
+        F.max(F.abs(F.col("v_cents"))).cast("bigint").alias("m"),
+    ).withColumn(
+        "__guard",
+        F.assert_true(
+            d(F.col("n")) * d(F.col("m")) <= F.lit(10**18).cast("decimal(38,0)"),
+            F.lit(
+                "value_outliers: n*max|cents| exceeds 1e18 — the squared "
+                "z-score terms would overflow DECIMAL(38,0); pre-scale "
+                "the value column"
+            ),
+        ),
     )
     joined = base.join(F.broadcast(stats), "event_type")
     lhs = d(F.col("n")) * d(F.col("v_cents")) - F.col("s")
@@ -553,7 +573,9 @@ def value_outliers(
         F.lit(k * k)
         * (d(F.col("n")) * F.col("sq") - F.col("s") * F.col("s"))
     )
-    return joined.where(lhs * lhs > rhs).select(
+    # __guard is NULL on success; referencing it in the filter keeps the
+    # assert from being pruned as an unused column
+    return joined.where(F.col("__guard").isNull() & (lhs * lhs > rhs)).select(
         "event_id", "event_type", "v_cents"
     )
 

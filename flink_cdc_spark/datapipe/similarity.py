@@ -555,24 +555,32 @@ def hybrid_retrieval(
     k: int = HYBRID_TOPK,
 ) -> DataFrame:
     """-> (query_id, nbr_id, rank, cosine): the RAG retrieval shape —
-    LEXICAL candidate generation (documents sharing the query's top
-    tf-idf term; an equality join on the term, never all-pairs) followed
-    by VECTOR re-ranking (cosine over the embedding column, bounded
-    per-query window).
+    LEXICAL candidate generation (a TRUE inverted-index probe: every
+    document CONTAINING the query's top tf-idf term anywhere in its
+    text, not just documents whose own top term matches — an equality
+    join on the term postings, never all-pairs) followed by VECTOR
+    re-ranking (cosine over the embedding column, bounded per-query
+    window).
 
-    Scale: candidate generation is the inverted-index probe — one
-    exchange on the term key, candidate count bounded by the term's
-    document frequency, so the expensive vector math runs on a sliver of
-    the corpus. The re-rank joins embeddings by id (broadcast the
-    query-side). doc_id == vec_id in the test corpus."""
-    from .ranking import tfidf_topk
+    Scale: candidate generation is one exchange on the term key,
+    candidate count bounded by the term's document frequency, so the
+    expensive vector math runs on a sliver of the corpus. The re-rank
+    joins embeddings by id (broadcast the query-side). doc_id == vec_id
+    in the test corpus."""
+    from .ranking import _SPARK_WORDS, tfidf_topk
 
     top1 = tfidf_topk(docs, k=1).select("doc_id", "term")
     q_terms = top1.where(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"), F.col("term").alias("q_term")
     )
+    # the postings list: distinct (doc, term) pairs — the r9 advisor's
+    # recall fix (a doc whose #2 term is the query term is a candidate)
+    postings = docs.select(
+        F.col("doc_id"),
+        F.explode(F.expr(_SPARK_WORDS.format(col="text"))).alias("term"),
+    ).distinct()
     cands = (
-        top1.join(F.broadcast(q_terms), top1.term == q_terms.q_term)
+        postings.join(F.broadcast(q_terms), postings.term == q_terms.q_term)
         .where(F.col("doc_id") != F.col("query_id"))
         .select("query_id", F.col("doc_id").alias("nbr_id"))
     )
@@ -602,18 +610,24 @@ def hybrid_retrieval_oracle_sql(
     n_queries: int = 5,
     k: int = HYBRID_TOPK,
 ) -> str:
-    from .ranking import tfidf_topk_oracle_sql
+    from .ranking import _DUCK_WORDS, tfidf_topk_oracle_sql
 
     tfidf = tfidf_topk_oracle_sql(table=docs, k=1)
+    words = _DUCK_WORDS.format(col="text")
     return f"""
     WITH top1 AS (SELECT doc_id, term FROM ({tfidf})),
     q_terms AS (
       SELECT doc_id AS query_id, term AS q_term FROM top1
       WHERE doc_id < {n_queries}
     ),
+    postings AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({words}) AS term FROM {docs}
+      )
+    ),
     cands AS (
       SELECT q.query_id, t.doc_id AS nbr_id
-      FROM top1 t JOIN q_terms q ON t.term = q.q_term
+      FROM postings t JOIN q_terms q ON t.term = q.q_term
       WHERE t.doc_id <> q.query_id
     ),
     unit AS (SELECT vec_id, {_unit_duck('embedding')} AS u FROM {embs}),

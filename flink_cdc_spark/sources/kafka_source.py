@@ -44,15 +44,29 @@ INFER_SAMPLE_ROWS = 10_000
 def _infer_payload(records: DataFrame, image_paths) -> Optional[T.StructType]:
     """Infer the table's payload schema from a SAMPLE of its row images:
     project each candidate image path as a JSON string, union, cap at
-    INFER_SAMPLE_ROWS per path, spark.read.json — a bounded control-plane
-    metadata pass (document bodies stay executor-side; the limit keeps
-    the Python RDD hop off the full-corpus path)."""
+    the INFER_SAMPLE_ROWS lowest-offset images per path, spark.read.json
+    — a bounded control-plane metadata pass (document bodies stay
+    executor-side; the cap keeps the Python RDD hop off the full-corpus
+    path).
+
+    The sample is DETERMINISTIC — lowest offsets first via
+    TakeOrderedAndProject, not a bare limit() that grabs whichever
+    partitions answer first (the r9 advisor's nondeterminism note).
+    Known limitation, by design: a JSON field whose FIRST non-null
+    appearance is beyond the first INFER_SAMPLE_ROWS images of its path
+    decodes as null for the whole topic. CDC row images of one table
+    share a shape, so in practice the cap loses nothing; raise
+    INFER_SAMPLE_ROWS if a topic interleaves rare wide rows."""
     imgs = None
     for p in image_paths:
         part = (
-            records.select(F.get_json_object("value", p).alias("j"))
+            records.select(
+                "__offset", F.get_json_object("value", p).alias("j")
+            )
             .where(F.col("j").isNotNull())
+            .orderBy("__offset")
             .limit(INFER_SAMPLE_ROWS)
+            .select("j")
         )
         imgs = part if imgs is None else imgs.unionByName(part)
     inferred = records.sparkSession.read.json(imgs.rdd.map(lambda r: r["j"]))
@@ -93,13 +107,20 @@ def kafka_streams(spark: SparkSession, config: dict):
     )
     # The decoded records feed table discovery + per-table schema
     # inference + per-table decode — an N-table topic would otherwise
-    # re-run the Python segment parse N+1 times. localCheckpoint
-    # materializes the decode ONCE and hands every consumer a
-    # lineage-free relation (the streaming runner's process_batch cache
-    # discipline, but checkpointed because the yielded TableStreams are
-    # consumed after this generator returns, so an unpersist-on-exit
-    # cache would silently recompute downstream).
-    records = records.localCheckpoint(eager=True)
+    # re-run the Python segment parse N+1 times. persist(DISK_ONLY)
+    # materializes the decode ONCE for every consumer (the yielded
+    # TableStreams are consumed after this generator returns, so an
+    # unpersist-on-exit cache would silently recompute downstream) while
+    # KEEPING lineage — unlike the previous localCheckpoint, which (a)
+    # pinned the whole decoded topic to executor storage with no release
+    # path (persisted blocks are dropped by the ContextCleaner once the
+    # relation is unreachable) and (b) truncated lineage, turning a lost
+    # executor into an unrecoverable failure instead of a recompute
+    # (the r9 advisor's storage note).
+    from pyspark import StorageLevel
+
+    records = records.persist(StorageLevel.DISK_ONLY)
+    records.count()  # materialize the one decode pass now
 
     if fmt == "debezium-json":
         tid_expr = F.concat_ws(

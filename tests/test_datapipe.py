@@ -940,16 +940,24 @@ def test_filtered_topk_respects_label_predicate(embs, spark):
         assert cos == sorted(cos, reverse=True)
 
 
-def test_hybrid_retrieval_candidates_share_query_term(docs, embs, spark):
-    """Every returned neighbor shares the query's top tf-idf term (the
-    lexical gate really gates), and ranks order by cosine descending."""
+def test_hybrid_retrieval_candidates_contain_query_term(docs, embs, spark):
+    """Every returned neighbor CONTAINS the query's top tf-idf term (the
+    true inverted-index probe — the r10 recall fix: a doc carrying the
+    query term as its #2 term is a legitimate candidate), and ranks
+    order by cosine descending."""
+    import re
+
     from flink_cdc_spark.datapipe import ranking, similarity
 
     out = similarity.hybrid_retrieval(docs, embs, n_queries=3, k=3).collect()
     assert out
     top1 = {r.doc_id: r.term for r in ranking.tfidf_topk(docs, k=1).collect()}
+    tokens = {
+        r.doc_id: set(re.sub(r"\s+", " ", r.text.lower().strip()).split(" "))
+        for r in docs.collect()
+    }
     for r in out:
-        assert top1[r.nbr_id] == top1[r.query_id]
+        assert top1[r.query_id] in tokens[r.nbr_id]
         assert r.nbr_id != r.query_id
     by_q = {}
     for r in out:
@@ -999,3 +1007,20 @@ def test_value_outliers_integer_exact_threshold(spark):
     ev = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING, value DOUBLE")
     out = {(r.event_type, r.event_id) for r in features.value_outliers(ev).collect()}
     assert out == {("a", 15)}
+
+
+def test_value_outliers_overflow_raises_never_drops(spark):
+    """Magnitudes whose squared z-score terms would overflow
+    DECIMAL(38,0) must RAISE, not NULL-out the predicate and silently
+    drop the extreme rows (the r9 advisor's cross-engine divergence:
+    DuckDB's HUGEINT would not overflow)."""
+    import pytest
+
+    from flink_cdc_spark.datapipe import features
+
+    ev = spark.createDataFrame(
+        [(1, "a", 9.0e16), (2, "a", 1.0), (3, "a", 2.0)],
+        "event_id BIGINT, event_type STRING, value DOUBLE",
+    )  # n=3, max cents=9e18 -> n*max|cents| far beyond the 1e18 guard
+    with pytest.raises(Exception, match="value_outliers"):
+        features.value_outliers(ev).collect()
