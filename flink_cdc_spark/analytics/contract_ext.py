@@ -76,3 +76,59 @@ def tpch_q13_customer_distribution(spark, sf_dir):
     zero-order bucket, second bounded-key aggregate."""
     cust, orders = _tables(spark, sf_dir, "customer", "orders")
     return tpch.q13_customer_distribution(cust, orders)
+
+
+@register("tpch_q4_order_priority", tpch.q4_oracle_sql())
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS): orders LEFT SEMI join lineitem with the
+    late-shipment predicate as the join residual — one decorrelated
+    semi-join, never a per-order subquery; bounded-key count."""
+    orders, li = _tables(spark, sf_dir, "orders", "lineitem")
+    return tpch.q4_order_priority(orders, li)
+
+
+@register("tpch_q6_forecast_revenue", tpch.q6_oracle_sql())
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the canonical full-pushdown scan-aggregate —
+    every predicate at the parquet reader, zero joins, one global
+    map-side-combined sum in exact integer units."""
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return tpch.q6_forecast_revenue(li)
+
+
+@register("tpch_q10_returned_items", tpch.q10_oracle_sql())
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: quarter-pruned orders x returnflag-pruned
+    lineitem (the one big shuffle), per-customer aggregate joined to
+    customer, nation broadcast, deterministic top-20."""
+    cust, orders, li, nat = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return tpch.q10_returned_items(cust, orders, li, nat)
+
+
+@register("tpch_q14_promo_effect", tpch.q14_oracle_sql())
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: month-pruned lineitem x broadcast part,
+    conditional numerator and denominator in ONE aggregate pass; exact
+    integer terms shipped as strings, ratio as a rounded double."""
+    part, li = _tables(spark, sf_dir, "part", "lineitem")
+    return tpch.q14_promo_effect(part, li)
+
+
+@register("tpch_q17_small_quantity", tpch.q17_oracle_sql())
+def tpch_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated per-part average DECORRELATED
+    into one grouped aggregate broadcast back onto the same filtered
+    relation; the quantity test cross-multiplied to exact integers."""
+    part, li = _tables(spark, sf_dir, "part", "lineitem")
+    return tpch.q17_small_quantity_revenue(part, li)
+
+
+@register("tpch_q22_sales_opportunity", tpch.q22_oracle_sql())
+def tpch_q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: 1-row scalar aggregate cross-broadcast (exact
+    integer above-average test), LEFT ANTI join against orders,
+    bounded-key aggregate."""
+    cust, orders = _tables(spark, sf_dir, "customer", "orders")
+    return tpch.q22_sales_opportunity(cust, orders)

@@ -346,3 +346,395 @@ def q13_oracle_sql() -> str:
     )
     GROUP BY c_count
     """
+
+
+# -- Q4: order priority checking (EXISTS semi-join shape) --------------------
+#
+# Adapted to the testdata schema (no l_commitdate/l_receiptdate): an order
+# counts when ANY of its line items shipped after the order date — the same
+# decorrelated EXISTS plan as the literal Q4 (orders semi-join lineitem on
+# orderkey with a non-equi residual), a shape Catalyst executes as one
+# LeftSemi join with the date predicate as the join residual, never a
+# per-order subquery. Reference scope: Flink SQL's EXISTS rewrite.
+
+Q4_FROM = "1996-07-01"
+Q4_TO = "1996-10-01"
+
+
+def q4_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = Q4_FROM,
+    date_to: str = Q4_TO,
+) -> DataFrame:
+    """-> (o_orderpriority, order_count): quarter's orders with at least
+    one late-shipped line item, counted by priority."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    hit = ords.join(
+        li,
+        (ords.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > ords.o_orderdate),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q4_oracle_sql(date_from: str = Q4_FROM, date_to: str = Q4_TO) -> str:
+    return f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{date_to} 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+# -- Q6: forecasting revenue change (pure scan-aggregate) --------------------
+
+Q6_FROM = "1996-01-01"
+Q6_TO = "1997-01-01"
+Q6_DISC_LO = 40_000  # micros
+Q6_DISC_HI = 60_000
+Q6_QTY = 24
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """-> one row (revenue_exact, n): sum(extendedprice * discount) over
+    the year/discount-band/quantity slice — the canonical
+    full-pushdown scan: every predicate reaches the parquet reader,
+    zero joins, one map-side-combined global aggregate. Revenue rides
+    as cents x discount-micros (1e-8 dollars), summed DECIMAL(38,0),
+    shipped as exact STRING digits (corpus-proportional — int64 is not
+    provably safe at 100 TB)."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(Q6_FROM).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(Q6_TO).cast("timestamp_ntz"))
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .select(cents.alias("c"), disc.alias("d"))
+        .where(F.col("d").between(Q6_DISC_LO, Q6_DISC_HI))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("d"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("revenue_exact"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def q6_oracle_sql() -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    return f"""
+    SELECT CAST(CAST(sum(CAST({cents} AS DECIMAL(38,0)) * {disc}) AS DECIMAL(38,0)) AS VARCHAR)
+             AS revenue_exact,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q6_TO} 00:00:00'
+      AND l_quantity < {Q6_QTY}
+      AND {disc} BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+    """
+
+
+# -- Q10: returned item reporting (top-20 with dim joins) --------------------
+
+Q10_FROM = "1996-01-01"
+Q10_TO = "1996-04-01"
+Q10_TOPN = 20
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = Q10_FROM,
+    date_to: str = Q10_TO,
+) -> DataFrame:
+    """-> top-20 (c_custkey, c_name, n_name, acctbal_cents,
+    revenue_micros): customers who returned the most revenue in the
+    quarter. Plan shape: the quarter filter prunes orders BEFORE the
+    lineitem join (one big shuffle), the returnflag filter prunes
+    lineitem at the scan; customer joins the per-customer aggregate
+    (corpus-sublinear), nation broadcasts; deterministic top-20. A
+    customer's quarterly returned revenue is bounded — BIGINT is safe."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    rets = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
+    )
+    per_cust = (
+        rets.join(ords, rets.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").cast("decimal(38,0)").cast("bigint").alias("revenue_micros"))
+    )
+    cust = customer.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.expr(_CENTS.format(col="c_acctbal")).alias("acctbal_cents"),
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "acctbal_cents",
+                "revenue_micros")
+        .orderBy(F.col("revenue_micros").desc(), F.col("c_custkey").asc())
+        .limit(Q10_TOPN)
+    )
+
+
+def q10_oracle_sql(date_from: str = Q10_FROM, date_to: str = Q10_TO) -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    bal = _CENTS.format(col="c_acctbal")
+    return f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST({bal} AS BIGINT) AS acctbal_cents,
+           CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS BIGINT)
+             AS revenue_micros
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{date_to} 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, acctbal_cents
+    ORDER BY revenue_micros DESC, c_custkey ASC
+    LIMIT {Q10_TOPN}
+    """
+
+
+# -- Q14: promotion effect (conditional-numerator ratio) ---------------------
+
+Q14_FROM = "1996-09-01"
+Q14_TO = "1996-10-01"
+
+
+def q14_promo_effect(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """-> one row (promo_micros, total_micros, promo_pct): share of the
+    month's revenue from PROMO-type parts. Plan shape: the month filter
+    prunes lineitem at the scan; part broadcasts (dim); numerator is a
+    conditional sum in the SAME aggregate as the denominator — one pass,
+    no second join. Exact integer numerator/denominator ship as STRING;
+    the ratio itself is a bounded double rounded to 4 (the repo's
+    cosine-style cross-engine rounding discipline)."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp_ntz"))
+    ).select(
+        "l_partkey",
+        (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
+    )
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("_promo"),
+        F.sum("rev").cast("decimal(38,0)").alias("_total"),
+    )
+    return agg.select(
+        F.col("_promo").cast("string").alias("promo_micros"),
+        F.col("_total").cast("string").alias("total_micros"),
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            4,
+        ).alias("promo_pct"),
+    )
+
+
+def q14_oracle_sql() -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    rev = f"CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})"
+    return f"""
+    WITH agg AS (
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {rev} ELSE 0 END) AS DECIMAL(38,0)) AS p,
+             CAST(sum({rev}) AS DECIMAL(38,0)) AS t
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{Q14_TO} 00:00:00'
+    )
+    SELECT CAST(p AS VARCHAR) AS promo_micros,
+           CAST(t AS VARCHAR) AS total_micros,
+           round(100.0 * CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 4) AS promo_pct
+    FROM agg
+    """
+
+
+# -- Q17: small-quantity-order revenue (correlated avg, decorrelated) --------
+
+Q17_BRAND = "Brand#23"
+Q17_FRACTION = 5  # l_quantity < avg/5 i.e. 0.2 * avg
+
+
+def q17_small_quantity_revenue(
+    part: DataFrame, lineitem: DataFrame, brand: str = Q17_BRAND
+) -> DataFrame:
+    """-> one row (total_cents, n): revenue sitting in orders of
+    brand-parts at under 20%% of the part's average order quantity —
+    TPC-H's correlated scalar subquery, DECORRELATED: the per-part
+    average is one grouped aggregate over the SAME filtered relation,
+    broadcast back (corpus-sublinear: one row per brand part). The
+    quantity test cross-multiplies to exact integers —
+    qty*5*cnt < sum_qty — so no float average ever materializes and
+    both engines agree bit-for-bit."""
+    qty = F.expr(_CENTS.format(col="l_quantity"))
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    brand_parts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(brand_parts), lineitem.l_partkey == F.col("p_partkey")
+    ).select(
+        "l_partkey", qty.alias("qc"), cents.alias("pc")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("qc").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_qc"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    ).withColumnRenamed("l_partkey", "__pk")
+    qualified = li.join(
+        F.broadcast(per_part), li.l_partkey == F.col("__pk")
+    ).where(
+        F.col("qc").cast("decimal(38,0)") * Q17_FRACTION * F.col("cnt")
+        < F.col("sum_qc")
+    )
+    return qualified.agg(
+        F.sum(F.col("pc").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+def q17_oracle_sql(brand: str = Q17_BRAND) -> str:
+    qty = _CENTS.format(col="l_quantity")
+    cents = _CENTS.format(col="l_extendedprice")
+    return f"""
+    WITH li AS (
+      SELECT l_partkey, {qty} AS qc, {cents} AS pc
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = '{brand}'
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(qc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_qc,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(pc AS DECIMAL(38,0))) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM li JOIN per_part USING (l_partkey)
+    WHERE CAST(qc AS DECIMAL(38,0)) * {Q17_FRACTION} * cnt < sum_qc
+    """
+
+
+# -- Q22: global sales opportunity (scalar subquery + anti-join) -------------
+
+Q22_NATIONS = (1, 3, 5, 7, 9)
+Q22_SINCE = "2000-06-01"  # "lapsed": no orders at or after this date
+
+
+def q22_sales_opportunity(
+    customer: DataFrame,
+    orders: DataFrame,
+    nations=Q22_NATIONS,
+    since: str = Q22_SINCE,
+) -> DataFrame:
+    """-> (c_nationkey, numcust, totacctbal_cents): customers of the
+    target nations holding above-average positive balances with no
+    RECENT orders (TPC-H's 7-year dormancy test, parameterized to the
+    testdata's date domain so the anti-join is non-vacuous). Plan
+    shape: the scalar average is a 1-row aggregate cross-broadcast onto
+    the filtered customers (exact integer cross-multiplication
+    bal*cnt > sum, no float average); the dormancy test is a LEFT ANTI
+    join against the date-pruned orders scan; bounded-key final
+    aggregate. Adapted to the testdata schema (nationkey stands in for
+    the phone country code)."""
+    bal = F.expr(_CENTS.format(col="c_acctbal"))
+    cust = customer.where(
+        F.col("c_nationkey").isin(*nations)
+    ).select("c_custkey", "c_nationkey", bal.alias("bal_cents"))
+    pos = cust.where(F.col("bal_cents") > 0).agg(
+        F.sum(F.col("bal_cents").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt_pos"),
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).where(
+        F.col("bal_cents").cast("decimal(38,0)") * F.col("cnt_pos")
+        > F.col("sum_pos")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp_ntz")
+    ).select("o_custkey")
+    never = rich.join(
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        never.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.col("bal_cents").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("totacctbal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q22_oracle_sql(nations=Q22_NATIONS, since: str = Q22_SINCE) -> str:
+    bal = _CENTS.format(col="c_acctbal")
+    nat = ", ".join(str(n) for n in nations)
+    return f"""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey, {bal} AS bal_cents
+      FROM customer WHERE c_nationkey IN ({nat})
+    ),
+    pos AS (
+      SELECT CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_pos,
+             CAST(count(*) AS BIGINT) AS cnt_pos
+      FROM cust WHERE bal_cents > 0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT) AS totacctbal_cents
+    FROM cust, pos
+    WHERE CAST(bal_cents AS DECIMAL(38,0)) * cnt_pos > sum_pos
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '{since} 00:00:00'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """

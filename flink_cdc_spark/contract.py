@@ -3785,6 +3785,12 @@ _PRIORITY = [
     "join_salted_skew",
     "join_bucketed_colocated",
     # (new r10 queries are inserted here as they land — memory rule)
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity",
+    "tpch_q22_sales_opportunity",
     # Then the 31 rows whose latest driver signal is r7 (3 rounds old at
     # r10 close if skipped again — the r9 verdict's structural miss):
     "schema_evolution_try_evolve",

@@ -51,17 +51,24 @@ def star(spark):
     nations = [(n, f"NATION_{n}", n % len(regions)) for n in range(7)]
     segs = ["BUILDING", "MACHINERY", "AUTOMOBILE"]
     customers = [
-        (c, rng.choice(segs), rng.randrange(len(nations)))
+        (c, f"Customer#{c}", rng.choice(segs), rng.randrange(len(nations)),
+         round(rng.uniform(-1000, 10000), 2))
         for c in range(60)
     ]
     suppliers = [(s, rng.randrange(len(nations))) for s in range(20)]
+    parts = [
+        (p, rng.choice(["PROMO", "STANDARD", "ECONOMY"]),
+         rng.choice(["Brand#1", "Brand#2", "Brand#3"]))
+        for p in range(30)
+    ]
     t0 = datetime.datetime(1995, 1, 1)
     orders, lineitems = [], []
     for o in range(250):
         cust = rng.randrange(60)
         odate = t0 + datetime.timedelta(days=rng.randrange(1200))
         total = rng.choice([100.0, 2500.5, 903.33, 17.89])
-        orders.append((o, cust, odate, total, rng.choice(["O", "F", "P"])))
+        orders.append((o, cust, odate, total, rng.choice(["O", "F", "P"]),
+                       rng.choice(["1-URGENT", "2-HIGH", "5-LOW"])))
         for ln in range(rng.choice([0, 1, 1, 2, 3])):  # some itemless orders
             ship = odate + datetime.timedelta(days=rng.randrange(120))
             lineitems.append(
@@ -69,6 +76,7 @@ def star(spark):
                     o,
                     ln + 1,
                     rng.randrange(20),
+                    rng.randrange(30),
                     float(rng.choice([1, 5, 30, 50])),
                     rng.choice([100.0, 2500.5, 903.33]),
                     rng.choice([0.0, 0.05, 0.1]),
@@ -85,7 +93,12 @@ def star(spark):
             nations, "n_nationkey LONG, n_name STRING, n_regionkey LONG"
         ),
         "customer": spark.createDataFrame(
-            customers, "c_custkey LONG, c_mktsegment STRING, c_nationkey LONG"
+            customers,
+            "c_custkey LONG, c_name STRING, c_mktsegment STRING, "
+            "c_nationkey LONG, c_acctbal DOUBLE",
+        ),
+        "part": spark.createDataFrame(
+            parts, "p_partkey LONG, p_type STRING, p_brand STRING"
         ),
         "supplier": spark.createDataFrame(
             suppliers, "s_suppkey LONG, s_nationkey LONG"
@@ -93,19 +106,21 @@ def star(spark):
         "orders": spark.createDataFrame(
             orders,
             "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP_NTZ, "
-            "o_totalprice DOUBLE, o_orderstatus STRING",
+            "o_totalprice DOUBLE, o_orderstatus STRING, "
+            "o_orderpriority STRING",
         ),
         "lineitem": spark.createDataFrame(
             lineitems,
             "l_orderkey LONG, l_linenumber LONG, l_suppkey LONG, "
-            "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
-            "l_shipdate TIMESTAMP_NTZ, l_returnflag STRING, "
-            "l_linestatus STRING",
+            "l_partkey LONG, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+            "l_discount DOUBLE, l_shipdate TIMESTAMP_NTZ, "
+            "l_returnflag STRING, l_linestatus STRING",
         ),
         "raw": {
             "regions": regions,
             "nations": nations,
             "customers": customers,
+            "parts": parts,
             "suppliers": suppliers,
             "orders": orders,
             "lineitems": lineitems,
@@ -116,7 +131,7 @@ def star(spark):
 def test_q1_vs_python_model(star):
     cutoff = datetime.datetime(1998, 9, 2)
     model = {}
-    for (_, _, _, q, p, d, ship, rf, ls) in star["raw"]["lineitems"]:
+    for (_, _, _, _, q, p, d, ship, rf, ls) in star["raw"]["lineitems"]:
         if ship > cutoff:
             continue
         g = model.setdefault((rf, ls), [0, 0, 0, 0])
@@ -138,14 +153,14 @@ def test_q1_vs_python_model(star):
 
 def test_q3_vs_python_model(star):
     seg, date = "BUILDING", datetime.datetime(1995, 3, 15)
-    seg_cust = {c for c, s, _ in star["raw"]["customers"] if s == seg}
+    seg_cust = {c for c, _, s, _, _ in star["raw"]["customers"] if s == seg}
     okeys = {
         o: odate
-        for (o, cust, odate, _, _) in star["raw"]["orders"]
+        for (o, cust, odate, _, _, _) in star["raw"]["orders"]
         if cust in seg_cust and odate < date
     }
     rev = {}
-    for (o, _, _, _, p, d, ship, _, _) in star["raw"]["lineitems"]:
+    for (o, _, _, _, _, p, d, ship, _, _) in star["raw"]["lineitems"]:
         if o in okeys and ship > date:
             rev[o] = rev.get(o, 0) + cents(p) * (1_000_000 - micros(d))
     ranked = sorted(
@@ -169,14 +184,14 @@ def test_q5_vs_python_model(star):
     raw = star["raw"]
     asia = {r for r, name in raw["regions"] if name == r_name}
     nat = {n: name for n, name, rk in raw["nations"] if rk in asia}
-    cust_nk = {c: nk for c, _, nk in raw["customers"] if nk in nat}
+    cust_nk = {c: nk for c, _, _, nk, _ in raw["customers"] if nk in nat}
     supp_nk = {s: nk for s, nk in raw["suppliers"] if nk in nat}
     order_cust = {
-        o: cust for (o, cust, odate, _, _) in raw["orders"]
+        o: cust for (o, cust, odate, _, _, _) in raw["orders"]
         if d0 <= odate < d1
     }
     model = {}
-    for (o, _, s, _, p, d, _, _, _) in raw["lineitems"]:
+    for (o, _, s, _, _, p, d, _, _, _) in raw["lineitems"]:
         cust = order_cust.get(o)
         if cust is None or cust not in cust_nk or s not in supp_nk:
             continue
@@ -197,10 +212,10 @@ def test_q5_vs_python_model(star):
 
 def test_q13_vs_python_model(star):
     per_cust = {}
-    for (_, cust, _, _, _) in star["raw"]["orders"]:
+    for (_, cust, _, _, _, _) in star["raw"]["orders"]:
         per_cust[cust] = per_cust.get(cust, 0) + 1
     dist = {}
-    for (c, _, _) in star["raw"]["customers"]:
+    for (c, _, _, _, _) in star["raw"]["customers"]:
         n = per_cust.get(c, 0)  # zero-order customers MUST appear
         dist[n] = dist.get(n, 0) + 1
     got = {
@@ -215,12 +230,12 @@ def test_q13_vs_python_model(star):
 def test_q18_vs_python_model(star):
     thresh = 60 * 100  # low threshold so the random data has heavy orders
     qty = {}
-    for (o, _, _, q, _, _, _, _, _) in star["raw"]["lineitems"]:
+    for (o, _, _, _, q, _, _, _, _, _) in star["raw"]["lineitems"]:
         qty[o] = qty.get(o, 0) + cents(q)
     heavy = {o: s for o, s in qty.items() if s > thresh}
     rows = [
         (cust, o, us(odate), cents(total), heavy[o])
-        for (o, cust, odate, total, _) in star["raw"]["orders"]
+        for (o, cust, odate, total, _, _) in star["raw"]["orders"]
         if o in heavy
     ]
     model = sorted(rows, key=lambda t: (-t[3], t[2], t[1]))[:100]
@@ -313,3 +328,136 @@ def test_funnel_stages_vs_python_model(rand_events):
         for r in features.funnel_stages(df).collect()
     }
     assert got == model
+
+
+def test_q4_vs_python_model(star):
+    d0, d1 = datetime.datetime(1996, 7, 1), datetime.datetime(1996, 10, 1)
+    odate = {o: (dt, pr) for (o, _, dt, _, _, pr) in star["raw"]["orders"]}
+    late = set()
+    for (o, _, _, _, _, _, _, ship, _, _) in star["raw"]["lineitems"]:
+        if ship > odate[o][0]:
+            late.add(o)
+    model = {}
+    for o, (dt, pr) in odate.items():
+        if d0 <= dt < d1 and o in late:
+            model[pr] = model.get(pr, 0) + 1
+    got = {
+        r.o_orderpriority: r.order_count
+        for r in tpch.q4_order_priority(
+            star["orders"], star["lineitem"],
+            date_from="1996-07-01", date_to="1996-10-01",
+        ).collect()
+    }
+    assert got == model
+
+
+def test_q6_vs_python_model(star):
+    d0, d1 = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    rev = n = 0
+    for (_, _, _, _, q, p, d, ship, _, _) in star["raw"]["lineitems"]:
+        dm = micros(d)
+        if d0 <= ship < d1 and q < tpch.Q6_QTY and \
+                tpch.Q6_DISC_LO <= dm <= tpch.Q6_DISC_HI:
+            rev += cents(p) * dm
+            n += 1
+    row = tpch.q6_forecast_revenue(star["lineitem"]).collect()[0]
+    assert (int(row.revenue_exact) if row.revenue_exact is not None else None,
+            row.n) == ((rev if n else None), n)
+
+
+def test_q10_vs_python_model(star):
+    d0, d1 = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 4, 1)
+    raw = star["raw"]
+    quarter = {
+        o: cust for (o, cust, dt, _, _, _) in raw["orders"] if d0 <= dt < d1
+    }
+    rev = {}
+    for (o, _, _, _, _, p, d, _, rf, _) in raw["lineitems"]:
+        if rf == "R" and o in quarter:
+            cust = quarter[o]
+            rev[cust] = rev.get(cust, 0) + cents(p) * (1_000_000 - micros(d))
+    nat_name = {n: name for n, name, _ in raw["nations"]}
+    cust_info = {c: (nm, nk, bal) for c, nm, _, nk, bal in raw["customers"]}
+    rows = [
+        (c, cust_info[c][0], nat_name[cust_info[c][1]],
+         cents(cust_info[c][2]), r)
+        for c, r in rev.items()
+    ]
+    model = sorted(rows, key=lambda t: (-t[4], t[0]))[:20]
+    got = [
+        (r.c_custkey, r.c_name, r.n_name, r.acctbal_cents, r.revenue_micros)
+        for r in tpch.q10_returned_items(
+            star["customer"], star["orders"], star["lineitem"],
+            star["nation"], date_from="1996-01-01", date_to="1996-04-01",
+        ).collect()
+    ]
+    assert got == model
+    assert got, "no returned items in the quarter — fixture broken"
+
+
+def test_q14_vs_python_model(star):
+    d0, d1 = datetime.datetime(1996, 9, 1), datetime.datetime(1996, 10, 1)
+    ptype = {p: t for p, t, _ in star["raw"]["parts"]}
+    promo = total = 0
+    for (_, _, _, pk, _, p, d, ship, _, _) in star["raw"]["lineitems"]:
+        if d0 <= ship < d1:
+            r = cents(p) * (1_000_000 - micros(d))
+            total += r
+            if ptype[pk] == "PROMO":
+                promo += r
+    row = tpch.q14_promo_effect(star["part"], star["lineitem"]).collect()[0]
+    assert int(row.promo_micros) == promo and int(row.total_micros) == total
+    assert abs(row.promo_pct - 100.0 * promo / total) < 1e-3
+    assert total, "no lineitems in the month — fixture broken"
+
+
+def test_q17_vs_python_model(star):
+    brand_parts = {p for p, _, b in star["raw"]["parts"] if b == "Brand#1"}
+    per_part = {}
+    for (_, _, _, pk, q, p, _, _, _, _) in star["raw"]["lineitems"]:
+        if pk in brand_parts:
+            g = per_part.setdefault(pk, [0, 0])
+            g[0] += cents(q)
+            g[1] += 1
+    tot = n = 0
+    for (_, _, _, pk, q, p, _, _, _, _) in star["raw"]["lineitems"]:
+        if pk in brand_parts:
+            s, c = per_part[pk]
+            if cents(q) * tpch.Q17_FRACTION * c < s:
+                tot += cents(p)
+                n += 1
+    row = tpch.q17_small_quantity_revenue(
+        star["part"], star["lineitem"], brand="Brand#1"
+    ).collect()[0]
+    assert (row.total_cents if row.total_cents is not None else 0, row.n) \
+        == (tot if n else 0, n)
+    assert n, "no small-quantity rows — fixture broken"
+
+
+def test_q22_vs_python_model(star):
+    nations, since = (1, 3, 5), datetime.datetime(1996, 6, 1)
+    raw = star["raw"]
+    cust = {
+        c: (nk, cents(bal)) for c, _, _, nk, bal in raw["customers"]
+        if nk in nations
+    }
+    pos = [b for _, b in cust.values() if b > 0]
+    sum_pos, cnt_pos = sum(pos), len(pos)
+    recent = {
+        cu for (_, cu, dt, _, _, _) in raw["orders"] if dt >= since
+    }
+    model = {}
+    for c, (nk, b) in cust.items():
+        if b * cnt_pos > sum_pos and c not in recent:
+            g = model.setdefault(nk, [0, 0])
+            g[0] += 1
+            g[1] += b
+    got = {
+        r.c_nationkey: [r.numcust, r.totacctbal_cents]
+        for r in tpch.q22_sales_opportunity(
+            star["customer"], star["orders"],
+            nations=nations, since="1996-06-01",
+        ).collect()
+    }
+    assert got == model
+    assert got, "no lapsed rich customers — fixture broken"
