@@ -1339,6 +1339,47 @@ def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ra.current_state()
 
 
+def _retract_topn_oracle():
+    from .streaming.retract_topn import retract_topn_oracle_sql
+
+    fs = _ORDERS_MUT.oracle_final_state_sql(
+        "orders", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey"]
+    )
+    return retract_topn_oracle_sql(
+        fs, key="o_orderkey", group="o_custkey", value="o_totalprice", n=2
+    )
+
+
+@register("streaming_retract_topn", _retract_topn_oracle())
+def streaming_retract_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Top-N maintained under the orders changelog (Flink
+    SQL's retract rank operator): each epoch recomputes the Top-2 only
+    for customer groups the batch touched — including the BEFORE-image
+    group of updates — and carries every other group forward; the
+    maintained view must equal a from-scratch row_number() over the
+    post-changelog final state (the oracle). Money in exact cents."""
+    import hashlib
+    import tempfile
+
+    from .streaming.retract_topn import RetractTopNStream
+
+    pin_session(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = f"/tmp/flink_cdc_spark_rtopn/{key}"
+    work = tempfile.mkdtemp(prefix="cdc_rtopn_", dir="/tmp")
+    tn = RetractTopNStream(
+        spark, work, key="o_orderkey", group="o_custkey",
+        value="o_totalprice", n=2, staged_dir=staged,
+    )
+    if not tn.staged():
+        env = ParquetTableSource(spark, sf_dir).changelog(
+            "orders", "default.orders", _ORDERS_MUT
+        )
+        tn.stage(env)
+    tn.run()
+    return tn.current_topn()
+
+
 _CUST_VIEW_MUT = MutationSpec(
     key_column="c_custkey",
     update_exprs={"c_acctbal": "c_acctbal + 50", "c_mktsegment": "'VIEWSEG'"},
@@ -3791,6 +3832,8 @@ _PRIORITY = [
     "tpch_q14_promo_effect",
     "tpch_q17_small_quantity",
     "tpch_q22_sales_opportunity",
+    "streaming_retract_topn",
+    "dedup_canonical_select",
     # Then the 31 rows whose latest driver signal is r7 (3 rounds old at
     # r10 close if skipped again — the r9 verdict's structural miss):
     "schema_evolution_try_evolve",

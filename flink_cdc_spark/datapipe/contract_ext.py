@@ -311,6 +311,43 @@ def dedup_connected_components(spark, sf_dir):
     return dedup.connected_components(edges)
 
 
+_CANON_BLOAT_MOD = 40
+_CANON_BLOAT_OFF = 30_000_000
+
+
+def _canon_salted_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bloated = docs.where(F.col("doc_id") % _CANON_BLOAT_MOD == 0).select(
+        (F.col("doc_id") + _CANON_BLOAT_OFF).alias("doc_id"),
+        F.regexp_replace("text", " ", "  ").alias("text"),
+    )
+    return docs.unionByName(bloated)
+
+
+def _canon_salted_sql():
+    return (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {_CANON_BLOAT_OFF} AS doc_id, "
+        "regexp_replace(text, ' ', '  ', 'g') AS text FROM documents "
+        f"WHERE doc_id % {_CANON_BLOAT_MOD} = 0) salted"
+    )
+
+
+@register(
+    "dedup_canonical_select",
+    dedup.canonical_select_oracle_sql(table=_canon_salted_sql()),
+)
+def dedup_canonical_select(spark, sf_dir):
+    """Quality-ordered canonical selection: per normalized-content
+    cluster keep the MOST COMPLETE copy (most raw chars, tie lowest id)
+    — the salted corpus plants whitespace-bloated high-id duplicates
+    whose canonical must be the bloated copy, proving the quality order
+    genuinely overrides exact_dedup's keep-lowest-key."""
+    return dedup.canonical_select(_canon_salted_spark(spark, sf_dir))
+
+
 def _mm_oracle():
     from . import multimodal as mm
 

@@ -94,7 +94,9 @@ def exact_dedup(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
 
 
 def exact_dedup_oracle_sql(table: str = "documents", key: str = "doc_id", text: str = "text") -> str:
-    norm = _NORM.format(col=text).replace("\\\\s", "\\s")
+    # 'g' flag: DuckDB replaces only the first match without it (a
+    # no-op on the single-spaced corpus, correct on real inputs)
+    norm = f"lower(trim(regexp_replace({text}, '\\s+', ' ', 'g')))"
     return f"""
     SELECT min({key}) AS {key}, md5({norm}) AS fingerprint, count(*) AS dup_count
     FROM {table} GROUP BY 2
@@ -556,7 +558,9 @@ def dedup_components_oracle_sql(
     """Components of the chain-edge graph = fingerprint groups, so the
     exact answer is min(key) per group, restricted to nodes that appear in
     at least one edge (groups of size >= 2)."""
-    norm = _NORM.format(col=text).replace("\\\\s", "\\s")
+    # 'g' flag: DuckDB replaces only the first match without it (a
+    # no-op on the single-spaced corpus, correct on real inputs)
+    norm = f"lower(trim(regexp_replace({text}, '\\s+', ' ', 'g')))"
     return f"""
     WITH fp AS (SELECT {key}, md5({norm}) AS fp FROM {table}),
     grp AS (
@@ -980,4 +984,74 @@ def semantic_dedup_kmeans_oracle_sql(
     )
     SELECT c.vec_id, c.cell FROM cells c
     WHERE c.vec_id NOT IN (SELECT vec_id FROM drops)
+    """
+
+
+# --------------------------------------------------------------------------
+# quality-ordered canonical selection (fuzzy dedup keeps the BEST copy)
+# --------------------------------------------------------------------------
+
+
+def canonical_select(
+    df: DataFrame, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """-> (fingerprint, canonical_id, n_members, kept_chars): one
+    canonical document per normalized-content cluster, chosen by an
+    explicit QUALITY ORDER — most raw characters first (the web-dedup
+    "keep the most complete copy" rule: near-identical copies usually
+    differ by trimmed boilerplate, and exact_dedup's keep-lowest-key
+    would throw the completeness away), ties to the lowest key.
+
+    Scale shape: identical to exact_dedup — project (key, fingerprint,
+    length) so only tiny columns shuffle, one exchange on the
+    fingerprint, rank-1 per cluster. Swap the orderBy to plug in any
+    quality column (token_stats.quality, gopher keep-score, ...)."""
+    from pyspark.sql import Window
+
+    fp = F.md5(F.expr(_NORM.format(col=text)))
+    keyed = df.select(
+        F.col(key), fp.alias("fingerprint"), F.length(text).alias("__nc")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("__nc").desc(), F.col(key).asc()
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).cast("bigint"),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "fingerprint",
+            F.col(key).alias("canonical_id"),
+            "n_members",
+            F.col("__nc").cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+def canonical_select_oracle_sql(
+    table: str = "documents", key: str = "doc_id", text: str = "text"
+) -> str:
+    # DuckDB replaces only the FIRST regexp match without 'g' — and this
+    # op's salted fixture is the first _NORM consumer whose inputs
+    # actually contain runs of whitespace, so the flag matters here
+    norm = f"lower(trim(regexp_replace({text}, '\\s+', ' ', 'g')))"
+    return f"""
+    WITH fp AS (
+      SELECT {key}, md5({norm}) AS fingerprint, length({text}) AS nc
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT fingerprint, {key}, nc,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY nc DESC, {key} ASC) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS n
+      FROM fp
+    )
+    SELECT fingerprint, {key} AS canonical_id,
+           CAST(n AS BIGINT) AS n_members,
+           CAST(nc AS BIGINT) AS kept_chars
+    FROM ranked WHERE rn = 1
     """

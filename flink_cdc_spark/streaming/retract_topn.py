@@ -1,0 +1,225 @@
+"""Per-group Top-N maintained under a CDC changelog — Flink SQL's
+retract Top-N (the rank operator the reference's pipelines feed into
+Flink SQL; reference semantics: flink's RetractableTopNFunction —
+a ranked view stays correct when INSERT/UPDATE/DELETE re-orders rows,
+re-emitting only the groups an update touched).
+
+Spark rendition, same epoch-keyed idempotent state machine as
+retract_agg / incremental_join:
+
+  * state table ``tbl`` = per-key last images (keyed merge: broadcast
+    anti-join on the batch's delta keys, union the live images);
+  * view table ``topn`` = per-group Top-N. Per epoch the Top-N is
+    recomputed ONLY for groups the batch touched — including the
+    BEFORE-image group of every update (a group-moving update must
+    repair the group it left, or the view keeps a ghost row); every
+    untouched group's rows carry forward by broadcast anti-join.
+
+Per-epoch cost is proportional to (delta keys + rows of touched
+groups), never to the view: the retract contract. Both state tables are
+versioned by epoch id, always merging from the committed predecessor —
+crash-retried epochs rewrite their own version (idempotent
+foreachBatch). Money rides as exact integer cents.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.envelope import ENVELOPE_OP, ENVELOPE_SEQ, OP_DELETE, OP_INSERT, OP_UPDATE
+from .retract_agg import stage_replay_batches, staged_schema
+
+
+class RetractTopNStream:
+    """Maintains ``SELECT *, row_number() OVER (PARTITION BY group
+    ORDER BY value DESC, key ASC) <= n`` over a replayed changelog."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        key: str,
+        group: str,
+        value: str,
+        n: int = 2,
+        staged_dir: Optional[str] = None,
+    ):
+        self.spark = spark
+        self.key = key
+        self.group = group
+        self.value = value
+        self.n = n
+        self.active = staged_dir or os.path.join(work_dir, "active")
+        self.ckpt = os.path.join(work_dir, "ckpt")
+        self.state_dir = os.path.join(work_dir, "state")
+        os.makedirs(self.active, exist_ok=True)
+        os.makedirs(self.state_dir, exist_ok=True)
+        self._schema = None
+
+    # -- staging (retract_agg pattern: inserts, updates, deletes) -----------
+
+    def stage(self, env: DataFrame) -> None:
+        env = env.withColumn(
+            "__b",
+            F.when(F.col(ENVELOPE_OP) == OP_INSERT, F.lit(0))
+            .when(F.col(ENVELOPE_OP) == OP_UPDATE, F.lit(1))
+            .otherwise(F.lit(2)),
+        )
+        self._schema = env.drop("__b").schema
+        stage_replay_batches(env, self.active)
+
+    def staged(self) -> bool:
+        return os.path.exists(os.path.join(self.active, "_STAGED"))
+
+    # -- versioned state (retract_agg pattern) -------------------------------
+
+    def _versions(self, name: str):
+        root = os.path.join(self.state_dir, name)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(fn[1:])
+            for fn in os.listdir(root)
+            if fn.startswith("v")
+            and os.path.exists(os.path.join(root, fn, "_SUCCESS"))
+        )
+
+    def _read(self, name: str, v: int) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, name, f"v{v}")
+        )
+
+    def _prev(self, name: str, epoch: int) -> Optional[DataFrame]:
+        prior = [v for v in self._versions(name) if v < epoch]
+        return self._read(name, max(prior)) if prior else None
+
+    def _write(self, name: str, epoch: int, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, name, f"v{epoch}")
+        )
+
+    # -- the maintenance epoch ------------------------------------------------
+
+    def _merge_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        k, g, v = self.key, self.group, self.value
+        pk = F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
+        w = Window.partitionBy("__pk").orderBy(F.col(ENVELOPE_SEQ).desc())
+        delta = (
+            batch_df.withColumn("__pk", pk)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "__pk",
+                (F.col(ENVELOPE_OP) != OP_DELETE).alias("__alive"),
+                F.col(f"after.{g}").alias("__g_new"),
+                "after",
+            )
+        ).cache()
+        # touched groups: the group a key lands in AND every group any of
+        # the batch's images mention (a group-moving update repairs the
+        # group it left; a delete repairs the group it leaves)
+        touched = (
+            delta.select(F.col("__g_new").alias("__g"))
+            .unionByName(
+                batch_df.select(F.col(f"before.{g}").alias("__g"))
+            )
+            .unionByName(batch_df.select(F.col(f"after.{g}").alias("__g")))
+            .where(F.col("__g").isNotNull())
+            .distinct()
+        )
+
+        live = delta.where(F.col("__alive")).select("__pk", "after.*")
+        tbl_old = self._prev("tbl", epoch_id)
+        if tbl_old is None:
+            tbl_new = live
+        else:
+            changed = delta.select("__pk")
+            tbl_new = tbl_old.join(
+                F.broadcast(changed), "__pk", "left_anti"
+            ).unionByName(live)
+        self._write("tbl", epoch_id, tbl_new)
+        tbl = self._read("tbl", epoch_id)
+
+        topn_old = self._prev("topn", epoch_id)
+        affected = tbl.join(
+            F.broadcast(touched), tbl[g] == F.col("__g"), "left_semi"
+        )
+        wv = Window.partitionBy(g).orderBy(
+            F.expr(f"CAST(floor({v} * 100 + 0.5) AS BIGINT)").desc(),
+            F.col(k).asc(),
+        )
+        recomputed = (
+            affected.withColumn("rnk", F.row_number().over(wv).cast("bigint"))
+            .where(F.col("rnk") <= self.n)
+            .select(
+                F.col(g),
+                F.col(k),
+                F.expr(f"CAST(floor({v} * 100 + 0.5) AS BIGINT)").alias(
+                    "value_cents"
+                ),
+                "rnk",
+            )
+        )
+        if topn_old is None:
+            topn_new = recomputed
+        else:
+            carried = topn_old.join(
+                F.broadcast(touched),
+                topn_old[g] == F.col("__g"),
+                "left_anti",
+            )
+            topn_new = carried.unionByName(recomputed)
+        try:
+            self._write("topn", epoch_id, topn_new)
+        finally:
+            delta.unpersist()
+
+    # -- the streaming query ---------------------------------------------------
+
+    def run(self) -> None:
+        if self._schema is None:  # attached to a pre-staged directory
+            self._schema = staged_schema(self.spark, self.active)
+        from .windowed import STATE_PARTITIONS, scoped_shuffle_partitions
+
+        stream = (
+            self.spark.readStream.schema(self._schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.active)
+        )
+        with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
+            q = (
+                stream.writeStream.outputMode("update")
+                .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
+                .option("checkpointLocation", self.ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+    def current_topn(self) -> DataFrame:
+        versions = self._versions("topn")
+        if not versions:
+            raise RuntimeError("no committed topn state")
+        return self._read("topn", versions[-1])
+
+
+def retract_topn_oracle_sql(
+    final_state_sql: str, key: str, group: str, value: str, n: int
+) -> str:
+    """The maintained view must equal a from-scratch Top-N over the
+    post-changelog final state."""
+    cents = f"CAST(floor({value} * 100 + 0.5) AS BIGINT)"
+    return f"""
+    WITH fs AS ({final_state_sql}),
+    ranked AS (
+      SELECT {group}, {key}, {cents} AS value_cents,
+             CAST(row_number() OVER (
+                    PARTITION BY {group}
+                    ORDER BY {cents} DESC, {key} ASC) AS BIGINT) AS rnk
+      FROM fs
+    )
+    SELECT {group}, {key}, value_cents, rnk FROM ranked WHERE rnk <= {n}
+    """

@@ -1024,3 +1024,25 @@ def test_value_outliers_overflow_raises_never_drops(spark):
     )  # n=3, max cents=9e18 -> n*max|cents| far beyond the 1e18 guard
     with pytest.raises(Exception, match="value_outliers"):
         features.value_outliers(ev).collect()
+
+
+def test_canonical_select_prefers_most_complete_copy(spark):
+    """Per normalized-content cluster the MOST-raw-chars copy wins (the
+    keep-the-complete-copy rule), ties break to the lowest id, singletons
+    map to themselves — unlike exact_dedup's keep-lowest-key."""
+    from flink_cdc_spark.datapipe import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),       # cluster X, compact, low id
+            (2, "alpha  beta   gamma"),    # cluster X, bloated -> wins
+            (3, "ALPHA beta gamma"),       # cluster X, same len as 1
+            (4, "solo doc"),               # singleton
+            (5, "tie text"),               # cluster Y, equal length
+            (6, "tie text"),               # cluster Y -> min id 5 wins
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.canonical_id: (r.n_members, r.kept_chars)
+           for r in dedup.canonical_select(docs).collect()}
+    assert out == {2: (3, 19), 4: (1, 8), 5: (2, 8)}

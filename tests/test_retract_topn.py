@@ -1,0 +1,121 @@
+"""Retract Top-N: group-moving updates repair the group they LEFT,
+deletes promote the next row, epoch retries are idempotent."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flink_cdc_spark.sources.envelope import (
+    ENVELOPE_META,
+    ENVELOPE_OP,
+    ENVELOPE_SEQ,
+    ENVELOPE_TABLE_ID,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+)
+from flink_cdc_spark.streaming.retract_topn import RetractTopNStream
+
+PAYLOAD = "k LONG, g STRING, val DOUBLE"
+
+
+def _env(spark, rows):
+    data = [
+        Row(
+            __table_id="t.x",
+            __op=op,
+            before=before,
+            after=after,
+            __meta={},
+            __seq=seq,
+        )
+        for (op, before, after, seq) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        f"__table_id STRING, __op STRING, before STRUCT<{PAYLOAD.replace(',', ',')}>, "
+        f"after STRUCT<{PAYLOAD}>, __meta MAP<STRING,STRING>, __seq LONG",
+    )
+
+
+def _row(k, g, val):
+    return Row(k=k, g=g, val=val)
+
+
+def _build(spark, tmp_path, rows, n=2):
+    tn = RetractTopNStream(
+        spark, str(tmp_path / "work"), key="k", group="g", value="val", n=n
+    )
+    tn.stage(_env(spark, rows))
+    tn.run()
+    return tn
+
+
+def test_group_move_repairs_both_groups(spark, tmp_path):
+    """An update that moves the leader of group A into group B must
+    remove it from A's ranking (promoting A's runner-up) AND insert it
+    into B's — the before-image group is 'touched'."""
+    rows = [
+        (OP_INSERT, None, _row(1, "A", 100.0), 1),
+        (OP_INSERT, None, _row(2, "A", 50.0), 2),
+        (OP_INSERT, None, _row(3, "A", 25.0), 3),
+        (OP_INSERT, None, _row(4, "B", 10.0), 4),
+        # leader of A moves to B (and outranks B's only row)
+        (OP_UPDATE, _row(1, "A", 100.0), _row(1, "B", 100.0), 10),
+    ]
+    tn = _build(spark, tmp_path, rows)
+    got = {(r.g, r.rnk): (r.k, r.value_cents)
+           for r in tn.current_topn().collect()}
+    assert got == {
+        ("A", 1): (2, 5000),   # runner-up promoted
+        ("A", 2): (3, 2500),   # third row enters the top-2
+        ("B", 1): (1, 10000),  # mover outranks
+        ("B", 2): (4, 1000),
+    }
+
+
+def test_delete_promotes_next_row(spark, tmp_path):
+    rows = [
+        (OP_INSERT, None, _row(1, "A", 300.0), 1),
+        (OP_INSERT, None, _row(2, "A", 200.0), 2),
+        (OP_INSERT, None, _row(3, "A", 100.0), 3),
+        (OP_DELETE, _row(1, "A", 300.0), None, 20),
+    ]
+    tn = _build(spark, tmp_path, rows)
+    got = {(r.g, r.rnk): r.k for r in tn.current_topn().collect()}
+    assert got == {("A", 1): 2, ("A", 2): 3}
+
+
+def test_value_ties_break_by_key(spark, tmp_path):
+    rows = [
+        (OP_INSERT, None, _row(7, "A", 100.0), 1),
+        (OP_INSERT, None, _row(3, "A", 100.0), 2),
+        (OP_INSERT, None, _row(5, "A", 100.0), 3),
+    ]
+    tn = _build(spark, tmp_path, rows)
+    got = [(r.rnk, r.k) for r in sorted(tn.current_topn().collect(),
+                                        key=lambda r: r.rnk)]
+    assert got == [(1, 3), (2, 5)]
+
+
+def test_epoch_retry_is_idempotent(spark, tmp_path):
+    """Re-running the last epoch rewrites the same versions from the
+    same predecessors — view unchanged (foreachBatch retry safety)."""
+    rows = [
+        (OP_INSERT, None, _row(1, "A", 10.0), 1),
+        (OP_INSERT, None, _row(2, "A", 20.0), 2),
+        (OP_UPDATE, _row(2, "A", 20.0), _row(2, "A", 5.0), 10),
+        (OP_DELETE, _row(1, "A", 10.0), None, 20),
+    ]
+    tn = _build(spark, tmp_path, rows)
+    before = sorted((r.g, r.rnk, r.k, r.value_cents)
+                    for r in tn.current_topn().collect())
+    last = tn._versions("topn")[-1]
+    batch_df = tn.spark.read.schema(tn._schema).parquet(
+        os.path.join(tn.active, "b2.parquet")  # the deletes batch
+    )
+    tn._merge_epoch(batch_df, last)
+    after = sorted((r.g, r.rnk, r.k, r.value_cents)
+                   for r in tn.current_topn().collect())
+    assert before == after == [("A", 1, 2, 500)]
