@@ -3834,6 +3834,7 @@ _PRIORITY = [
     "tpch_q22_sales_opportunity",
     "streaming_retract_topn",
     "dedup_canonical_select",
+    "data_exact_stratified_take",
     # Then the 31 rows whose latest driver signal is r7 (3 rounds old at
     # r10 close if skipped again — the r9 verdict's structural miss):
     "schema_evolution_try_evolve",

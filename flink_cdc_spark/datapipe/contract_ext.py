@@ -311,6 +311,20 @@ def dedup_connected_components(spark, sf_dir):
     return dedup.connected_components(edges)
 
 
+@register(
+    "data_exact_stratified_take",
+    sampling.exact_stratified_take_oracle_sql(),
+)
+def data_exact_stratified_take(spark, sf_dir):
+    """Exactly-k-per-source deterministic take (reservoir replacement
+    for eval-set carving): md5-rank of the key within each source, one
+    stratum exchange, guaranteed counts — vs the rate-based stratified
+    sampler's in-expectation counts."""
+    from . import sampling
+
+    return sampling.exact_stratified_take(_docs(spark, sf_dir))
+
+
 _CANON_BLOAT_MOD = 40
 _CANON_BLOAT_OFF = 30_000_000
 

@@ -550,3 +550,57 @@ def bpe_pair_counts_oracle_sql(
     FROM counted
     QUALIFY rk <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# exact per-stratum take (deterministic reservoir replacement)
+# --------------------------------------------------------------------------
+
+EXACT_TAKE_K = 40
+
+
+def exact_stratified_take(
+    df: DataFrame,
+    k: int = EXACT_TAKE_K,
+    key: str = "doc_id",
+    stratum: str = "source",
+) -> DataFrame:
+    """-> (stratum, key, pick_rank): EXACTLY min(k, |stratum|) rows per
+    stratum, chosen by md5-rank of the key — the deterministic stand-in
+    for reservoir sampling when a pipeline needs "exactly k examples per
+    source" (eval-set carving, balanced probes). Rate-based hash
+    sampling (stratified_hash_sample) only hits k in expectation; this
+    guarantees the count, is stable under corpus growth ONLY for the
+    rows whose hash-rank stays under k (documented trade: exactness vs
+    hash_split's growth stability).
+
+    Scale shape: one exchange on the stratum; the rank window is bounded
+    per stratum and the md5 rank needs no RNG state anywhere."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    return (
+        df.select(F.col(stratum).alias("stratum"), F.col(key))
+        .withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("pick_rank") <= k)
+    )
+
+
+def exact_stratified_take_oracle_sql(
+    table: str = "documents",
+    k: int = EXACT_TAKE_K,
+    key: str = "doc_id",
+    stratum: str = "source",
+) -> str:
+    return f"""
+    SELECT stratum, {key}, pick_rank FROM (
+      SELECT {stratum} AS stratum, {key},
+             CAST(row_number() OVER (
+                    PARTITION BY {stratum}
+                    ORDER BY md5(CAST({key} AS VARCHAR)) ASC, {key} ASC)
+                  AS BIGINT) AS pick_rank
+      FROM {table}
+    ) WHERE pick_rank <= {k}
+    """

@@ -1046,3 +1046,22 @@ def test_canonical_select_prefers_most_complete_copy(spark):
     out = {r.canonical_id: (r.n_members, r.kept_chars)
            for r in dedup.canonical_select(docs).collect()}
     assert out == {2: (3, 19), 4: (1, 8), 5: (2, 8)}
+
+
+def test_exact_stratified_take_guarantees_counts(spark):
+    """Exactly min(k, |stratum|) per stratum; picks deterministic across
+    invocations; small strata return whole stratum."""
+    from flink_cdc_spark.datapipe import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)] + [(1000, "tiny")],
+        "doc_id LONG, source STRING",
+    )
+    out = sampling.exact_stratified_take(docs, k=5)
+    counts = {r.stratum: r.n for r in
+              out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 5, "s1": 5, "s2": 5, "tiny": 1}
+    a = {(r.stratum, r.doc_id) for r in out.collect()}
+    b = {(r.stratum, r.doc_id)
+         for r in sampling.exact_stratified_take(docs, k=5).collect()}
+    assert a == b
