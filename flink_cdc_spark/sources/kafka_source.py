@@ -119,8 +119,9 @@ def kafka_streams(spark: SparkSession, config: dict):
     # (the r9 advisor's storage note).
     from pyspark import StorageLevel
 
+    # lazy: the first consumer (table discovery, below) materializes the
+    # cache; an eager count() here would just be one extra full pass
     records = records.persist(StorageLevel.DISK_ONLY)
-    records.count()  # materialize the one decode pass now
 
     if fmt == "debezium-json":
         tid_expr = F.concat_ws(
