@@ -308,7 +308,10 @@ def dedup_connected_components(spark, sf_dir):
             )
         )
     edges = dedup.duplicate_chain_edges(salted)
-    return dedup.connected_components(edges)
+    # dup-cluster label relation ~ 0.1% of the corpus: width-32 rounds
+    # are pure fixed overhead at test SF (and the same argument sizes
+    # the width to the dup keyspace at 100 TB)
+    return dedup.connected_components(edges, shuffle_partitions=8)
 
 
 @register(

@@ -476,7 +476,9 @@ def duplicate_chain_edges(df: DataFrame, key: str = "doc_id", text: str = "text"
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, shuffle_partitions: int | None = None
+) -> DataFrame:
     """Distributed connected components by min-label propagation WITH
     pointer jumping — the engine's iterative-algorithm primitive
     (cluster-level dedup: keep one doc per component). Each round every
@@ -492,7 +494,28 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     MapReduce") in pure DataFrame ops.
 
     Returns (node, component) with component = min node id reachable.
+
+    ``shuffle_partitions`` scopes the loop's shuffle width: the label
+    relation is EDGE-bounded (only docs in duplicate clusters), usually
+    orders of magnitude smaller than the corpus, and each round is ~6
+    tiny jobs — at the session default (32 here, thousands on a real
+    cluster) the per-round fixed cost dominates. Size it to the dup-set
+    keyspace; None leaves the session width alone.
     """
+    import contextlib
+
+    spark = edges.sparkSession
+    if shuffle_partitions:
+        from ..streaming.windowed import scoped_shuffle_partitions
+
+        scope = scoped_shuffle_partitions(spark, shuffle_partitions)
+    else:
+        scope = contextlib.nullcontext()
+    with scope:
+        return _connected_components_loop(edges, max_iter)
+
+
+def _connected_components_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     sym = edges.selectExpr("src AS a", "dst AS b").unionByName(
         edges.selectExpr("dst AS a", "src AS b")
     )
