@@ -213,11 +213,21 @@ class IncrementalJoinView:
                 "left_semi",
             )
         ).dropDuplicates([self.pk_left])
-        repaired = repair_l.join(
-            r_new, F.col(self.join_key) == F.col(self.pk_right)
+        # aliased sides: when the left's join-key column NAME equals the
+        # right's pk name (the common FK==PK-name CDC layout), a bare
+        # F.col is AMBIGUOUS_REFERENCE — caught by the r10 randomized
+        # streaming differential; the contract fixture's distinct
+        # o_custkey/c_custkey names had masked it
+        repaired = repair_l.alias("__l").join(
+            r_new.alias("__r"),
+            F.col(f"__l.{self.join_key}") == F.col(f"__r.{self.pk_right}"),
         ).select(
-            *self.left_cols,
-            *[c for c in self.right_cols if c != self.pk_right],
+            *[F.col(f"__l.{c}") for c in self.left_cols],
+            *[
+                F.col(f"__r.{c}")
+                for c in self.right_cols
+                if c != self.pk_right
+            ],
         )
         view_new = repaired if carried is None else carried.unionByName(repaired)
         try:

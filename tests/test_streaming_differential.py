@@ -1,0 +1,164 @@
+"""Randomized differential for the streaming state machines: random
+I/U/D changelogs (NOT the MutationSpec fixture) replayed through
+RetractTopNStream and IncrementalJoinView, final state compared against
+brute-force Python models that apply the ops sequentially.
+
+The contract rows prove oracle parity on one deterministic mutation
+shape; this probes the op-sequence space around it — keys updated
+several times, group-moving updates, delete-then-nothing, groups that
+empty out entirely, join keys repointed across the dimension. The
+models are dict loops applying ops in __seq order, so a shared mistake
+with the epoch-merge plans is implausible.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from flink_cdc_spark.sources.envelope import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+)
+
+SEED = 0xD1FF
+
+
+def _random_changelog(rng, n_keys, groups, n_mutations, key0=0):
+    """Sequential op list: every key inserted once, then random
+    update/delete mutations against live keys (updates may move groups
+    and rewrite values; deletes kill). Returns (ops, final) where final
+    is the model's end state {key: (group, value)}."""
+    ops, state, seq = [], {}, 0
+    for k in range(key0, key0 + n_keys):
+        g, v = rng.choice(groups), float(rng.choice([10, 25, 99, 250, 777]))
+        ops.append((OP_INSERT, None, (k, g, v), seq)); seq += 1
+        state[k] = (g, v)
+    for _ in range(n_mutations):
+        if not state:
+            break
+        k = rng.choice(sorted(state))
+        og, ov = state[k]
+        if rng.random() < 0.6:
+            ng = rng.choice(groups)  # may move groups
+            nv = float(rng.choice([5, 50, 123, 999]))
+            ops.append((OP_UPDATE, (k, og, ov), (k, ng, nv), seq)); seq += 1
+            state[k] = (ng, nv)
+        else:
+            ops.append((OP_DELETE, (k, og, ov), None, seq)); seq += 1
+            del state[k]
+    return ops, state
+
+
+def _env_df(spark, ops, table_id="t.x", cols=("k", "g", "val")):
+    def img(t):
+        return None if t is None else Row(**dict(zip(cols, t)))
+
+    rows = [
+        Row(__table_id=table_id, __op=op, before=img(b), after=img(a),
+            __meta={}, __seq=seq)
+        for (op, b, a, seq) in ops
+    ]
+    payload = "k LONG, g STRING, val DOUBLE"
+    return spark.createDataFrame(
+        rows,
+        f"__table_id STRING, __op STRING, before STRUCT<{payload}>, "
+        f"after STRUCT<{payload}>, __meta MAP<STRING,STRING>, __seq LONG",
+    )
+
+
+@pytest.mark.parametrize("trial", [0, 1, 2])
+def test_retract_topn_vs_sequential_model(spark, tmp_path, trial):
+    from flink_cdc_spark.streaming.retract_topn import RetractTopNStream
+
+    rng = random.Random(SEED + trial)
+    groups = ["A", "B", "C", "D"]
+    ops, final = _random_changelog(rng, n_keys=40, groups=groups,
+                                   n_mutations=60)
+    n = 2
+    tn = RetractTopNStream(
+        spark, str(tmp_path / f"w{trial}"), key="k", group="g",
+        value="val", n=n,
+    )
+    tn.stage(_env_df(spark, ops))
+    tn.run()
+    got = {(r.g, r.rnk): (r.k, r.value_cents)
+           for r in tn.current_topn().collect()}
+
+    model = {}
+    by_group = {}
+    for k, (g, v) in final.items():
+        by_group.setdefault(g, []).append((k, int(v * 100 + 0.5)))
+    for g, rows in by_group.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        for i, (k, c) in enumerate(rows[:n], start=1):
+            model[(g, i)] = (k, c)
+    assert got == model
+
+
+def _env_df_named(spark, ops, table_id, cols, superset_payload):
+    """Envelope frame whose images carry only `cols`, padded to the
+    harmonized superset schema (nulls for the other side's columns)."""
+    names = [n for n, _ in superset_payload]
+
+    def img(t):
+        if t is None:
+            return None
+        d = dict(zip(cols, t))
+        return Row(**{n: d.get(n) for n in names})
+
+    payload = ", ".join(f"{n} {t}" for n, t in superset_payload)
+    rows = [
+        Row(__table_id=table_id, __op=op, before=img(b), after=img(a),
+            __meta={}, __seq=seq)
+        for (op, b, a, seq) in ops
+    ]
+    return spark.createDataFrame(
+        rows,
+        f"__table_id STRING, __op STRING, before STRUCT<{payload}>, "
+        f"after STRUCT<{payload}>, __meta MAP<STRING,STRING>, __seq LONG",
+    )
+
+
+@pytest.mark.parametrize("trial", [0, 1])
+def test_incremental_join_vs_sequential_model(spark, tmp_path, trial):
+    from flink_cdc_spark.streaming.incremental_join import IncrementalJoinView
+
+    rng = random.Random(SEED ^ (0xB0 + trial))
+    cust_ids = list(range(8))  # two of these never get a dim row
+    lops, lfinal = _random_changelog(rng, n_keys=35, groups=cust_ids,
+                                     n_mutations=50)
+    rops, rfinal = _random_changelog(rng, n_keys=6, groups=["x"],
+                                     n_mutations=8, key0=0)
+    # right rows: pk == join key (customer id 0..5), value = cval
+    rops = [
+        (op,
+         None if b is None else (b[0], b[2]),
+         None if a is None else (a[0], a[2]),
+         seq + 100_000)
+        for (op, b, a, seq) in rops
+    ]
+    superset = [("k", "BIGINT"), ("ck", "BIGINT"),
+                ("val", "DOUBLE"), ("cval", "DOUBLE")]
+    left = _env_df_named(spark, lops, "t.left", ("k", "ck", "val"), superset)
+    right = _env_df_named(spark, rops, "t.right", ("ck", "cval"), superset)
+    env = left.unionByName(right)
+    ijv = IncrementalJoinView(
+        spark, str(tmp_path / f"w{trial}"),
+        left_table_id="t.left", right_table_id="t.right",
+        pk_left="k", join_key="ck", pk_right="ck",
+        left_cols=["k", "ck", "val"], right_cols=["ck", "cval"],
+    )
+    ijv.stage(env)
+    ijv.run()
+    got = {(r.k, r.ck, r.val, r.cval)
+           for r in ijv.current_view().collect()}
+
+    live_dim = {k: v for k, (_, v) in rfinal.items()}
+    model = {
+        (k, ck, v, live_dim[ck])
+        for k, (ck, v) in lfinal.items()
+        if ck in live_dim
+    }
+    assert got == model
