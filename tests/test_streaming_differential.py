@@ -162,3 +162,31 @@ def test_incremental_join_vs_sequential_model(spark, tmp_path, trial):
         if ck in live_dim
     }
     assert got == model
+
+
+@pytest.mark.parametrize("trial", [0, 1, 2])
+def test_retract_aggregate_vs_sequential_model(spark, tmp_path, trial):
+    """Group-moving updates must retract from the old group AND
+    accumulate into the new one; groups that empty out must not linger
+    with zero rows (or must report n_rows=0 consistently — pin whichever
+    the engine does against the model's interpretation: only groups with
+    live rows appear)."""
+    from flink_cdc_spark.streaming.retract_agg import RetractAggregateStream
+
+    rng = random.Random(SEED ^ (0xAA + trial))
+    groups = ["A", "B", "C"]
+    ops, final = _random_changelog(rng, n_keys=30, groups=groups,
+                                   n_mutations=45)
+    ra = RetractAggregateStream(
+        spark, str(tmp_path / f"w{trial}"), group="g", value="val"
+    )
+    ra.stage(_env_df(spark, ops), key_column="k")
+    ra.run()
+    got = {r.grp: (r.n_rows, r.sum_cents)
+           for r in ra.current_state().collect() if r.n_rows}
+
+    model = {}
+    for k, (g, v) in final.items():
+        n, s = model.get(g, (0, 0))
+        model[g] = (n + 1, s + int(v * 100 + 0.5))
+    assert got == model
