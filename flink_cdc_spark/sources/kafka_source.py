@@ -107,21 +107,21 @@ def kafka_streams(spark: SparkSession, config: dict):
     )
     # The decoded records feed table discovery + per-table schema
     # inference + per-table decode — an N-table topic would otherwise
-    # re-run the Python segment parse N+1 times. persist(DISK_ONLY)
+    # re-run the Python segment parse N+1 times. persist(MEMORY_AND_DISK)
     # materializes the decode ONCE for every consumer (the yielded
     # TableStreams are consumed after this generator returns, so an
     # unpersist-on-exit cache would silently recompute downstream) while
-    # KEEPING lineage — unlike the previous localCheckpoint, which (a)
-    # pinned the whole decoded topic to executor storage with no release
-    # path (persisted blocks are dropped by the ContextCleaner once the
-    # relation is unreachable) and (b) truncated lineage, turning a lost
-    # executor into an unrecoverable failure instead of a recompute
-    # (the r9 advisor's storage note).
+    # fixing both of the r9 advisor's localCheckpoint complaints: the
+    # blocks are RELEASABLE (evictable under memory pressure, dropped by
+    # the ContextCleaner once the relation is unreachable — a checkpoint
+    # was pinned forever) and lineage is KEPT (a lost executor means
+    # recompute, not an unrecoverable job). DISK_ONLY was tried and
+    # costs 2-4x on a busy disk for no extra safety.
     from pyspark import StorageLevel
 
     # lazy: the first consumer (table discovery, below) materializes the
     # cache; an eager count() here would just be one extra full pass
-    records = records.persist(StorageLevel.DISK_ONLY)
+    records = records.persist(StorageLevel.MEMORY_AND_DISK)
 
     if fmt == "debezium-json":
         tid_expr = F.concat_ws(
