@@ -132,3 +132,35 @@ def tpch_q22_sales_opportunity(spark, sf_dir):
     bounded-key aggregate."""
     cust, orders = _tables(spark, sf_dir, "customer", "orders")
     return tpch.q22_sales_opportunity(cust, orders)
+
+
+@register("tpch_q7_volume_shipping", tpch.q7_oracle_sql())
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two-nation broadcast prunes BOTH dims before the
+    one lineitem x orders shuffle; cross-nation residual on the joined
+    row; 2-direction x 2-year aggregate."""
+    nat, cust, supp, orders, li = _tables(
+        spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    return tpch.q7_volume_shipping(nat, cust, supp, orders, li)
+
+
+@register("tpch_q8_market_share", tpch.q8_oracle_sql())
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: part-type broadcast prunes lineitem before the
+    orders shuffle; numerator and denominator share ONE conditional
+    aggregate; share as a rounded double over exact integer terms."""
+    reg, nat, cust, supp, orders, li, part = _tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier",
+        "orders", "lineitem", "part",
+    )
+    return tpch.q8_market_share(reg, nat, cust, supp, orders, li, part)
+
+
+@register("tpch_q15_top_supplier", tpch.q15_oracle_sql())
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier-cardinality revenue view, 1-row scalar
+    max cross-broadcast as the filter (exact DECIMAL equality — ties all
+    return), supplier dim joined last."""
+    supp, li = _tables(spark, sf_dir, "supplier", "lineitem")
+    return tpch.q15_top_supplier(supp, li)

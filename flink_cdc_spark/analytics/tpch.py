@@ -738,3 +738,285 @@ def q22_oracle_sql(nations=Q22_NATIONS, since: str = Q22_SINCE) -> str:
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """
+
+
+# -- Q7: volume shipping between two nations ---------------------------------
+
+Q7_NATION_A = "NATION_2"
+Q7_NATION_B = "NATION_5"
+Q7_FROM = "1996-01-01"
+Q7_TO = "1998-01-01"
+
+
+def q7_volume_shipping(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = Q7_NATION_A,
+    nation_b: str = Q7_NATION_B,
+    date_from: str = Q7_FROM,
+    date_to: str = Q7_TO,
+) -> DataFrame:
+    """-> (supp_nation, cust_nation, l_year, revenue_micros): Q7 —
+    trade volume between two nations by direction and ship year.
+
+    Plan shape: nation filters broadcast onto supplier and customer
+    BEFORE any fact join (both dims shrink to two nations); the only
+    big shuffle is lineitem x orders on the order key; the cross-nation
+    constraint (supp != cust nation) is a residual on the joined row;
+    final aggregate is 2 directions x 2 years. Year extraction is
+    integer (both engines agree on year() of a timestamp). Per-group
+    micro sums are corpus-proportional -> STRING terminals."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    nats = nation.where(
+        F.col("n_name").isin(nation_a, nation_b)
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(nats), supplier.s_nationkey == nats.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nats), customer.c_nationkey == nats.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ords = orders.select("o_orderkey", "o_custkey")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+        (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev").cast("decimal(38,0)").alias("_rev"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.col("_rev").cast("string").alias("revenue_micros"),
+        )
+    )
+
+
+def q7_oracle_sql(
+    nation_a: str = Q7_NATION_A,
+    nation_b: str = Q7_NATION_B,
+    date_from: str = Q7_FROM,
+    date_to: str = Q7_TO,
+) -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    return f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS VARCHAR)
+             AS revenue_micros
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN ('{nation_a}', '{nation_b}')
+      AND nc.n_name IN ('{nation_a}', '{nation_b}')
+      AND ns.n_name <> nc.n_name
+      AND l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{date_to} 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """
+
+
+# -- Q8: national market share ------------------------------------------------
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_FROM = "1996-01-01"
+Q8_TO = "1998-01-01"
+
+
+def q8_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    n_name: str = Q8_NATION,
+    r_name: str = Q8_REGION,
+    p_type: str = Q8_TYPE,
+    date_from: str = Q8_FROM,
+    date_to: str = Q8_TO,
+) -> DataFrame:
+    """-> (o_year, nation_micros, total_micros, mkt_share): Q8 — the
+    target nation's share of `p_type` revenue sold into `r_name`-region
+    customers, by order year.
+
+    Plan shape: region->nation broadcast prunes customer; the part-type
+    filter broadcasts onto lineitem BEFORE the orders join (the one big
+    shuffle); numerator (supplier nation == target) and denominator ride
+    the SAME aggregate via a conditional sum — no second pass, no join
+    back. Exact integer terms ship as STRING, the share as a rounded
+    double (Q14 discipline)."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    region_nations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == r_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(region_nations),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    typed_parts = part.where(F.col("p_type") == p_type).select("p_partkey")
+    li = lineitem.select(
+        "l_orderkey", "l_suppkey", "l_partkey",
+        (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
+    ).join(F.broadcast(typed_parts), F.col("l_partkey") == F.col("p_partkey"))
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    joined = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == n_name, F.col("rev")).otherwise(F.lit(0))
+        ).cast("decimal(38,0)").alias("_nat"),
+        F.sum("rev").cast("decimal(38,0)").alias("_tot"),
+    )
+    return agg.orderBy("o_year").select(
+        "o_year",
+        F.col("_nat").cast("string").alias("nation_micros"),
+        F.col("_tot").cast("string").alias("total_micros"),
+        F.round(
+            F.col("_nat").cast("double") / F.col("_tot").cast("double"), 4
+        ).alias("mkt_share"),
+    )
+
+
+def q8_oracle_sql(
+    n_name: str = Q8_NATION,
+    r_name: str = Q8_REGION,
+    p_type: str = Q8_TYPE,
+    date_from: str = Q8_FROM,
+    date_to: str = Q8_TO,
+) -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    rev = f"CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})"
+    return f"""
+    WITH agg AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CASE WHEN ns.n_name = '{n_name}' THEN {rev} ELSE 0 END) AS DECIMAL(38,0)) AS nat,
+             CAST(sum({rev}) AS DECIMAL(38,0)) AS tot
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region ON nc.n_regionkey = r_regionkey
+      WHERE r_name = '{r_name}' AND p_type = '{p_type}'
+        AND o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+        AND o_orderdate <  TIMESTAMP '{date_to} 00:00:00'
+      GROUP BY o_year
+    )
+    SELECT o_year, CAST(nat AS VARCHAR) AS nation_micros,
+           CAST(tot AS VARCHAR) AS total_micros,
+           round(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS mkt_share
+    FROM agg ORDER BY o_year
+    """
+
+
+# -- Q15: top supplier (scalar max with ties) ---------------------------------
+
+Q15_FROM = "1996-01-01"
+Q15_TO = "1996-04-01"
+
+
+def q15_top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = Q15_FROM,
+    date_to: str = Q15_TO,
+) -> DataFrame:
+    """-> (s_suppkey, s_name, revenue_micros): every supplier whose
+    quarterly revenue EQUALS the maximum (Q15's revenue view + scalar
+    subquery; ties all return). Plan shape: one lineitem aggregate to
+    the supplier-cardinality relation, a 1-row max aggregate
+    cross-broadcast back as the filter, supplier joined last (the dim
+    never touches the fact). The equality test runs on the exact
+    DECIMAL totals — never on a float — and the terminal ships STRING
+    (a supplier's quarterly revenue is corpus-proportional)."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+        )
+        .select(
+            "l_suppkey",
+            (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev").cast("decimal(38,0)").alias("_rev"))
+    )
+    top = per_supp.agg(F.max("_rev").alias("_max"))
+    winners = per_supp.crossJoin(F.broadcast(top)).where(
+        F.col("_rev") == F.col("_max")
+    )
+    return (
+        winners.join(
+            supplier.select("s_suppkey", "s_name"),
+            winners.l_suppkey == F.col("s_suppkey"),
+        )
+        .orderBy("s_suppkey")
+        .select(
+            "s_suppkey", "s_name",
+            F.col("_rev").cast("string").alias("revenue_micros"),
+        )
+    )
+
+
+def q15_oracle_sql(date_from: str = Q15_FROM, date_to: str = Q15_TO) -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    return f"""
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})) AS DECIMAL(38,0)) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{date_to} 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev AS VARCHAR) AS revenue_micros
+    FROM per_supp
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev = (SELECT max(rev) FROM per_supp)
+    ORDER BY s_suppkey
+    """

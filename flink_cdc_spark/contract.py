@@ -3835,6 +3835,9 @@ _PRIORITY = [
     "streaming_retract_topn",
     "dedup_canonical_select",
     "data_exact_stratified_take",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
     # Then the 31 rows whose latest driver signal is r7 (3 rounds old at
     # r10 close if skipped again — the r9 verdict's structural miss):
     "schema_evolution_try_evolve",

@@ -461,3 +461,91 @@ def test_q22_vs_python_model(star):
     }
     assert got == model
     assert got, "no lapsed rich customers — fixture broken"
+
+
+def test_q7_vs_python_model(star):
+    na, nb = "NATION_1", "NATION_2"
+    d0, d1 = datetime.datetime(1996, 1, 1), datetime.datetime(1998, 1, 1)
+    raw = star["raw"]
+    nat_name = {n: name for n, name, _ in raw["nations"]}
+    supp_nat = {s: nat_name[nk] for s, nk in raw["suppliers"]}
+    cust_nat = {c: nat_name[nk] for c, _, _, nk, _ in raw["customers"]}
+    order_cust = {o: cu for (o, cu, _, _, _, _) in raw["orders"]}
+    model = {}
+    for (o, _, s, _, _, p, d, ship, _, _) in raw["lineitems"]:
+        if not (d0 <= ship < d1):
+            continue
+        sn, cn = supp_nat[s], cust_nat[order_cust[o]]
+        if {sn, cn} != {na, nb}:
+            continue
+        key = (sn, cn, ship.year)
+        model[key] = model.get(key, 0) + cents(p) * (1_000_000 - micros(d))
+    got = {
+        (r.supp_nation, r.cust_nation, r.l_year): int(r.revenue_micros)
+        for r in tpch.q7_volume_shipping(
+            star["nation"], star["customer"], star["supplier"],
+            star["orders"], star["lineitem"],
+            nation_a=na, nation_b=nb,
+            date_from="1996-01-01", date_to="1998-01-01",
+        ).collect()
+    }
+    assert got == model
+    assert got, "no cross-nation trade in range — fixture broken"
+
+
+def test_q8_vs_python_model(star):
+    n_name, r_name, p_type = "NATION_1", "ASIA", "PROMO"
+    d0, d1 = datetime.datetime(1996, 1, 1), datetime.datetime(1998, 1, 1)
+    raw = star["raw"]
+    asia = {r for r, name in raw["regions"] if name == r_name}
+    region_nk = {n for n, _, rk in raw["nations"] if rk in asia}
+    nat_name = {n: name for n, name, _ in raw["nations"]}
+    supp_nat = {s: nat_name[nk] for s, nk in raw["suppliers"]}
+    cust_ok = {c for c, _, _, nk, _ in raw["customers"] if nk in region_nk}
+    ptype = {p: t for p, t, _ in raw["parts"]}
+    orders = {
+        o: (cu, dt.year) for (o, cu, dt, _, _, _) in raw["orders"]
+        if d0 <= dt < d1
+    }
+    model = {}
+    for (o, _, s, pk, _, p, d, _, _, _) in raw["lineitems"]:
+        if o not in orders or ptype[pk] != p_type:
+            continue
+        cu, yr = orders[o]
+        if cu not in cust_ok:
+            continue
+        rev = cents(p) * (1_000_000 - micros(d))
+        nat, tot = model.get(yr, (0, 0))
+        model[yr] = (nat + (rev if supp_nat[s] == n_name else 0), tot + rev)
+    got = {
+        r.o_year: (int(r.nation_micros), int(r.total_micros))
+        for r in tpch.q8_market_share(
+            star["region"], star["nation"], star["customer"],
+            star["supplier"], star["orders"], star["lineitem"],
+            star["part"], n_name=n_name, r_name=r_name, p_type=p_type,
+            date_from="1996-01-01", date_to="1998-01-01",
+        ).collect()
+    }
+    assert got == model
+    assert got, "no typed revenue in range — fixture broken"
+
+
+def test_q15_vs_python_model(star):
+    d0, d1 = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    per_supp = {}
+    for (_, _, s, _, _, p, d, ship, _, _) in star["raw"]["lineitems"]:
+        if d0 <= ship < d1:
+            per_supp[s] = per_supp.get(s, 0) + cents(p) * (1_000_000 - micros(d))
+    mx = max(per_supp.values())
+    model = {(s, r) for s, r in per_supp.items() if r == mx}
+    got = {
+        (r.s_suppkey, int(r.revenue_micros))
+        for r in tpch.q15_top_supplier(
+            star["supplier"].selectExpr(
+                "s_suppkey", "concat('S', s_suppkey) AS s_name", "s_nationkey"
+            ),
+            star["lineitem"],
+            date_from="1996-01-01", date_to="1996-07-01",
+        ).collect()
+    }
+    assert got == model
