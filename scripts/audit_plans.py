@@ -29,7 +29,9 @@ def audit(name, df):
     pandas_nodes = sum(plan.count(k) for k in
                       ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython"))
     py_row_udf = plan.count("BatchEvalPython")  # row-at-a-time: should be 0
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # Spark truncates long plan strings MID-list ("PushedFilters: [IsNotNull(x), GreaterTh...")
+    # so the bracket may never close — match up to the ']' OR the '...' truncation
+    pushed = re.findall(r"PushedFilters: \[([^\]\n]*?)(?:\]|\.\.\.)", plan)
     pushed_n = sum(1 for p in pushed if p.strip())
     bhj = plan.count("BroadcastHashJoin")
     smj = plan.count("SortMergeJoin")
