@@ -3813,73 +3813,14 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 # component gets the hard oracle signal at least once; long-stable rows
 # (driver-green in earlier rounds) absorb the overflow past the window.
 _PRIORITY = [
-    # ---- round-10 window -------------------------------------------------
-    # Rows whose CONTRACT changed this round lead (r9's seven hash-red
-    # rows: terminal DECIMAL columns now cast to BIGINT/STRING on BOTH
-    # engine and oracle sides — the driver's collector normalizes Decimal
-    # asymmetrically; values were already verified identical):
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_volume_customer",
-    "events_rolling_features",
-    "join_salted_skew",
-    "join_bucketed_colocated",
-    # (new r10 queries are inserted here as they land — memory rule)
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q17_small_quantity",
-    "tpch_q22_sales_opportunity",
-    "streaming_retract_topn",
-    "dedup_canonical_select",
-    "data_exact_stratified_take",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    # Then the 31 rows whose latest driver signal is r7 (3 rounds old at
-    # r10 close if skipped again — the r9 verdict's structural miss):
-    "schema_evolution_try_evolve",
-    "jdbc_newly_added_table",
-    "lake_partitioned_pruning",
-    "mysql_gtid_startup_replay",
-    "mysql_streaming_binlog_evolution",
-    "iceberg_metadata_evolution",
-    "hudi_upsert_roundtrip",
-    "mongodb_streaming_evolution",
-    "db2_asn_cd_decode",
-    "kafka_producer_record_route",
-    "tidb_kv_event_decode",
-    "vitess_vstream_decode",
-    "mongodb_change_stream_roundtrip",
-    "doris_stream_load_roundtrip",
-    "starrocks_stream_load_roundtrip",
-    "dedup_exact_substring",
-    "cluster_kmeans_assign",
-    "sim_ivf_fitted_topk",
-    "dedup_semantic_kmeans",
-    "dedup_semantic_cluster",
-    "mm_audio_feature_stats",
-    "mm_audio_fingerprint",
-    "mm_video_frame_sample",
-    "data_mix_hash_sample",
-    "text_vocab_topk",
-    "text_pii_scrub",
-    "streaming_stateful_dedup",
-    "mm_phash_near_dup",
-    "text_bigram_logprob",
-    "text_unigram_logprob",
-    "sim_quantized_topk",
-    # Rows touched by this round's plan/ADVICE fixes (decoder window
-    # partitioning, incremental-join state merge, outlier overflow guard,
-    # hybrid-retrieval candidate probe) — re-verify under the driver:
+    # ---- round-11 window -------------------------------------------------
+    # The 47 rows whose latest driver signal is r8 (they would be 3 rounds
+    # stale at r11 close — the rotation invariant pinned by
+    # tests/test_priority_window.py makes them mandatory), in registry
+    # order.  sqlserver_cdc_table_decode doubles as one of r10's displaced
+    # touched rows, so 47 stale + the 3 remaining displaced touched rows
+    # land at exactly 50:
     "sqlserver_cdc_table_decode",
-    "streaming_incremental_join_view",
-    "events_value_outliers",
-    "sim_hybrid_retrieval",
-    # r8 filler, oldest-first registry order (the remaining r8 rows stay
-    # r8-green and lead r11's window; r9 rows are 1 round old — fine):
     "transform_project_filter",
     "kafka_debezium_roundtrip",
     "kafka_segment_log_roundtrip",
@@ -3888,6 +3829,51 @@ _PRIORITY = [
     "streaming_pipeline_evolution",
     "streaming_windowed_watermark",
     "distributed_schema_reduction",
+    "lake_merge_evolution",
+    "jdbc_snapshot_stream_handoff",
+    "jdbc_startup_latest_offset",
+    "live_streaming_cdc_tail",
+    "pg_logical_decoding_pipeline",
+    "pg_pgoutput_pipeline",
+    "mysql_binlog_replay",
+    "mysql_binlog_wire_replay",
+    "oracle_logminer_decode",
+    "jdbc_warehouse_sink_roundtrip",
+    "prepartition_pk_hash",
+    "ddl_statement_pipeline",
+    "udf_projection_pipeline",
+    "fluss_log_roundtrip",
+    "maxcompute_tunnel_roundtrip",
+    "cli_pipeline_e2e",
+    "dedup_exact",
+    "dedup_exact_keep_payload",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "events_sessionize",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "dedup_connected_components",
+    "mm_image_feature_pipeline",
+    "doc_training_pipeline",
+    "text_language_id",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "text_decontaminate",
+    "data_pack_sequences",
+    "data_epoch_shuffle",
+    "data_source_cap",
+    "text_tfidf_topk",
+    # r10's displaced touched rows (changed in r10, never driver-signalled
+    # since; latest signal r9 so they fit the remaining 3 slots).  If new
+    # r11 queries land, they replace events_value_outliers /
+    # sim_hybrid_retrieval here (both r9-green, back in window by r12):
+    "streaming_incremental_join_view",
+    "events_value_outliers",
+    "sim_hybrid_retrieval",
 ]
 
 
