@@ -12,15 +12,22 @@ engines sum exactly.
 
 Scale notes: Q1 is a single scan + hash aggregate (partial map-side
 combine; group cardinality 6). Q3's customer filter reduces the dim to
-~1/5 — joined BROADCAST so the lineitem/orders side never shuffles for
-the join; the final top-10 is a total order on the aggregated relation
-(group cardinality = order keys, bounded), with a fully deterministic
-tie-break.
+~1/5 — scale-proportional, so it carries NO hard broadcast hint: AQE
+(64 MB adaptive threshold) broadcasts it at runtime whenever it fits,
+and the plan degrades to a shuffle join instead of OOMing at 100 TB.
+Broadcast-hint discipline for the whole family lives in ``hints.py``
+(``broadcast_if_bounded``): hard hints ONLY on fixed-cardinality dims
+(region/nation), provably-sublinear frames (HAVING survivors), and
+1-row scalars. The final top-10 is a total order on the aggregated
+relation (group cardinality = order keys, bounded), with a fully
+deterministic tie-break.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .hints import FIXED, SCALAR, SCALE_PROPORTIONAL, SUBLINEAR, broadcast_if_bounded
 
 Q1_CUTOFF = "1998-09-02"
 Q3_SEGMENT = "BUILDING"
@@ -105,7 +112,12 @@ def q3_shipping_priority(
     )
     return (
         li.join(
-            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey).select(
+            # segment-filtered customer is ~1/5 of customer — scale-
+            # proportional, so no hard hint; AQE broadcasts when it fits
+            ords.join(
+                broadcast_if_bounded(cust, SCALE_PROPORTIONAL),
+                ords.o_custkey == cust.c_custkey,
+            ).select(
                 "o_orderkey", "o_orderdate_us"
             ),
             li.l_orderkey == F.col("o_orderkey"),
@@ -168,24 +180,27 @@ def q5_local_supplier_volume(
     nation for `r_name`-region customers served by SAME-NATION suppliers
     within the order-date year.
 
-    Plan shape: region->nation is a broadcast cascade onto supplier and
-    customer (dims resolve executor-side; the nation filter prunes both
-    fact-feeding joins BEFORE any big shuffle); orders carries its pushed
-    date-range filter into the lineitem join on orderkey; the
-    c_nationkey = s_nationkey locality constraint is enforced on the
-    joined row. One big-fact shuffle join (lineitem x orders), broadcast
-    everywhere else, final 5-row aggregate map-side combined."""
+    Plan shape: region->nation is a broadcast cascade (fixed 25-row
+    dim) onto supplier and customer; the pruned supplier/customer slices
+    themselves are scale-proportional, so their fact joins carry no hard
+    hint — AQE broadcasts them while they fit and falls back to shuffle
+    at scale. Orders carries its pushed date-range filter into the
+    lineitem join on orderkey; the c_nationkey = s_nationkey locality
+    constraint is enforced on the joined row. One guaranteed big-fact
+    shuffle join (lineitem x orders), final 5-row aggregate map-side
+    combined."""
     cents = F.expr(_CENTS.format(col="l_extendedprice"))
     disc = F.expr(_MICRO.format(col="l_discount"))
     nations = nation.join(
-        F.broadcast(region.where(F.col("r_name") == r_name)),
+        broadcast_if_bounded(region.where(F.col("r_name") == r_name), FIXED),
         nation.n_regionkey == F.col("r_regionkey"),
     ).select("n_nationkey", "n_name")
     cust = customer.join(
-        F.broadcast(nations), customer.c_nationkey == nations.n_nationkey
+        broadcast_if_bounded(nations, FIXED),
+        customer.c_nationkey == nations.n_nationkey,
     ).select("c_custkey", F.col("c_nationkey").alias("cust_nk"), "n_name")
     supp = supplier.join(
-        F.broadcast(nations.select("n_nationkey")),
+        broadcast_if_bounded(nations.select("n_nationkey"), FIXED),
         supplier.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))
     ords = orders.where(
@@ -200,7 +215,11 @@ def q5_local_supplier_volume(
     joined = (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        # region-pruned supplier is ~1/5 of supplier — scale-proportional
+        .join(
+            broadcast_if_bounded(supp, SCALE_PROPORTIONAL),
+            F.col("l_suppkey") == supp.s_suppkey,
+        )
         .where(F.col("cust_nk") == F.col("supp_nk"))
     )
     return (
@@ -275,7 +294,10 @@ def q18_large_volume_customer(
         F.expr(_CENTS.format(col="o_totalprice")).alias("o_total_cents"),
     )
     return (
-        ords.join(F.broadcast(heavy), ords.o_orderkey == heavy.l_orderkey)
+        ords.join(
+            broadcast_if_bounded(heavy, SUBLINEAR),
+            ords.o_orderkey == heavy.l_orderkey,
+        )
         .join(customer.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "o_orderkey", "o_orderdate_us", "o_total_cents", "sum_qty_cents")
         .orderBy(
@@ -497,7 +519,7 @@ def q10_returned_items(
     )
     return (
         per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+        .join(broadcast_if_bounded(nation.select("n_nationkey", "n_name"), FIXED),
               F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "n_name", "acctbal_cents",
                 "revenue_micros")
@@ -537,7 +559,9 @@ Q14_TO = "1996-10-01"
 def q14_promo_effect(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     """-> one row (promo_micros, total_micros, promo_pct): share of the
     month's revenue from PROMO-type parts. Plan shape: the month filter
-    prunes lineitem at the scan; part broadcasts (dim); numerator is a
+    prunes lineitem at the scan; the 2-column part projection joins
+    un-hinted (part grows with the corpus — AQE broadcasts while it
+    fits); numerator is a
     conditional sum in the SAME aggregate as the denominator — one pass,
     no second join. Exact integer numerator/denominator ship as STRING;
     the ratio itself is a bounded double rounded to 4 (the repo's
@@ -551,8 +575,10 @@ def q14_promo_effect(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         "l_partkey",
         (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
     )
+    # the full 2-column part projection still grows with the scale
+    # factor — no hard hint; AQE broadcasts it while it fits
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        broadcast_if_bounded(part.select("p_partkey", "p_type"), SCALE_PROPORTIONAL),
         li.l_partkey == F.col("p_partkey"),
     )
     agg = joined.agg(
@@ -611,8 +637,10 @@ def q17_small_quantity_revenue(
     qty = F.expr(_CENTS.format(col="l_quantity"))
     cents = F.expr(_CENTS.format(col="l_extendedprice"))
     brand_parts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    # one brand's parts are ~1/|brands| of part — still proportional
     li = lineitem.join(
-        F.broadcast(brand_parts), lineitem.l_partkey == F.col("p_partkey")
+        broadcast_if_bounded(brand_parts, SCALE_PROPORTIONAL),
+        lineitem.l_partkey == F.col("p_partkey"),
     ).select(
         "l_partkey", qty.alias("qc"), cents.alias("pc")
     )
@@ -620,8 +648,10 @@ def q17_small_quantity_revenue(
         F.sum(F.col("qc").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_qc"),
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
     ).withColumnRenamed("l_partkey", "__pk")
+    # one row per brand part — proportional to brand_parts, not bounded
     qualified = li.join(
-        F.broadcast(per_part), li.l_partkey == F.col("__pk")
+        broadcast_if_bounded(per_part, SCALE_PROPORTIONAL),
+        li.l_partkey == F.col("__pk"),
     ).where(
         F.col("qc").cast("decimal(38,0)") * Q17_FRACTION * F.col("cnt")
         < F.col("sum_qc")
@@ -689,7 +719,7 @@ def q22_sales_opportunity(
         .alias("sum_pos"),
         F.count(F.lit(1)).cast("bigint").alias("cnt_pos"),
     )
-    rich = cust.crossJoin(F.broadcast(pos)).where(
+    rich = cust.crossJoin(broadcast_if_bounded(pos, SCALAR)).where(
         F.col("bal_cents").cast("decimal(38,0)") * F.col("cnt_pos")
         > F.col("sum_pos")
     )
@@ -762,9 +792,10 @@ def q7_volume_shipping(
     """-> (supp_nation, cust_nation, l_year, revenue_micros): Q7 —
     trade volume between two nations by direction and ship year.
 
-    Plan shape: nation filters broadcast onto supplier and customer
-    BEFORE any fact join (both dims shrink to two nations); the only
-    big shuffle is lineitem x orders on the order key; the cross-nation
+    Plan shape: the fixed 2-row nation filter broadcasts onto supplier
+    and customer BEFORE any fact join; the resulting two-nation slices
+    are scale-proportional so their fact joins are left to AQE; the only
+    guaranteed big shuffle is lineitem x orders on the order key; the cross-nation
     constraint (supp != cust nation) is a residual on the joined row;
     final aggregate is 2 directions x 2 years. Year extraction is
     integer (both engines agree on year() of a timestamp). Per-group
@@ -775,10 +806,10 @@ def q7_volume_shipping(
         F.col("n_name").isin(nation_a, nation_b)
     ).select("n_nationkey", "n_name")
     supp = supplier.join(
-        F.broadcast(nats), supplier.s_nationkey == nats.n_nationkey
+        broadcast_if_bounded(nats, FIXED), supplier.s_nationkey == nats.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     cust = customer.join(
-        F.broadcast(nats), customer.c_nationkey == nats.n_nationkey
+        broadcast_if_bounded(nats, FIXED), customer.c_nationkey == nats.n_nationkey
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     ords = orders.select("o_orderkey", "o_custkey")
     li = lineitem.where(
@@ -790,10 +821,18 @@ def q7_volume_shipping(
         F.year("l_shipdate").cast("bigint").alias("l_year"),
         (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
     )
+    # the two-nation slices of supplier/customer are ~2/|nations| of
+    # each table — scale-proportional, so AQE decides from runtime size
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(
+            broadcast_if_bounded(supp, SCALE_PROPORTIONAL),
+            li.l_suppkey == supp.s_suppkey,
+        )
         .join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(
+            broadcast_if_bounded(cust, SCALE_PROPORTIONAL),
+            ords.o_custkey == cust.c_custkey,
+        )
         .where(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -863,31 +902,38 @@ def q8_market_share(
     target nation's share of `p_type` revenue sold into `r_name`-region
     customers, by order year.
 
-    Plan shape: region->nation broadcast prunes customer; the part-type
-    filter broadcasts onto lineitem BEFORE the orders join (the one big
-    shuffle); numerator (supplier nation == target) and denominator ride
+    Plan shape: region->nation (fixed dims) broadcast-prunes customer;
+    the part-type slice joins lineitem BEFORE the orders join (the one
+    big shuffle) without a hard hint — typed parts and the nation-tagged
+    supplier are scale-proportional, AQE picks the strategy; numerator (supplier nation == target) and denominator ride
     the SAME aggregate via a conditional sum — no second pass, no join
     back. Exact integer terms ship as STRING, the share as a rounded
     double (Q14 discipline)."""
     cents = F.expr(_CENTS.format(col="l_extendedprice"))
     disc = F.expr(_MICRO.format(col="l_discount"))
     region_nations = nation.join(
-        F.broadcast(region.where(F.col("r_name") == r_name)),
+        broadcast_if_bounded(region.where(F.col("r_name") == r_name), FIXED),
         nation.n_regionkey == F.col("r_regionkey"),
     ).select("n_nationkey")
     cust = customer.join(
-        F.broadcast(region_nations),
+        broadcast_if_bounded(region_nations, FIXED),
         customer.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey")
+    # supplier joined to the FULL nation dim is the whole supplier
+    # table — scale-proportional (the r10 plan's one genuine OOM risk)
     supp = supplier.join(
-        F.broadcast(nation.select("n_nationkey", "n_name")),
+        broadcast_if_bounded(nation.select("n_nationkey", "n_name"), FIXED),
         supplier.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     typed_parts = part.where(F.col("p_type") == p_type).select("p_partkey")
     li = lineitem.select(
         "l_orderkey", "l_suppkey", "l_partkey",
         (cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)).alias("rev"),
-    ).join(F.broadcast(typed_parts), F.col("l_partkey") == F.col("p_partkey"))
+    ).join(
+        # the p_type slice of part is ~1/|types| of part — proportional
+        broadcast_if_bounded(typed_parts, SCALE_PROPORTIONAL),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
     ords = orders.where(
         (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
@@ -898,7 +944,10 @@ def q8_market_share(
     joined = (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(cust, ords.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            broadcast_if_bounded(supp, SCALE_PROPORTIONAL),
+            li.l_suppkey == supp.s_suppkey,
+        )
     )
     agg = joined.groupBy("o_year").agg(
         F.sum(
@@ -986,7 +1035,7 @@ def q15_top_supplier(
         .agg(F.sum("rev").cast("decimal(38,0)").alias("_rev"))
     )
     top = per_supp.agg(F.max("_rev").alias("_max"))
-    winners = per_supp.crossJoin(F.broadcast(top)).where(
+    winners = per_supp.crossJoin(broadcast_if_bounded(top, SCALAR)).where(
         F.col("_rev") == F.col("_max")
     )
     return (
