@@ -559,11 +559,49 @@ def bpe_pair_counts_oracle_sql(
 EXACT_TAKE_K = 40
 
 
+#: hex-prefix length for the rank-threshold pre-filter: 16^4 = 65536
+#: buckets — a billion-row stratum leaves ~k + n/65536 survivors for the
+#: exact window's single per-stratum task.
+_TAKE_BUCKET_HEX = 4
+
+
+def _take_bucket_threshold(base: DataFrame, k: int) -> DataFrame:
+    """-> (stratum, __bmax): per stratum, the EXACT smallest md5-prefix
+    bucket whose cumulative count reaches k. md5 hex is lowercase in
+    both engines, so prefix order agrees with full-string order — every
+    row in a bucket < __bmax ranks before every row in a later bucket,
+    hence the k-th ranked row sits in a bucket <= __bmax and dropping
+    later buckets cannot change the top-k. Strata with fewer than k rows
+    never reach the threshold and get no row here (caller keeps them
+    whole). The histogram is map-side combined to <= 65536 x |strata|
+    rows; the cumulative window partitions by stratum over that bounded
+    aggregate, never over data."""
+    from pyspark.sql import Window
+
+    hist = (
+        base.select("stratum", F.substring("__h", 1, _TAKE_BUCKET_HEX).alias("__b"))
+        .groupBy("stratum", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy("stratum")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        .where(F.col("__cum") >= k)
+        .groupBy("stratum")
+        .agg(F.min("__b").alias("__bmax"))
+    )
+
+
 def exact_stratified_take(
     df: DataFrame,
     k: int = EXACT_TAKE_K,
     key: str = "doc_id",
     stratum: str = "source",
+    prefilter: bool = True,
 ) -> DataFrame:
     """-> (stratum, key, pick_rank): EXACTLY min(k, |stratum|) rows per
     stratum, chosen by md5-rank of the key — the deterministic stand-in
@@ -574,17 +612,32 @@ def exact_stratified_take(
     rows whose hash-rank stays under k (documented trade: exactness vs
     hash_split's growth stability).
 
-    Scale shape: one exchange on the stratum; the rank window is bounded
-    per stratum and the md5 rank needs no RNG state anywhere."""
+    Scale shape: the exact rank window is single-task per stratum, so a
+    skewed billion-row stratum would sort in one task — the ``prefilter``
+    path (default) first computes the exact per-stratum md5-prefix
+    bucket containing the k-th rank from a bounded histogram and drops
+    every later bucket map-side (broadcast threshold join; one row per
+    stratum, dimension-sized). The window then sorts only
+    ~k + n/65536 survivors per stratum. Output is bit-identical with
+    and without the pre-filter (the dropped rows provably rank > k)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("stratum").orderBy(
-        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    base = df.select(
+        F.col(stratum).alias("stratum"),
+        F.col(key),
+        F.md5(F.col(key).cast("string")).alias("__h"),
     )
+    if prefilter:
+        thresh = _take_bucket_threshold(base, k)
+        base = base.join(F.broadcast(thresh), "stratum", "left").where(
+            F.col("__bmax").isNull()  # stratum smaller than k: keep whole
+            | (F.substring("__h", 1, _TAKE_BUCKET_HEX) <= F.col("__bmax"))
+        )
+    w = Window.partitionBy("stratum").orderBy(F.col("__h").asc(), F.col(key).asc())
     return (
-        df.select(F.col(stratum).alias("stratum"), F.col(key))
-        .withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        base.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("pick_rank") <= k)
+        .select("stratum", key, "pick_rank")
     )
 
 

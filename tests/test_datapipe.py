@@ -1065,3 +1065,41 @@ def test_exact_stratified_take_guarantees_counts(spark):
     b = {(r.stratum, r.doc_id)
          for r in sampling.exact_stratified_take(docs, k=5).collect()}
     assert a == b
+
+
+def test_exact_stratified_take_prefilter_prunes_skewed_stratum(spark):
+    """The r10 verdict's skew item: the exact per-stratum rank window is
+    single-task, so a 100x-skewed stratum must be pruned BEFORE the
+    window by the exact md5-prefix bucket threshold. Output must be
+    bit-identical with and without the pre-filter, and the filter must
+    actually drop the overwhelming majority of the big stratum."""
+    from flink_cdc_spark.datapipe import sampling
+
+    rows = [(i, "big") for i in range(20000)] + [
+        (100000 + i, f"small{i % 4}") for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    k = 40
+
+    fast = sampling.exact_stratified_take(docs, k=k)
+    slow = sampling.exact_stratified_take(docs, k=k, prefilter=False)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+    # the pre-filter itself: survivors of the big stratum ~ k + n/65536,
+    # i.e. a tiny fraction of 20000 (2x head-room in the assertion)
+    base = docs.select(
+        F.col("source").alias("stratum"),
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    thresh = sampling._take_bucket_threshold(base, k)
+    survivors = (
+        base.join(thresh, "stratum", "left")
+        .where(
+            F.col("__bmax").isNull()
+            | (F.substring("__h", 1, sampling._TAKE_BUCKET_HEX) <= F.col("__bmax"))
+        )
+        .where(F.col("stratum") == "big")
+        .count()
+    )
+    assert k <= survivors < 2 * k + 20000 // 65536 + 8, survivors
