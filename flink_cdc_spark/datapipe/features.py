@@ -558,12 +558,17 @@ def value_outliers(
         F.max(F.abs(F.col("v_cents"))).cast("bigint").alias("m"),
     ).withColumn(
         "__guard",
+        # k folds into the bound: rhs <= k^2*(n*max)^2 fits DECIMAL(38,0)
+        # iff k*n*max <= 1e19, and lhs^2 <= (2*n*max)^2 needs
+        # n*max <= 5e18 — max(k, 2) covers both in one inequality (the
+        # prior fixed 1e18 bound silently stopped holding for k >= 10).
         F.assert_true(
-            d(F.col("n")) * d(F.col("m")) <= F.lit(10**18).cast("decimal(38,0)"),
+            d(F.col("n")) * d(F.col("m"))
+            <= F.lit(10**19 // max(k, 2)).cast("decimal(38,0)"),
             F.lit(
-                "value_outliers: n*max|cents| exceeds 1e18 — the squared "
-                "z-score terms would overflow DECIMAL(38,0); pre-scale "
-                "the value column"
+                f"value_outliers: n*max|cents| exceeds 1e19/{max(k, 2)} — the "
+                "squared z-score terms would overflow DECIMAL(38,0); "
+                "pre-scale the value column"
             ),
         ),
     )

@@ -60,8 +60,14 @@ def banded_global_rank(
     )
     w_intra = Window.partitionBy(*scope, band).orderBy(*order_cols)
     intra = (F.dense_rank() if dense else F.row_number()).over(w_intra)
+    # dense offsets must count NULL order tuples the way dense_rank
+    # ranks them (NULL is a rankable value) — bare countDistinct would
+    # skip all-NULL tuples and undercount the cumulative offsets, making
+    # global ranks collide across bands. A struct is never NULL even
+    # when its fields are, so countDistinct(struct(...)) counts exactly
+    # the distinct ordering tuples.
     counter = (
-        F.countDistinct(*order_cols) if dense else F.count(F.lit(1))
+        F.countDistinct(F.struct(*order_cols)) if dense else F.count(F.lit(1))
     ).alias("__n")
     per_band = df.groupBy(*scope, band).agg(counter)
     # lit(0) partition (unscoped case): the per-band aggregate is small

@@ -127,12 +127,23 @@ class RetractTopNStream:
                 batch_df.select(F.col(f"before.{g}").alias("__g"))
             )
             .unionByName(batch_df.select(F.col(f"after.{g}").alias("__g")))
-            .where(F.col("__g").isNotNull())
-            .distinct()
         )
 
         live = delta.where(F.col("__alive")).select("__pk", "after.*")
         tbl_old = self._prev("tbl", epoch_id)
+        if tbl_old is not None:
+            # a changelog whose DELETEs carry a NULL before image names no
+            # group to repair — the key silently leaves the state table but
+            # its old topn row would survive as a ghost. The state table's
+            # own current group for every delta key closes that hole (and
+            # subsumes before.g when images are complete); one semi-join
+            # against the broadcast delta keyset, bounded by the delta.
+            touched = touched.unionByName(
+                tbl_old.join(
+                    F.broadcast(delta.select("__pk")), "__pk", "left_semi"
+                ).select(F.col(g).alias("__g"))
+            )
+        touched = touched.where(F.col("__g").isNotNull()).distinct()
         if tbl_old is None:
             tbl_new = live
         else:

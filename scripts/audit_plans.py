@@ -19,6 +19,62 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
+# Queries allowed to carry WindowExec nodes with NO partition spec (the
+# "Moving all data to a single partition" warning). Every entry must be
+# a window whose INPUT is post-aggregate and bounded — one row per
+# band/term/group, never corpus-proportional — so the single task is a
+# few rows, not the data. Keyed by query -> max allowed count; any
+# global window elsewhere (or above the cap) fails the audit, so a new
+# corpus-sized global sort can't hide behind the known-benign warnings.
+GLOBAL_WINDOW_OK = {
+    # banded_global_rank per-band offsets: one row per (scope, band)
+    # aggregate — bounded by band count (operators/ordered_seq.py); the
+    # mongo rows scope their offsets `within` a key, so they audit at 0
+    "db2_asn_cd_decode": 1,
+    "sqlserver_cdc_table_decode": 1,
+    # BPE pair rank over the alphabet^2 merge-candidate aggregate
+    # (datapipe/sampling.py) — vocabulary-bounded, not corpus-bounded
+    "text_bpe_pair_counts": 1,
+}
+
+
+def _top_level_groups(s):
+    """Split a Window node's argument tail into its top-level [...] groups:
+    3 groups = [exprs], [partition], [order]; 2 = no partition spec."""
+    groups, depth, cur = [], 0, None
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                cur = None
+                continue
+        if cur is not None:
+            cur.append(ch)
+    return groups
+
+
+def count_global_windows(plan):
+    """WindowExec nodes with no partition spec. Plan-string shapes:
+    3 groups = [exprs], [partition], [order]; 2 groups is ambiguous —
+    partition-only ([exprs], [cols]) is fine, order-only ([exprs],
+    [col ASC ...]) is the global single-task window we're hunting.
+    Sort directions only ever appear in order specs."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups = _top_level_groups(m.group(1))
+        if len(groups) == 2 and re.search(r" (ASC|DESC) ", groups[1]):
+            n += 1
+    return n
+
 
 def audit(name, df):
     qe = df._jdf.queryExecution()
@@ -35,15 +91,20 @@ def audit(name, df):
     pushed_n = sum(1 for p in pushed if p.strip())
     bhj = plan.count("BroadcastHashJoin")
     smj = plan.count("SortMergeJoin")
+    gwin = count_global_windows(plan)
+    gwin_bad = gwin > GLOBAL_WINDOW_OK.get(name, 0)
     print(
         f"{name:34s} exch={exchanges:2d} scans={len(scans)+jdbc_scans:2d} "
-        f"pushed={pushed_n} bhj={bhj} smj={smj} "
+        f"pushed={pushed_n} bhj={bhj} smj={smj} gwin={gwin} "
         f"arrow_udf={pandas_nodes} ROW_UDF={py_row_udf}"
         + ("  <-- row-at-a-time Python!" if py_row_udf else "")
+        + ("  <-- UNAUDITED GLOBAL WINDOW (bounded input? add to GLOBAL_WINDOW_OK)"
+           if gwin_bad else "")
     )
     for cols in scans[:3]:
         ncols = len([c for c in cols.split(",") if c.strip()])
         print(f"{'':36s}scan reads {ncols} col(s)")
+    return not gwin_bad
 
 
 def main():
@@ -58,13 +119,17 @@ def main():
 
     spark = get_spark("plan-audit")
     wanted = sys.argv[1:]
+    ok = True
     for name, fn in contract.queries().items():
         if wanted and name not in wanted:
             continue
         try:
-            audit(name, fn(spark, SF_DIR))
+            ok = audit(name, fn(spark, SF_DIR)) and ok
         except Exception as e:  # noqa: BLE001 - audit keeps going
             print(f"{name:34s} ERROR {type(e).__name__}: {e}")
+    if not ok:
+        print("AUDIT FAILED: unaudited global window(s) — see lines above")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -119,3 +119,23 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     after = sorted((r.g, r.rnk, r.k, r.value_cents)
                    for r in tn.current_topn().collect())
     assert before == after == [("A", 1, 2, 500)]
+
+
+def test_delete_with_null_before_image_leaves_no_ghost(spark, tmp_path):
+    """A changelog whose DELETE carries no before image (some sources
+    emit key-only deletes) must still repair the group the key was in:
+    the state table's own group for the delta key marks it touched."""
+    rows = [
+        (OP_INSERT, None, _row(1, "A", 100.0), 1),
+        (OP_INSERT, None, _row(2, "A", 50.0), 2),
+        (OP_INSERT, None, _row(3, "B", 10.0), 3),
+        # key-only delete: before image is NULL except the key
+        (OP_DELETE, _row(1, None, None), None, 10),
+    ]
+    tn = _build(spark, tmp_path, rows)
+    got = {(r.g, r.rnk): (r.k, r.value_cents)
+           for r in tn.current_topn().collect()}
+    assert got == {
+        ("A", 1): (2, 5000),   # ghost of k=1 gone, runner-up leads
+        ("B", 1): (3, 1000),
+    }
