@@ -3867,13 +3867,15 @@ _PRIORITY = [
     "data_epoch_shuffle",
     "data_source_cap",
     "text_tfidf_topk",
-    # r10's displaced touched rows (changed in r10, never driver-signalled
-    # since; latest signal r9 so they fit the remaining 3 slots).  If new
-    # r11 queries land, they replace events_value_outliers /
-    # sim_hybrid_retrieval here (both r9-green, back in window by r12):
+    # r11's two new rows (never driver-signalled — the rotation gate
+    # requires them in the window) and the largest of r10's displaced
+    # touched rows. Triage for the two displaced slots they took:
+    # events_value_outliers and sim_hybrid_retrieval are r9-green,
+    # locally sweep-verified after this round's guard change, and lead
+    # r12's window by the staleness invariant:
+    "text_line_dedup",
+    "text_quality_classifier",
     "streaming_incremental_join_view",
-    "events_value_outliers",
-    "sim_hybrid_retrieval",
 ]
 
 

@@ -1180,3 +1180,62 @@ def corpus_training_pipeline_v3(spark, sf_dir):
         .join(splits, "doc_id")
         .select("doc_id", "source", "lang", "score", "split")
     )
+
+
+# -- corpus-wide line dedup (r11) --------------------------------------------
+
+_LD_FOOTER_A = "Subscribe to our newsletter for weekly updates"
+_LD_FOOTER_B = "All rights reserved - terms of service apply"
+
+
+def _line_salted_spark(spark, sf_dir):
+    """Plant cross-doc boilerplate footer lines on overlapping subsets
+    of the corpus (1/3 and 1/2 of docs) — each occurs in far more than
+    LINE_DEDUP_MIN_DOCS documents, so line_dedup must strip them while
+    keeping every document's own lines."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + _LD_FOOTER_A)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\n" + _LD_FOOTER_B)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def _line_salted_sql():
+    return (
+        "(SELECT doc_id, text"
+        f" || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_LD_FOOTER_A}' ELSE '' END"
+        f" || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_LD_FOOTER_B}' ELSE '' END"
+        " AS text FROM documents) line_salted"
+    )
+
+
+@register("text_line_dedup", textstats.line_dedup_oracle_sql(table=_line_salted_sql()))
+def text_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb corpus-wide line dedup: normalized lines occurring
+    in >= 3 distinct documents are boilerplate and removed; the planted
+    footer lines must vanish from every salted doc while unique lines
+    survive (content_fp pins the exact kept text per doc)."""
+    return textstats.line_dedup(_line_salted_spark(spark, sf_dir))
+
+
+# -- linear quality-classifier scoring (r11) ---------------------------------
+
+
+@register("text_quality_classifier", textstats.linear_quality_score_oracle_sql())
+def text_quality_classifier(spark, sf_dir):
+    """fastText/CCNet-style linear quality scoring: every doc scored
+    against a (term -> weight) model — here the deterministic top-2048
+    vocab synthetic model — via a bounded broadcast join + integer dot
+    product; keep/drop by the cross-multiplied mean-score test. The
+    production counterpart of unigram_logprob (CCNet runs exactly this
+    pair). Zero UDFs."""
+    docs = _docs(spark, sf_dir)
+    return textstats.linear_quality_score(docs, textstats.hash_weight_model(docs))

@@ -471,3 +471,221 @@ def crossdoc_ngram_overlap_oracle_sql(
              AS dup_frac
     FROM dfreq GROUP BY {key}
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line dedup (C4/RefinedWeb boilerplate removal)
+# ---------------------------------------------------------------------------
+
+LINE_DEDUP_MIN_DOCS = 3
+
+
+def line_dedup(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    min_docs: int = LINE_DEDUP_MIN_DOCS,
+) -> DataFrame:
+    """-> (doc_id, kept_lines, removed_lines, content_fp): per document,
+    drop every normalized line that occurs in >= ``min_docs`` DISTINCT
+    documents corpus-wide — the C4/RefinedWeb web-cleaning rule that
+    strips navigation chrome, cookie banners and footers
+    (repetition_stats is within-doc; this is the cross-doc line rule).
+    ``content_fp`` = md5 of the kept normalized lines joined in original
+    order, so the cleaned text is verifiable without shipping it.
+
+    Scale shape: explode to (doc, pos, line) with TINY columns only;
+    document frequency over the DISTINCT (doc, line) relation (one
+    exchange on the line hash, corpus-sublinear after the distinct);
+    the boilerplate set joins back by line key WITHOUT a hard broadcast
+    hint — it is data-derived and unbounded, AQE broadcasts it while it
+    fits. One final exchange on the doc key."""
+    from pyspark.sql import Window
+
+    lines = (
+        df.select(
+            F.col(key),
+            F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line"),
+        )
+        .select(key, "pos", F.lower(F.trim(F.col("line"))).alias("norm"))
+        .where(F.col("norm") != "")
+    )
+    pairs = lines.select(key, "norm").distinct()
+    boiler = (
+        pairs.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("norm")))
+        .where(F.col("df") >= min_docs)
+        .select("norm")
+        .distinct()
+    )
+    marked = lines.join(boiler.withColumn("__bad", F.lit(1)), "norm", "left")
+    kept_sorted = F.transform(
+        F.filter(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.when(F.col("__bad").isNull(), F.col("norm")).alias("n"),
+                    )
+                )
+            ),
+            lambda x: x["n"].isNotNull(),
+        ),
+        lambda x: x["n"],
+    )
+    return marked.groupBy(key).agg(
+        F.sum(F.when(F.col("__bad").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_lines"),
+        F.sum(F.when(F.col("__bad").isNull(), 0).otherwise(1))
+        .cast("bigint")
+        .alias("removed_lines"),
+        F.md5(F.array_join(kept_sorted, "\n")).alias("content_fp"),
+    )
+
+
+def line_dedup_oracle_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    text: str = "text",
+    min_docs: int = LINE_DEDUP_MIN_DOCS,
+) -> str:
+    return f"""
+    WITH lines AS (
+      SELECT {key}, e.pos AS pos, lower(trim(e.line)) AS norm
+      FROM (
+        SELECT {key},
+               unnest(list_transform(generate_series(1, len(l)),
+                                     i -> {{'pos': i, 'line': l[i]}})) AS e
+        FROM (SELECT {key}, string_split({text}, chr(10)) AS l FROM {table})
+      )
+      WHERE lower(trim(e.line)) <> ''
+    ),
+    boiler AS (
+      SELECT norm, 1 AS bad FROM (SELECT DISTINCT {key}, norm FROM lines)
+      GROUP BY norm HAVING count(*) >= {min_docs}
+    )
+    SELECT {key},
+           CAST(sum(CASE WHEN bad IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+           CAST(sum(CASE WHEN bad IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS removed_lines,
+           md5(coalesce(string_agg(norm, chr(10) ORDER BY pos)
+                          FILTER (WHERE bad IS NULL), '')) AS content_fp
+    FROM lines LEFT JOIN boiler USING (norm)
+    GROUP BY {key}
+    """
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (fastText/CCNet-style vocab->weight scoring)
+# ---------------------------------------------------------------------------
+
+QC_VOCAB_K = 2048
+
+
+def hash_weight_model(
+    df: DataFrame, key: str = "doc_id", text: str = "text", k: int = QC_VOCAB_K
+) -> DataFrame:
+    """-> (term, w_micro): a deterministic synthetic linear model over
+    the corpus's top-``k`` alphanumeric terms — the stand-in for an
+    imported fastText/CCNet quality classifier's (vocab -> weight)
+    table when no trained artifact is available. Weights derive only
+    from the term string (ascii of first char + length, mixed by small
+    primes, centered on 0), so both engines and any rerun agree exactly.
+
+    Scale shape: one token aggregate (map-side combined) + a top-k heap
+    (TakeOrdered — distributed, no global window)."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text))), "\\s+")).alias("tok")
+    ).where(F.col("tok").rlike("^[a-z0-9]+$"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+    w = (
+        (F.ascii(F.substring("tok", 1, 1)) * 131 + F.length("tok") * 7919) % 2001
+        - 1000
+    )
+    return vocab.select(F.col("tok").alias("term"), w.cast("bigint").alias("w_micro"))
+
+
+def linear_quality_score(
+    df: DataFrame,
+    model: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """-> (doc_id, n_tokens, n_scored, score_micros, label): score every
+    document against a linear (term -> weight) model — the production
+    quality-classifier pass CCNet/fastText pipelines run after
+    perplexity filtering (unigram_logprob is the LM half of that pair).
+    score = sum of w_micro over token OCCURRENCES (missing terms 0);
+    label = keep iff score_micros >= threshold_micro * n_tokens (the
+    mean-score test cross-multiplied to integers — no float division).
+
+    Scale shape: map-only — the model is vocabulary-top-k BOUNDED
+    (<= {QC_VOCAB_K} rows), so the hard broadcast is size-safe; one
+    exchange on the doc key for the final aggregate. Zero UDFs."""
+    toks = df.select(
+        F.col(key),
+        F.explode(F.split(F.lower(F.trim(F.col(text))), "\\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    score = F.sum(F.coalesce(F.col("w_micro"), F.lit(0))).cast("bigint")
+    n_tokens = F.count(F.lit(1)).cast("bigint")
+    return (
+        toks.join(F.broadcast(model), toks.tok == model.term, "left")
+        .groupBy(key)
+        .agg(
+            n_tokens.alias("n_tokens"),
+            F.count("term").cast("bigint").alias("n_scored"),
+            score.alias("score_micros"),
+        )
+        .select(
+            key,
+            "n_tokens",
+            "n_scored",
+            "score_micros",
+            F.when(
+                F.col("score_micros")
+                >= F.lit(threshold_micro) * F.col("n_tokens"),
+                F.lit("keep"),
+            )
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+    )
+
+
+def linear_quality_score_oracle_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = QC_VOCAB_K,
+    threshold_micro: int = 0,
+) -> str:
+    toks = f"list_filter(string_split_regex(lower(trim({text})), '\\s+'), t -> t <> '')"
+    return f"""
+    WITH toks AS (
+      SELECT {key}, unnest({toks}) AS tok FROM {table}
+    ),
+    vocab AS (
+      SELECT tok AS term, count(*) AS c FROM toks
+      WHERE regexp_matches(tok, '^[a-z0-9]+$')
+      GROUP BY tok ORDER BY c DESC, term ASC LIMIT {k}
+    ),
+    model AS (
+      SELECT term,
+             CAST((ascii(substr(term, 1, 1)) * 131 + length(term) * 7919) % 2001
+                  - 1000 AS BIGINT) AS w_micro
+      FROM vocab
+    )
+    SELECT {key},
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(w_micro) AS BIGINT) AS n_scored,
+           CAST(sum(coalesce(w_micro, 0)) AS BIGINT) AS score_micros,
+           CASE WHEN sum(coalesce(w_micro, 0)) >= {threshold_micro} * count(*)
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM toks LEFT JOIN model ON tok = term
+    GROUP BY {key}
+    """

@@ -1103,3 +1103,61 @@ def test_exact_stratified_take_prefilter_prunes_skewed_stratum(spark):
         .count()
     )
     assert k <= survivors < 2 * k + 20000 // 65536 + 8, survivors
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """Lines in >= min_docs DISTINCT docs go; within-doc repeats don't
+    count toward document frequency; blank lines are ignored."""
+    from flink_cdc_spark.datapipe import textstats
+
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{footer}\n\nunique to one"),
+            (2, f"beta two\n{footer}"),
+            (3, f"gamma three\n{footer}\n{footer}"),  # repeat, one doc
+            (4, "delta four\nrare line"),
+            (5, "epsilon five\nrare line"),  # 'rare line' in only 2 docs
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: (r.kept_lines, r.removed_lines)
+           for r in textstats.line_dedup(docs, min_docs=3).collect()}
+    assert out == {
+        1: (2, 1),  # footer removed, blank ignored
+        2: (1, 1),
+        3: (1, 2),  # both occurrences of the boilerplate line removed
+        4: (2, 0),  # df('rare line') = 2 < 3: kept
+        5: (2, 0),
+    }
+
+
+def test_linear_quality_score_labels_by_cross_multiplied_mean(spark):
+    from flink_cdc_spark.datapipe import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "bad bad good"), (3, "unknown words only")],
+        "doc_id LONG, text STRING",
+    )
+    model = spark.createDataFrame(
+        [("good", 500), ("bad", -400)], "term STRING, w_micro LONG"
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_scored, r.score_micros, r.label)
+           for r in textstats.linear_quality_score(docs, model).collect()}
+    assert out == {
+        1: (3, 3, 600, "keep"),
+        2: (3, 3, -300, "drop"),
+        3: (3, 0, 0, "keep"),  # unscored tokens contribute 0; 0 >= 0
+    }
+
+
+def test_hash_weight_model_is_deterministic_and_bounded(spark):
+    from flink_cdc_spark.datapipe import textstats
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} shared") for i in range(20)], "doc_id LONG, text STRING"
+    )
+    m1 = {(r.term, r.w_micro) for r in textstats.hash_weight_model(docs, k=3).collect()}
+    m2 = {(r.term, r.w_micro) for r in textstats.hash_weight_model(docs, k=3).collect()}
+    assert m1 == m2 and len(m1) == 3
+    assert all(-1000 <= w <= 1000 for _, w in m1)
