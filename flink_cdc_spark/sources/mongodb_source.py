@@ -368,6 +368,12 @@ def discover_collections(raw: DataFrame):
     return sorted((r["db"], r["coll"]) for r in pairs)
 
 
+def _wrap_jdf(spark: SparkSession, jdf) -> DataFrame:
+    """Wrap a py4j Dataset handle back into a Python DataFrame (the
+    classic-session two-arg constructor)."""
+    return DataFrame(jdf, spark)
+
+
 def infer_collection_schema(
     raw: DataFrame, database: str, collection: str
 ) -> T.StructType:
@@ -398,12 +404,20 @@ def infer_collection_schema(
 
     from ..session import ensure_package_on_executors
 
-    ensure_package_on_executors(raw.sparkSession)
+    spark = raw.sparkSession
+    ensure_package_on_executors(spark)
     images = raw.mapInPandas(extract, schema="j string")
-    # .rdd = the PySpark spelling of the Dataset[String] JSON-
-    # inference API — a one-off control-plane schema pass, not a
-    # data-plane RDD op
-    inferred = raw.sparkSession.read.json(images.rdd.map(lambda r: r["j"]))
+    # JSON-infer over a JVM Dataset[String]: the obvious PySpark
+    # spelling — read.json(images.rdd.map(...)) — is a THIRD Python
+    # pass (every image string round-trips through the Python row
+    # serializer just to become a JVM string again). Converting the
+    # single-column frame via Encoders.STRING keeps everything after
+    # the one mapInPandas extract JVM-side.
+    jvm = spark.sparkContext._jvm
+    jds = getattr(images.select("j")._jdf, "as")(
+        jvm.org.apache.spark.sql.Encoders.STRING()
+    )
+    inferred = _wrap_jdf(spark, spark._jsparkSession.read().json(jds))
     # stabilize: sorted field names, _id first when present
     fields = sorted(inferred.schema.fields, key=lambda f: (f.name != "_id", f.name))
     return T.StructType(fields)
