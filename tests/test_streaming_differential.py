@@ -190,3 +190,93 @@ def test_retract_aggregate_vs_sequential_model(spark, tmp_path, trial):
         n, s = model.get(g, (0, 0))
         model[g] = (n + 1, s + int(v * 100 + 0.5))
     assert got == model
+
+
+@pytest.mark.parametrize("trial", [0, 1])
+def test_interval_join_vs_pairwise_model(spark, tmp_path, trial):
+    """Random view/click streams across replay batches: the drained
+    stream-stream interval join must equal the brute-force all-pairs
+    model (user match + click within [view_ts, view_ts + window]) —
+    matches routinely span micro-batches, exercising two-sided state."""
+    from flink_cdc_spark.streaming.stream_join import stream_interval_join
+    from flink_cdc_spark.streaming.windowed import write_replay_batches
+
+    rng = random.Random(SEED ^ (0xC0 + trial))
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    events = []
+    for eid in range(140):
+        user = rng.randrange(6)
+        # spread over ~30 days so batch_expr stripes into several batches
+        t_us = base_us + rng.randrange(30 * 24 * 3600) * 1_000_000
+        etype = "view" if rng.random() < 0.5 else "click"
+        events.append((eid, t_us, user, etype, 1.0))
+    df = spark.createDataFrame(
+        events, "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id", "event_type", "value"
+    )
+    staged = str(tmp_path / f"staged{trial}")
+    write_replay_batches(df, staged)
+    out = stream_interval_join(spark, staged, str(tmp_path / f"w{trial}"))
+    got = {(r.view_id, r.click_id) for r in out.collect()}
+
+    window_us = 60 * 60 * 1_000_000
+    views = [(e[0], e[2], e[1]) for e in events if e[3] == "view"]
+    clicks = [(e[0], e[2], e[1]) for e in events if e[3] == "click"]
+    model = {
+        (vid, cid)
+        for (vid, vu, vt) in views
+        for (cid, cu, ct) in clicks
+        if vu == cu and vt <= ct <= vt + window_us
+    }
+    assert got == model
+
+
+@pytest.mark.parametrize("trial", [0, 1])
+def test_session_windows_vs_gap_scan_model(spark, tmp_path, trial):
+    """Random per-user event times (with exact-gap and duplicate-time
+    cases) through the watermarked streaming session_window must equal
+    the sequential gap-scan model: same session iff the time delta to
+    the previous event is <= gap (Spark merges events exactly gap
+    apart; splits only on strictly-greater)."""
+    from flink_cdc_spark.streaming.session_windows import (
+        streaming_session_windows,
+    )
+
+    rng = random.Random(SEED ^ (0xE0 + trial))
+    gap_min = 30
+    gap_us = gap_min * 60 * 1_000_000
+    base_us = 1_704_067_200_000_000
+    rows = []
+    for user in range(5):
+        t = base_us + rng.randrange(3600) * 1_000_000
+        for _ in range(rng.randrange(5, 25)):
+            # deltas straddle the gap; include exactly-gap and zero
+            delta = rng.choice([0, gap_us, gap_us + 1_000_000,
+                                rng.randrange(gap_us) ,
+                                rng.randrange(3 * gap_us)])
+            t += delta
+            rows.append((user, t))
+    df = spark.createDataFrame(rows, "user_id LONG, t_us LONG").selectExpr(
+        "user_id", "timestamp_micros(t_us) AS ts"
+    )
+    out = streaming_session_windows(
+        spark, df, str(tmp_path / f"ssw{trial}"), gap_minutes=gap_min
+    )
+    got = {(r.user_id, r.start_us, r.end_us, r.n_events) for r in out.collect()}
+
+    model = set()
+    by_user = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        start, prev, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - prev > gap_us:
+                model.add((u, start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        model.add((u, start, prev, n))
+    assert got == model
