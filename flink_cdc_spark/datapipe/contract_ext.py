@@ -93,7 +93,9 @@ def dedup_exact_keep_payload(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     keepers = dedup.exact_dedup(docs).select("doc_id")
-    return docs.join(F.broadcast(keepers), "doc_id", "left_semi").select(
+    # keeper set ~ |distinct docs| (corpus-proportional): no hard
+    # broadcast hint — AQE broadcasts it while it fits, shuffles at scale
+    return docs.join(keepers, "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
     )
 
@@ -1052,7 +1054,8 @@ def corpus_training_pipeline_v2(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     keepers = dedup.exact_dedup(docs).select("doc_id")
-    survivors = docs.join(F.broadcast(keepers), "doc_id", "left_semi").select(
+    # corpus-proportional keeper set: un-hinted semi-join (AQE decides)
+    survivors = docs.join(keepers, "doc_id", "left_semi").select(
         "doc_id", "text"
     )
     chunks = chunking.chunk_documents(survivors)
@@ -1169,7 +1172,8 @@ def corpus_training_pipeline_v3(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     keep = textstats.gopher_rules(docs).where("keep").select("doc_id")
-    kept = docs.join(F.broadcast(keep), "doc_id", "left_semi")
+    # gopher survivors are a constant fraction of the corpus: un-hinted
+    kept = docs.join(keep, "doc_id", "left_semi")
     sel = ranking.dsir_importance(kept)
     selected = kept.join(F.broadcast(sel.select("doc_id")), "doc_id", "left_semi")
     mixed = sampling.temperature_mix(selected, target_rows=120)
