@@ -687,6 +687,9 @@ def streaming_stateful_dedup(spark, sf_dir):
             .start()
         )
         q.awaitTermination(300)
+    from ..streaming.windowed import unload_state_store_providers
+
+    unload_state_store_providers(spark)
     out = spark.read.schema("doc_id LONG, fingerprint STRING").parquet(emit)
     rows = out.collect()
     shutil.rmtree(work, ignore_errors=True)

@@ -25,7 +25,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .windowed import scoped_shuffle_partitions, STATE_PARTITIONS
+from .windowed import (
+    STATE_PARTITIONS,
+    scoped_shuffle_partitions,
+    unload_state_store_providers,
+)
 
 STREAM_SCHEMA = "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE"
 
@@ -70,6 +74,7 @@ def stream_static_enrich(
             .start()
         )
         q.awaitTermination(300)
+    unload_state_store_providers(spark)
     try:
         return spark.read.schema(out_schema).parquet(emit_dir)
     except Exception:

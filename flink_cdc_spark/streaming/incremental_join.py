@@ -260,6 +260,9 @@ class IncrementalJoinView:
             .start()
         )
         q.awaitTermination(300)
+        from .windowed import unload_state_store_providers
+
+        unload_state_store_providers(self.spark)
 
     def current_view(self) -> DataFrame:
         versions = self._versions("view")

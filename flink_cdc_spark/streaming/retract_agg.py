@@ -247,6 +247,9 @@ class RetractAggregateStream:
                 .start()
             )
             q.awaitTermination(300)
+        from .windowed import unload_state_store_providers
+
+        unload_state_store_providers(self.spark)
 
     def current_state(self) -> DataFrame:
         versions = self._committed_versions()

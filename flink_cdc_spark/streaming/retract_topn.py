@@ -209,6 +209,9 @@ class RetractTopNStream:
                 .start()
             )
             q.awaitTermination(300)
+        from .windowed import unload_state_store_providers
+
+        unload_state_store_providers(self.spark)
 
     def current_topn(self) -> DataFrame:
         versions = self._versions("topn")

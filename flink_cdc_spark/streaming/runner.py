@@ -208,7 +208,7 @@ class StreamingPipelineRunner:
     def run_available(self, source_dir: str, timeout: int = 300) -> None:
         import contextlib
 
-        from .windowed import scoped_shuffle_partitions
+        from .windowed import scoped_shuffle_partitions, unload_state_store_providers
 
         scope = (
             scoped_shuffle_partitions(self.spark, self.shuffle_partitions)
@@ -220,6 +220,7 @@ class StreamingPipelineRunner:
         with scope:
             q = self.start(source_dir, available_now=True)
             q.awaitTermination(timeout)
+        unload_state_store_providers(self.spark)
 
     # -- the core ----------------------------------------------------------
 

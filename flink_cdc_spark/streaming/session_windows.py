@@ -22,7 +22,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .windowed import STATE_PARTITIONS, scoped_shuffle_partitions
+from .windowed import (
+    STATE_PARTITIONS,
+    scoped_shuffle_partitions,
+    unload_state_store_providers,
+)
 
 SENTINEL_US = 1_893_456_000_000_000  # 2030-01-01, past every fixture event
 
@@ -74,6 +78,7 @@ def streaming_session_windows(
             .start()
         )
         q.awaitTermination(300)
+    unload_state_store_providers(spark)
     return (
         spark.read.schema("user_id long, n_events long, start_us long, end_us long")
         .parquet(out_dir)

@@ -33,7 +33,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .enrich import STREAM_SCHEMA
-from .windowed import STATE_PARTITIONS, scoped_shuffle_partitions
+from .windowed import (
+    STATE_PARTITIONS,
+    scoped_shuffle_partitions,
+    unload_state_store_providers,
+)
 
 JOIN_WINDOW_MINUTES = 60
 
@@ -91,6 +95,7 @@ def stream_interval_join(
             .start()
         )
         q.awaitTermination(300)
+    unload_state_store_providers(spark)
     try:
         return spark.read.schema(out_schema).parquet(emit_dir)
     except Exception:  # no matches emitted
