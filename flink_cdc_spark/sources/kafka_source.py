@@ -40,6 +40,18 @@ _FORMATS = ("debezium-json", "canal-json")
 # capped metadata pass and a full topic decode per table (r8 verdict).
 INFER_SAMPLE_ROWS = 10_000
 
+# Latest-wins registry of the decoded-topic cache per resolved glob.
+# The yielded TableStreams are consumed AFTER kafka_streams returns, so
+# the persist below cannot be unpersisted eagerly — and waiting for the
+# ContextCleaner (driver-GC-driven, lazy) lets a long-lived session
+# re-running the pipeline stack up dead caches until the storage pool
+# thrashes (measured: repeat invocations oscillate 3s / 15s once ~3
+# copies of the decoded topic are resident). A new invocation for the
+# same topic releases the previous invocation's cache instead; at most
+# one cache per topic is ever live, and unpersist only ever forces
+# recompute, never wrongness.
+_SEGMENT_CACHE: dict = {}
+
 
 def _infer_payload(records: DataFrame, image_paths) -> Optional[T.StructType]:
     """Infer the table's payload schema from a SAMPLE of its row images:
@@ -121,7 +133,14 @@ def kafka_streams(spark: SparkSession, config: dict):
 
     # lazy: the first consumer (table discovery, below) materializes the
     # cache; an eager count() here would just be one extra full pass
+    prev = _SEGMENT_CACHE.pop(glob, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     records = records.persist(StorageLevel.MEMORY_AND_DISK)
+    _SEGMENT_CACHE[glob] = records
 
     if fmt == "debezium-json":
         tid_expr = F.concat_ws(
