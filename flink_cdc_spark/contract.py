@@ -3807,82 +3807,69 @@ from .datapipe import contract_ext  # noqa: E402,F401  (registers datapipe queri
 from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP queries)
 
 
+# ---------------------------------------------------------------------------
+# Driver-window ordering.
+#
 # The driver's CORRECTNESS gate evaluates only the first 50 entries of
-# queries().  Entries that have never received a driver row (r6 verdict) and
-# this round's new queries are promoted to the head of the dict so every
-# component gets the hard oracle signal at least once; long-stable rows
-# (driver-green in earlier rounds) absorb the overflow past the window.
+# queries(), so the registry is ordered so every row's oracle signal stays
+# fresh (tests/test_priority_window.py pins the invariants):
+#
+#   1. _PRIORITY -- the hand override: rows whose contract/code changed this
+#      round.  They carry a recent green signal the artifacts can't know is
+#      stale, so this short list is the only part still curated.
+#   2. everything else, DERIVED from the CORRECTNESS_r*.json artifacts at
+#      registry-build time: never-signalled rows first (a brand-new operator
+#      with no oracle signal is the weakest possible state), then by latest
+#      driver signal ascending (stalest first), ties broken by registration
+#      order.
+#
+# This makes boundary rotation automatic -- the pytest rotation alarm can now
+# only fire on a genuine capacity overflow (>50 rows needing signals in one
+# round), not on a hand list going stale when a new artifact lands.
+
 _PRIORITY = [
-    # ---- round-11 window -------------------------------------------------
-    # The 47 rows whose latest driver signal is r8 (they would be 3 rounds
-    # stale at r11 close — the rotation invariant pinned by
-    # tests/test_priority_window.py makes them mandatory), in registry
-    # order.  sqlserver_cdc_table_decode doubles as one of r10's displaced
-    # touched rows, so 47 stale + the 3 remaining displaced touched rows
-    # land at exactly 50:
-    "sqlserver_cdc_table_decode",
-    "transform_project_filter",
-    "kafka_debezium_roundtrip",
-    "kafka_segment_log_roundtrip",
-    "kafka_canal_roundtrip",
-    "es_bulk_roundtrip",
-    "streaming_pipeline_evolution",
-    "streaming_windowed_watermark",
-    "distributed_schema_reduction",
-    "lake_merge_evolution",
-    "jdbc_snapshot_stream_handoff",
-    "jdbc_startup_latest_offset",
-    "live_streaming_cdc_tail",
-    "pg_logical_decoding_pipeline",
-    "pg_pgoutput_pipeline",
-    "mysql_binlog_replay",
-    "mysql_binlog_wire_replay",
-    "oracle_logminer_decode",
-    "jdbc_warehouse_sink_roundtrip",
-    "prepartition_pk_hash",
-    "ddl_statement_pipeline",
-    "udf_projection_pipeline",
-    "fluss_log_roundtrip",
-    "maxcompute_tunnel_roundtrip",
-    "cli_pipeline_e2e",
-    "dedup_exact",
-    "dedup_exact_keep_payload",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "events_sessionize",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "dedup_connected_components",
-    "mm_image_feature_pipeline",
-    "doc_training_pipeline",
-    "text_language_id",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_repetition_stats",
-    "text_decontaminate",
-    "data_pack_sequences",
-    "data_epoch_shuffle",
-    "data_source_cap",
-    "text_tfidf_topk",
-    # r11's two new rows (never driver-signalled — the rotation gate
-    # requires them in the window) and the largest of r10's displaced
-    # touched rows. Triage for the two displaced slots they took:
-    # events_value_outliers and sim_hybrid_retrieval are r9-green,
-    # locally sweep-verified after this round's guard change, and lead
-    # r12's window by the staleness invariant:
-    "text_line_dedup",
-    "text_quality_classifier",
-    "streaming_incremental_join_view",
+    # round-12 changed-contract rows (code touched, recent signal now stale):
+    "tpch_q18_large_volume_customer",  # heavy frame reclassified SCALE_PROPORTIONAL
+    "kafka_segment_log_roundtrip",     # decoded-topic cache registry rework
+    "streaming_stateful_dedup",        # contract harness emit-dir fix
 ]
 
 
+def _artifact_signal_rounds() -> Dict[str, int]:
+    """query name -> latest round with a driver CORRECTNESS_r*.json signal."""
+    import json
+    from pathlib import Path
+
+    latest: Dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.stem.rsplit("_r", 1)[1])
+            results = json.loads(path.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        results = results.get("results", results)
+        if not isinstance(results, dict):
+            continue
+        for name in results:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _derived_order(keys) -> list:
+    latest = _artifact_signal_rounds()
+    idx = {k: i for i, k in enumerate(keys)}
+    override = [k for k in _PRIORITY if k in idx]
+    seen = set(override)
+    rest = sorted(
+        (k for k in keys if k not in seen),
+        key=lambda k: (latest.get(k, 0), idx[k]),
+    )
+    return override + rest
+
+
 def _ordered(mapping: Dict[str, object]) -> Dict[str, object]:
-    head = {k: mapping[k] for k in _PRIORITY if k in mapping}
-    head.update({k: v for k, v in mapping.items() if k not in head})
-    return head
+    return {k: mapping[k] for k in _derived_order(list(mapping))}
 
 
 def queries() -> Dict[str, Callable]:
