@@ -559,12 +559,14 @@ def value_outliers(
     ).withColumn(
         "__guard",
         # k folds into the bound: rhs <= k^2*(n*max)^2 fits DECIMAL(38,0)
-        # iff k*n*max <= 1e19, and lhs^2 <= (2*n*max)^2 needs
-        # n*max <= 5e18 — max(k, 2) covers both in one inequality (the
+        # iff k*n*max < 1e19, and lhs^2 <= (2*n*max)^2 needs
+        # n*max < 5e18 — max(k, 2) covers both in one inequality (the
         # prior fixed 1e18 bound silently stopped holding for k >= 10).
+        # STRICT <: at n*max = 1e19//k exactly, both squares can land on
+        # exactly 10^38, one past DECIMAL(38,0)'s max of 10^38-1.
         F.assert_true(
             d(F.col("n")) * d(F.col("m"))
-            <= F.lit(10**19 // max(k, 2)).cast("decimal(38,0)"),
+            < F.lit(10**19 // max(k, 2)).cast("decimal(38,0)"),
             F.lit(
                 f"value_outliers: n*max|cents| exceeds 1e19/{max(k, 2)} — the "
                 "squared z-score terms would overflow DECIMAL(38,0); "

@@ -23,6 +23,7 @@ runs as ordinary column expressions over the inferred StructType.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -40,17 +41,49 @@ _FORMATS = ("debezium-json", "canal-json")
 # capped metadata pass and a full topic decode per table (r8 verdict).
 INFER_SAMPLE_ROWS = 10_000
 
-# Latest-wins registry of the decoded-topic cache per resolved glob.
-# The yielded TableStreams are consumed AFTER kafka_streams returns, so
-# the persist below cannot be unpersisted eagerly — and waiting for the
-# ContextCleaner (driver-GC-driven, lazy) lets a long-lived session
-# re-running the pipeline stack up dead caches until the storage pool
-# thrashes (measured: repeat invocations oscillate 3s / 15s once ~3
-# copies of the decoded topic are resident). A new invocation for the
-# same topic releases the previous invocation's cache instead; at most
-# one cache per topic is ever live, and unpersist only ever forces
-# recompute, never wrongness.
+# Latest-wins registry of the decoded-topic cache, keyed by
+# (applicationId, resolved glob). The yielded TableStreams are consumed
+# AFTER kafka_streams returns, so the persist below cannot be
+# unpersisted eagerly — and waiting for the ContextCleaner
+# (driver-GC-driven, lazy) lets a long-lived session re-running the
+# pipeline stack up dead caches until the storage pool thrashes
+# (measured: repeat invocations oscillate 3s / 15s once ~3 copies of
+# the decoded topic are resident). A new invocation for the same
+# (session, topic) releases the previous invocation's cache instead; at
+# most one cache per topic per session is ever live, and unpersist only
+# ever forces recompute, never wrongness. Keying by applicationId keeps
+# two concurrent sessions sharing a glob from unpersisting each other's
+# active cache; entries whose SparkContext has stopped are dropped on
+# the next registration so the registry can't pin dead plans forever.
 _SEGMENT_CACHE: dict = {}
+_SEGMENT_CACHE_LOCK = threading.Lock()
+
+
+def _register_decoded_topic(spark, glob: str, records: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) ``records`` and install it as the live
+    cache for (this session, glob), releasing any predecessor."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, glob)
+    with _SEGMENT_CACHE_LOCK:
+        stale = [
+            k
+            for k, df in _SEGMENT_CACHE.items()
+            if getattr(df.sparkSession.sparkContext, "_jsc", None) is None
+        ]
+        for k in stale:
+            _SEGMENT_CACHE.pop(k, None)  # context stopped; blocks already gone
+        prev = _SEGMENT_CACHE.pop(key, None)
+        # lazy: the first consumer (table discovery) materializes the
+        # cache; an eager count() here would just be one extra full pass
+        records = records.persist(StorageLevel.MEMORY_AND_DISK)
+        _SEGMENT_CACHE[key] = records
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    return records
 
 
 def _infer_payload(records: DataFrame, image_paths) -> Optional[T.StructType]:
@@ -129,18 +162,7 @@ def kafka_streams(spark: SparkSession, config: dict):
     # was pinned forever) and lineage is KEPT (a lost executor means
     # recompute, not an unrecoverable job). DISK_ONLY was tried and
     # costs 2-4x on a busy disk for no extra safety.
-    from pyspark import StorageLevel
-
-    # lazy: the first consumer (table discovery, below) materializes the
-    # cache; an eager count() here would just be one extra full pass
-    prev = _SEGMENT_CACHE.pop(glob, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    records = records.persist(StorageLevel.MEMORY_AND_DISK)
-    _SEGMENT_CACHE[glob] = records
+    records = _register_decoded_topic(spark, glob, records)
 
     if fmt == "debezium-json":
         tid_expr = F.concat_ws(

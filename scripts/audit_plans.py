@@ -120,15 +120,24 @@ def main():
     spark = get_spark("plan-audit")
     wanted = sys.argv[1:]
     ok = True
+    errors = 0
     for name, fn in contract.queries().items():
         if wanted and name not in wanted:
             continue
         try:
             ok = audit(name, fn(spark, SF_DIR)) and ok
         except Exception as e:  # noqa: BLE001 - audit keeps going
+            # a plan that fails to BUILD was never inspected — that must
+            # fail the gate, not silently pass it (advisor r11)
+            errors += 1
+            ok = False
             print(f"{name:34s} ERROR {type(e).__name__}: {e}")
     if not ok:
-        print("AUDIT FAILED: unaudited global window(s) — see lines above")
+        print(
+            "AUDIT FAILED: "
+            + (f"{errors} plan(s) failed to build; " if errors else "")
+            + "unaudited global window(s) or uninspected plans — see above"
+        )
         sys.exit(1)
 
 

@@ -78,3 +78,42 @@ def test_aqe_still_broadcasts_proportional_frames_at_test_scale(spark):
     df.collect()  # AQE finalizes join strategies only on execution
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in executed, executed
+
+
+def test_no_sublinear_claims_left_in_analytics_sources():
+    """Both r10/r11 misclassifications were 'sublinear' claims on frames
+    that are really constant fractions of a fact table (Q17 per_part,
+    Q18 heavy).  The family now uses only FIXED (schema-fixed dims),
+    SCALAR (1-row aggregates) and SCALE_PROPORTIONAL — a new SUBLINEAR
+    call site requires a measured-growth justification in review."""
+    offenders = []
+    for path in glob.glob(os.path.join(ANALYTICS_DIR, "*.py")):
+        if os.path.basename(path) == "hints.py":
+            continue
+        for i, line in enumerate(open(path), 1):
+            if "SUBLINEAR" in line:
+                offenders.append(f"{os.path.basename(path)}:{i}: {line.strip()}")
+    assert not offenders, "SUBLINEAR hint in analytics: " + "; ".join(offenders)
+
+
+def test_q18_heavy_is_measured_scale_proportional(spark):
+    """Pin the Q18 classification to measured row-count growth: the
+    HAVING>180 survivor set must grow with the corpus (it is a constant
+    fraction of orders, NOT sublinear), so the hard hint is forbidden."""
+    import pyspark.sql.functions as F
+
+    counts = {}
+    for sf in ("sf0.001", "sf0.01"):
+        li = spark.read.parquet(f"/root/testdata/{sf}/lineitem.parquet")
+        counts[sf] = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+            .where(F.col("q") > 180)
+            .count()
+        )
+    assert counts["sf0.001"] > 0
+    growth = counts["sf0.01"] / counts["sf0.001"]
+    assert growth > 3, (
+        f"heavy-order survivors grew only {growth:.1f}x over a 10x corpus — "
+        "if this ever becomes genuinely sublinear, revisit the classification"
+    )

@@ -1026,6 +1026,25 @@ def test_value_outliers_overflow_raises_never_drops(spark):
         features.value_outliers(ev).collect()
 
 
+def test_value_outliers_overflow_guard_boundary_is_strict(spark):
+    """At n*max|cents| == 1e19//max(k,2) EXACTLY, both squared z-score
+    terms can land on exactly 10^38 — one past DECIMAL(38,0)'s max —
+    so the guard must reject the boundary itself (advisor r11: the
+    prior <= comparison admitted it)."""
+    import pytest
+
+    from flink_cdc_spark.datapipe import features
+
+    # 2.5e16 * 100 = 2.5e18 cents exactly (5^19 * 2^17, inside double's
+    # 53-bit mantissa); n=2 -> n*max = 5e18 == 10^19 // 2 for k=2.
+    ev = spark.createDataFrame(
+        [(1, "a", 2.5e16), (2, "a", 1.0)],
+        "event_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    with pytest.raises(Exception, match="value_outliers"):
+        features.value_outliers(ev, k=2).collect()
+
+
 def test_canonical_select_prefers_most_complete_copy(spark):
     """Per normalized-content cluster the MOST-raw-chars copy wins (the
     keep-the-complete-copy rule), ties break to the lowest id, singletons

@@ -168,3 +168,51 @@ def test_kafka_source_fails_fast(spark, tmp_path):
     with pytest.raises(SystemExit, match="value.format"):
         list(kafka_streams(spark, {"topic-dir": str(tmp_path),
                                    "value.format": "avro"}))
+
+
+def test_segment_cache_registry_keyed_by_session_and_glob(spark):
+    """advisor r11: the latest-wins registry must key by (applicationId,
+    glob) — two sessions sharing a glob must not unpersist each other —
+    and entries whose SparkContext has stopped must be evicted on the
+    next registration instead of pinning dead plans forever."""
+    from flink_cdc_spark.sources import kafka_source as ks
+
+    ks._SEGMENT_CACHE.clear()
+    app = spark.sparkContext.applicationId
+
+    a1 = spark.range(3)
+    out1 = ks._register_decoded_topic(spark, "/g/a/*.log", a1)
+    assert (app, "/g/a/*.log") in ks._SEGMENT_CACHE
+    assert out1.storageLevel.useMemory
+
+    # second glob in the same session: both live
+    b1 = ks._register_decoded_topic(spark, "/g/b/*.log", spark.range(2))
+    assert len(ks._SEGMENT_CACHE) == 2
+
+    # re-registration for the SAME (session, glob): latest wins, the
+    # predecessor is unpersisted
+    a2 = ks._register_decoded_topic(spark, "/g/a/*.log", spark.range(4))
+    assert len(ks._SEGMENT_CACHE) == 2
+    assert ks._SEGMENT_CACHE[(app, "/g/a/*.log")] is a2
+    assert not out1.storageLevel.useMemory  # unpersisted
+    assert b1.storageLevel.useMemory  # untouched
+
+    # a stale entry whose context is stopped is dropped on registration
+    class _DeadCtx:
+        _jsc = None
+
+    class _DeadSession:
+        sparkContext = _DeadCtx()
+
+    class _DeadDF:
+        sparkSession = _DeadSession()
+
+        def unpersist(self):
+            raise AssertionError("stopped-context entries are dropped, not unpersisted")
+
+    ks._SEGMENT_CACHE[("dead-app", "/g/a/*.log")] = _DeadDF()
+    ks._register_decoded_topic(spark, "/g/c/*.log", spark.range(1))
+    assert ("dead-app", "/g/a/*.log") not in ks._SEGMENT_CACHE
+    for df in ks._SEGMENT_CACHE.values():
+        df.unpersist()
+    ks._SEGMENT_CACHE.clear()
