@@ -668,7 +668,14 @@ def streaming_stateful_dedup(spark, sf_dir):
         with open(marker, "w") as f:
             f.write("ok")
     work = tempfile.mkdtemp(prefix="cdc_sdedup_")
-    emit = os.path.join(work, "emitted")
+    # Emit OUTSIDE the about-to-be-rmtree'd work dir so the result can be
+    # returned as a lazy parquet read instead of collect()ing the full
+    # survivor set through the driver (corpus-proportional => driver OOM
+    # at a real scale factor; r11 verdict).  Latest-wins per sf_dir: the
+    # next invocation for the same corpus replaces it (results are
+    # consumed before the next contract row runs).
+    emit = f"{staged}_emit"
+    shutil.rmtree(emit, ignore_errors=True)
     from ..streaming.windowed import scoped_shuffle_partitions
 
     with scoped_shuffle_partitions(spark, 8):
@@ -690,10 +697,8 @@ def streaming_stateful_dedup(spark, sf_dir):
     from ..streaming.windowed import unload_state_store_providers
 
     unload_state_store_providers(spark)
-    out = spark.read.schema("doc_id LONG, fingerprint STRING").parquet(emit)
-    rows = out.collect()
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    shutil.rmtree(work, ignore_errors=True)  # checkpoint state only
+    return spark.read.schema("doc_id LONG, fingerprint STRING").parquet(emit)
 
 
 @register("mm_phash_near_dup", _phash_near_dup_oracle())
