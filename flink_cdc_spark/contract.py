@@ -1263,9 +1263,7 @@ def streaming_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming run itself is per-invocation: fresh checkpoint, same
     # deterministic replay
     work = tempfile.mkdtemp(prefix="cdc_wm_", dir="/tmp")
-    result = windowed_watermark_aggregate(spark, staged, f"{work}/run")
-    rows = result.collect()
-    return spark.createDataFrame(rows, result.schema)
+    return windowed_watermark_aggregate(spark, staged, f"{work}/run")
 
 
 def _stream_sessions_oracle():
@@ -1290,9 +1288,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session(spark)
     ev = ParquetTableSource(spark, sf_dir).snapshot("events")
     work = tempfile.mkdtemp(prefix="cdc_ssw_", dir="/tmp")
-    result = run_ssw(spark, ev, work, DEFAULT_GAP_MINUTES)
-    rows = result.collect()
-    return spark.createDataFrame(rows, result.schema)
+    return run_ssw(spark, ev, work, DEFAULT_GAP_MINUTES)
 
 
 def _retract_agg_oracle():
@@ -1308,8 +1304,8 @@ def _retract_agg_oracle():
 def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained GROUP BY aggregate under a CDC changelog
     (Flink's accumulate/retract protocol): the orders changelog replayed
-    as four micro-batches (inserts split across two, then the
-    group-MOVING updates — o_orderstatus flips to 'U' — then deletes),
+    as three micro-batches (inserts, then the group-MOVING updates —
+    o_orderstatus flips to 'U' — then deletes),
     each epoch merging map-side-combined (group, delta) contributions
     into a group-cardinality state table keyed by epoch id (idempotent
     foreachBatch). The maintained state must equal a from-scratch
@@ -1325,7 +1321,9 @@ def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staging is deterministic per sf_dir: share it across runs (the
     # windowed-watermark pattern); checkpoint + state stay per-run
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    staged = f"/tmp/flink_cdc_spark_retract/{key}"
+    # /3b suffix: staging layout version (three-epoch replay) — a stale
+    # four-epoch staging under the old path must not be reused
+    staged = f"/tmp/flink_cdc_spark_retract/{key}/3b"
     work = tempfile.mkdtemp(prefix="cdc_retract_", dir="/tmp")
     ra = RetractAggregateStream(
         spark, work, "o_orderstatus", "o_totalprice", staged_dir=staged
@@ -1501,9 +1499,10 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as f:
             f.write("ok")
     work = tempfile.mkdtemp(prefix="cdc_sjoin_", dir="/tmp")
-    result = stream_interval_join(spark, staged, work)
-    rows = result.collect()
-    return spark.createDataFrame(rows, result.schema)
+    # the emit dir outlives the call: return the executor-side parquet
+    # directly — the pair-join output is corpus-proportional and must not
+    # round-trip through the driver
+    return stream_interval_join(spark, staged, work)
 
 
 @register("streaming_static_enrich", _enrich_oracle())
@@ -1536,9 +1535,9 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
     dim = ParquetTableSource(spark, sf_dir).snapshot("customer")
     work = tempfile.mkdtemp(prefix="cdc_enrich_", dir="/tmp")
-    result = stream_static_enrich(spark, staged, dim, f"{work}/run")
-    rows = result.collect()
-    return spark.createDataFrame(rows, result.schema)
+    # emit dir persists; the enriched stream is corpus-proportional —
+    # return the parquet read, not a driver round-trip
+    return stream_static_enrich(spark, staged, dim, f"{work}/run")
 
 
 @register(

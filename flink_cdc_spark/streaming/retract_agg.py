@@ -179,18 +179,19 @@ class RetractAggregateStream:
     # -- staging ------------------------------------------------------------
 
     def stage(self, env: DataFrame, key_column: str) -> None:
-        """Split the changelog into N_REPLAY_BATCHES single-file parquet
-        batches — inserts spread over the first two (by key parity), then
-        updates, then deletes — so retractions always target rows
-        accumulated in EARLIER micro-batches."""
+        """Split the changelog into single-file parquet batches — all
+        inserts, then updates, then deletes — so retractions always
+        target rows accumulated in EARLIER micro-batches. Three epochs:
+        per-epoch cost is dominated by the fixed state write regardless
+        of batch size, and the old parity split of inserts over two
+        epochs bought no extra coverage (the update epoch already
+        exercises merge-onto-accumulated-state) for a full extra epoch
+        of overhead."""
         env = env.withColumn(
             "__b",
-            F.when(
-                F.col(ENVELOPE_OP) == OP_INSERT,
-                (F.col(f"after.{key_column}") % 2).cast("int"),
-            )
-            .when(F.col(ENVELOPE_OP) == OP_UPDATE, F.lit(2))
-            .otherwise(F.lit(3)),
+            F.when(F.col(ENVELOPE_OP) == OP_INSERT, F.lit(0))
+            .when(F.col(ENVELOPE_OP) == OP_UPDATE, F.lit(1))
+            .otherwise(F.lit(2)),
         )
         self._schema = env.drop("__b").schema
         stage_replay_batches(env, self.active)

@@ -115,7 +115,14 @@ class RetractTopNStream:
                 "__pk",
                 (F.col(ENVELOPE_OP) != OP_DELETE).alias("__alive"),
                 F.col(f"after.{g}").alias("__g_new"),
-                "after",
+                # the state table stores ONLY the ranked attributes —
+                # group, key, exact-cents value — not the full payload:
+                # per-epoch state write volume is O(keys x 3 columns),
+                # not O(keys x table width)
+                F.col(f"after.{k}").alias(k),
+                F.expr(f"CAST(floor(after.{v} * 100 + 0.5) AS BIGINT)").alias(
+                    "value_cents"
+                ),
             )
         ).cache()
         # touched groups: the group a key lands in AND every group any of
@@ -129,7 +136,9 @@ class RetractTopNStream:
             .unionByName(batch_df.select(F.col(f"after.{g}").alias("__g")))
         )
 
-        live = delta.where(F.col("__alive")).select("__pk", "after.*")
+        live = delta.where(F.col("__alive")).select(
+            "__pk", F.col("__g_new").alias(g), k, "value_cents"
+        )
         tbl_old = self._prev("tbl", epoch_id)
         if tbl_old is not None:
             # a changelog whose DELETEs carry a NULL before image names no
@@ -159,20 +168,12 @@ class RetractTopNStream:
             F.broadcast(touched), tbl[g] == F.col("__g"), "left_semi"
         )
         wv = Window.partitionBy(g).orderBy(
-            F.expr(f"CAST(floor({v} * 100 + 0.5) AS BIGINT)").desc(),
-            F.col(k).asc(),
+            F.col("value_cents").desc(), F.col(k).asc()
         )
         recomputed = (
             affected.withColumn("rnk", F.row_number().over(wv).cast("bigint"))
             .where(F.col("rnk") <= self.n)
-            .select(
-                F.col(g),
-                F.col(k),
-                F.expr(f"CAST(floor({v} * 100 + 0.5) AS BIGINT)").alias(
-                    "value_cents"
-                ),
-                "rnk",
-            )
+            .select(F.col(g), F.col(k), F.col("value_cents"), "rnk")
         )
         if topn_old is None:
             topn_new = recomputed

@@ -60,7 +60,7 @@ def test_merge_state_drops_zero_count_groups(spark):
 
 
 def test_end_to_end_stream_matches_recompute(spark, tmp_path):
-    """Inserts, a group-moving update, and deletes across four ordered
+    """Inserts, a group-moving update, and deletes across three ordered
     micro-batches: the maintained state equals a from-scratch aggregate
     of the final table state."""
     env = _env(spark, [
@@ -76,8 +76,8 @@ def test_end_to_end_stream_matches_recompute(spark, tmp_path):
     ra.run()
     out = {r.grp: (r.n_rows, r.sum_cents) for r in ra.current_state().collect()}
     assert out == {"B": (1, 2500)}  # only k2 survives, moved to B
-    # four committed epochs, one per staged micro-batch
-    assert len(ra._committed_versions()) == 4
+    # three committed epochs, one per staged micro-batch
+    assert len(ra._committed_versions()) == 3
 
 
 def test_epoch_retry_is_idempotent(spark, tmp_path):
@@ -99,7 +99,7 @@ def test_epoch_retry_is_idempotent(spark, tmp_path):
     last = versions[-1]
     # replay the LAST epoch against the same predecessor
     batch_df = ra.spark.read.schema(ra._schema).parquet(
-        f"{ra.active}/b3.parquet"
+        f"{ra.active}/b2.parquet"
     )
     deltas = contribution_deltas(batch_df, "grp", "v")
     prior = [v for v in versions if v < last]
