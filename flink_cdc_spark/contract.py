@@ -161,6 +161,59 @@ pipeline: {execution.runtime-mode: BATCH}
 
 
 # ---------------------------------------------------------------------------
+# SCD2 history materialization (temporal-table producer; operators/scd2.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "changelog_scd2_history",
+    """
+    WITH ev AS (
+      SELECT o_orderkey, 1 AS ver, TRUE AS alive,
+             o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, TRUE, o_custkey, o_totalprice + 1000, 'U'
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 3 THEN 3 ELSE 2 END,
+             FALSE, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+             CAST(NULL AS VARCHAR)
+      FROM orders WHERE o_orderkey % 20 = 7
+    ),
+    h AS (
+      SELECT o_orderkey, ver AS valid_from_ver,
+             lead(ver) OVER (PARTITION BY o_orderkey ORDER BY ver)
+               AS valid_to_ver,
+             alive, o_custkey, o_totalprice, o_orderstatus
+      FROM ev
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           CAST(valid_from_ver AS BIGINT) AS valid_from_ver,
+           CAST(valid_to_ver AS BIGINT) AS valid_to_ver,
+           (valid_to_ver IS NULL) AS is_current
+    FROM h WHERE alive
+    """,
+)
+def changelog_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history built from the orders changelog: every
+    surviving image opens a per-key version interval, the next event on
+    the key closes it, DELETE closes without a successor, `is_current`
+    marks the open interval. One exchange on the pk (window + lead),
+    map-only otherwise. The oracle rebuilds the per-key event sequence
+    closed-form and applies the same lead()."""
+    from .operators.scd2 import scd2_history
+
+    env = ParquetTableSource(spark, sf_dir).changelog(
+        "orders", "default.orders", _ORDERS_MUT
+    )
+    return scd2_history(
+        env, "o_orderkey",
+        payload_cols=["o_custkey", "o_totalprice", "o_orderstatus"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.4 filter-on-UPDATE splitting: consistent filtered changelog
 # ---------------------------------------------------------------------------
 
