@@ -1344,6 +1344,44 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ssw(spark, ev, work, DEFAULT_GAP_MINUTES)
 
 
+def _ttl_dedup_oracle():
+    from .streaming.ttl_dedup import ttl_dedup_oracle_sql
+
+    return ttl_dedup_oracle_sql()
+
+
+@register("streaming_ttl_dedup", _ttl_dedup_oracle())
+def streaming_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via dropDuplicatesWithinWatermark:
+    four 7-day replay stripes, 4-day TTL. Duplicates inside the
+    watermark window are dropped, state is evicted by the advancing
+    watermark, and a key re-arriving after eviction is emitted AGAIN —
+    the oracle replays the probed batch/watermark/eviction schedule
+    closed-form (streaming/ttl_dedup.py)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ttl_dedup import stage_ttl_batches, streaming_ttl_dedup as run_ttl
+
+    pin_session(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = f"/tmp/flink_cdc_spark_ttl/{key}"
+    marker = f"{staged}/_READY"
+    if not os.path.exists(marker):
+        shutil.rmtree(staged, ignore_errors=True)
+        events = ParquetTableSource(spark, sf_dir).snapshot("events")
+        stage_ttl_batches(events, staged)
+        with open(marker, "w") as f:
+            f.write("ok")
+    # persistent latest-wins emit dir (results must not transit the driver)
+    emit = f"{staged}_emit"
+    shutil.rmtree(emit, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix="cdc_ttl_", dir="/tmp")
+    return run_ttl(spark, staged, work, emit)
+
+
 def _retract_agg_oracle():
     from .streaming.retract_agg import retract_aggregate_oracle_sql
 
