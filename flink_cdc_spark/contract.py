@@ -3922,6 +3922,8 @@ _PRIORITY = [
     "tpch_q18_large_volume_customer",  # heavy frame reclassified SCALE_PROPORTIONAL
     "kafka_segment_log_roundtrip",     # decoded-topic cache registry rework
     "streaming_stateful_dedup",        # contract harness emit-dir fix
+    "streaming_retract_topn",          # state table slimmed to ranked attributes
+    "streaming_windowed_watermark",    # result returned as parquet read
 ]
 
 
