@@ -76,8 +76,8 @@ class RetractTopNStream:
 
     # -- versioned state (retract_agg pattern) -------------------------------
 
-    def _versions(self, name: str):
-        root = os.path.join(self.state_dir, name)
+    def _versions(self):
+        root = os.path.join(self.state_dir, "both")
         if not os.path.isdir(root):
             return []
         return sorted(
@@ -88,17 +88,28 @@ class RetractTopNStream:
         )
 
     def _read(self, name: str, v: int) -> DataFrame:
-        return self.spark.read.parquet(
-            os.path.join(self.state_dir, name, f"v{v}")
-        )
+        df = self.spark.read.parquet(
+            os.path.join(self.state_dir, "both", f"v{v}")
+        ).where(F.col("__t") == name)
+        if name == "tbl":
+            return df.select("__pk", self.group, self.key, "value_cents")
+        return df.select(self.group, self.key, "value_cents", "rnk")
 
     def _prev(self, name: str, epoch: int) -> Optional[DataFrame]:
-        prior = [v for v in self._versions(name) if v < epoch]
+        prior = [v for v in self._versions() if v < epoch]
         return self._read(name, max(prior)) if prior else None
 
-    def _write(self, name: str, epoch: int, df: DataFrame) -> None:
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, name, f"v{epoch}")
+    def _write_epoch(self, epoch: int, tbl_new: DataFrame, topn_new: DataFrame) -> None:
+        """Both state tables land in ONE partitioned write: one Spark job
+        per epoch instead of two (the write is the dominant per-epoch
+        cost), and the epoch's whole state commits atomically — a
+        crash-retried epoch can never observe a half-written version."""
+        both = tbl_new.withColumn("__t", F.lit("tbl")).unionByName(
+            topn_new.withColumn("__t", F.lit("topn")),
+            allowMissingColumns=True,
+        )
+        both.write.mode("overwrite").partitionBy("__t").parquet(
+            os.path.join(self.state_dir, "both", f"v{epoch}")
         )
 
     # -- the maintenance epoch ------------------------------------------------
@@ -160,12 +171,12 @@ class RetractTopNStream:
             tbl_new = tbl_old.join(
                 F.broadcast(changed), "__pk", "left_anti"
             ).unionByName(live)
-        self._write("tbl", epoch_id, tbl_new)
-        tbl = self._read("tbl", epoch_id)
-
         topn_old = self._prev("topn", epoch_id)
-        affected = tbl.join(
-            F.broadcast(touched), tbl[g] == F.col("__g"), "left_semi"
+        # the top-n recompute consumes the tbl_new PLAN directly (a cheap
+        # broadcast anti-join over the previous parquet version + the
+        # cached delta) — no write-then-read-back barrier
+        affected = tbl_new.join(
+            F.broadcast(touched), tbl_new[g] == F.col("__g"), "left_semi"
         )
         wv = Window.partitionBy(g).orderBy(
             F.col("value_cents").desc(), F.col(k).asc()
@@ -185,7 +196,7 @@ class RetractTopNStream:
             )
             topn_new = carried.unionByName(recomputed)
         try:
-            self._write("topn", epoch_id, topn_new)
+            self._write_epoch(epoch_id, tbl_new, topn_new)
         finally:
             delta.unpersist()
 
@@ -215,7 +226,7 @@ class RetractTopNStream:
         unload_state_store_providers(self.spark)
 
     def current_topn(self) -> DataFrame:
-        versions = self._versions("topn")
+        versions = self._versions()
         if not versions:
             raise RuntimeError("no committed topn state")
         return self._read("topn", versions[-1])
