@@ -74,15 +74,22 @@ def _register_decoded_topic(spark, glob: str, records: DataFrame) -> DataFrame:
         for k in stale:
             _SEGMENT_CACHE.pop(k, None)  # context stopped; blocks already gone
         prev = _SEGMENT_CACHE.pop(key, None)
+        if prev is not None:
+            # MUST unpersist BEFORE persisting the successor: a repeat
+            # invocation's decode has the SAME analyzed plan, and Spark's
+            # CacheManager dedupes cache entries by plan — persisting
+            # first silently shares the predecessor's entry, and the
+            # unpersist then evicts the shared entry, leaving the "new"
+            # cache empty so every downstream consumer recomputes the
+            # whole decode (measured: +1.3s/invocation on the replay row).
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
         # lazy: the first consumer (table discovery) materializes the
         # cache; an eager count() here would just be one extra full pass
         records = records.persist(StorageLevel.MEMORY_AND_DISK)
         _SEGMENT_CACHE[key] = records
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
     return records
 
 

@@ -216,3 +216,29 @@ def test_segment_cache_registry_keyed_by_session_and_glob(spark):
     for df in ks._SEGMENT_CACHE.values():
         df.unpersist()
     ks._SEGMENT_CACHE.clear()
+
+
+def test_segment_cache_reregistration_of_same_plan_stays_cached(spark):
+    """Repeat invocations decode the SAME glob, so the successor's
+    analyzed plan equals the predecessor's — and Spark's CacheManager
+    dedupes entries by plan. If the registry persisted the successor
+    before unpersisting the predecessor, the unpersist would evict the
+    shared entry and every downstream consumer would silently recompute
+    the full decode (the +1.3s/invocation regression this pins)."""
+    from flink_cdc_spark.sources import kafka_source as ks
+
+    ks._SEGMENT_CACHE.clear()
+
+    def decode():  # same analyzed plan each invocation
+        return spark.range(100).selectExpr("id", "id * 2 AS v")
+
+    v1 = ks._register_decoded_topic(spark, "/g/same/*.log", decode())
+    v1.count()  # materialize the first cache
+    v2 = ks._register_decoded_topic(spark, "/g/same/*.log", decode())
+    v2.count()
+    assert v2.storageLevel.useMemory, (
+        "successor lost its cache entry — unpersist ran after persist "
+        "on an identical plan"
+    )
+    v2.unpersist()
+    ks._SEGMENT_CACHE.clear()
