@@ -3917,29 +3917,32 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 # only fire on a genuine capacity overflow (>50 rows needing signals in one
 # round), not on a hand list going stale when a new artifact lands.
 
-_PRIORITY = [
-    # round-12 changed-contract rows (code touched, recent signal now stale):
-    "tpch_q18_large_volume_customer",  # heavy frame reclassified SCALE_PROPORTIONAL
-    "kafka_segment_log_roundtrip",     # decoded-topic cache registry rework
-    "streaming_stateful_dedup",        # contract harness emit-dir fix
-    "streaming_retract_topn",          # state table slimmed to ranked attributes
-    "streaming_windowed_watermark",    # result returned as parquet read
+_PRIORITY: list = [
+    # Empty at round-13 start: every round-12 changed row carries a fresh r12
+    # driver signal, so the artifact derivation places them correctly on its
+    # own.  Only list rows here whose CODE changes THIS round (a recent green
+    # signal the artifacts can't know is stale).
 ]
 
 
-def _artifact_signal_rounds() -> Dict[str, int]:
+def _artifact_signal_rounds(root=None) -> Dict[str, int]:
     """query name -> latest round with a driver CORRECTNESS_r*.json signal."""
     import json
     from pathlib import Path
 
     latest: Dict[str, int] = {}
-    root = Path(__file__).resolve().parent.parent
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
+    else:
+        root = Path(root)
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rnd = int(path.stem.rsplit("_r", 1)[1])
             results = json.loads(path.read_text())
         except (ValueError, OSError, json.JSONDecodeError):
             continue
+        if not isinstance(results, dict):
+            continue  # malformed artifact (top-level list/str) — skip, don't crash
         results = results.get("results", results)
         if not isinstance(results, dict):
             continue

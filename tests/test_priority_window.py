@@ -100,3 +100,17 @@ def test_every_query_has_an_oracle():
     q = set(entry.queries().keys())
     o = set(entry.oracle_sql().keys())
     assert q == o, f"queries without oracle: {q - o}; orphan oracles: {o - q}"
+
+
+def test_malformed_artifact_does_not_crash_ordering(tmp_path):
+    """ADVICE r12: a CORRECTNESS_r*.json whose top level parses to a
+    list/string must be skipped, not crash queries() via AttributeError."""
+    from flink_cdc_spark.contract import _artifact_signal_rounds
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text('["not", "a", "dict"]')
+    (tmp_path / "CORRECTNESS_r02.json").write_text('"just a string"')
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        '{"q_a": {"rows_match": true}, "q_b": {"rows_match": false}}'
+    )
+    latest = _artifact_signal_rounds(root=tmp_path)
+    assert latest == {"q_a": 3, "q_b": 3}
