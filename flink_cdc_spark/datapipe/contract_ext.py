@@ -1047,9 +1047,15 @@ def _corpus_pipeline_oracle() -> str:
     """
 
 
-@register("corpus_training_pipeline_v2", _corpus_pipeline_oracle())
 def corpus_training_pipeline_v2(spark, sf_dir):
-    """The corpus-shaping half of the training pipeline composed
+    """RETIRED from the registry (r13 capacity policy): every stage is a
+    standalone oracle-gated registry row (exact dedup, chunking, epoch
+    shuffle, hash split) and the curriculum composition is gated by
+    `corpus_training_pipeline_v3`; this composition is now pinned by the
+    named pytest tests/test_corpus_pipeline_v2.py, which runs exactly
+    this dataflow against `_corpus_pipeline_oracle()` in DuckDB.
+
+    The corpus-shaping half of the training pipeline composed
     end-to-end: exact content dedup (narrow fingerprint shuffle +
     broadcast semi-join back) -> overlapping token-window chunking
     (map-only explode) -> sharded epoch shuffle over chunks (one hash
