@@ -214,6 +214,127 @@ def changelog_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal table join: FOR SYSTEM_TIME AS OF over SCD2 history
+# (operators/temporal_join.py consumes what operators/scd2.py produces)
+# ---------------------------------------------------------------------------
+
+_DIM_T0 = "2024-01-05 00:00:00"  # v1 of every customer
+_DIM_T1 = "2024-01-12 00:00:00"  # v2 (segment UPGRADED) for custkey % 3 = 1
+_DIM_T2 = "2024-01-20 00:00:00"  # DELETE for custkey % 7 = 2
+
+
+def _customer_dim_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic timestamped customer-dimension changelog: insert-all
+    at T0, segment upgrade for every third key at T1, delete of every
+    seventh key at T2 — op_ts carried in the envelope __meta map the way
+    CDC sources stamp commit time."""
+    from .sources.envelope import (
+        ENVELOPE_META, ENVELOPE_OP, ENVELOPE_SEQ, ENVELOPE_TABLE_ID,
+        OP_DELETE, OP_INSERT, OP_UPDATE,
+    )
+
+    cust = ParquetTableSource(spark, sf_dir).snapshot("customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+    )
+
+    def img(segment):
+        return F.struct(
+            F.col("c_custkey").alias("c_custkey"),
+            segment.alias("c_mktsegment"),
+            F.col("c_nationkey").alias("c_nationkey"),
+        )
+
+    v1, v2 = img(F.col("c_mktsegment")), img(F.lit("UPGRADED"))
+    payload_t = cust.select(v1.alias("x")).schema["x"].dataType
+    null_img = F.lit(None).cast(payload_t)
+
+    def meta(ts):
+        return F.create_map(F.lit("op_ts"), F.lit(ts)).alias(ENVELOPE_META)
+
+    def env_rows(src, op, before, after, ts, seq_off):
+        return src.select(
+            F.lit("default.customer_dim").alias(ENVELOPE_TABLE_ID),
+            F.lit(op).alias(ENVELOPE_OP),
+            before.alias("before"),
+            after.alias("after"),
+            meta(ts),
+            (F.col("c_custkey") * 3 + seq_off).alias(ENVELOPE_SEQ),
+        )
+
+    ins = env_rows(cust, OP_INSERT, null_img, v1, _DIM_T0, 0)
+    upd = env_rows(cust.where("c_custkey % 3 = 1"), OP_UPDATE, v1, v2, _DIM_T1, 1)
+    dele = env_rows(
+        cust.where("c_custkey % 7 = 2"), OP_DELETE,
+        F.when(F.col("c_custkey") % 3 == 1, v2).otherwise(v1), null_img,
+        _DIM_T2, 2,
+    )
+    return ins.unionByName(upd).unionByName(dele)
+
+
+@register(
+    "events_temporal_join_scd2",
+    f"""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             CAST(1 AS BIGINT) AS dim_ver,
+             TIMESTAMP '{_DIM_T0}' AS vfrom,
+             CASE WHEN c_custkey % 3 = 1 THEN TIMESTAMP '{_DIM_T1}'
+                  WHEN c_custkey % 7 = 2 THEN TIMESTAMP '{_DIM_T2}'
+                  ELSE NULL END AS vto
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPGRADED', CAST(c_nationkey AS BIGINT),
+             CAST(2 AS BIGINT), TIMESTAMP '{_DIM_T1}',
+             CASE WHEN c_custkey % 7 = 2 THEN TIMESTAMP '{_DIM_T2}' END
+      FROM customer WHERE c_custkey % 3 = 1
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us, e.event_type,
+           h.c_mktsegment, h.c_nationkey, h.dim_ver AS valid_from_ver
+    FROM events e
+    LEFT JOIN hist h
+      ON h.c_custkey = e.user_id
+     AND e.ts >= h.vfrom AND (h.vto IS NULL OR e.ts < h.vto)
+    """,
+)
+def events_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`FOR SYSTEM_TIME AS OF e.ts` — the reference's headline temporal
+    consumer of the changelog (Flink SQL temporal table join over the
+    versioned table CDC materializes): each event joins the customer
+    dimension VERSION whose validity interval contains the event time;
+    events before the first version or after the key's DELETE pass
+    through NULL-enriched. The dimension is built by scd2_history with
+    wall-clock validity (op_ts from the envelope meta); the join is the
+    merge formulation — one key exchange, per-key sort, running carry —
+    never the events x versions range cross-join. The oracle rebuilds
+    the interval table closed-form and range-joins it."""
+    from .operators.scd2 import scd2_history
+    from .operators.temporal_join import temporal_join
+
+    history = scd2_history(
+        _customer_dim_changelog(spark, sf_dir),
+        "c_custkey",
+        payload_cols=["c_mktsegment", "c_nationkey"],
+        ts_expr="CAST(__meta['op_ts'] AS TIMESTAMP)",
+    )
+    events = ParquetTableSource(spark, sf_dir).snapshot("events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    joined = temporal_join(
+        events, history,
+        probe_key="user_id", probe_ts="ts", dim_key="c_custkey",
+        payload_cols=["c_mktsegment", "c_nationkey"],
+        version_col="valid_from_ver",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_type", "c_mktsegment", "c_nationkey", "valid_from_ver",
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.4 filter-on-UPDATE splitting: consistent filtered changelog
 # ---------------------------------------------------------------------------
 

@@ -44,22 +44,35 @@ def scd2_history(
     env: DataFrame,
     pk: str,
     payload_cols: Optional[Sequence[str]] = None,
+    ts_expr: Optional[str] = None,
 ) -> DataFrame:
     """-> (pk, <payload...>, valid_from_ver, valid_to_ver, is_current):
     one row per surviving image of each key; `valid_to_ver` is NULL on
-    the open interval, `is_current` true only there."""
+    the open interval, `is_current` true only there.
+
+    When `ts_expr` is given (a SQL expression over the envelope yielding
+    the change timestamp, e.g. ``CAST(__meta['op_ts'] AS TIMESTAMP)`` or
+    a payload column), the output additionally carries
+    `valid_from_ts` / `valid_to_ts` — the wall-clock validity interval
+    the reference's `FOR SYSTEM_TIME AS OF` temporal join consumes
+    (valid_to_ts = the NEXT event's timestamp on the key, NULL on the
+    open interval). Same single pk exchange; the lead() rides the
+    already-sorted window."""
     if payload_cols is None:
         payload_cols = [
             f.name for f in env.schema["after"].dataType.fields if f.name != pk
         ]
     pk_col = F.coalesce(F.col(f"after.{pk}"), F.col(f"before.{pk}"))
     w = Window.partitionBy(pk).orderBy(F.col(ENVELOPE_SEQ).asc())
-    events = env.select(
+    cols = [
         pk_col.alias(pk),
         F.col(ENVELOPE_SEQ).alias("__seq"),
         (F.col(ENVELOPE_OP) != OP_DELETE).alias("__alive"),
         *[F.col(f"after.{c}").alias(c) for c in payload_cols],
-    )
+    ]
+    if ts_expr is not None:
+        cols.append(F.expr(ts_expr).alias("__change_ts"))
+    events = env.select(*cols)
     versioned = events.withColumn(
         "valid_from_ver", F.row_number().over(w).cast("bigint")
     ).withColumn(
@@ -71,10 +84,13 @@ def scd2_history(
             F.col("valid_from_ver") + F.lit(1),
         ).cast("bigint"),
     )
+    out_cols = [pk, *payload_cols, "valid_from_ver", "valid_to_ver"]
+    if ts_expr is not None:
+        versioned = versioned.withColumn(
+            "valid_from_ts", F.col("__change_ts")
+        ).withColumn("valid_to_ts", F.lead("__change_ts").over(w))
+        out_cols += ["valid_from_ts", "valid_to_ts"]
     return versioned.where(F.col("__alive")).select(
-        pk,
-        *payload_cols,
-        "valid_from_ver",
-        "valid_to_ver",
+        *out_cols,
         F.col("valid_to_ver").isNull().alias("is_current"),
     )
