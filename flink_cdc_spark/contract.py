@@ -1528,9 +1528,13 @@ def streaming_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_ttl_batches(events, staged)
         with open(marker, "w") as f:
             f.write("ok")
-    # persistent latest-wins emit dir (results must not transit the driver)
-    emit = f"{staged}_emit"
-    shutil.rmtree(emit, ignore_errors=True)
+    # persistent emit root (results must not transit the driver); each
+    # invocation emits into its own subdir — only PREDECESSOR runs are
+    # deleted, so the previous invocation's returned DataFrame stays
+    # readable until the run after next
+    from .streaming.windowed import rotate_emit_dir
+
+    emit = rotate_emit_dir(f"{staged}_emit")
     work = tempfile.mkdtemp(prefix="cdc_ttl_", dir="/tmp")
     return run_ttl(spark, staged, work, emit)
 

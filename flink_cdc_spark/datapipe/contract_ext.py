@@ -671,11 +671,13 @@ def streaming_stateful_dedup(spark, sf_dir):
     # Emit OUTSIDE the about-to-be-rmtree'd work dir so the result can be
     # returned as a lazy parquet read instead of collect()ing the full
     # survivor set through the driver (corpus-proportional => driver OOM
-    # at a real scale factor; r11 verdict).  Latest-wins per sf_dir: the
-    # next invocation for the same corpus replaces it (results are
-    # consumed before the next contract row runs).
-    emit = f"{staged}_emit"
-    shutil.rmtree(emit, ignore_errors=True)
+    # at a real scale factor; r11 verdict).  Per-invocation subdir under
+    # the persistent root: only PREDECESSOR runs are deleted, so the
+    # previous invocation's returned DataFrame stays readable until the
+    # run after next (ADVICE r12).
+    from ..streaming.windowed import rotate_emit_dir
+
+    emit = rotate_emit_dir(f"{staged}_emit")
     from ..streaming.windowed import scoped_shuffle_partitions
 
     with scoped_shuffle_partitions(spark, 8):

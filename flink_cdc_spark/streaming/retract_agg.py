@@ -215,21 +215,20 @@ class RetractAggregateStream:
     def staged(self) -> bool:
         return os.path.exists(os.path.join(self.active, "_STAGED"))
 
+    def _merge_epoch(self, batch_df, epoch_id) -> None:
+        deltas = contribution_deltas(batch_df, self.group, self.value)
+        prior = [v for v in self._committed_versions() if v < epoch_id]
+        prev = self._read_version(max(prior)) if prior else None
+        merged = merge_state(prev, deltas)
+        # keyed by epoch id: a crash-retried epoch rewrites v{epoch}
+        # from the same predecessor — idempotent, never double-applied
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"v{epoch_id}")
+        )
+
     def run(self) -> None:
         if self._schema is None:  # attached to a pre-staged directory
             self._schema = staged_schema(self.spark, self.active)
-        group, value = self.group, self.value
-
-        def merge_epoch(batch_df, epoch_id):
-            deltas = contribution_deltas(batch_df, group, value)
-            prior = [v for v in self._committed_versions() if v < epoch_id]
-            prev = self._read_version(max(prior)) if prior else None
-            merged = merge_state(prev, deltas)
-            # keyed by epoch id: a crash-retried epoch rewrites v{epoch}
-            # from the same predecessor — idempotent, never double-applied
-            merged.write.mode("overwrite").parquet(
-                os.path.join(self.state_dir, f"v{epoch_id}")
-            )
 
         from .windowed import STATE_PARTITIONS, scoped_shuffle_partitions
 
@@ -242,7 +241,7 @@ class RetractAggregateStream:
         with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
             q = (
                 stream.writeStream.outputMode("update")
-                .foreachBatch(merge_epoch)
+                .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
                 .option("checkpointLocation", self.ckpt)
                 .trigger(availableNow=True)
                 .start()

@@ -72,20 +72,40 @@ def stage_ttl_batches(events: DataFrame, out_dir: str) -> None:
     )
     for b in range(N_TTL_BATCHES):
         d = os.path.join(out_dir, f"b{b}")
+        # one file per batch: a replay batch must be ONE micro-batch, or
+        # the watermark would advance inside it and the drop/evict rule
+        # would depend on intra-batch file order — replay-harness-only
+        # pattern, NOT for production staging
         tagged.where(F.col("__b") == b).drop("__b").coalesce(1).write.mode(
             "overwrite"
         ).parquet(d)
         now = time.time()
-        for fn in os.listdir(d):
-            if fn.endswith(".parquet"):
-                os.utime(os.path.join(d, fn), (now + b, now + b))
+        files = [fn for fn in os.listdir(d) if fn.endswith(".parquet")]
+        # the closed-form oracle assumes every stripe commits a watermark;
+        # an empty stripe would silently shift the eviction trajectory
+        assert files, (
+            f"TTL replay stripe {b} ({out_dir}) staged no parquet file — "
+            f"the input corpus has no events in that 7-day stripe, so the "
+            f"closed-form eviction oracle does not apply to it"
+        )
+        for fn in files:
+            os.utime(os.path.join(d, fn), (now + b, now + b))
 
 
 def streaming_ttl_dedup(
-    spark: SparkSession, staged_dir: str, work_dir: str, emit_dir: str
+    spark: SparkSession,
+    staged_dir: str,
+    work_dir: str,
+    emit_dir: str,
+    on_epoch=None,
 ) -> DataFrame:
     """Drain the staged batches through dropDuplicatesWithinWatermark
-    and return the emitted rows (user_id, event_type, arrival_us)."""
+    and return the emitted rows (user_id, event_type, arrival_us).
+
+    on_epoch: optional callable(epoch_id, phase) invoked inside the
+    foreachBatch with phase 'pre' (before the epoch's emit write) and
+    'post' (after it, before the checkpoint commit) — the crash-restart
+    differential's fault-injection point; None in production."""
     ckpt = os.path.join(work_dir, "ckpt")
     stream = (
         spark.readStream.schema("user_id LONG, event_type STRING, arrival_us LONG")
@@ -97,8 +117,19 @@ def streaming_ttl_dedup(
         .select("user_id", "event_type", "arrival_us")
     )
 
-    def emit(batch_df, _epoch):
-        batch_df.write.mode("append").parquet(emit_dir)
+    def emit(batch_df, epoch_id):
+        if on_epoch is not None:
+            on_epoch(epoch_id, "pre")
+        # epoch-keyed overwrite, NOT a flat append: foreachBatch must be
+        # idempotent under crash-retry — a crash between an append and
+        # the checkpoint commit would duplicate the batch's rows on
+        # restart, while rewriting e{epoch} is a no-op (the same
+        # discipline as retract_agg's versioned state writes)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(emit_dir, f"e{epoch_id}")
+        )
+        if on_epoch is not None:
+            on_epoch(epoch_id, "post")
 
     with scoped_shuffle_partitions(spark, STATE_PARTITIONS):
         q = (
@@ -112,7 +143,7 @@ def streaming_ttl_dedup(
     unload_state_store_providers(spark)
     return spark.read.schema(
         "user_id LONG, event_type STRING, arrival_us LONG"
-    ).parquet(emit_dir)
+    ).parquet(os.path.join(emit_dir, "e*"))
 
 
 def ttl_dedup_oracle_sql(table: str = "events") -> str:

@@ -51,6 +51,29 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def rotate_emit_dir(root: str) -> str:
+    """Allocate a fresh per-invocation emit subdirectory under a
+    persistent latest-wins root, deleting only PREDECESSOR runs: the
+    previous invocation's directory survives this whole invocation (the
+    caller of the PREVIOUS run may still hold a lazily-evaluated
+    DataFrame pointing at it) and is removed by the run after next —
+    'consumed before the next row runs' is enforced, not relied upon
+    (ADVICE r12)."""
+    import shutil
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    runs = sorted(d for d in os.listdir(root) if d.startswith("run_"))
+    for d in runs[:-1]:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    stamp = time.time_ns()
+    if runs:
+        stamp = max(stamp, int(runs[-1][4:]) + 1)
+    new = os.path.join(root, f"run_{stamp:020d}")
+    os.makedirs(new)
+    return new
+
+
 def unload_state_store_providers(spark: SparkSession) -> None:
     """Unload the state-store providers still held for FINISHED queries.
 
