@@ -2080,7 +2080,7 @@ def jdbc_newly_added_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         url = derby_url(f"{root}/db", create=False)
         loop = MultiTableCdcPipeline(
             spark, url, f"{root}/state", tables_selector=r"app.\.*",
-            chunk_size=16,
+            chunk_size=16, shuffle_partitions=8,
         )
         loop.bootstrap()
         loop.poll_once()
@@ -2115,7 +2115,10 @@ def jdbc_newly_added_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("rec_name"),
         )
         out = region.unionByName(nation)
-        return _pin_state(spark, out, "newtab")
+        # the pin EXECUTES the lazy merge-on-read: evaluate it at the
+        # pipeline's scoped width too (tiny per-table state relations)
+        with loop._scope():
+            return _pin_state(spark, out, "newtab")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2421,16 +2424,19 @@ def live_streaming_cdc_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ep = JdbcEndpoint(spark, url)
     work = tempfile.mkdtemp(prefix="cdc_bridge_", dir="/tmp")
-    bridge = JdbcLiveStreamBridge(spark, cfg, work)
+    # replicating one snapshot-sized table: scope the runner's shuffle
+    # width to the state size (r13 profile: drains 2.1-4.2s -> 0.8-1.9s,
+    # LSM read 1.4 -> 0.5s; chunk/pool sized for one 2-wave snapshot)
+    bridge = JdbcLiveStreamBridge(spark, cfg, work, runner_shuffle_partitions=8)
     _, _, cnt = bridge.source._probe()
-    bridge.cfg.chunk_size = max(cnt // 12, 16)
-    bridge.cfg.snapshot_pool = 4
+    bridge.cfg.chunk_size = max(cnt // 6, 16)
+    bridge.cfg.snapshot_pool = 6
     bridge.bootstrap()
     for sql in _BRIDGE_MUT_B:
         ep.execute_update(sql)
     bridge.run_once()  # one availableNow pass drains snapshot + B slices
     # restart: fresh exporter + fresh runner over the same work dir
-    bridge2 = JdbcLiveStreamBridge(spark, cfg, work)
+    bridge2 = JdbcLiveStreamBridge(spark, cfg, work, runner_shuffle_partitions=8)
     bridge2.bootstrap()
     for sql in _BRIDGE_MUT_C:
         ep.execute_update(sql)

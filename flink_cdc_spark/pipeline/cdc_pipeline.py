@@ -269,6 +269,7 @@ class MultiTableCdcPipeline:
         tables_selector: str = r"app.\.*",
         chunk_size: int = 8096,
         udf_names=frozenset(),
+        shuffle_partitions=None,
     ):
         from ..core.router import RouteRule, TableIdRouter
         from ..pipeline.composer import _transform_rule_of
@@ -277,6 +278,11 @@ class MultiTableCdcPipeline:
         self.spark = spark
         self.url = url
         self.state_root = state_root
+        # per-table state relations are table-sized, not corpus-sized: a
+        # caller replicating small/medium tables scopes the merge shuffle
+        # width down (None = session default — correct when one captured
+        # table IS corpus-scale)
+        self.shuffle_partitions = shuffle_partitions
         self.pipeline_def = pipeline_def
         self.udf_names = frozenset(udf_names)
         routes = pipeline_def.routes if pipeline_def else []
@@ -322,12 +328,13 @@ class MultiTableCdcPipeline:
 
         ep = JdbcEndpoint(self.spark, self.url)
         added = []
-        for tid in ep.discover_tables(selectors=self.tables_selector):
-            if str(tid) in self.pipes:
-                continue
-            if self._add_pipe(ep, tid):
-                self.pipes[str(tid)].bootstrap()
-                added.append(str(tid))
+        with self._scope():
+            for tid in ep.discover_tables(selectors=self.tables_selector):
+                if str(tid) in self.pipes:
+                    continue
+                if self._add_pipe(ep, tid):
+                    self.pipes[str(tid)].bootstrap()
+                    added.append(str(tid))
         return added
 
     def _rule_for(self, tid):
@@ -336,14 +343,25 @@ class MultiTableCdcPipeline:
                 return rule
         return None
 
+    def _scope(self):
+        import contextlib
+
+        from ..streaming.windowed import scoped_shuffle_partitions
+
+        if self.shuffle_partitions:
+            return scoped_shuffle_partitions(self.spark, self.shuffle_partitions)
+        return contextlib.nullcontext()
+
     def bootstrap(self) -> None:
-        for pipe in self.pipes.values():
-            pipe.bootstrap()
+        with self._scope():
+            for pipe in self.pipes.values():
+                pipe.bootstrap()
 
     def poll_once(self, rescan: bool = False) -> int:
         if rescan:
             self.capture_newly_added()
-        return sum(pipe.poll_once() for pipe in self.pipes.values())
+        with self._scope():
+            return sum(pipe.poll_once() for pipe in self.pipes.values())
 
     def run(self, polls: int, interval_s: float = 0.0,
             rescan_new_tables: bool = False) -> int:
@@ -355,6 +373,9 @@ class MultiTableCdcPipeline:
         return total
 
     def current_state(self, sink_table: str):
+        # NOTE: returns a LAZY frame — the shuffle width in force at
+        # ACTION time governs its exchanges, so callers wanting the scoped
+        # width must evaluate inside their own scope
         from ..sinks.lsm_store import LsmStateStore
 
         return LsmStateStore(self.spark, self.state_root).read(sink_table)

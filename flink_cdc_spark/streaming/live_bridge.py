@@ -106,6 +106,7 @@ class JdbcLiveStreamBridge:
         work_root: str,
         pipeline_yaml: Optional[str] = None,
         repair_collect_cap: int = 10_000,
+        runner_shuffle_partitions: Optional[int] = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -120,6 +121,11 @@ class JdbcLiveStreamBridge:
         os.makedirs(self.src_dir, exist_ok=True)
         self.pipeline = parse_pipeline_yaml(pipeline_yaml or _DEFAULT_PIPELINE_YAML)
         self.repair_collect_cap = repair_collect_cap
+        # per-epoch state relations are table-snapshot-sized, not
+        # corpus-sized; a caller replicating a small/medium table scopes
+        # the runner's shuffle width down (None = session default, the
+        # right choice when one table IS corpus-scale)
+        self.runner_shuffle_partitions = runner_shuffle_partitions
         self.schema = None  # discovered lazily
 
     # -- export bookkeeping (control plane) --------------------------------
@@ -241,6 +247,7 @@ class JdbcLiveStreamBridge:
             self.pipeline,
             state_root=self.state_root,
             checkpoint_dir=self.ckpt_dir,
+            shuffle_partitions=self.runner_shuffle_partitions,
         )
 
     def process_available(self, timeout: int = 300) -> None:

@@ -102,8 +102,13 @@ class RetractTopNStream:
     def _write_epoch(self, epoch: int, tbl_new: DataFrame, topn_new: DataFrame) -> None:
         """Both state tables land in ONE partitioned write: one Spark job
         per epoch instead of two (the write is the dominant per-epoch
-        cost), and the epoch's whole state commits atomically — a
-        crash-retried epoch can never observe a half-written version."""
+        cost). Commit atomicity comes from the _SUCCESS gate in
+        _versions, not the single job per se — a crash mid-write leaves
+        a partial v{epoch} dir that is simply never read. Note the job
+        evaluates tbl_new twice (directly and via topn_new's
+        affected-groups lineage); cheap because the batch delta is
+        cached, but cache/checkpoint tbl_new if this ever shows up in
+        the epoch profile."""
         both = tbl_new.withColumn("__t", F.lit("tbl")).unionByName(
             topn_new.withColumn("__t", F.lit("topn")),
             allowMissingColumns=True,
