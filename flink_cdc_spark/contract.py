@@ -4101,10 +4101,17 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 # tests/test_registry_capacity.py enforces the row-count bound.
 
 _PRIORITY: list = [
-    # Empty at round-13 start: every round-12 changed row carries a fresh r12
-    # driver signal, so the artifact derivation places them correctly on its
-    # own.  Only list rows here whose CODE changes THIS round (a recent green
-    # signal the artifacts can't know is stale).
+    # Rows whose CODE changed in r13 while carrying a fresh r12 signal the
+    # artifacts can't know is stale.  Budgeted against the window: 46
+    # r10-stale rows + 2 new rows (auto-led by the derivation) + these 2 =
+    # exactly 50.  The other r13-touched rows are either already stale
+    # enough to auto-lead (jdbc_newly_added_table r10) or behavior-neutral
+    # with their own oracle/pytest re-verification this session
+    # (retract_agg closure->method refactor r12, live bridge width scoping
+    # r11 - both hash-matched by check_contract post-change; the r11 row
+    # auto-leads r14).
+    "streaming_ttl_dedup",       # epoch-keyed emission replaced flat append
+    "streaming_stateful_dedup",  # emit root rotated per-invocation
 ]
 
 
