@@ -252,13 +252,35 @@ class StreamingPipelineRunner:
                 lo = hi
             segments.append((lo, None, None))
 
-            for lo, hi, ddl_row in segments:
-                seg = data
-                if lo is not None:
-                    seg = seg.where(F.col("seq") > lo)
-                if hi is not None:
-                    seg = seg.where(F.col("seq") < hi)
-                self._merge_segment(seg)
+            # ONE metadata pass computes which tables appear in which
+            # segment (instead of a distinct().collect() job per segment —
+            # a multi-slice batch used to pay n_segments scans, including
+            # scans of provably-empty segments). Control and data records
+            # never share a seq (control sits below the per-slice data
+            # band), so strict < comparisons assign segments exactly.
+            seg_idx = None
+            for i, b in enumerate(bounds):
+                cond = F.col("seq") < F.lit(b)
+                seg_idx = F.when(cond, i) if seg_idx is None else seg_idx.when(cond, i)
+            seg_idx = (
+                F.lit(0) if seg_idx is None else seg_idx.otherwise(len(bounds))
+            )
+            presence: dict = {}
+            for r in (
+                data.groupBy(seg_idx.alias("seg_no"), "table_id")
+                .count().collect()
+            ):
+                presence.setdefault(r.seg_no, []).append(r.table_id)
+
+            for i, (lo, hi, ddl_row) in enumerate(segments):
+                tables = presence.get(i, [])
+                if tables:
+                    seg = data
+                    if lo is not None:
+                        seg = seg.where(F.col("seq") > lo)
+                    if hi is not None:
+                        seg = seg.where(F.col("seq") < hi)
+                    self._merge_segment(seg, tables=tables)
                 if ddl_row is not None:
                     self._apply_ddl(self._decode_ddl(ddl_row))
         finally:
@@ -380,8 +402,9 @@ class StreamingPipelineRunner:
         elif isinstance(event, TruncateTableEvent):
             self.state.write(table, current.limit(0))
 
-    def _merge_segment(self, seg: DataFrame) -> None:
-        tables = [r.table_id for r in seg.select("table_id").distinct().collect()]
+    def _merge_segment(self, seg: DataFrame, tables=None) -> None:
+        if tables is None:
+            tables = [r.table_id for r in seg.select("table_id").distinct().collect()]
         for table in sorted(tables):
             tid = TableId.parse(table)
             schema = self.coordinator.original_schema(tid)

@@ -1,0 +1,130 @@
+"""Differential wave 11 — the LIVE multi-table CDC pipeline
+(pipeline/cdc_pipeline.MultiTableCdcPipeline): random interleaved
+insert/update/delete scripts against several live Derby tables, with a
+table CREATED MID-STREAM (scan.newly-added-table), a transform rule on
+one table and replace-symbol routing on all — after bootstrap + rescan
++ random poll phases, every routed sink table's LSM state must equal a
+sequential dict model that applied the same row ops one at a time.
+
+Complements tests/test_cdc_pipeline.py (scripted shapes): this probes
+the op-interleaving space — multiple updates to one key between polls
+(the capture log replays all of them; last image must win), delete
+followed by re-insert of the same key across phases, empty polls, and
+mutations racing the newly-added table's snapshot."""
+
+import random
+
+import pytest
+
+from flink_cdc_spark.pipeline.cdc_pipeline import MultiTableCdcPipeline
+from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+from flink_cdc_spark.sources.jdbc_live import (
+    JdbcEndpoint,
+    derby_url,
+    install_capture,
+)
+
+SEED = 0x11FE
+COLS = ["id", "name", "val"]
+
+
+def _create(ep, table):
+    ep.execute(
+        f"CREATE TABLE {table} (id BIGINT NOT NULL PRIMARY KEY, "
+        "name VARCHAR(50), val DOUBLE)"
+    )
+    install_capture(ep, table, COLS)
+
+
+def _apply_ops(ep, rng, model, table, n_ops, next_id):
+    """Apply n_ops random row ops to the LIVE table and the dict model."""
+    tbl = model[table]
+    for _ in range(n_ops):
+        r = rng.random()
+        if r < 0.4 or not tbl:
+            i = next_id[0]; next_id[0] += 1
+            name, val = f"{table}-{i}", float(rng.randrange(1000))
+            ep.insert_rows(table, COLS, [(i, name, val)])
+            tbl[i] = (name, val)
+        elif r < 0.8:
+            i = rng.choice(sorted(tbl))
+            if rng.random() < 0.5:
+                val = float(rng.randrange(1000))
+                ep.execute_update(f"UPDATE {table} SET val = {val} WHERE id = {i}")
+                tbl[i] = (tbl[i][0], val)
+            else:
+                name = f"{table}-{i}-r{rng.randrange(100)}"
+                ep.execute_update(
+                    f"UPDATE {table} SET name = '{name}' WHERE id = {i}"
+                )
+                tbl[i] = (name, tbl[i][1])
+        else:
+            i = rng.choice(sorted(tbl))
+            ep.execute_update(f"DELETE FROM {table} WHERE id = {i}")
+            del tbl[i]
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_live_multi_table_pipeline_matches_model(spark, tmp_path, trial):
+    rng = random.Random(SEED + trial)
+    ep = JdbcEndpoint(spark, derby_url(str(tmp_path / "db")))
+    url = derby_url(str(tmp_path / "db"), create=False)
+
+    initial = ["users", "orders"]
+    late = "events"  # created mid-stream
+    model = {t: {} for t in initial + [late]}
+    next_id = [1]
+    for t in initial:
+        _create(ep, t)
+        _apply_ops(ep, rng, model, t, rng.randrange(5, 15), next_id)
+
+    pipeline_def = parse_pipeline_yaml(
+        """
+source: {type: values}
+sink: {type: values}
+transform:
+  - source-table: app.users
+    projection: id, UPPER(name) AS uname, val
+route:
+  - source-table: app.\\.*
+    sink-table: mart.<>
+    replace-symbol: <>
+pipeline: {execution.runtime-mode: STREAMING}
+"""
+    )
+    loop = MultiTableCdcPipeline(
+        spark, url, str(tmp_path / "state"),
+        pipeline_def=pipeline_def, tables_selector=r"app.\.*",
+        chunk_size=7, shuffle_partitions=4,
+    )
+    loop.bootstrap()
+
+    n_phases = rng.randrange(2, 4)
+    for phase in range(n_phases):
+        tables = list(model)
+        if phase == 0:
+            # the newly-added table appears while the others stream
+            _create(ep, late)
+            _apply_ops(ep, rng, model, late, rng.randrange(4, 10), next_id)
+        for t in initial:
+            if rng.random() < 0.85:  # sometimes a table sits a phase out
+                _apply_ops(ep, rng, model, t, rng.randrange(0, 12), next_id)
+        if phase == 0:
+            added = loop.capture_newly_added()
+            assert added == ["app.events"]
+            # post-snapshot traffic on the new table before the next poll
+            _apply_ops(ep, rng, model, late, rng.randrange(0, 6), next_id)
+        loop.poll_once()
+
+    for t in model:
+        got_rows = loop.current_state(f"mart.{t}").collect()
+        if t == "users":
+            got = {r.id: (r.uname, r.val) for r in got_rows}
+            want = {i: (n.upper(), v) for i, (n, v) in model[t].items()}
+        else:
+            got = {r.id: (r.name, r.val) for r in got_rows}
+            want = dict(model[t])
+        assert got == want, (
+            f"trial {trial}: mart.{t} diverged "
+            f"(missing={set(want) - set(got)}, extra={set(got) - set(want)})"
+        )
