@@ -1039,14 +1039,20 @@ def schema_evolution_behaviors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag so any branch diverging fails the single hash gate."""
     from pyspark.sql import functions as F
 
-    branches = [
-        ("ignore", schema_evolution_ignore(spark, sf_dir),
-         "c_custkey", "c_name", "c_nationkey", "c_acctbal"),
-        ("exclude_add_column", schema_evolution_exclude_add_column(spark, sf_dir),
-         "c_custkey", "full_name", "c_nationkey", "c_acctbal"),
-        ("try_evolve", schema_evolution_try_evolve(spark, sf_dir),
-         "k", "v", "x", None),
-    ]
+    from .streaming.windowed import scoped_shuffle_partitions
+
+    # the composers materialize customer-sized event streams eagerly —
+    # scope their shuffles to the table size, not the session width
+    with scoped_shuffle_partitions(spark, 8):
+        branches = [
+            ("ignore", schema_evolution_ignore(spark, sf_dir),
+             "c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+            ("exclude_add_column",
+             schema_evolution_exclude_add_column(spark, sf_dir),
+             "c_custkey", "full_name", "c_nationkey", "c_acctbal"),
+            ("try_evolve", schema_evolution_try_evolve(spark, sf_dir),
+             "k", "v", "x", None),
+        ]
     out = None
     for tag, df, pk, name, aux, bal in branches:
         bal_col = (
