@@ -390,6 +390,18 @@ class StreamingPipelineRunner:
                 self.state.rename_columns(table, list(event.name_mapping))
             elif isinstance(event, TruncateTableEvent):
                 self.state.truncate(table)
+            else:
+                # ADD / ALTER TYPE / widening CREATE: push the evolved
+                # schema into the manifest NOW — the next merge would do
+                # it too, but a trailing DDL with no subsequent data must
+                # still be visible to readers (found by the wave-12
+                # crash-restart differential: an ADD COLUMN as the
+                # stream's last event never reached the read schema)
+                final_schema = self.coordinator.evolved_schema(
+                    TableId.parse(table)
+                )
+                if final_schema is not None:
+                    self.state.set_schema(table, final_schema.to_spark_struct())
             return
         current = self.state.read(table)
         if current is None:

@@ -1,0 +1,221 @@
+"""Differential wave 12 — crash-restart of the wire-format
+StreamingPipelineRunner + LSM state path (the machinery every
+streaming-evolution row and the live bridge ride): random slices of
+CREATE-prefixed wire events (I/U/D data interleaved with in-band ADD
+COLUMN / RENAME / TRUNCATE DDL), drained slice by slice; a crash is
+injected at a RANDOM slice either BEFORE the batch processes, MID-BATCH
+(after the first segment's LSM merge, before the rest), or AFTER the
+whole batch but before the checkpoint commit; a FRESH runner (empty
+coordinator — schema must recover from the slice-prefix CREATE, the
+live bridge's convention) resumes over the same checkpoint/state and
+the remaining slices. Final LSM state must equal (a) an uninterrupted
+run over the same slices and (b) a sequential dict model.
+
+What this pins empirically: LSM delta commits are value-idempotent
+under batch replay (duplicate commits carry identical (pk, seq) images,
+so merge-on-read converges), replayed DDL hits the coordinator's
+redundancy guard (SchemaUtils.java:323-410 port), a replayed RENAME's
+stale mapping is a reader no-op, and a replayed TRUNCATE re-wipes and
+the batch's own segments re-merge — converging either way."""
+
+import os
+import random
+
+import pytest
+
+from flink_cdc_spark.core import types as ct
+from flink_cdc_spark.core.events import (
+    AddColumnEvent,
+    CreateTableEvent,
+    DataChangeEvent,
+    RenameColumnEvent,
+    TruncateTableEvent,
+)
+from flink_cdc_spark.core.schema import Column, new_schema
+from flink_cdc_spark.core.table_id import TableId
+from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+from flink_cdc_spark.streaming.runner import StreamingPipelineRunner
+from flink_cdc_spark.streaming.wire import write_wire_file
+
+SEED = 0x12C4
+TID = TableId.parse("t.x")
+YAML = """
+source: {type: wire}
+sink: {type: lake}
+pipeline: {schema.change.behavior: EVOLVE}
+"""
+
+
+class _Crash(Exception):
+    pass
+
+
+class CrashingRunner(StreamingPipelineRunner):
+    """phase 'pre': batch never processes; 'mid': first segment's merge
+    lands, rest of the batch doesn't; 'post': whole batch processed,
+    checkpoint commit never happens."""
+
+    def arm(self, phase):
+        self._phase = phase
+        self._merges = 0
+
+    def process_batch(self, batch, batch_id):
+        if self._phase == "pre":
+            raise _Crash("pre-batch crash")
+        super().process_batch(batch, batch_id)
+        if self._phase == "post":
+            raise _Crash("post-batch pre-commit crash")
+
+    def _merge_segment(self, seg, tables=None):
+        super()._merge_segment(seg, tables=tables)
+        if self._phase == "mid":
+            self._merges += 1
+            raise _Crash("mid-batch crash after first segment merge")
+
+
+def _schema_of(cols):
+    b = new_schema()
+    for name, typ in cols:
+        b = b.physical_column(name, typ)
+    return b.primary_key("k").build()
+
+
+def _gen_slices(rng, n_slices):
+    """-> (slices, final_cols, model_rows). Each slice is a list of
+    events prefixed with a CREATE carrying the schema current at slice
+    start. The model applies ops sequentially."""
+    cols = [("k", "BIGINT NOT NULL"), ("g", "STRING"), ("val", "BIGINT")]
+    rows = {}
+    next_key = [0]
+    next_col = [0]
+    rename_gen = [0]
+    truncated = [False]
+    slices = []
+
+    def names():
+        return [c for c, _ in cols]
+
+    def image(row):
+        return tuple(row.get(c) for c in names())
+
+    def rand_row(k):
+        row = {"k": k}
+        for c, _t in cols[1:]:
+            row[c] = (
+                f"s{rng.randrange(100)}" if c.startswith("g") else rng.randrange(1000)
+            )
+        return row
+
+    for _s in range(n_slices):
+        ev = [CreateTableEvent(TID, _schema_of(cols))]
+        for _ in range(rng.randrange(6, 16)):
+            r = rng.random()
+            if r < 0.08:
+                c = f"z{next_col[0]}"; next_col[0] += 1
+                ev.append(AddColumnEvent.last(TID, Column(c, ct.bigint())))
+                cols.append((c, "BIGINT"))
+            elif r < 0.13:
+                old = next(c for c, _t in cols if c.startswith("g"))
+                new = f"g{rename_gen[0] + 1}"; rename_gen[0] += 1
+                ev.append(RenameColumnEvent(TID, name_mapping=((old, new),)))
+                cols[:] = [(new if c == old else c, t) for c, t in cols]
+                for row in rows.values():
+                    if old in row:
+                        row[new] = row.pop(old)
+            elif r < 0.17 and not truncated[0]:
+                ev.append(TruncateTableEvent(TID))
+                rows.clear()
+                truncated[0] = True
+            elif r < 0.55 or not rows:
+                k = next_key[0]; next_key[0] += 1
+                row = rand_row(k)
+                ev.append(DataChangeEvent.insert(TID, image(row)))
+                rows[k] = row
+            elif r < 0.85:
+                k = rng.choice(sorted(rows))
+                before = image(rows[k])
+                row = rand_row(k)
+                ev.append(DataChangeEvent.update(TID, before, image(row)))
+                rows[k] = row
+            else:
+                k = rng.choice(sorted(rows))
+                ev.append(DataChangeEvent.delete(TID, image(rows[k])))
+                del rows[k]
+        slices.append(ev)
+    return slices, names(), rows
+
+
+def _drain(spark, runner_cls, work, slices, crash_at=None, phase=None):
+    """Write + drain slice by slice; at crash_at use a crashing runner,
+    then a FRESH plain runner resumes the failed batch. Returns the
+    final LSM store."""
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    pipeline = parse_pipeline_yaml(YAML)
+
+    def mk(cls):
+        return cls(
+            spark, pipeline,
+            state_root=os.path.join(work, "state"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            shuffle_partitions=4,
+        )
+
+    for i, ev in enumerate(slices):
+        write_wire_file(os.path.join(src, f"s{i:04d}.json"), ev,
+                        seq_start=i * 100_000)
+        if i == crash_at:
+            crasher = mk(runner_cls)
+            crasher.arm(phase)
+            with pytest.raises(Exception):
+                crasher.run_available(src)
+            # fresh runner, empty coordinator: schema recovery comes from
+            # the slice-prefix CREATE, state/offsets from ckpt + LSM
+            mk(StreamingPipelineRunner).run_available(src)
+        else:
+            mk(StreamingPipelineRunner).run_available(src)
+    return LsmStateStore(spark, os.path.join(work, "state"))
+
+
+def _collect(store, final_cols):
+    df = store.read(str(TID))
+    assert df is not None
+    return {
+        r["k"]: tuple(r[c] for c in final_cols if c != "k")
+        for r in df.select(*final_cols).collect()
+    }
+
+
+@pytest.mark.parametrize("trial,phase", [
+    (0, "pre"), (1, "mid"), (2, "post"), (3, "mid"),
+])
+def test_runner_crash_restart_matches_uninterrupted_and_model(
+    spark, tmp_path, trial, phase
+):
+    rng = random.Random(SEED + trial)
+    n_slices = rng.randrange(3, 5)
+    slices, final_cols, model = _gen_slices(rng, n_slices)
+    crash_at = rng.randrange(n_slices)
+
+    base = _drain(spark, StreamingPipelineRunner, str(tmp_path / "base"), slices)
+    want = _collect(base, final_cols)
+
+    crashed = _drain(
+        spark, CrashingRunner, str(tmp_path / "crash"), slices,
+        crash_at=crash_at, phase=phase,
+    )
+    got = _collect(crashed, final_cols)
+
+    model_view = {
+        k: tuple(row.get(c) for c in final_cols if c != "k")
+        for k, row in model.items()
+    }
+    assert want == model_view, (
+        f"trial {trial}: UNINTERRUPTED run diverged from the model "
+        f"(crash not involved): {len(want)} vs {len(model_view)} rows"
+    )
+    assert got == want, (
+        f"trial {trial}: crash at slice {crash_at}/{phase} diverged: "
+        f"missing={set(want) - set(got)}, extra={set(got) - set(want)}"
+    )
