@@ -128,3 +128,63 @@ pipeline: {execution.runtime-mode: STREAMING}
             f"trial {trial}: mart.{t} diverged "
             f"(missing={set(want) - set(got)}, extra={set(got) - set(want)})"
         )
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_live_pipeline_with_ddl_converges_to_live_state(spark, tmp_path, trial):
+    """Wave 11b — live DDL mid-stream: ALTER TABLE ADD COLUMN lands
+    between polls, events logged before the poll were captured by the
+    OLD triggers (images missing the new column), the poll must detect
+    the DDL, refresh capture, and repair the touched keys. The
+    replication invariant IS the oracle: after the final poll every
+    routed sink table equals the live table's current contents (new
+    column NULL for rows never touched after the ALTER)."""
+    rng = random.Random(SEED + 50 + trial)
+    ep = JdbcEndpoint(spark, derby_url(str(tmp_path / "db")))
+    url = derby_url(str(tmp_path / "db"), create=False)
+
+    tables = ["orders", "events"]
+    model = {t: {} for t in tables}
+    next_id = [1]
+    for t in tables:
+        _create(ep, t)
+        _apply_ops(ep, rng, model, t, rng.randrange(5, 12), next_id)
+
+    loop = MultiTableCdcPipeline(
+        spark, url, str(tmp_path / "state"),
+        tables_selector=r"app.\.*", chunk_size=7, shuffle_partitions=4,
+    )
+    loop.bootstrap()
+
+    altered = {}  # table -> new column name
+    n_phases = rng.randrange(2, 4)
+    for phase in range(n_phases):
+        for t in tables:
+            if t not in altered and rng.random() < (0.6 if phase else 0.4):
+                col = f"extra{trial}"
+                ep.execute(f"ALTER TABLE {t} ADD COLUMN {col} BIGINT")
+                altered[t] = col
+            # mutations AFTER the alter, BEFORE the poll that detects it:
+            # captured by the old triggers, must be repaired
+            _apply_ops(ep, rng, model, t, rng.randrange(0, 10), next_id)
+            if t in altered and model[t] and rng.random() < 0.8:
+                i = rng.choice(sorted(model[t]))
+                v = rng.randrange(10_000)
+                ep.execute_update(
+                    f"UPDATE {t} SET {altered[t]} = {v} WHERE id = {i}"
+                )
+        loop.poll_once()
+
+    for t in tables:
+        cols = ["id", "name", "val"] + ([altered[t]] if t in altered else [])
+        live = {
+            row[0]: tuple(row[1:])
+            for row in ep.query(f"SELECT {', '.join(cols)} FROM {t}")
+        }
+        got_rows = loop.current_state(f"app.{t}").collect()
+        got = {r["id"]: tuple(r[c] for c in cols[1:]) for r in got_rows}
+        assert got == live, (
+            f"trial {trial}: app.{t} diverged from live "
+            f"(missing={set(live) - set(got)}, extra={set(got) - set(live)}, "
+            f"diff={[k for k in got if k in live and got[k] != live[k]][:5]})"
+        )
