@@ -81,8 +81,14 @@ class ParquetStateStore:
         with open(os.path.join(d, "_CURRENT"), "w") as f:
             f.write(str(v))
 
-    def merge(self, table: str, env: DataFrame, target_struct, primary_keys) -> None:
-        """Apply an envelope batch (already coerced to target_struct)."""
+    def merge(self, table: str, env: DataFrame, target_struct, primary_keys,
+              partition_keys=()) -> None:
+        """Apply an envelope batch (already coerced to target_struct).
+        partition_keys is accepted for sink-interface parity with the LSM
+        store and ignored — the legacy full-rewrite backend has no
+        partition layout to exploit (found by the wave-12 trailing-DDL
+        pin: the runner has passed it since partition-key support landed,
+        which made the parquet backend un-runnable)."""
         from pyspark.sql import Window
 
         current = self.read(table)
@@ -413,6 +419,22 @@ class StreamingPipelineRunner:
             self.state.write(table, current)
         elif isinstance(event, TruncateTableEvent):
             self.state.write(table, current.limit(0))
+        else:
+            # same trailing-DDL contract as the LSM branch: an ADD with
+            # no subsequent data must still surface in reads — the
+            # legacy backend has no manifest, so null-pad the snapshot
+            final_schema = self.coordinator.evolved_schema(TableId.parse(table))
+            if final_schema is not None:
+                struct = final_schema.to_spark_struct()
+                missing = [
+                    f for f in struct.fields if f.name not in current.columns
+                ]
+                if missing:
+                    for f_ in missing:
+                        current = current.withColumn(
+                            f_.name, F.lit(None).cast(f_.dataType)
+                        )
+                    self.state.write(table, current)
 
     def _merge_segment(self, seg: DataFrame, tables=None) -> None:
         if tables is None:

@@ -219,3 +219,37 @@ def test_runner_crash_restart_matches_uninterrupted_and_model(
         f"trial {trial}: crash at slice {crash_at}/{phase} diverged: "
         f"missing={set(want) - set(got)}, extra={set(got) - set(want)}"
     )
+
+
+@pytest.mark.parametrize("backend", ["lsm", "parquet"])
+def test_trailing_add_column_is_readable(spark, tmp_path, backend):
+    """The wave-12 finding, pinned on BOTH state backends: an ADD COLUMN
+    as the stream's LAST event (no data after it) must still surface in
+    reads — new column present, NULL for every existing row."""
+    from flink_cdc_spark.core.events import AddColumnEvent as ACE
+
+    ev = [
+        CreateTableEvent(TID, _schema_of(
+            [("k", "BIGINT NOT NULL"), ("g", "STRING")]
+        )),
+        DataChangeEvent.insert(TID, (1, "a")),
+        DataChangeEvent.insert(TID, (2, "b")),
+        ACE.last(TID, __import__(
+            "flink_cdc_spark.core.schema", fromlist=["Column"]
+        ).Column("z", ct.bigint())),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    write_wire_file(os.path.join(src, "s0.json"), ev)
+    runner = StreamingPipelineRunner(
+        spark, parse_pipeline_yaml(YAML),
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_backend=backend,
+        shuffle_partitions=4,
+    )
+    runner.run_available(src)
+    df = runner.state.read(str(TID))
+    assert df is not None and "z" in df.columns
+    rows = {r.k: (r.g, r.z) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None)}
