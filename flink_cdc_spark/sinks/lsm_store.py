@@ -269,6 +269,15 @@ class LsmStateStore:
         m["deltas"] = []
         self._store(table, m)
 
+    def drop(self, table: str) -> None:
+        """DROP TABLE: remove the manifest — read() returns None, and a
+        later CREATE + merge re-materializes from scratch (the
+        MetadataApplier drop semantics; data files become unreferenced
+        like truncate's)."""
+        import shutil
+
+        shutil.rmtree(self._dir(table), ignore_errors=True)
+
 
 # -- Paimon factory option surface (PaimonDataSinkFactory.java:47) ----------
 

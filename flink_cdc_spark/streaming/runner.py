@@ -81,6 +81,12 @@ class ParquetStateStore:
         with open(os.path.join(d, "_CURRENT"), "w") as f:
             f.write(str(v))
 
+    def drop(self, table: str) -> None:
+        """DROP TABLE: remove the versioned snapshot dir entirely."""
+        import shutil
+
+        shutil.rmtree(self._dir(table), ignore_errors=True)
+
     def merge(self, table: str, env: DataFrame, target_struct, primary_keys,
               partition_keys=()) -> None:
         """Apply an envelope batch (already coerced to target_struct).
@@ -388,9 +394,19 @@ class StreamingPipelineRunner:
         every DDL is metadata-only; on the legacy parquet backend
         renames/truncates rewrite the snapshot. Adds/type-widenings are
         absorbed by the coercion in the next merge either way."""
-        from ..core.events import RenameColumnEvent, TruncateTableEvent
+        from ..core.events import (
+            DropTableEvent,
+            RenameColumnEvent,
+            TruncateTableEvent,
+        )
         from ..sinks.lsm_store import LsmStateStore
 
+        if isinstance(event, DropTableEvent):
+            # sink-side table removal (MetadataApplier drop semantics);
+            # found by probing: a DROP through the runner used to leave
+            # the state fully readable
+            self.state.drop(table)
+            return
         if isinstance(self.state, LsmStateStore):
             if isinstance(event, RenameColumnEvent):
                 self.state.rename_columns(table, list(event.name_mapping))

@@ -253,3 +253,46 @@ def test_trailing_add_column_is_readable(spark, tmp_path, backend):
     assert df is not None and "z" in df.columns
     rows = {r.k: (r.g, r.z) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", None)}
+
+
+@pytest.mark.parametrize("backend", ["lsm", "parquet"])
+def test_drop_table_removes_sink_state(spark, tmp_path, backend):
+    """DROP TABLE through the streaming runner must remove the sink
+    table (MetadataApplier drop semantics) — it used to leave the state
+    fully readable — and a later CREATE re-materializes from scratch."""
+    from flink_cdc_spark.core.events import DropTableEvent
+
+    sch = _schema_of([("k", "BIGINT NOT NULL"), ("g", "STRING")])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    write_wire_file(os.path.join(src, "s0.json"), [
+        CreateTableEvent(TID, sch),
+        DataChangeEvent.insert(TID, (1, "a")),
+        DataChangeEvent.insert(TID, (2, "b")),
+        DropTableEvent(TID),
+    ])
+    runner = StreamingPipelineRunner(
+        spark, parse_pipeline_yaml(YAML),
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_backend=backend,
+        shuffle_partitions=4,
+    )
+    runner.run_available(src)
+    assert runner.state.read(str(TID)) is None
+
+    # re-create with fresh rows in a later slice: state rebuilds clean
+    write_wire_file(os.path.join(src, "s1.json"), [
+        CreateTableEvent(TID, sch),
+        DataChangeEvent.insert(TID, (7, "z")),
+    ], seq_start=100_000)
+    runner2 = StreamingPipelineRunner(
+        spark, parse_pipeline_yaml(YAML),
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_backend=backend,
+        shuffle_partitions=4,
+    )
+    runner2.run_available(src)
+    rows = {r.k: r.g for r in runner2.state.read(str(TID)).collect()}
+    assert rows == {7: "z"}
