@@ -57,6 +57,12 @@ def temporal_join(
     NULLs when no version's interval contains it (LEFT semantics)."""
     dim_types = dict((f.name, f.dataType) for f in history.schema.fields)
     carry_cols = list(payload_cols) + ([version_col] if version_col else [])
+    clash = set(carry_cols) & {f.name for f in probe.schema.fields}
+    if clash:
+        raise ValueError(
+            f"probe and dimension column names collide: {sorted(clash)} — "
+            "alias one side before the temporal join"
+        )
 
     def _dim_struct(open_: bool):
         fields = [F.lit(open_).alias("__open")]
