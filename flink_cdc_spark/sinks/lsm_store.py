@@ -78,6 +78,45 @@ class LsmStateStore:
         os.replace(tmp, self._manifest_path(table))
 
     # -- write path --------------------------------------------------------
+    @staticmethod
+    def _translate(m: dict, name: str) -> str:
+        """Chase a column name through the manifest's cumulative rename
+        map — a crash-replayed writer addresses columns by their
+        pre-rename names."""
+        renamed = m.get("renamed", {})
+        seen = set()
+        while name in renamed and name not in seen:
+            seen.add(name)
+            name = renamed[name]
+        return name
+
+    def _monotone_schema(self, m: dict, target_struct) -> T.StructType:
+        """Reconcile an incoming merge's target schema with the manifest
+        so the schema only ever moves FORWARD. A crash-replayed batch
+        merges with the schema of its own epoch: names predate later
+        renames (translate them), columns predate later ADDs (keep the
+        manifest's extras), types predate later widenings (prefer the
+        manifest's type for existing names). Explicitly dropped columns
+        are the one legitimate removal and are tracked in m['dropped']
+        so a replayed pre-drop merge cannot resurrect them. Without
+        this, a compaction running between a replayed merge and its
+        replayed rename baked NULLs into the base (wave-12 widening
+        trials)."""
+        cur = T.StructType.fromJson(json.loads(m["schema"]))
+        cur_types = {f.name: f.dataType for f in cur.fields}
+        dropped = set(m.get("dropped", []))
+        fields, have = [], set()
+        for f in target_struct.fields:
+            name = self._translate(m, f.name)
+            if name in dropped or name in have:
+                continue
+            fields.append(
+                T.StructField(name, cur_types.get(name, f.dataType), True)
+            )
+            have.add(name)
+        fields += [f for f in cur.fields if f.name not in have]
+        return T.StructType(fields)
+
     def merge(self, table: str, env: DataFrame, target_struct, primary_keys,
               partition_keys=()) -> None:
         """Append one delta commit from an envelope batch (already coerced
@@ -98,17 +137,25 @@ class LsmStateStore:
             "pks": list(primary_keys),
             "partition_keys": list(partition_keys),
         }
-        m["schema"] = target_struct.json()
+        m["schema"] = self._monotone_schema(m, target_struct).json()
         m["pks"] = list(primary_keys)
         if partition_keys:
             m["partition_keys"] = list(partition_keys)
 
+        # write the delta under CURRENT column names: a crash-replayed
+        # merge addresses columns by its own epoch's (pre-rename) names,
+        # and a stale-named file is unreadable until the replayed rename
+        # re-appends its hops — a compaction inside that window would
+        # bake NULLs into the base (wave-12 widening trials). Forward
+        # path: the translation is the identity.
         payload_cols = [f.name for f in target_struct.fields]
+        out_names = [self._translate(m, c) for c in payload_cols]
+        primary_keys = [self._translate(m, k) for k in primary_keys]
         img = F.when(
             F.col(ENVELOPE_OP) == OP_DELETE, F.col("before")
         ).otherwise(F.col("after"))
         rows = env.select(
-            *[img[c].alias(c) for c in payload_cols],
+            *[img[c].alias(n) for c, n in zip(payload_cols, out_names)],
             (F.col(ENVELOPE_OP) == OP_DELETE).alias(_TOMBSTONE),
             F.col(ENVELOPE_SEQ).alias(ENVELOPE_SEQ),
         )
@@ -121,7 +168,7 @@ class LsmStateStore:
             )
         cid = m["next"]
         path = os.path.join(self._dir(table), f"delta-{cid:08d}")
-        pts = [k for k in m.get("partition_keys", []) if k in payload_cols]
+        pts = [k for k in m.get("partition_keys", []) if k in out_names]
         writer = rows.write.mode("overwrite")
         if pts:
             writer = writer.partitionBy(*pts)
@@ -248,6 +295,14 @@ class LsmStateStore:
             d["renames"].extend([list(x) for x in mapping])
         if m["base"] is not None:
             m.setdefault("base_renames", []).extend([list(x) for x in mapping])
+        # cumulative flattened rename map: old names written by replayed
+        # (pre-rename) merges translate forward through every later hop
+        renamed = m.setdefault("renamed", {})
+        for old, new in mapping:
+            for k, v in list(renamed.items()):
+                if v == old:
+                    renamed[k] = new
+            renamed[old] = new
         self._store(table, m)
 
     def set_schema(self, table: str, target_struct) -> None:
@@ -259,6 +314,50 @@ class LsmStateStore:
         m["schema"] = target_struct.json()
         self._store(table, m)
 
+    def add_columns(self, table: str, fields) -> None:
+        """ADD COLUMN as a MONOTONE manifest-schema edit: append the
+        missing fields to whatever schema the manifest currently holds.
+        fields: [(name, spark DataType)]. Unlike set_schema, this can be
+        replayed against an ALREADY-ahead manifest without regressing it
+        (a crash-replayed DDL must never move the schema backwards — a
+        compaction run while regressed would bake NULLs into the base;
+        found by the wave-12 widening trials)."""
+        m = self._load(table)
+        if m is None:
+            return
+        struct = T.StructType.fromJson(json.loads(m["schema"]))
+        have = {f.name for f in struct.fields}
+        dropped = set(m.get("dropped", []))
+        new = []
+        for n, t in fields:
+            n = self._translate(m, n)
+            if n in have:
+                continue
+            new.append(T.StructField(n, t, True))
+            have.add(n)
+            dropped.discard(n)  # an explicit re-ADD revives a dropped name
+        if not new:
+            return
+        m["schema"] = T.StructType(list(struct.fields) + new).json()
+        m["dropped"] = sorted(dropped)
+        self._store(table, m)
+
+    def alter_column_types(self, table: str, mapping) -> None:
+        """ALTER COLUMN TYPE as a monotone manifest edit: retype the
+        named columns in place; absent names (already renamed ahead of a
+        replayed event) are ignored. mapping: [(name, spark DataType)]."""
+        m = self._load(table)
+        if m is None:
+            return
+        want = {self._translate(m, n): t for n, t in mapping}
+        struct = T.StructType.fromJson(json.loads(m["schema"]))
+        fields = [
+            T.StructField(f.name, want.get(f.name, f.dataType), f.nullable)
+            for f in struct.fields
+        ]
+        m["schema"] = T.StructType(fields).json()
+        self._store(table, m)
+
     def truncate(self, table: str) -> None:
         """TRUNCATE TABLE: metadata reset — data files become unreferenced."""
         m = self._load(table)
@@ -267,6 +366,21 @@ class LsmStateStore:
         m["base"] = None
         m["base_renames"] = []
         m["deltas"] = []
+        self._store(table, m)
+
+    def drop_columns(self, table: str, names) -> None:
+        """DROP COLUMN: remove the fields from the manifest schema and
+        record them in m['dropped'] so a crash-replayed pre-drop merge
+        cannot resurrect them via the monotone schema union."""
+        m = self._load(table)
+        if m is None:
+            return
+        gone = {self._translate(m, n) for n in names}
+        struct = T.StructType.fromJson(json.loads(m["schema"]))
+        m["schema"] = T.StructType(
+            [f for f in struct.fields if f.name not in gone]
+        ).json()
+        m["dropped"] = sorted(set(m.get("dropped", [])) | gone)
         self._store(table, m)
 
     def drop(self, table: str) -> None:

@@ -395,10 +395,14 @@ class StreamingPipelineRunner:
         renames/truncates rewrite the snapshot. Adds/type-widenings are
         absorbed by the coercion in the next merge either way."""
         from ..core.events import (
+            AddColumnEvent,
+            AlterColumnTypeEvent,
+            DropColumnEvent,
             DropTableEvent,
             RenameColumnEvent,
             TruncateTableEvent,
         )
+        from ..core.types import to_spark_type
         from ..sinks.lsm_store import LsmStateStore
 
         if isinstance(event, DropTableEvent):
@@ -407,23 +411,43 @@ class StreamingPipelineRunner:
             # the state fully readable
             self.state.drop(table)
             return
+        # NOTE: every edit below is EVENT-DRIVEN and monotone — derived
+        # from the event against the sink's CURRENT state, never a
+        # snapshot of the coordinator's evolved schema. A crash-replayed
+        # batch re-applies its DDL against a sink that is already AHEAD
+        # (the first attempt's edits landed); pushing the coordinator's
+        # mid-replay view would move the schema BACKWARDS, and a
+        # compaction run while regressed bakes NULLs into the base
+        # (found by the wave-12 widening trials). CreateTableEvent
+        # deliberately touches nothing: a recovery-prefix or N->1-merge
+        # CREATE carries a historical schema.
         if isinstance(self.state, LsmStateStore):
             if isinstance(event, RenameColumnEvent):
                 self.state.rename_columns(table, list(event.name_mapping))
             elif isinstance(event, TruncateTableEvent):
                 self.state.truncate(table)
-            else:
-                # ADD / ALTER TYPE / widening CREATE: push the evolved
-                # schema into the manifest NOW — the next merge would do
-                # it too, but a trailing DDL with no subsequent data must
-                # still be visible to readers (found by the wave-12
-                # crash-restart differential: an ADD COLUMN as the
-                # stream's last event never reached the read schema)
-                final_schema = self.coordinator.evolved_schema(
-                    TableId.parse(table)
+            elif isinstance(event, AddColumnEvent):
+                # a trailing ADD with no subsequent data must still be
+                # readable (wave-12 finding) — append to the manifest
+                self.state.add_columns(
+                    table,
+                    [
+                        (cwp.column.name, to_spark_type(cwp.column.type))
+                        for cwp in event.added_columns
+                    ],
                 )
-                if final_schema is not None:
-                    self.state.set_schema(table, final_schema.to_spark_struct())
+            elif isinstance(event, AlterColumnTypeEvent):
+                self.state.alter_column_types(
+                    table,
+                    [
+                        (name, to_spark_type(dt))
+                        for name, dt in event.type_mapping
+                    ],
+                )
+            elif isinstance(event, DropColumnEvent):
+                self.state.drop_columns(
+                    table, list(event.dropped_column_names)
+                )
             return
         current = self.state.read(table)
         if current is None:
@@ -435,22 +459,34 @@ class StreamingPipelineRunner:
             self.state.write(table, current)
         elif isinstance(event, TruncateTableEvent):
             self.state.write(table, current.limit(0))
-        else:
-            # same trailing-DDL contract as the LSM branch: an ADD with
-            # no subsequent data must still surface in reads — the
-            # legacy backend has no manifest, so null-pad the snapshot
-            final_schema = self.coordinator.evolved_schema(TableId.parse(table))
-            if final_schema is not None:
-                struct = final_schema.to_spark_struct()
-                missing = [
-                    f for f in struct.fields if f.name not in current.columns
-                ]
-                if missing:
-                    for f_ in missing:
-                        current = current.withColumn(
-                            f_.name, F.lit(None).cast(f_.dataType)
-                        )
-                    self.state.write(table, current)
+        elif isinstance(event, AddColumnEvent):
+            # same trailing-DDL contract, legacy backend: null-pad the
+            # snapshot with exactly the event's columns (monotone)
+            missing = [
+                cwp.column
+                for cwp in event.added_columns
+                if cwp.column.name not in current.columns
+            ]
+            if missing:
+                for col in missing:
+                    current = current.withColumn(
+                        col.name, F.lit(None).cast(to_spark_type(col.type))
+                    )
+                self.state.write(table, current)
+        elif isinstance(event, AlterColumnTypeEvent):
+            changed = False
+            for name, dt in event.type_mapping:
+                if name in current.columns:
+                    current = current.withColumn(
+                        name, F.col(name).cast(to_spark_type(dt))
+                    )
+                    changed = True
+            if changed:
+                self.state.write(table, current)
+        elif isinstance(event, DropColumnEvent):
+            gone = [n for n in event.dropped_column_names if n in current.columns]
+            if gone:
+                self.state.write(table, current.drop(*gone))
 
     def _merge_segment(self, seg: DataFrame, tables=None) -> None:
         if tables is None:

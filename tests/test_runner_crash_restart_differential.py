@@ -26,6 +26,7 @@ import pytest
 from flink_cdc_spark.core import types as ct
 from flink_cdc_spark.core.events import (
     AddColumnEvent,
+    AlterColumnTypeEvent,
     CreateTableEvent,
     DataChangeEvent,
     RenameColumnEvent,
@@ -85,12 +86,13 @@ def _gen_slices(rng, n_slices):
     """-> (slices, final_cols, model_rows). Each slice is a list of
     events prefixed with a CREATE carrying the schema current at slice
     start. The model applies ops sequentially."""
-    cols = [("k", "BIGINT NOT NULL"), ("g", "STRING"), ("val", "BIGINT")]
+    cols = [("k", "BIGINT NOT NULL"), ("g", "STRING"), ("val", "INT")]
     rows = {}
     next_key = [0]
     next_col = [0]
     rename_gen = [0]
     truncated = [False]
+    widened = [False]
     slices = []
 
     def names():
@@ -101,10 +103,14 @@ def _gen_slices(rng, n_slices):
 
     def rand_row(k):
         row = {"k": k}
-        for c, _t in cols[1:]:
-            row[c] = (
-                f"s{rng.randrange(100)}" if c.startswith("g") else rng.randrange(1000)
-            )
+        for c, t in cols[1:]:
+            if c.startswith("g"):
+                row[c] = f"s{rng.randrange(100)}"
+            elif t == "BIGINT" and c == "val":
+                # post-widen: values a 32-bit column cannot hold
+                row[c] = rng.randrange(2**35, 2**40)
+            else:
+                row[c] = rng.randrange(1000)
         return row
 
     for _s in range(n_slices):
@@ -127,6 +133,15 @@ def _gen_slices(rng, n_slices):
                 ev.append(TruncateTableEvent(TID))
                 rows.clear()
                 truncated[0] = True
+            elif r < 0.21 and not widened[0]:
+                # INT -> BIGINT widening; later images carry >32-bit values
+                ev.append(AlterColumnTypeEvent(
+                    TID, type_mapping=(("val", ct.bigint()),)
+                ))
+                cols[:] = [
+                    (c, "BIGINT" if c == "val" else t) for c, t in cols
+                ]
+                widened[0] = True
             elif r < 0.55 or not rows:
                 k = next_key[0]; next_key[0] += 1
                 row = rand_row(k)
