@@ -4107,17 +4107,15 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 # tests/test_registry_capacity.py enforces the row-count bound.
 
 _PRIORITY: list = [
-    # Rows whose CODE changed in r13 while carrying a fresh r12 signal the
-    # artifacts can't know is stale.  Budgeted against the window: 46
-    # r10-stale rows + 2 new rows (auto-led by the derivation) + these 2 =
-    # exactly 50.  The other r13-touched rows are either already stale
-    # enough to auto-lead (jdbc_newly_added_table r10) or behavior-neutral
-    # with their own oracle/pytest re-verification this session
-    # (retract_agg closure->method refactor r12, live bridge width scoping
-    # r11 - both hash-matched by check_contract post-change; the r11 row
-    # auto-leads r14).
-    "streaming_ttl_dedup",       # epoch-keyed emission replaced flat append
-    "streaming_stateful_dedup",  # emit root rotated per-invocation
+    # Rows whose CODE changed in r14 while carrying a fresh r13 signal the
+    # artifacts can't know is stale.  Budgeted against the window: after the
+    # r14 capacity-policy merge (kafka_debezium_roundtrip +
+    # kafka_canal_roundtrip -> kafka_codec_roundtrip) the derivation
+    # auto-leads 46 r11-stale rows + 2 never-signalled new rows; this list
+    # holds the remainder of the 50.  The r13 rows that led r14's first
+    # commit (streaming_ttl_dedup, streaming_stateful_dedup) now carry r13
+    # artifact signals, so the derivation owns them again.
+    "lake_partitioned_pruning",  # lsm_store generation-aware rename rewrite
 ]
 
 
