@@ -54,6 +54,14 @@ class LsmStateStore:
         self.spark = spark
         self.root = root
         self.compact_every = compact_every
+        # current processing epoch (foreachBatch batch_id) — Structured
+        # Streaming's replay-idempotence key: a crash-replayed batch
+        # re-delivers under the SAME id, a genuinely new event arrives
+        # under a LATER one. None for direct (non-runner) callers.
+        self._epoch = None
+
+    def begin_epoch(self, epoch) -> None:
+        self._epoch = epoch
 
     # -- manifest ----------------------------------------------------------
     def _dir(self, table: str) -> str:
@@ -78,38 +86,112 @@ class LsmStateStore:
         os.replace(tmp, self._manifest_path(table))
 
     # -- write path --------------------------------------------------------
+    #
+    # GENERATION-AWARE rename translation (r14; replaces the r13 flattened
+    # chase map, whose last-wins chase corrupted name REUSE across rename
+    # generations — RENAME a->b then RENAME c->a sent live a's data to b,
+    # a legal re-ADD of a renamed-away name was silently dropped, and a
+    # single-event swap produced duplicate out names). The manifest now
+    # stores:
+    #
+    #   rename_log : ordered list of rename EVENTS; each event is a list of
+    #                [old, new] pairs applied SIMULTANEOUSLY (so a one-event
+    #                swap is well-defined), events applied in order.
+    #   history    : name-set snapshots [{"names": [...], "log": i}, ...] —
+    #                one per schema-shape change, `log` = len(rename_log)
+    #                at snapshot time. A crash-replayed writer merges with
+    #                the FULL column set of its own epoch, so matching that
+    #                set against history (newest first) recovers the
+    #                writer's generation; its names then translate through
+    #                only the rename events AFTER that generation.
+    #   added_at   : {name: log index at ADD time} — provenance that
+    #                disambiguates a REPLAYED ADD whose column was since
+    #                renamed (skip: translating forward from its own add
+    #                point lands on a live column) from a FRESH re-ADD of
+    #                a name an older generation renamed away (add
+    #                literally: the name has no add provenance).
+    #
+    # Residual ambiguity, inherent to name-keyed replay: if an old epoch's
+    # FULL name set coincides with the current one (every renamed-away name
+    # reintroduced), newest-generation wins — the right bias for streaming
+    # crash replay, which only ever re-delivers the most recent batch.
+
     @staticmethod
-    def _translate(m: dict, name: str) -> str:
-        """Chase a column name through the manifest's cumulative rename
-        map — a crash-replayed writer addresses columns by their
-        pre-rename names."""
-        renamed = m.get("renamed", {})
-        seen = set()
-        while name in renamed and name not in seen:
-            seen.add(name)
-            name = renamed[name]
+    def _apply_events(name: str, events) -> str:
+        for ev in events:
+            for old, new in ev:
+                if name == old:
+                    name = new
+                    break
         return name
 
-    def _monotone_schema(self, m: dict, target_struct) -> T.StructType:
+    @classmethod
+    def _translate(cls, m: dict, name: str) -> str:
+        """Translate ONE possibly-old column name to its current name:
+        current names are identity; otherwise the newest generation whose
+        name set contains it anchors the rename events still ahead of it."""
+        cur = {f["name"] for f in json.loads(m["schema"])["fields"]}
+        if name in cur:
+            return name
+        log = m.get("rename_log", [])
+        for entry in reversed(m.get("history", [])):
+            if name in entry["names"]:
+                return cls._apply_events(name, log[entry["log"]:])
+        return name
+
+    @classmethod
+    def _translate_set(cls, m: dict, names) -> dict:
+        """Translate a writer's FULL column-name list at once: the set
+        identifies the writer's generation far more precisely than any
+        single name can (name reuse is only ambiguous when the entire
+        epoch schema coincides). Returns {incoming name: current name}."""
+        cur = {f["name"] for f in json.loads(m["schema"])["fields"]}
+        if all(n in cur for n in names):
+            return {n: n for n in names}
+        log = m.get("rename_log", [])
+        want = set(names)
+        for entry in reversed(m.get("history", [])):
+            if want <= set(entry["names"]):
+                tail = log[entry["log"]:]
+                return {n: cls._apply_events(n, tail) for n in names}
+        return {n: cls._translate(m, n) for n in names}
+
+    @staticmethod
+    def _record_history(m: dict) -> None:
+        """Snapshot the manifest's current name set against the rename-log
+        position; called after every schema-shape change so later replayed
+        writers can be generation-matched."""
+        names = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        log = len(m.get("rename_log", []))
+        hist = m.setdefault("history", [])
+        if not hist or hist[-1]["names"] != names or hist[-1]["log"] != log:
+            hist.append({"names": names, "log": log})
+
+    def _monotone_schema(self, m: dict, target_struct, mapping) -> T.StructType:
         """Reconcile an incoming merge's target schema with the manifest
         so the schema only ever moves FORWARD. A crash-replayed batch
         merges with the schema of its own epoch: names predate later
-        renames (translate them), columns predate later ADDs (keep the
-        manifest's extras), types predate later widenings (prefer the
-        manifest's type for existing names). Explicitly dropped columns
-        are the one legitimate removal and are tracked in m['dropped']
-        so a replayed pre-drop merge cannot resurrect them. Without
-        this, a compaction running between a replayed merge and its
-        replayed rename baked NULLs into the base (wave-12 widening
-        trials)."""
+        renames (translated via ``mapping``), columns predate later ADDs
+        (keep the manifest's extras), types predate later widenings
+        (prefer the manifest's type for existing names). Explicitly
+        dropped columns are the one legitimate removal and are tracked in
+        m['dropped'] so a replayed pre-drop merge cannot resurrect them.
+        Without this, a compaction running between a replayed merge and
+        its replayed rename baked NULLs into the base (wave-12 widening
+        trials). Names the union APPENDS (data ahead of its DDL) gain
+        add-provenance so the trailing ADD replays as a no-op."""
         cur = T.StructType.fromJson(json.loads(m["schema"]))
         cur_types = {f.name: f.dataType for f in cur.fields}
         dropped = set(m.get("dropped", []))
         fields, have = [], set()
         for f in target_struct.fields:
-            name = self._translate(m, f.name)
+            name = mapping.get(f.name, f.name)
             if name in dropped or name in have:
                 continue
+            if name not in cur_types:
+                m.setdefault("added_at", {}).setdefault(
+                    name, [len(m.get("rename_log", [])), self._epoch]
+                )
             fields.append(
                 T.StructField(name, cur_types.get(name, f.dataType), True)
             )
@@ -136,11 +218,22 @@ class LsmStateStore:
             "next": 0,
             "pks": list(primary_keys),
             "partition_keys": list(partition_keys),
+            "rename_log": [],
+            "history": [],
         }
-        m["schema"] = self._monotone_schema(m, target_struct).json()
+        payload_cols = [f.name for f in target_struct.fields]
+        mapping = self._translate_set(m, payload_cols)
+        m["schema"] = self._monotone_schema(m, target_struct, mapping).json()
+        self._record_history(m)
+        # pks stored TRANSLATED: a crash-replayed pre-rename merge carries
+        # stale pk names, and regressing the manifest pks to them breaks
+        # the next read()'s window partitioning (ADVICE r13)
+        primary_keys = [mapping.get(k, k) for k in primary_keys]
         m["pks"] = list(primary_keys)
         if partition_keys:
-            m["partition_keys"] = list(partition_keys)
+            m["partition_keys"] = [
+                mapping.get(k, k) for k in partition_keys
+            ]
 
         # write the delta under CURRENT column names: a crash-replayed
         # merge addresses columns by its own epoch's (pre-rename) names,
@@ -148,9 +241,7 @@ class LsmStateStore:
         # re-appends its hops — a compaction inside that window would
         # bake NULLs into the base (wave-12 widening trials). Forward
         # path: the translation is the identity.
-        payload_cols = [f.name for f in target_struct.fields]
-        out_names = [self._translate(m, c) for c in payload_cols]
-        primary_keys = [self._translate(m, k) for k in primary_keys]
+        out_names = [mapping.get(c, c) for c in payload_cols]
         img = F.when(
             F.col(ENVELOPE_OP) == OP_DELETE, F.col("before")
         ).otherwise(F.col("after"))
@@ -182,9 +273,18 @@ class LsmStateStore:
     # -- read path ---------------------------------------------------------
     def _read_commit(self, path: str, renames, schema_struct) -> DataFrame:
         df = self.spark.read.parquet(path)
-        for old, new in renames:
-            if old in df.columns:
-                df = df.withColumnRenamed(old, new)
+        # renames: ordered rename EVENTS (each a list of [old, new] pairs
+        # applied simultaneously — one select per event, so a single-event
+        # swap reads correctly); legacy flat [old, new] pairs are treated
+        # as single-pair events
+        if renames and isinstance(renames[0][0], str):
+            renames = [[pair] for pair in renames]
+        for event in renames:
+            ev_map = dict(event)
+            if any(old in df.columns for old in ev_map):
+                df = df.select(
+                    *[F.col(c).alias(ev_map.get(c, c)) for c in df.columns]
+                )
         cols = []
         for f_ in schema_struct.fields:
             if f_.name in df.columns:
@@ -279,30 +379,37 @@ class LsmStateStore:
 
     # -- DDL (metadata-only; the MetadataApplier contract) -----------------
     def rename_columns(self, table: str, mapping) -> None:
-        """RENAME COLUMN without touching a single data file: record the
-        mapping against every existing commit; readers apply it."""
+        """RENAME COLUMN without touching a single data file: record ONE
+        rename event (pairs applied simultaneously, so a single-event
+        swap is well-defined) against every existing commit; readers
+        apply events in order. Pairs whose old name is not in the
+        current schema are dropped — that is a crash-replayed rename
+        whose first application already landed; re-logging it would
+        corrupt the generation anchors."""
         m = self._load(table)
         if m is None:
             return
         schema_struct = T.StructType.fromJson(json.loads(m["schema"]))
+        have = {f.name for f in schema_struct.fields}
+        event = [[old, new] for old, new in mapping if old in have]
+        if not event:
+            return
+        ev_map = dict(event)
         fields = [
-            T.StructField(dict(mapping).get(f.name, f.name), f.dataType, f.nullable)
+            T.StructField(ev_map.get(f.name, f.name), f.dataType, f.nullable)
             for f in schema_struct.fields
         ]
         m["schema"] = T.StructType(fields).json()
-        m["pks"] = [dict(mapping).get(k, k) for k in m.get("pks", [])]
+        m["pks"] = [ev_map.get(k, k) for k in m.get("pks", [])]
+        m["partition_keys"] = [
+            ev_map.get(k, k) for k in m.get("partition_keys", [])
+        ]
         for d in m["deltas"]:
-            d["renames"].extend([list(x) for x in mapping])
+            d["renames"].append(event)
         if m["base"] is not None:
-            m.setdefault("base_renames", []).extend([list(x) for x in mapping])
-        # cumulative flattened rename map: old names written by replayed
-        # (pre-rename) merges translate forward through every later hop
-        renamed = m.setdefault("renamed", {})
-        for old, new in mapping:
-            for k, v in list(renamed.items()):
-                if v == old:
-                    renamed[k] = new
-            renamed[old] = new
+            m.setdefault("base_renames", []).append(event)
+        m.setdefault("rename_log", []).append(event)
+        self._record_history(m)
         self._store(table, m)
 
     def set_schema(self, table: str, target_struct) -> None:
@@ -312,34 +419,73 @@ class LsmStateStore:
         if m is None:
             return
         m["schema"] = target_struct.json()
+        self._record_history(m)
         self._store(table, m)
 
     def add_columns(self, table: str, fields) -> None:
-        """ADD COLUMN as a MONOTONE manifest-schema edit: append the
-        missing fields to whatever schema the manifest currently holds.
-        fields: [(name, spark DataType)]. Unlike set_schema, this can be
-        replayed against an ALREADY-ahead manifest without regressing it
-        (a crash-replayed DDL must never move the schema backwards — a
+        """ADD COLUMN as a MONOTONE manifest-schema edit: insert the
+        missing fields into whatever schema the manifest currently holds.
+        fields: [(name, spark DataType)] or
+        [(name, spark DataType, position, anchor)] where position is a
+        ColumnPosition name ('FIRST'/'LAST'/'BEFORE'/'AFTER') and anchor
+        the existing column for BEFORE/AFTER — the SchemaUtils
+        applyAddColumnEvent ordering (SchemaUtils.java:126-164); absent
+        anchors degrade to LAST. Unlike set_schema, this can be replayed
+        against an ALREADY-ahead manifest without regressing it (a
+        crash-replayed DDL must never move the schema backwards — a
         compaction run while regressed would bake NULLs into the base;
-        found by the wave-12 widening trials)."""
+        found by the wave-12 widening trials).
+
+        Replay vs name-reuse disambiguation: an incoming name absent from
+        the current schema is a REPLAYED add (skip) only if its recorded
+        add-provenance is from the SAME epoch and translating it forward
+        from its own add point lands on a live or dropped column; a name
+        with no provenance, or arriving under a LATER epoch, is a fresh
+        (re-)ADD and lands under its literal name."""
         m = self._load(table)
         if m is None:
             return
         struct = T.StructType.fromJson(json.loads(m["schema"]))
-        have = {f.name for f in struct.fields}
+        out = list(struct.fields)
+        have = {f.name for f in out}
         dropped = set(m.get("dropped", []))
-        new = []
-        for n, t in fields:
-            n = self._translate(m, n)
+        added_at = m.setdefault("added_at", {})
+        log = m.get("rename_log", [])
+        changed = False
+        for spec in fields:
+            n, t = spec[0], spec[1]
+            pos = spec[2] if len(spec) > 2 else "LAST"
+            anchor = spec[3] if len(spec) > 3 else None
             if n in have:
                 continue
-            new.append(T.StructField(n, t, True))
+            prov = added_at.get(n)
+            if prov is not None:
+                prov_log, prov_epoch = prov[0], prov[1]
+                same_epoch = (
+                    self._epoch is None
+                    or prov_epoch is None
+                    or prov_epoch == self._epoch
+                )
+                fwd = self._apply_events(n, log[prov_log:])
+                if same_epoch and fwd != n and (fwd in have or fwd in dropped):
+                    continue  # replayed ADD whose column was since renamed
+            field = T.StructField(n, t, True)
+            if pos == "FIRST":
+                out.insert(0, field)
+            elif pos in ("BEFORE", "AFTER") and anchor in {f.name for f in out}:
+                idx = [f.name for f in out].index(anchor)
+                out.insert(idx if pos == "BEFORE" else idx + 1, field)
+            else:
+                out.append(field)
             have.add(n)
             dropped.discard(n)  # an explicit re-ADD revives a dropped name
-        if not new:
+            added_at[n] = [len(log), self._epoch]
+            changed = True
+        if not changed:
             return
-        m["schema"] = T.StructType(list(struct.fields) + new).json()
+        m["schema"] = T.StructType(out).json()
         m["dropped"] = sorted(dropped)
+        self._record_history(m)
         self._store(table, m)
 
     def alter_column_types(self, table: str, mapping) -> None:

@@ -240,6 +240,12 @@ class StreamingPipelineRunner:
         """foreachBatch body: segment at DDL positions, merge each data
         segment before applying the DDL that follows it."""
         self.batches_seen += 1
+        if hasattr(self.state, "begin_epoch"):
+            # the foreachBatch batch_id is Structured Streaming's replay
+            # key: a crash-replayed batch re-delivers under the SAME id,
+            # which lets the LSM manifest tell a replayed ADD from a
+            # fresh re-ADD of a reused column name
+            self.state.begin_epoch(batch_id)
         # The batch is consumed once per (segment, table) below plus the
         # DDL control pass — cache it so an N-table pipeline reads the wire
         # source once, not N+1 times (SchemaOperator keeps the control
@@ -428,11 +434,18 @@ class StreamingPipelineRunner:
                 self.state.truncate(table)
             elif isinstance(event, AddColumnEvent):
                 # a trailing ADD with no subsequent data must still be
-                # readable (wave-12 finding) — append to the manifest
+                # readable (wave-12 finding) — insert into the manifest,
+                # honoring FIRST/BEFORE/AFTER anchors (SchemaUtils
+                # applyAddColumnEvent ordering; ADVICE r13)
                 self.state.add_columns(
                     table,
                     [
-                        (cwp.column.name, to_spark_type(cwp.column.type))
+                        (
+                            cwp.column.name,
+                            to_spark_type(cwp.column.type),
+                            cwp.position.value,
+                            cwp.existed_column_name,
+                        )
                         for cwp in event.added_columns
                     ],
                 )
@@ -461,18 +474,35 @@ class StreamingPipelineRunner:
             self.state.write(table, current.limit(0))
         elif isinstance(event, AddColumnEvent):
             # same trailing-DDL contract, legacy backend: null-pad the
-            # snapshot with exactly the event's columns (monotone)
+            # snapshot with exactly the event's columns (monotone),
+            # inserted at the event's FIRST/BEFORE/AFTER anchors
             missing = [
-                cwp.column
+                cwp
                 for cwp in event.added_columns
                 if cwp.column.name not in current.columns
             ]
             if missing:
-                for col in missing:
+                order = list(current.columns)
+                for cwp in missing:
                     current = current.withColumn(
-                        col.name, F.lit(None).cast(to_spark_type(col.type))
+                        cwp.column.name,
+                        F.lit(None).cast(to_spark_type(cwp.column.type)),
                     )
-                self.state.write(table, current)
+                    pos = cwp.position.value
+                    if pos == "FIRST":
+                        order.insert(0, cwp.column.name)
+                    elif (
+                        pos in ("BEFORE", "AFTER")
+                        and cwp.existed_column_name in order
+                    ):
+                        idx = order.index(cwp.existed_column_name)
+                        order.insert(
+                            idx if pos == "BEFORE" else idx + 1,
+                            cwp.column.name,
+                        )
+                    else:
+                        order.append(cwp.column.name)
+                self.state.write(table, current.select(*order))
         elif isinstance(event, AlterColumnTypeEvent):
             changed = False
             for name, dt in event.type_mapping:

@@ -1,8 +1,11 @@
-"""Differential wave 12 — crash-restart of the wire-format
+"""Differential waves 12/12b — crash-restart of the wire-format
 StreamingPipelineRunner + LSM state path (the machinery every
 streaming-evolution row and the live bridge ride): random slices of
 CREATE-prefixed wire events (I/U/D data interleaved with in-band ADD
-COLUMN / RENAME / TRUNCATE DDL), drained slice by slice; a crash is
+COLUMN / RENAME / TRUNCATE DDL — including r14's name-REUSE chains
+A->B ... C->A, fresh re-ADDs of renamed-away names, and RENAMEs of
+columns added in the same slice, the replayed-ADD provenance seam),
+drained slice by slice; a crash is
 injected at a RANDOM slice either BEFORE the batch processes, MID-BATCH
 (after the first segment's LSM merge, before the rest), or AFTER the
 whole batch but before the checkpoint commit; a FRESH runner (empty
@@ -93,6 +96,7 @@ def _gen_slices(rng, n_slices):
     rename_gen = [0]
     truncated = [False]
     widened = [False]
+    retired_g: set = set()  # g-names renamed away — reuse/re-ADD pool
     slices = []
 
     def names():
@@ -104,7 +108,7 @@ def _gen_slices(rng, n_slices):
     def rand_row(k):
         row = {"k": k}
         for c, t in cols[1:]:
-            if c.startswith("g"):
+            if t == "STRING":
                 row[c] = f"s{rng.randrange(100)}"
             elif t == "BIGINT" and c == "val":
                 # post-widen: values a 32-bit column cannot hold
@@ -115,25 +119,53 @@ def _gen_slices(rng, n_slices):
 
     for _s in range(n_slices):
         ev = [CreateTableEvent(TID, _schema_of(cols))]
+        slice_added: list = []  # z-cols added THIS slice (ADD+RENAME seam)
         for _ in range(rng.randrange(6, 16)):
             r = rng.random()
             if r < 0.08:
                 c = f"z{next_col[0]}"; next_col[0] += 1
                 ev.append(AddColumnEvent.last(TID, Column(c, ct.bigint())))
                 cols.append((c, "BIGINT"))
+                slice_added.append(c)
             elif r < 0.13:
                 old = next(c for c, _t in cols if c.startswith("g"))
-                new = f"g{rename_gen[0] + 1}"; rename_gen[0] += 1
+                reuse = sorted(retired_g - set(names()))
+                if reuse and rng.random() < 0.5:
+                    # name-REUSE chain: rename the live g-column to a name
+                    # an older generation renamed away (A->B ... C->A)
+                    new = rng.choice(reuse)
+                else:
+                    new = f"g{rename_gen[0] + 1}"; rename_gen[0] += 1
+                retired_g.add(old)
                 ev.append(RenameColumnEvent(TID, name_mapping=((old, new),)))
                 cols[:] = [(new if c == old else c, t) for c, t in cols]
                 for row in rows.values():
                     if old in row:
                         row[new] = row.pop(old)
-            elif r < 0.17 and not truncated[0]:
+            elif r < 0.16 and (retired_g - set(names())):
+                # fresh re-ADD of a renamed-away name (must land literally,
+                # NULL for existing rows — the r13 chase map dropped it)
+                c = rng.choice(sorted(retired_g - set(names())))
+                ev.append(AddColumnEvent.last(TID, Column(c, ct.string())))
+                cols.append((c, "STRING"))
+                slice_added.append(c)
+            elif r < 0.19 and slice_added:
+                # RENAME of a column ADDED in this same slice: under a
+                # crash replay the ADD re-delivers after the rename already
+                # landed — the added_at/epoch provenance seam
+                old = slice_added.pop(rng.randrange(len(slice_added)))
+                new = f"w{rename_gen[0] + 1}"; rename_gen[0] += 1
+                retired_g.add(old)
+                ev.append(RenameColumnEvent(TID, name_mapping=((old, new),)))
+                cols[:] = [(new if c == old else c, t) for c, t in cols]
+                for row in rows.values():
+                    if old in row:
+                        row[new] = row.pop(old)
+            elif r < 0.23 and not truncated[0]:
                 ev.append(TruncateTableEvent(TID))
                 rows.clear()
                 truncated[0] = True
-            elif r < 0.21 and not widened[0]:
+            elif r < 0.27 and not widened[0]:
                 # INT -> BIGINT widening; later images carry >32-bit values
                 ev.append(AlterColumnTypeEvent(
                     TID, type_mapping=(("val", ct.bigint()),)
@@ -204,6 +236,7 @@ def _collect(store, final_cols):
 
 @pytest.mark.parametrize("trial,phase", [
     (0, "pre"), (1, "mid"), (2, "post"), (3, "mid"),
+    (4, "post"), (5, "mid"),
 ])
 def test_runner_crash_restart_matches_uninterrupted_and_model(
     spark, tmp_path, trial, phase
