@@ -334,6 +334,128 @@ def events_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMPORAL_SUPERSET = [
+    ("c_custkey", "bigint"),
+    ("c_mktsegment", "string"),
+    ("c_nationkey", "bigint"),
+    ("event_id", "bigint"),
+    ("user_id", "bigint"),
+    ("ts", "timestamp"),
+    ("event_type", "string"),
+]
+
+
+@register(
+    "streaming_temporal_join_scd2",
+    f"""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             CAST(1 AS BIGINT) AS dim_ver,
+             TIMESTAMP '{_DIM_T0}' AS vfrom,
+             CASE WHEN c_custkey % 3 = 1 THEN TIMESTAMP '{_DIM_T1}'
+                  WHEN c_custkey % 7 = 2 THEN TIMESTAMP '{_DIM_T2}'
+                  ELSE NULL END AS vto
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPGRADED', CAST(c_nationkey AS BIGINT),
+             CAST(2 AS BIGINT), TIMESTAMP '{_DIM_T1}',
+             CASE WHEN c_custkey % 7 = 2 THEN TIMESTAMP '{_DIM_T2}' END
+      FROM customer WHERE c_custkey % 3 = 1
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us, e.event_type,
+           h.c_mktsegment, h.c_nationkey, h.dim_ver AS valid_from_ver
+    FROM events e
+    LEFT JOIN hist h
+      ON h.c_custkey = e.user_id
+     AND e.ts >= h.vfrom AND (h.vto IS NULL OR e.ts < h.vto)
+    """,
+)
+def streaming_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of the temporal table join — the reference's
+    actual runtime shape (Flink SQL `FOR SYSTEM_TIME AS OF` over a
+    CDC-fed versioned table): the customer dimension's SCD2 history is
+    maintained incrementally inside the runner from its changelog, and
+    each epoch's probe events enrich against the versions known at that
+    epoch. Six event-time-ordered micro-batches interleave dimension
+    epochs (v1 inserts, the UPGRADED updates, the deletes) with probe
+    epochs, so dimension versions move BETWEEN epochs and probes see
+    versions created earlier in the same run. Per epoch the history
+    fold and the join are delta-keyed (broadcast semi/anti joins on
+    batch-sized key sets); the accumulated enrichment must equal the
+    batch operator's full-history AS-OF join (the same closed-form
+    interval oracle as events_temporal_join_scd2)."""
+    import hashlib
+    import tempfile
+
+    from .streaming.incremental_join import harmonize_envelope
+    from .streaming.temporal_join_stream import StreamingTemporalJoin
+
+    pin_session(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = f"/tmp/flink_cdc_spark_tjoin/{key}"
+    work = tempfile.mkdtemp(prefix="cdc_tjoin_", dir="/tmp")
+    tj = StreamingTemporalJoin(
+        spark,
+        work,
+        dim_table_id="default.customer_dim",
+        probe_table_id="default.events_probe",
+        dim_key="c_custkey",
+        payload_cols=["c_mktsegment", "c_nationkey"],
+        probe_key="user_id",
+        probe_ts="ts",
+        probe_cols=["event_id", "user_id", "ts", "event_type"],
+        staged_dir=staged,
+    )
+    if not tj.staged():
+        from .sources.envelope import (
+            ENVELOPE_META, ENVELOPE_OP, ENVELOPE_SEQ, ENVELOPE_TABLE_ID,
+            OP_INSERT, OP_UPDATE,
+        )
+
+        dim = harmonize_envelope(
+            _customer_dim_changelog(spark, sf_dir), _TEMPORAL_SUPERSET
+        ).withColumn(
+            "__b",
+            F.when(F.col(ENVELOPE_OP) == OP_INSERT, F.lit(0))
+            .when(F.col(ENVELOPE_OP) == OP_UPDATE, F.lit(2))
+            .otherwise(F.lit(4)),
+        )
+        ev = ParquetTableSource(spark, sf_dir).snapshot("events")
+        probe_img = F.struct(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("ts").alias("ts"),
+            F.col("event_type").alias("event_type"),
+        )
+        probes = harmonize_envelope(
+            ev.select(
+                F.lit("default.events_probe").alias(ENVELOPE_TABLE_ID),
+                F.lit(OP_INSERT).alias(ENVELOPE_OP),
+                F.lit(None).cast(
+                    ev.select(probe_img.alias("x")).schema["x"].dataType
+                ).alias("before"),
+                probe_img.alias("after"),
+                F.create_map(F.lit("src"), F.lit("probe")).alias(ENVELOPE_META),
+                (F.col("event_id").cast("bigint") + 10_000_000).alias(
+                    ENVELOPE_SEQ
+                ),
+            ),
+            _TEMPORAL_SUPERSET,
+        ).withColumn(
+            "__b",
+            F.when(F.col("after.ts") < F.lit(_DIM_T1).cast("timestamp"), 1)
+            .when(F.col("after.ts") < F.lit(_DIM_T2).cast("timestamp"), 3)
+            .otherwise(5),
+        )
+        tj.stage(dim.unionByName(probes))
+    tj.run()
+    return tj.enriched().select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_type", "c_mktsegment", "c_nationkey", "valid_from_ver",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 filter-on-UPDATE splitting: consistent filtered changelog
 # ---------------------------------------------------------------------------
@@ -1076,22 +1198,36 @@ def schema_evolution_behaviors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "kafka_debezium_roundtrip",
+    "kafka_codec_roundtrip",
     """
-    SELECT o_orderkey,
-           CASE WHEN (o_orderkey % 10) = 3 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
-           CASE WHEN (o_orderkey % 10) = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
-    FROM orders
-    WHERE (o_orderkey % 20) <> 7
+    WITH st AS (
+      SELECT o_orderkey,
+             CASE WHEN (o_orderkey % 10) = 3 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN (o_orderkey % 10) = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders
+      WHERE (o_orderkey % 20) <> 7
+    )
+    SELECT 'debezium' AS codec, * FROM st
+    UNION ALL
+    SELECT 'canal' AS codec, * FROM st
     """,
 )
-def kafka_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Changelog -> debezium-json records (the Kafka sink payload) ->
-    decoded envelope (the Kafka source) -> materialized state. Exercises
-    the full Kafka connector path minus the broker itself."""
+def kafka_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> Kafka-sink records -> decoded envelope -> materialized
+    state, through BOTH codec paths the reference's Kafka sink emits —
+    debezium-json and canal-json (KafkaDataSinkOptions.value.format) —
+    union-tagged by codec (r14 capacity-policy MERGE of
+    kafka_debezium_roundtrip + kafka_canal_roundtrip: each branch still
+    runs its own encode/decode end-to-end; one hash gate covers both
+    branches' rows distinctly via the tag)."""
     from .sinks.materialize import materialize_changelog
     from .sources.envelope import payload_struct
-    from .sources.kafka_json import decode_debezium_json, encode_debezium_json
+    from .sources.kafka_json import (
+        decode_canal_json,
+        decode_debezium_json,
+        encode_canal_json,
+        encode_debezium_json,
+    )
 
     def image(side):
         # project the image to 3 columns, preserving NULL-ness of the image
@@ -1113,9 +1249,17 @@ def kafka_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     payload = payload_struct(env)
-    records = encode_debezium_json(env)
-    decoded = decode_debezium_json(records, payload)
-    return materialize_changelog(decoded, ["o_orderkey"])
+    deb = materialize_changelog(
+        decode_debezium_json(encode_debezium_json(env), payload),
+        ["o_orderkey"],
+    ).select(F.lit("debezium").alias("codec"), "*")
+    can = materialize_changelog(
+        decode_canal_json(
+            encode_canal_json(env, pk_names=["o_orderkey"]), payload
+        ),
+        ["o_orderkey"],
+    ).select(F.lit("canal").alias("codec"), "*")
+    return deb.unionByName(can)
 
 
 @register(
@@ -1195,46 +1339,6 @@ def kafka_segment_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_debezium_json(
         records.selectExpr("value", "offset AS __offset"), payload
     )
-    return materialize_changelog(decoded, ["o_orderkey"])
-
-
-@register(
-    "kafka_canal_roundtrip",
-    """
-    SELECT o_orderkey,
-           CASE WHEN (o_orderkey % 10) = 3 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
-           CASE WHEN (o_orderkey % 10) = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
-    FROM orders
-    WHERE (o_orderkey % 20) <> 7
-    """,
-)
-def kafka_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same loop as the debezium query through the canal-json codec."""
-    from .sinks.materialize import materialize_changelog
-    from .sources.envelope import payload_struct
-    from .sources.kafka_json import decode_canal_json, encode_canal_json
-
-    def image(side):
-        return (
-            f"CASE WHEN {side} IS NULL THEN NULL ELSE "
-            f"struct({side}.o_orderkey, {side}.o_totalprice, {side}.o_orderstatus) END"
-        )
-
-    env = (
-        ParquetTableSource(spark, sf_dir)
-        .changelog("orders", "db.orders", _ORDERS_MUT)
-        .selectExpr(
-            "__table_id",
-            "__op",
-            image("before") + " AS before",
-            image("after") + " AS after",
-            "__meta",
-            "__seq",
-        )
-    )
-    payload = payload_struct(env)
-    records = encode_canal_json(env, pk_names=["o_orderkey"])
-    decoded = decode_canal_json(records, payload)
     return materialize_changelog(decoded, ["o_orderkey"])
 
 
@@ -4094,7 +4198,12 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 #   (a) MERGE rows that gate variants of one machine into a single
 #       multi-branch row whose oracle unions the branches with a tag column
 #       (done r13: schema_evolution_{ignore,exclude_add_column,try_evolve}
-#       -> schema_evolution_behaviors);
+#       -> schema_evolution_behaviors; done r14: kafka_{debezium,canal}_
+#       roundtrip -> kafka_codec_roundtrip; next candidates, in order:
+#       dedup_exact + dedup_exact_keep_payload [one exact-dedup machine,
+#       keep-payload is a projection toggle], sim_ivf_topk +
+#       sim_ivf_fitted_topk [one IVF probe path, fitted vs grid
+#       centroids]);
 #   (b) RETIRE a row whose surface is gated at least as strongly elsewhere,
 #       moving its exact dataflow-vs-oracle comparison into a NAMED pytest
 #       (done r13: corpus_training_pipeline_v2 ->

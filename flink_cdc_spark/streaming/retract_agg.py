@@ -46,20 +46,22 @@ from ..sources.envelope import (
 N_REPLAY_BATCHES = 4
 
 
-def stage_replay_batches(env_with_b: DataFrame, active: str) -> None:
+def stage_replay_batches(
+    env_with_b: DataFrame, active: str, n_batches: int = N_REPLAY_BATCHES
+) -> None:
     """ONE pass over the changelog: hash-repartition on __b then
     partitionBy-write — each batch value lives in exactly one task, so
     each __b= dir gets exactly one file (a replay batch must be one file
     for maxFilesPerTrigger=1 micro-batch ordering). The previous
-    per-batch filtered writes scanned the changelog N_REPLAY_BATCHES
+    per-batch filtered writes scanned the changelog n_batches
     times. mtimes forced increasing so the file source delivers batches
     in order."""
     staged = os.path.join(active, "_staged")
-    env_with_b.repartition(N_REPLAY_BATCHES, "__b").write.mode(
+    env_with_b.repartition(n_batches, "__b").write.mode(
         "overwrite"
     ).partitionBy("__b").parquet(staged)
     now = time.time()
-    for b in range(N_REPLAY_BATCHES):
+    for b in range(n_batches):
         d = os.path.join(staged, f"__b={b}")
         if not os.path.isdir(d):
             continue

@@ -180,31 +180,36 @@ class RetractTopNStream:
         # anti-join over the previous version computes once per epoch,
         # not twice (r13 A/B, interleaved: 5.03/6.31/4.75 -> 4.57/4.78/4.07)
         tbl_new = tbl_new.cache()
-        topn_old = self._prev("topn", epoch_id)
-        # the top-n recompute consumes the tbl_new PLAN directly (a cheap
-        # broadcast anti-join over the previous parquet version + the
-        # cached delta) — no write-then-read-back barrier
-        affected = tbl_new.join(
-            F.broadcast(touched), tbl_new[g] == F.col("__g"), "left_semi"
-        )
-        wv = Window.partitionBy(g).orderBy(
-            F.col("value_cents").desc(), F.col(k).asc()
-        )
-        recomputed = (
-            affected.withColumn("rnk", F.row_number().over(wv).cast("bigint"))
-            .where(F.col("rnk") <= self.n)
-            .select(F.col(g), F.col(k), F.col("value_cents"), "rnk")
-        )
-        if topn_old is None:
-            topn_new = recomputed
-        else:
-            carried = topn_old.join(
-                F.broadcast(touched),
-                topn_old[g] == F.col("__g"),
-                "left_anti",
-            )
-            topn_new = carried.unionByName(recomputed)
         try:
+            # the cache() sits inside the try so an exception anywhere in
+            # the top-n recompute can't leak the cached frame for the
+            # session lifetime (ADVICE r13)
+            topn_old = self._prev("topn", epoch_id)
+            # the top-n recompute consumes the tbl_new PLAN directly (a
+            # cheap broadcast anti-join over the previous parquet version
+            # + the cached delta) — no write-then-read-back barrier
+            affected = tbl_new.join(
+                F.broadcast(touched), tbl_new[g] == F.col("__g"), "left_semi"
+            )
+            wv = Window.partitionBy(g).orderBy(
+                F.col("value_cents").desc(), F.col(k).asc()
+            )
+            recomputed = (
+                affected.withColumn(
+                    "rnk", F.row_number().over(wv).cast("bigint")
+                )
+                .where(F.col("rnk") <= self.n)
+                .select(F.col(g), F.col(k), F.col("value_cents"), "rnk")
+            )
+            if topn_old is None:
+                topn_new = recomputed
+            else:
+                carried = topn_old.join(
+                    F.broadcast(touched),
+                    topn_old[g] == F.col("__g"),
+                    "left_anti",
+                )
+                topn_new = carried.unionByName(recomputed)
             self._write_epoch(epoch_id, tbl_new, topn_new)
         finally:
             delta.unpersist()

@@ -1,0 +1,314 @@
+"""Streaming temporal-table join — `FOR SYSTEM_TIME AS OF` maintained
+per micro-batch against a changelog-fed SCD2 dimension.
+
+This is the reference's actual RUNTIME shape for temporal joins: Flink
+SQL joins a probe stream against a versioned table that CDC maintains
+continuously (docs/content/docs/core-concept/transform.md delegates the
+temporal join to Flink SQL; the versioned-table contract is what
+FlinkPipelineComposer's sink side feeds). The batch operator
+(`operators/temporal_join.py`) consumes a FINISHED history; this module
+maintains the history incrementally from the dimension's changelog and
+enriches each epoch's probes against the versions known at that epoch —
+dimension versions move BETWEEN epochs, and a probe in epoch N sees the
+version valid at its event time, including versions created earlier in
+the same run.
+
+One interleaved envelope stream carries both tables (harmonized superset
+payload, split per epoch by `__table_id` — the incremental_join
+convention). Per epoch:
+
+  1. **Fold the dimension delta into the SCD2 history state,
+     delta-keyed**: keys untouched by the batch carry forward via ONE
+     broadcast anti-join against the batch's key set (micro-batch-sized
+     by construction); for touched keys, closed versions carry as-is,
+     the open version closes at the key's first new event, and the
+     batch's own events become new versions with per-key ordinals
+     continuing the key's event count — so the maintained history is
+     row-identical to `operators/scd2.scd2_history` over the full
+     changelog (the differential pins this).
+  2. **Enrich the epoch's probes** with the batch temporal-join
+     operator against the history RESTRICTED to the probe batch's key
+     set (broadcast semi-join) — per-epoch join cost is proportional to
+     (probed keys' versions + probes), never O(history).
+
+State is epoch-versioned parquet exactly like retract_agg /
+incremental_join: an epoch always folds from its committed PREDECESSOR
+and overwrites its own version, and enriched probes land in an
+epoch-keyed output dir — both idempotent under foreachBatch crash
+retry (the wave-13 differential replays random crash epochs). At real
+scale the history state would live bucketed by key in the repo's
+lsm/iceberg stores; the parquet versions keep the same keyed-merge plan
+shape, and the per-epoch full-state write amortizes the same way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .retract_agg import stage_replay_batches, staged_schema
+from ..operators.temporal_join import temporal_join
+from ..sources.envelope import (
+    ENVELOPE_OP,
+    ENVELOPE_SEQ,
+    ENVELOPE_TABLE_ID,
+    OP_DELETE,
+)
+
+N_TEMPORAL_BATCHES = 6
+
+
+class StreamingTemporalJoin:
+    """Maintains the SCD2 history of `dim_table_id` from its changelog
+    and temporal-joins `probe_table_id` rows (INSERT-only probes) against
+    it, epoch by epoch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        dim_table_id: str,
+        probe_table_id: str,
+        dim_key: str,
+        payload_cols: Sequence[str],
+        probe_key: str,
+        probe_ts: str,
+        probe_cols: Sequence[str],
+        ts_expr: str = "CAST(__meta['op_ts'] AS TIMESTAMP)",
+        staged_dir: Optional[str] = None,
+        n_batches: int = N_TEMPORAL_BATCHES,
+    ):
+        self.spark = spark
+        self.dim_table_id = dim_table_id
+        self.probe_table_id = probe_table_id
+        self.dim_key = dim_key
+        self.payload_cols = list(payload_cols)
+        self.probe_key = probe_key
+        self.probe_ts = probe_ts
+        self.probe_cols = list(probe_cols)
+        self.ts_expr = ts_expr
+        self.n_batches = n_batches
+        self.active = staged_dir or os.path.join(work_dir, "active")
+        self.ckpt = os.path.join(work_dir, "ckpt")
+        self.state_dir = os.path.join(work_dir, "state")
+        self.out_dir = os.path.join(work_dir, "out")
+        os.makedirs(self.active, exist_ok=True)
+        os.makedirs(self.state_dir, exist_ok=True)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._schema = None
+
+    # -- staging -------------------------------------------------------------
+
+    def stage(self, env_with_b: DataFrame) -> None:
+        """env rows for BOTH tables with a `__b` epoch column; probes are
+        INSERT envelope rows of the probe table."""
+        self._schema = env_with_b.drop("__b").schema
+        stage_replay_batches(env_with_b, self.active, n_batches=self.n_batches)
+
+    def staged(self) -> bool:
+        return os.path.exists(os.path.join(self.active, "_STAGED"))
+
+    # -- epoch-versioned state (retract_agg pattern) ---------------------------
+
+    def _versions(self, name: str):
+        root = os.path.join(self.state_dir, name)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(fn[1:])
+            for fn in os.listdir(root)
+            if fn.startswith("v")
+            and os.path.exists(os.path.join(root, fn, "_SUCCESS"))
+        )
+
+    def _read(self, name: str, v: int) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, name, f"v{v}")
+        )
+
+    def _prev(self, name: str, epoch: int) -> Optional[DataFrame]:
+        prior = [v for v in self._versions(name) if v < epoch]
+        return self._read(name, max(prior)) if prior else None
+
+    def _write(self, name: str, epoch: int, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, name, f"v{epoch}")
+        )
+
+    # -- the maintenance epoch -------------------------------------------------
+
+    def _fold_history(self, dim_env: DataFrame, epoch_id: int) -> None:
+        """Delta-keyed SCD2 fold: history rows of untouched keys carry
+        forward via one broadcast anti-join; touched keys keep their
+        closed versions, close their open version at the key's first new
+        event, and append the batch's events as new versions whose
+        per-key ordinals continue the key's event count (recovered from
+        max(coalesce(valid_to_ver, valid_from_ver)) — a deleted key's
+        last close IS its delete's ordinal)."""
+        k = self.dim_key
+        pk_col = F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
+        events = dim_env.select(
+            pk_col.alias(k),
+            F.col(ENVELOPE_SEQ).alias("__seq"),
+            (F.col(ENVELOPE_OP) != OP_DELETE).alias("__alive"),
+            *[F.col(f"after.{c}").alias(c) for c in self.payload_cols],
+            F.expr(self.ts_expr).alias("__ts"),
+        )
+        w = Window.partitionBy(k).orderBy(F.col("__seq").asc())
+        firsts = events.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        ).select(k, F.col("__ts").alias("__first_ts"))
+
+        hist_old = self._prev("hist", epoch_id)
+        keys = events.select(k).distinct()
+        if hist_old is not None:
+            carried = hist_old.join(F.broadcast(keys), k, "left_anti")
+            touched = hist_old.join(F.broadcast(keys), k, "left_semi")
+            base = touched.groupBy(k).agg(
+                F.max(
+                    F.coalesce(F.col("valid_to_ver"), F.col("valid_from_ver"))
+                ).alias("__base")
+            )
+            closed = touched.where(F.col("valid_to_ver").isNotNull())
+            reopened = (
+                touched.where(F.col("valid_to_ver").isNull())
+                .join(F.broadcast(firsts), k)
+                .withColumn("valid_to_ver", F.col("valid_from_ver") + F.lit(1))
+                .withColumn("valid_to_ts", F.col("__first_ts"))
+                .withColumn("is_current", F.lit(False))
+                .drop("__first_ts")
+            )
+            carried = carried.unionByName(closed).unionByName(reopened)
+        else:
+            carried, base = None, None
+
+        versioned = events.withColumn(
+            "__ord", F.row_number().over(w).cast("bigint")
+        )
+        if base is not None:
+            versioned = versioned.join(F.broadcast(base), k, "left").withColumn(
+                "__ord", F.col("__ord") + F.coalesce(F.col("__base"), F.lit(0))
+            ).drop("__base")
+        versioned = (
+            versioned.withColumn("valid_from_ver", F.col("__ord"))
+            .withColumn(
+                "valid_to_ver",
+                F.when(
+                    F.lead("__seq").over(w).isNotNull(),
+                    F.col("valid_from_ver") + F.lit(1),
+                ).cast("bigint"),
+            )
+            .withColumn("valid_from_ts", F.col("__ts"))
+            .withColumn("valid_to_ts", F.lead("__ts").over(w))
+        )
+        new_rows = versioned.where(F.col("__alive")).select(
+            k,
+            *self.payload_cols,
+            "valid_from_ver",
+            "valid_to_ver",
+            "valid_from_ts",
+            "valid_to_ts",
+            F.col("valid_to_ver").isNull().alias("is_current"),
+        )
+        hist_new = new_rows if carried is None else carried.unionByName(new_rows)
+        self._write("hist", epoch_id, hist_new)
+
+    def _merge_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        dim_env = batch_df.where(
+            F.col(ENVELOPE_TABLE_ID) == self.dim_table_id
+        )
+        if dim_env.limit(1).count() > 0:
+            self._fold_history(dim_env, epoch_id)
+        # probe-only epochs write no history version: the enrichment
+        # below reads the LATEST committed version, which under replay
+        # is either this epoch's own freshly-rewritten fold or the
+        # predecessor — identical either way (epoch-keyed overwrites)
+        probes = batch_df.where(
+            F.col(ENVELOPE_TABLE_ID) == self.probe_table_id
+        ).select(*[F.col(f"after.{c}").alias(c) for c in self.probe_cols])
+        out_path = os.path.join(self.out_dir, f"e{epoch_id}")
+        versions = self._versions("hist")
+        if not versions:
+            # probes before any dimension version: NULL-enriched, typed
+            # from the harmonized envelope payload
+            payload_t = {
+                f.name: f.dataType
+                for f in batch_df.schema["after"].dataType.fields
+            }
+            enriched = probes
+            for c in self.payload_cols:
+                enriched = enriched.withColumn(
+                    c, F.lit(None).cast(payload_t[c])
+                )
+            enriched = enriched.withColumn(
+                "valid_from_ver", F.lit(None).cast("bigint")
+            )
+            enriched.write.mode("overwrite").parquet(out_path)
+            return
+        hist = self._read("hist", max(versions))
+        # the join sees only the probed keys' versions — batch-bounded
+        probe_keys = probes.select(
+            F.col(self.probe_key).alias(self.dim_key)
+        ).distinct()
+        hist_probe = hist.join(F.broadcast(probe_keys), self.dim_key, "left_semi")
+        enriched = temporal_join(
+            probes,
+            hist_probe,
+            probe_key=self.probe_key,
+            probe_ts=self.probe_ts,
+            dim_key=self.dim_key,
+            payload_cols=self.payload_cols,
+            version_col="valid_from_ver",
+        )
+        enriched.write.mode("overwrite").parquet(out_path)
+
+    # -- the streaming query -----------------------------------------------------
+
+    def run(self) -> None:
+        if self._schema is None:
+            self._schema = staged_schema(self.spark, self.active)
+        from .windowed import (
+            STATE_PARTITIONS,
+            scoped_shuffle_partitions,
+            unload_state_store_providers,
+        )
+
+        stream = (
+            self.spark.readStream.schema(self._schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.active)
+        )
+        with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
+            q = (
+                stream.writeStream.outputMode("update")
+                .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
+                .option("checkpointLocation", self.ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        unload_state_store_providers(self.spark)
+
+    # -- results -------------------------------------------------------------
+
+    def current_history(self) -> DataFrame:
+        versions = self._versions("hist")
+        if not versions:
+            raise RuntimeError("no committed history state")
+        return self._read("hist", versions[-1])
+
+    def enriched(self) -> DataFrame:
+        dirs = sorted(
+            os.path.join(self.out_dir, d)
+            for d in os.listdir(self.out_dir)
+            if d.startswith("e")
+            and os.path.exists(os.path.join(self.out_dir, d, "_SUCCESS"))
+        )
+        if not dirs:
+            raise RuntimeError("no committed enriched output")
+        out = self.spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(self.spark.read.parquet(d))
+        return out
