@@ -90,6 +90,9 @@ class JdbcCdcPipeline:
         multi-table variant overrides this to transform + fan out."""
         self.state.merge(self.table, env, target_struct, pks)
 
+    def _repair_marker(self) -> str:
+        return self._offset_file + ".repair_pending"
+
     def poll_once(self) -> int:
         """One incremental micro-batch: detect DDL, re-align capture,
         merge the new log slice. Returns number of log events consumed.
@@ -100,23 +103,52 @@ class JdbcCdcPipeline:
         capture cannot retroactively). After merging the slice, the keys it
         touched are re-read from the live table through JDBC and upserted
         as a repair commit — O(stale window), not O(table), and only on
-        the rare DDL poll."""
+        the rare DDL poll.
+
+        CRASH-REPLAY: the repair obligation is persisted (a marker file
+        next to the offset) BEFORE any capture/schema mutation, because a
+        restarted pipeline re-discovers the already-current live schema,
+        detects NO events, and would otherwise re-merge the stale-trigger
+        slice without ever repairing it — or refreshing the capture
+        triggers (wave-13b finding: a crash between the DDL poll's merge
+        and its repair silently pinned the new column NULL). The marker
+        clears only AFTER the offset store, so every replay path repairs
+        at least once; the repair itself is idempotent (it upserts the
+        live table's own current rows)."""
         events, _ = self.source.detect_schema_changes(self.schema)
+        marker = self._repair_marker()
         if events:
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as f:
+                f.write("pending")
             refresh_capture(self.source.ep, self.cfg.table)
             for ev in events:
                 self.schema = apply_schema_change_event(self.schema, ev)
             self.state.set_schema(self.table, self.schema.to_spark_struct())
+        pending = os.path.exists(marker)
+        if pending and not events:
+            # replaying a crashed DDL poll: the crash may have landed
+            # before the capture refresh / sink-schema push — re-assert
+            # both (idempotent) so the stale window ends here
+            refresh_capture(self.source.ep, self.cfg.table)
+            self.state.set_schema(self.table, self.schema.to_spark_struct())
         last = self._load_offset() or 0
         hw = self.source.current_offset()
         if hw <= last:
+            if pending:
+                # nothing was logged under the old triggers after the
+                # consumed offset (or the crashed poll already stored its
+                # offset, i.e. repair ran) — no stale images to repair
+                os.remove(marker)
             return 0
         env = self.source.read_log_envelope(last).where(f"__seq <= {hw}")
         target = self.schema.to_spark_struct()
         self._merge_env(env, target, list(self.schema.primary_keys))
-        if events:
+        if events or pending:
             self._repair_touched_keys(env, target)
         self._store_offset(hw)
+        if pending or events:
+            os.remove(marker)
         return hw - last
 
     # above this many touched keys the repair read switches from pushed
