@@ -1075,3 +1075,725 @@ def q15_oracle_sql(date_from: str = Q15_FROM, date_to: str = Q15_TO) -> str:
     WHERE rev = (SELECT max(rev) FROM per_supp)
     ORDER BY s_suppkey
     """
+
+
+# ---------------------------------------------------------------------------
+# r14: the remaining TPC-H family (Q2, Q9, Q11, Q12, Q16, Q19, Q20, Q21),
+# pytest-gated vs DuckDB (capacity policy (c): coverage growth via pytest
+# differentials, not registry rows — tests/test_tpch_remaining.py).
+#
+# The synthetic corpus has no PARTSUPP table and lineitem carries no
+# commit/receipt dates or ship modes, so the four queries that need them
+# run over DETERMINISTIC DERIVATIONS both engines compute identically
+# from the same base tables (documented per query). The plan shapes —
+# min-per-group join-back (Q2), multi-fact star profit (Q9),
+# fraction-of-total HAVING (Q11), conditional aggregation (Q12),
+# distinct-count with exclusion anti-join (Q16), OR-of-ANDs predicate
+# pushdown (Q19), semi-join cascade against a per-key aggregate (Q20),
+# and the single-late-supplier-per-order aggregate (Q21) — are the
+# TPC-H originals.
+# ---------------------------------------------------------------------------
+
+PS_COPIES = 4
+
+
+def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """partsupp derived deterministically from part x a fixed copy index
+    (i in 0..3): ps_suppkey = (p_partkey + i) % |supplier| (collision-free
+    for |supplier| >= 4, matching the corpus's 0-based suppkeys),
+    ps_availqty = 1 + (p_partkey*11 + i*17) % 9999, ps_supplycost_cents =
+    100 + (p_partkey*31 + i*97) % 100000. |supplier| rides as a broadcast
+    1-row scalar so the derivation stays plan-side."""
+    s_cnt = supplier.agg(F.count(F.lit(1)).alias("__s_cnt"))
+    return (
+        part.select("p_partkey")
+        .crossJoin(broadcast_if_bounded(s_cnt, SCALAR))
+        .select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(PS_COPIES - 1))).alias("__i"),
+            "__s_cnt",
+        )
+        .select(
+            "p_partkey",
+            ((F.col("p_partkey") + F.col("__i")) % F.col("__s_cnt"))
+            .cast("bigint").alias("ps_suppkey"),
+            (1 + (F.col("p_partkey") * 11 + F.col("__i") * 17) % 9999)
+            .cast("bigint").alias("ps_availqty"),
+            (100 + (F.col("p_partkey") * 31 + F.col("__i") * 97) % 100000)
+            .cast("bigint").alias("ps_supplycost_cents"),
+        )
+    )
+
+
+def partsupp_cte_sql(part_filter: str = "1=1") -> str:
+    """The identical derivation as a DuckDB CTE body (named `ps`)."""
+    return f"""
+    ps AS (
+      SELECT p_partkey,
+             CAST((p_partkey + i) % (SELECT count(*) FROM supplier) AS BIGINT) AS ps_suppkey,
+             CAST(1 + (p_partkey * 11 + i * 17) % 9999 AS BIGINT) AS ps_availqty,
+             CAST(100 + (p_partkey * 31 + i * 97) % 100000 AS BIGINT) AS ps_supplycost_cents
+      FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) copies
+      WHERE {part_filter}
+    )
+    """
+
+
+Q2_SIZE = 15
+Q2_TYPE = "STANDARD"
+Q2_REGION = "EUROPE"
+
+
+def q2_min_cost_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    p_size: int = Q2_SIZE,
+    p_type: str = Q2_TYPE,
+    r_name: str = Q2_REGION,
+) -> DataFrame:
+    """-> (s_acctbal_cents, s_name, n_name, p_partkey,
+    ps_supplycost_cents): for each qualifying part, the in-region
+    supplier(s) offering the MINIMUM supply cost (ties all returned, per
+    spec), top 100 by account balance.
+
+    Plan shape: region->nation broadcast cascade onto supplier (FIXED
+    dim); partsupp derives only over the FILTERED parts; min-per-part is
+    a partial-aggregated groupBy joined back on (part, cost) — the
+    survivors frame is HAVING-sublinear, so its join-back carries a
+    bounded broadcast. Account balance ships as exact cents so the
+    LIMIT boundary is deterministic cross-engine."""
+    eu = nation.join(
+        broadcast_if_bounded(region.where(F.col("r_name") == r_name), FIXED),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        broadcast_if_bounded(eu, FIXED),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select(
+        "s_suppkey", "s_name", "n_name",
+        F.expr(_CENTS.format(col="s_acctbal")).alias("s_acctbal_cents"),
+    )
+    # size <= N (not == N): the corpus is small enough that the exact
+    # size yields a near-empty result — the band keeps the gate meaningful
+    p = part.where(
+        (F.col("p_size") <= p_size) & (F.col("p_type") == p_type)
+    )
+    costed = derived_partsupp(p, supplier).join(
+        supp, F.col("ps_suppkey") == supp.s_suppkey
+    )
+    min_cost = costed.groupBy("p_partkey").agg(
+        F.min("ps_supplycost_cents").alias("__min_cost")
+    )
+    return (
+        costed.join(
+            broadcast_if_bounded(min_cost, SCALE_PROPORTIONAL),
+            ["p_partkey"],
+        )
+        .where(F.col("ps_supplycost_cents") == F.col("__min_cost"))
+        .orderBy(
+            F.col("s_acctbal_cents").desc(), F.col("n_name").asc(),
+            F.col("s_name").asc(), F.col("p_partkey").asc(),
+        )
+        .select(
+            "s_acctbal_cents", "s_name", "n_name", "p_partkey",
+            "ps_supplycost_cents",
+        )
+        .limit(100)
+    )
+
+
+def q2_oracle_sql(
+    p_size: int = Q2_SIZE, p_type: str = Q2_TYPE, r_name: str = Q2_REGION
+) -> str:
+    acct = _CENTS.format(col="s_acctbal")
+    return f"""
+    WITH {partsupp_cte_sql(f"p_size <= {p_size} AND p_type = '{p_type}'")},
+    costed AS (
+      SELECT {acct} AS s_acctbal_cents, s_name, n_name, p_partkey,
+             ps_supplycost_cents
+      FROM ps
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = '{r_name}'
+    )
+    SELECT s_acctbal_cents, s_name, n_name, p_partkey, ps_supplycost_cents
+    FROM costed c
+    WHERE ps_supplycost_cents = (
+      SELECT min(ps_supplycost_cents) FROM costed m
+      WHERE m.p_partkey = c.p_partkey
+    )
+    ORDER BY s_acctbal_cents DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """
+
+
+Q9_NAME_FRAGMENT = "red"
+
+
+def q9_product_type_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    fragment: str = Q9_NAME_FRAGMENT,
+) -> DataFrame:
+    """-> (n_name, o_year, profit_cmicros): profit by supplier nation and
+    order year over parts whose name contains `fragment`.
+
+    amount rides in exact CENT-MICROS: price_cents x (1e6 - disc_micros)
+    minus supplycost_cents x qty_cents x 1e4 — integers end to end, so
+    the per-(nation, year) DECIMAL(38,0) sums match DuckDB digit for
+    digit. Plan: the name-filtered part slice prunes lineitem FIRST
+    (scale-proportional join, AQE-broadcastable), orders joins on the
+    surviving keys, nation is a FIXED broadcast."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    qty_c = F.expr(_CENTS.format(col="l_quantity"))
+    p = part.where(F.col("p_name").contains(fragment)).select("p_partkey")
+    # the filtered part slice and the partsupp derived FROM it share
+    # lineage — rename the derived key and semi-join the fact, or Spark
+    # flags the double p_partkey as an ambiguous self-join
+    ps = derived_partsupp(p, supplier).withColumnRenamed(
+        "p_partkey", "ps_partkey"
+    )
+    li = (
+        lineitem.join(
+            broadcast_if_bounded(p, SCALE_PROPORTIONAL),
+            lineitem.l_partkey == p.p_partkey,
+            "left_semi",
+        )
+        .join(
+            broadcast_if_bounded(ps, SCALE_PROPORTIONAL),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .select(
+            "l_orderkey", "l_suppkey",
+            (
+                cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc)
+                - F.col("ps_supplycost_cents").cast("decimal(38,0)")
+                * qty_c * F.lit(10_000)
+            ).alias("amount"),
+        )
+    )
+    joined = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            broadcast_if_bounded(
+                supplier.select("s_suppkey", "s_nationkey"), SCALE_PROPORTIONAL
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            broadcast_if_bounded(
+                nation.select("n_nationkey", "n_name"), FIXED
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.groupBy(
+            "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(F.sum("amount").cast("decimal(38,0)").alias("_p"))
+        .orderBy(F.col("n_name").asc(), F.col("o_year").desc())
+        .select(
+            "n_name", "o_year", F.col("_p").cast("string").alias("profit_cmicros")
+        )
+    )
+
+
+def q9_oracle_sql(fragment: str = Q9_NAME_FRAGMENT) -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    qty_c = _CENTS.format(col="l_quantity")
+    return f"""
+    WITH {partsupp_cte_sql(f"p_name LIKE '%{fragment}%'")}
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(sum(
+             CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc})
+             - CAST(ps_supplycost_cents AS DECIMAL(38,0)) * {qty_c} * 10000
+           ) AS DECIMAL(38,0)) AS VARCHAR) AS profit_cmicros
+    FROM lineitem
+    JOIN ps ON l_partkey = p_partkey AND l_suppkey = ps_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name ASC, o_year DESC
+    """
+
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION_PPM = 1000  # HAVING part_value * 1e6 > total_value * this
+
+
+def q11_important_stock(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    n_name: str = Q11_NATION,
+    fraction_ppm: int = Q11_FRACTION_PPM,
+) -> DataFrame:
+    """-> (p_partkey, value_cents): parts whose stock value at `n_name`
+    suppliers exceeds fraction_ppm/1e6 of the nation's total.
+
+    The fraction test runs as an exact integer CROSS-MULTIPLICATION
+    (part_value x 1e6 > total x ppm) — no float threshold to diverge
+    on. The 1-row total rides as a broadcast scalar."""
+    supp = supplier.join(
+        broadcast_if_bounded(
+            nation.where(F.col("n_name") == n_name).select("n_nationkey"),
+            FIXED,
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    ps = derived_partsupp(part, supplier).join(
+        supp, F.col("ps_suppkey") == supp.s_suppkey, "left_semi"
+    )
+    valued = ps.select(
+        "p_partkey",
+        (
+            F.col("ps_supplycost_cents").cast("decimal(38,0)")
+            * F.col("ps_availqty")
+        ).alias("v"),
+    )
+    per_part = valued.groupBy("p_partkey").agg(
+        F.sum("v").cast("decimal(38,0)").alias("value")
+    )
+    total = valued.agg(F.sum("v").cast("decimal(38,0)").alias("__total"))
+    return (
+        per_part.crossJoin(broadcast_if_bounded(total, SCALAR))
+        .where(
+            F.col("value") * F.lit(1_000_000)
+            > F.col("__total") * F.lit(fraction_ppm)
+        )
+        .orderBy(F.col("value").desc(), F.col("p_partkey").asc())
+        .select("p_partkey", F.col("value").cast("string").alias("value_cents"))
+    )
+
+
+def q11_oracle_sql(
+    n_name: str = Q11_NATION, fraction_ppm: int = Q11_FRACTION_PPM
+) -> str:
+    return f"""
+    WITH {partsupp_cte_sql()},
+    valued AS (
+      SELECT p_partkey,
+             CAST(ps_supplycost_cents AS DECIMAL(38,0)) * ps_availqty AS v
+      FROM ps
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = '{n_name}'
+    )
+    SELECT p_partkey, CAST(CAST(sum(v) AS DECIMAL(38,0)) AS VARCHAR) AS value_cents
+    FROM valued
+    GROUP BY p_partkey
+    HAVING CAST(sum(v) AS DECIMAL(38,0)) * 1000000
+           > (SELECT CAST(sum(v) AS DECIMAL(38,0)) FROM valued) * {fraction_ppm}
+    ORDER BY CAST(sum(v) AS DECIMAL(38,0)) DESC, p_partkey ASC
+    """
+
+
+Q12_LATE_DAYS = 90
+Q12_MODES = ("MAIL", "SHIP", "AIR")
+
+
+def q12_shipmode_priority(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = Q12_LATE_DAYS
+) -> DataFrame:
+    """-> (ship_mode, high_line_count, low_line_count) — Q12's
+    conditional-aggregation shape (priority counts per mode for LATE
+    lines). ADAPTED to the corpus: lineitem has no l_shipmode /
+    l_commitdate / l_receiptdate, so ship_mode derives deterministically
+    from l_linenumber % 3 and a line is late when it shipped more than
+    `late_days` after the order date — both engines compute the same
+    derivations."""
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in Q12_MODES]),
+        (F.col("l_linenumber") % 3 + 1).cast("int"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).where(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    return (
+        joined.select(mode.alias("ship_mode"), high.alias("__high"))
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(F.col("__high"), 1).otherwise(0))
+            .cast("bigint").alias("high_line_count"),
+            F.sum(F.when(F.col("__high"), 0).otherwise(1))
+            .cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+def q12_oracle_sql(late_days: int = Q12_LATE_DAYS) -> str:
+    modes = ", ".join(f"'{m}'" for m in Q12_MODES)
+    return f"""
+    SELECT ([{modes}])[(l_linenumber % 3) + 1] AS ship_mode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+Q16_EXCLUDE_BRAND = "Brand#2"
+Q16_EXCLUDE_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 9, 14, 23, 36, 45, 49)
+
+
+def q16_parts_supplier_relationship(
+    supplier: DataFrame,
+    part: DataFrame,
+    brand: str = Q16_EXCLUDE_BRAND,
+    p_type: str = Q16_EXCLUDE_TYPE,
+    sizes=Q16_SIZES,
+) -> DataFrame:
+    """-> (p_brand, p_type, p_size, supplier_cnt): distinct suppliers
+    per part attribute triple, excluding flagged suppliers. ADAPTED:
+    the spec's 'complaints in s_comment' exclusion becomes s_acctbal < 0
+    (the corpus has no comments); the exclusion is the same broadcast
+    ANTI-join shape."""
+    excluded = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.where(
+        (F.col("p_brand") != brand)
+        & (F.col("p_type") != p_type)
+        & F.col("p_size").isin(*sizes)
+    )
+    ps = derived_partsupp(p, supplier).join(
+        p.select("p_partkey", "p_brand", "p_type", "p_size"), ["p_partkey"]
+    ).join(
+        broadcast_if_bounded(excluded, SCALE_PROPORTIONAL),
+        F.col("ps_suppkey") == excluded.s_suppkey,
+        "left_anti",
+    )
+    return (
+        ps.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+            F.col("p_type").asc(), F.col("p_size").asc(),
+        )
+    )
+
+
+def q16_oracle_sql(
+    brand: str = Q16_EXCLUDE_BRAND,
+    p_type: str = Q16_EXCLUDE_TYPE,
+    sizes=Q16_SIZES,
+) -> str:
+    size_list = ", ".join(str(s) for s in sizes)
+    return f"""
+    WITH {partsupp_cte_sql()}
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part USING (p_partkey)
+    WHERE p_brand <> '{brand}' AND p_type <> '{p_type}'
+      AND p_size IN ({size_list})
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """
+
+
+Q19_BRANCHES = (
+    ("Brand#11", 1, 5, 100, 1100),
+    ("Brand#22", 1, 10, 1000, 2000),
+    ("Brand#15", 1, 15, 2000, 3000),
+)
+
+
+def q19_discounted_revenue(
+    part: DataFrame, lineitem: DataFrame, branches=Q19_BRANCHES
+) -> DataFrame:
+    """-> one row (revenue_cmicros): Q19's OR-of-ANDs disjunction over
+    (brand, size range, quantity range) branches — the predicate
+    pushdown shape (each branch's part attributes AND line quantity band
+    must hold together). ADAPTED: container/shipmode filters are absent
+    from the corpus; brand + size + quantity carry the disjunction."""
+    cents = F.expr(_CENTS.format(col="l_extendedprice"))
+    disc = F.expr(_MICRO.format(col="l_discount"))
+    qty_c = F.expr(_CENTS.format(col="l_quantity"))
+    joined = lineitem.join(
+        broadcast_if_bounded(
+            part.select("p_partkey", "p_brand", "p_size"), SCALE_PROPORTIONAL
+        ),
+        lineitem.l_partkey == F.col("p_partkey"),
+    )
+    cond = None
+    for b, lo_sz, hi_sz, lo_q, hi_q in branches:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(lo_sz, hi_sz)
+            & qty_c.between(lo_q, hi_q)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        joined.where(cond)
+        .agg(
+            F.sum(cents.cast("decimal(38,0)") * (F.lit(1_000_000) - disc))
+            .cast("decimal(38,0)").cast("string").alias("revenue_cmicros")
+        )
+    )
+
+
+def q19_oracle_sql(branches=Q19_BRANCHES) -> str:
+    cents = _CENTS.format(col="l_extendedprice")
+    disc = _MICRO.format(col="l_discount")
+    qty_c = _CENTS.format(col="l_quantity")
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {lo_sz} AND {hi_sz} "
+        f"AND {qty_c} BETWEEN {lo_q} AND {hi_q})"
+        for b, lo_sz, hi_sz, lo_q, hi_q in branches
+    )
+    return f"""
+    SELECT CAST(CAST(sum(CAST({cents} AS DECIMAL(38,0)) * (1000000 - {disc}))
+                AS DECIMAL(38,0)) AS VARCHAR) AS revenue_cmicros
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE {ors}
+    """
+
+
+Q20_NATION = "NATION_3"
+Q20_FRAGMENT = "blue"
+Q20_FROM = "1996-01-01"
+Q20_TO = "1997-01-01"
+
+
+def q20_potential_promotion(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    n_name: str = Q20_NATION,
+    fragment: str = Q20_FRAGMENT,
+    date_from: str = Q20_FROM,
+    date_to: str = Q20_TO,
+) -> DataFrame:
+    """-> (s_name,): suppliers in `n_name` holding excess stock
+    (ps_availqty > half the quantity they shipped of that part in the
+    window) of parts whose name contains `fragment` — Q20's semi-join
+    cascade against a per-(part, supplier) shipment aggregate. The
+    excess test is the exact integer cross-multiplication
+    availqty x 200 > shipped_qty_cents. Per spec semantics a (part,
+    supplier) with NO shipments in the window does not qualify (the
+    correlated sum is NULL), hence the INNER join against the
+    aggregate."""
+    qty_c = F.expr(_CENTS.format(col="l_quantity"))
+    p = part.where(F.col("p_name").contains(fragment)).select("p_partkey")
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+        )
+        .join(
+            broadcast_if_bounded(p, SCALE_PROPORTIONAL),
+            lineitem.l_partkey == p.p_partkey, "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_c).cast("bigint").alias("__shipped_c"))
+    )
+    ps = derived_partsupp(p, supplier)
+    qualifying = ps.join(
+        shipped,
+        (ps.p_partkey == shipped.l_partkey)
+        & (ps.ps_suppkey == shipped.l_suppkey),
+    ).where(F.col("ps_availqty") * F.lit(200) > F.col("__shipped_c"))
+    supp = supplier.join(
+        broadcast_if_bounded(
+            nation.where(F.col("n_name") == n_name).select("n_nationkey"),
+            FIXED,
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(
+            qualifying.select("ps_suppkey").distinct(),
+            supp.s_suppkey == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+def q20_oracle_sql(
+    n_name: str = Q20_NATION,
+    fragment: str = Q20_FRAGMENT,
+    date_from: str = Q20_FROM,
+    date_to: str = Q20_TO,
+) -> str:
+    qty_c = _CENTS.format(col="l_quantity")
+    return f"""
+    WITH {partsupp_cte_sql(f"p_name LIKE '%{fragment}%'")},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, CAST(sum({qty_c}) AS BIGINT) AS shipped_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{date_to} 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM ps)
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{n_name}'
+      AND s_suppkey IN (
+        SELECT ps_suppkey
+        FROM ps JOIN shipped
+          ON p_partkey = l_partkey AND ps_suppkey = l_suppkey
+        WHERE ps_availqty * 200 > shipped_c
+      )
+    ORDER BY s_name
+    """
+
+
+Q21_NATION = "NATION_1"
+Q21_LATE_DAYS = 60
+
+
+def q21_waiting_suppliers(
+    nation: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    n_name: str = Q21_NATION,
+    late_days: int = Q21_LATE_DAYS,
+) -> DataFrame:
+    """-> (s_name, numwait): suppliers in `n_name` who were the SOLE
+    late supplier on a multi-supplier finalized order. ADAPTED: late =
+    shipped more than `late_days` after the order date (the corpus has
+    no commit/receipt dates).
+
+    Plan shape: instead of the spec's EXISTS + NOT EXISTS double
+    self-join on lineitem, ONE aggregate per order computes
+    (distinct suppliers, distinct late suppliers, the late suppkey) —
+    a single orderkey exchange — and the waiting rows are those with
+    >= 2 suppliers and exactly one late one. The DuckDB oracle uses the
+    same aggregate formulation (provably equivalent to the
+    EXISTS/NOT-EXISTS pair), so both engines compare on identical
+    semantics."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    li = lineitem.join(
+        orders.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", late.alias("__late"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("__n_late"),
+        F.max(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__late_supp"),
+        # spec semantics: numwait counts the sole-late supplier's LATE
+        # LINES in the order, not 1 per order (a supplier can ship
+        # several lines of one order) — pinned by the EXISTS/NOT-EXISTS
+        # equivalence test
+        F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__late_lines"),
+    )
+    waiting = per_order.where(
+        (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
+    )
+    supp = supplier.join(
+        broadcast_if_bounded(
+            nation.where(F.col("n_name") == n_name).select("n_nationkey"),
+            FIXED,
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(supp, F.col("__late_supp") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("__late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def q21_oracle_sql(
+    n_name: str = Q21_NATION, late_days: int = Q21_LATE_DAYS
+) -> str:
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL {late_days} DAY AS late
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+             max(CASE WHEN late THEN l_suppkey END) AS late_supp,
+             sum(CASE WHEN late THEN 1 ELSE 0 END) AS late_lines
+      FROM li
+      GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(sum(late_lines) AS BIGINT) AS numwait
+    FROM per_order
+    JOIN supplier ON late_supp = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_supp >= 2 AND n_late = 1 AND n_name = '{n_name}'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """
+
+
+def q21_exists_formulation_sql(
+    n_name: str = Q21_NATION, late_days: int = Q21_LATE_DAYS
+) -> str:
+    """The spec's literal EXISTS / NOT EXISTS formulation (adapted to
+    the shipdate lateness rule) — used only to PROVE the aggregate
+    rewrite equivalent on real data; never shipped as the plan (the
+    double lineitem self-join is the shape the rewrite exists to
+    avoid)."""
+    return f"""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+      AND EXISTS (
+        SELECT * FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT * FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = '{n_name}'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """
