@@ -376,10 +376,12 @@ def streaming_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC-fed versioned table): the customer dimension's SCD2 history is
     maintained incrementally inside the runner from its changelog, and
     each epoch's probe events enrich against the versions known at that
-    epoch. Six event-time-ordered micro-batches interleave dimension
-    epochs (v1 inserts, the UPGRADED updates, the deletes) with probe
-    epochs, so dimension versions move BETWEEN epochs and probes see
-    versions created earlier in the same run. Per epoch the history
+    epoch. Three event-time-ordered micro-batches each carry one
+    dimension epoch (v1 inserts, the UPGRADED updates, the deletes)
+    plus that phase's probes, so dimension versions move BETWEEN
+    epochs, probes see versions created earlier in the same run, and
+    same-batch probes see the versions their timestamps select (the
+    fold applies before the enrichment inside an epoch). Per epoch the history
     fold and the join are delta-keyed (broadcast semi/anti joins on
     batch-sized key sets); the accumulated enrichment must equal the
     batch operator's full-history AS-OF join (the same closed-form
@@ -392,7 +394,7 @@ def streaming_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pin_session(spark)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    staged = f"/tmp/flink_cdc_spark_tjoin/{key}"
+    staged = f"/tmp/flink_cdc_spark_tjoin/{key}-b3"
     work = tempfile.mkdtemp(prefix="cdc_tjoin_", dir="/tmp")
     tj = StreamingTemporalJoin(
         spark,
@@ -412,13 +414,19 @@ def streaming_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             OP_INSERT, OP_UPDATE,
         )
 
+        # three micro-batches, each = one dimension epoch PLUS its
+        # event-time phase's probes (the fold applies before the
+        # enrichment inside an epoch, so same-batch probes legitimately
+        # see the versions their timestamps select); checkpointed
+        # micro-batch overhead dominates this row's bench cost, so the
+        # epoch count IS the budget
         dim = harmonize_envelope(
             _customer_dim_changelog(spark, sf_dir), _TEMPORAL_SUPERSET
         ).withColumn(
             "__b",
             F.when(F.col(ENVELOPE_OP) == OP_INSERT, F.lit(0))
-            .when(F.col(ENVELOPE_OP) == OP_UPDATE, F.lit(2))
-            .otherwise(F.lit(4)),
+            .when(F.col(ENVELOPE_OP) == OP_UPDATE, F.lit(1))
+            .otherwise(F.lit(2)),
         )
         ev = ParquetTableSource(spark, sf_dir).snapshot("events")
         probe_img = F.struct(
@@ -443,9 +451,9 @@ def streaming_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             _TEMPORAL_SUPERSET,
         ).withColumn(
             "__b",
-            F.when(F.col("after.ts") < F.lit(_DIM_T1).cast("timestamp"), 1)
-            .when(F.col("after.ts") < F.lit(_DIM_T2).cast("timestamp"), 3)
-            .otherwise(5),
+            F.when(F.col("after.ts") < F.lit(_DIM_T1).cast("timestamp"), 0)
+            .when(F.col("after.ts") < F.lit(_DIM_T2).cast("timestamp"), 1)
+            .otherwise(2),
         )
         tj.stage(dim.unionByName(probes))
     tj.run()
