@@ -61,6 +61,21 @@ def star(spark):
          rng.choice(["Brand#1", "Brand#2", "Brand#3"]))
         for p in range(30)
     ]
+    # r14 (Q2/Q9/Q11/Q16/Q19/Q20/Q21 models): new fields APPEND to the
+    # tuples AND draw from a SEPARATE rng, so both the positional
+    # indexing and the original random stream — hence every pre-r14
+    # model's data — stay byte-identical
+    rng14 = random.Random(SEED ^ 0x14)
+    suppliers = [
+        s + (f"Supplier#{s[0]:03d}", round(rng14.uniform(-1000, 10000), 2))
+        for s in suppliers
+    ]
+    parts = [
+        p + (rng14.randrange(1, 21),
+             rng14.choice(["red", "blue", "green", "hot"]) + " "
+             + rng14.choice(["widget", "bolt", "gear"]))
+        for p in parts
+    ]
     t0 = datetime.datetime(1995, 1, 1)
     orders, lineitems = [], []
     for o in range(250):
@@ -98,10 +113,14 @@ def star(spark):
             "c_nationkey LONG, c_acctbal DOUBLE",
         ),
         "part": spark.createDataFrame(
-            parts, "p_partkey LONG, p_type STRING, p_brand STRING"
+            parts,
+            "p_partkey LONG, p_type STRING, p_brand STRING, p_size LONG, "
+            "p_name STRING",
         ),
         "supplier": spark.createDataFrame(
-            suppliers, "s_suppkey LONG, s_nationkey LONG"
+            suppliers,
+            "s_suppkey LONG, s_nationkey LONG, s_name STRING, "
+            "s_acctbal DOUBLE",
         ),
         "orders": spark.createDataFrame(
             orders,
@@ -185,7 +204,7 @@ def test_q5_vs_python_model(star):
     asia = {r for r, name in raw["regions"] if name == r_name}
     nat = {n: name for n, name, rk in raw["nations"] if rk in asia}
     cust_nk = {c: nk for c, _, _, nk, _ in raw["customers"] if nk in nat}
-    supp_nk = {s: nk for s, nk in raw["suppliers"] if nk in nat}
+    supp_nk = {s[0]: s[1] for s in raw["suppliers"] if s[1] in nat}
     order_cust = {
         o: cust for (o, cust, odate, _, _, _) in raw["orders"]
         if d0 <= odate < d1
@@ -397,7 +416,7 @@ def test_q10_vs_python_model(star):
 
 def test_q14_vs_python_model(star):
     d0, d1 = datetime.datetime(1996, 9, 1), datetime.datetime(1996, 10, 1)
-    ptype = {p: t for p, t, _ in star["raw"]["parts"]}
+    ptype = {p[0]: p[1] for p in star["raw"]["parts"]}
     promo = total = 0
     for (_, _, _, pk, _, p, d, ship, _, _) in star["raw"]["lineitems"]:
         if d0 <= ship < d1:
@@ -412,7 +431,7 @@ def test_q14_vs_python_model(star):
 
 
 def test_q17_vs_python_model(star):
-    brand_parts = {p for p, _, b in star["raw"]["parts"] if b == "Brand#1"}
+    brand_parts = {p[0] for p in star["raw"]["parts"] if p[2] == "Brand#1"}
     per_part = {}
     for (_, _, _, pk, q, p, _, _, _, _) in star["raw"]["lineitems"]:
         if pk in brand_parts:
@@ -468,7 +487,7 @@ def test_q7_vs_python_model(star):
     d0, d1 = datetime.datetime(1996, 1, 1), datetime.datetime(1998, 1, 1)
     raw = star["raw"]
     nat_name = {n: name for n, name, _ in raw["nations"]}
-    supp_nat = {s: nat_name[nk] for s, nk in raw["suppliers"]}
+    supp_nat = {s[0]: nat_name[s[1]] for s in raw["suppliers"]}
     cust_nat = {c: nat_name[nk] for c, _, _, nk, _ in raw["customers"]}
     order_cust = {o: cu for (o, cu, _, _, _, _) in raw["orders"]}
     model = {}
@@ -500,9 +519,9 @@ def test_q8_vs_python_model(star):
     asia = {r for r, name in raw["regions"] if name == r_name}
     region_nk = {n for n, _, rk in raw["nations"] if rk in asia}
     nat_name = {n: name for n, name, _ in raw["nations"]}
-    supp_nat = {s: nat_name[nk] for s, nk in raw["suppliers"]}
+    supp_nat = {s[0]: nat_name[s[1]] for s in raw["suppliers"]}
     cust_ok = {c for c, _, _, nk, _ in raw["customers"] if nk in region_nk}
-    ptype = {p: t for p, t, _ in raw["parts"]}
+    ptype = {p[0]: p[1] for p in raw["parts"]}
     orders = {
         o: (cu, dt.year) for (o, cu, dt, _, _, _) in raw["orders"]
         if d0 <= dt < d1
@@ -549,3 +568,258 @@ def test_q15_vs_python_model(star):
         ).collect()
     }
     assert got == model
+
+
+# -- r14: the remaining TPC-H family vs naive Python models ------------------
+# (tests/test_tpch_remaining.py gates the same queries against DuckDB on
+# the real corpus; this layer probes the random input space — itemless
+# orders, min-cost ties, no-shipment (part, supplier) pairs, sole-late
+# multi-line suppliers.)
+
+
+def _partsupp_model(parts, n_supp=20):
+    """The derived-partsupp closed form (analytics/tpch.derived_partsupp),
+    re-derived naively: (p_partkey, ps_suppkey, availqty, supplycost_cents)."""
+    out = []
+    for p in parts:
+        pk = p[0]
+        for i in range(4):
+            out.append((
+                pk,
+                (pk + i) % n_supp,
+                1 + (pk * 11 + i * 17) % 9999,
+                100 + (pk * 31 + i * 97) % 100000,
+            ))
+    return out
+
+
+def test_q2_vs_python_model(star):
+    raw = star["raw"]
+    reg = {r: name for r, name in raw["regions"]}
+    nat = {n: (name, reg[rk]) for n, name, rk in raw["nations"]}
+    supp = {
+        s[0]: (s[2], nat[s[1]][0], cents(s[3]))
+        for s in raw["suppliers"]
+        if nat[s[1]][1] == "EUROPE"
+    }
+    keep = {p[0] for p in raw["parts"] if p[3] <= 15 and p[1] == "STANDARD"}
+    costed = [
+        (acct, sname, nname, pk, cost)
+        for pk, sk, _aq, cost in _partsupp_model(raw["parts"])
+        if pk in keep and sk in supp
+        for sname, nname, acct in [supp[sk]]
+    ]
+    min_cost = {}
+    for _a, _s, _n, pk, cost in costed:
+        min_cost[pk] = min(min_cost.get(pk, cost), cost)
+    winners = [r for r in costed if r[4] == min_cost[r[3]]]
+    model = sorted(winners, key=lambda r: (-r[0], r[2], r[1], r[3]))[:100]
+    got = [
+        (r.s_acctbal_cents, r.s_name, r.n_name, r.p_partkey,
+         r.ps_supplycost_cents)
+        for r in tpch.q2_min_cost_supplier(
+            star["region"], star["nation"], star["supplier"], star["part"]
+        ).collect()
+    ]
+    assert got == model
+    assert got, "no qualifying part/supplier — fixture broken"
+
+
+def test_q9_vs_python_model(star):
+    raw = star["raw"]
+    nat_name = {n: name for n, name, _ in raw["nations"]}
+    supp_nat = {s[0]: nat_name[s[1]] for s in raw["suppliers"]}
+    keep = {p[0] for p in raw["parts"] if "red" in p[4]}
+    sc = {
+        (pk, sk): cost
+        for pk, sk, _aq, cost in _partsupp_model(raw["parts"])
+        if pk in keep
+    }
+    oyear = {o: dt.year for (o, _, dt, _, _, _) in raw["orders"]}
+    model = {}
+    for (o, _, s, pk, q, p, d, _, _, _) in raw["lineitems"]:
+        if (pk, s) not in sc:
+            continue
+        amount = (
+            cents(p) * (1_000_000 - micros(d))
+            - sc[(pk, s)] * cents(q) * 10_000
+        )
+        key = (supp_nat[s], oyear[o])
+        model[key] = model.get(key, 0) + amount
+    got = {
+        (r.n_name, r.o_year): int(r.profit_cmicros)
+        for r in tpch.q9_product_type_profit(
+            star["nation"], star["supplier"], star["part"], star["orders"],
+            star["lineitem"],
+        ).collect()
+    }
+    assert got == model
+    assert got, "no red-part shipments — fixture broken"
+
+
+def test_q11_vs_python_model(star):
+    n_name = "NATION_3"
+    raw = star["raw"]
+    nk = {n for n, name, _ in raw["nations"] if name == n_name}
+    in_nation = {s[0] for s in raw["suppliers"] if s[1] in nk}
+    per_part, total = {}, 0
+    for pk, sk, aq, cost in _partsupp_model(raw["parts"]):
+        if sk not in in_nation:
+            continue
+        v = cost * aq
+        per_part[pk] = per_part.get(pk, 0) + v
+        total += v
+    model = {
+        pk: v for pk, v in per_part.items() if v * 1_000_000 > total * 1000
+    }
+    got = {
+        r.p_partkey: int(r.value_cents)
+        for r in tpch.q11_important_stock(
+            star["nation"], star["supplier"], star["part"], n_name=n_name
+        ).collect()
+    }
+    assert got == model
+    assert got, "no stock in nation — fixture broken"
+
+
+def test_q12_vs_python_model(star):
+    raw = star["raw"]
+    ometa = {
+        o: (dt, pri) for (o, _, dt, _, _, pri) in raw["orders"]
+    }
+    model = {}
+    for (o, ln, _, _, _, _, _, ship, _, _) in raw["lineitems"]:
+        dt, pri = ometa[o]
+        if ship <= dt + datetime.timedelta(days=90):
+            continue
+        mode = ["MAIL", "SHIP", "AIR"][ln % 3]
+        hi, lo = model.setdefault(mode, [0, 0])
+        if pri in ("1-URGENT", "2-HIGH"):
+            model[mode][0] += 1
+        else:
+            model[mode][1] += 1
+    got = {
+        r.ship_mode: [r.high_line_count, r.low_line_count]
+        for r in tpch.q12_shipmode_priority(
+            star["orders"], star["lineitem"]
+        ).collect()
+    }
+    assert got == model
+    assert got, "no late lines — fixture broken"
+
+
+def test_q16_vs_python_model(star):
+    sizes = (1, 4, 9, 14)
+    raw = star["raw"]
+    excluded = {s[0] for s in raw["suppliers"] if s[3] < 0}
+    attrs = {
+        p[0]: (p[2], p[1], p[3])
+        for p in raw["parts"]
+        if p[2] != "Brand#2" and p[1] != "PROMO" and p[3] in sizes
+    }
+    per = {}
+    for pk, sk, _aq, _c in _partsupp_model(raw["parts"]):
+        if pk in attrs and sk not in excluded:
+            per.setdefault(attrs[pk], set()).add(sk)
+    model = {k: len(v) for k, v in per.items()}
+    got = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in tpch.q16_parts_supplier_relationship(
+            star["supplier"], star["part"], sizes=sizes
+        ).collect()
+    }
+    assert got == model
+    assert got, "no qualifying attribute triple — fixture broken"
+
+
+Q19_STAR_BRANCHES = (
+    ("Brand#1", 1, 10, 100, 600),
+    ("Brand#2", 1, 15, 400, 3100),
+    ("Brand#3", 1, 20, 2900, 5100),
+)
+
+
+def test_q19_vs_python_model(star):
+    raw = star["raw"]
+    pattr = {p[0]: (p[2], p[3]) for p in raw["parts"]}
+    rev = 0
+    hit = False
+    for (_, _, _, pk, q, p, d, _, _, _) in raw["lineitems"]:
+        brand, size = pattr[pk]
+        qc = cents(q)
+        for b, lo_sz, hi_sz, lo_q, hi_q in Q19_STAR_BRANCHES:
+            if brand == b and lo_sz <= size <= hi_sz and lo_q <= qc <= hi_q:
+                rev += cents(p) * (1_000_000 - micros(d))
+                hit = True
+                break
+    row = tpch.q19_discounted_revenue(
+        star["part"], star["lineitem"], branches=Q19_STAR_BRANCHES
+    ).collect()[0]
+    assert int(row.revenue_cmicros) == rev
+    assert hit, "no branch matched — fixture broken"
+
+
+def test_q20_vs_python_model(star):
+    n_name = "NATION_2"
+    d0, d1 = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    raw = star["raw"]
+    keep = {p[0] for p in raw["parts"] if "blue" in p[4]}
+    shipped = {}
+    for (_, _, s, pk, q, _, _, ship, _, _) in raw["lineitems"]:
+        if pk in keep and d0 <= ship < d1:
+            shipped[(pk, s)] = shipped.get((pk, s), 0) + cents(q)
+    qualifying = {
+        sk
+        for pk, sk, aq, _c in _partsupp_model(raw["parts"])
+        if pk in keep and (pk, sk) in shipped
+        and aq * 200 > shipped[(pk, sk)]
+    }
+    nk = {n for n, name, _ in raw["nations"] if name == n_name}
+    model = sorted(
+        s[2] for s in raw["suppliers"] if s[1] in nk and s[0] in qualifying
+    )
+    got = [
+        r.s_name
+        for r in tpch.q20_potential_promotion(
+            star["nation"], star["supplier"], star["part"],
+            star["lineitem"], n_name=n_name,
+        ).collect()
+    ]
+    assert got == model
+
+
+def test_q21_vs_python_model(star):
+    n_name = "NATION_4"  # the star rolls no sole-late supplier in NATION_1
+    raw = star["raw"]
+    ometa = {
+        o: dt for (o, _, dt, _, st, _) in raw["orders"] if st == "F"
+    }
+    per_order = {}
+    for (o, _, s, _, _, _, _, ship, _, _) in raw["lineitems"]:
+        if o not in ometa:
+            continue
+        late = ship > ometa[o] + datetime.timedelta(days=60)
+        supps, late_lines = per_order.setdefault(o, (set(), {}))
+        supps.add(s)
+        if late:
+            late_lines[s] = late_lines.get(s, 0) + 1
+    nk = {n for n, name, _ in raw["nations"] if name == n_name}
+    sname = {s[0]: s[2] for s in raw["suppliers"] if s[1] in nk}
+    numwait = {}
+    for o, (supps, late_lines) in per_order.items():
+        if len(supps) >= 2 and len(late_lines) == 1:
+            (s, n_lines), = late_lines.items()
+            if s in sname:
+                numwait[sname[s]] = numwait.get(sname[s], 0) + n_lines
+    model = sorted(
+        numwait.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:100]
+    got = [
+        (r.s_name, r.numwait)
+        for r in tpch.q21_waiting_suppliers(
+            star["nation"], star["supplier"], star["orders"],
+            star["lineitem"], n_name=n_name,
+        ).collect()
+    ]
+    assert got == model
+    assert got, "no waiting suppliers — fixture broken"
