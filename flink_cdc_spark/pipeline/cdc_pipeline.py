@@ -90,6 +90,17 @@ class JdbcCdcPipeline:
         multi-table variant overrides this to transform + fan out."""
         self.state.merge(self.table, env, target_struct, pks)
 
+    def _apply_sink_schema(self) -> None:
+        """Push the evolved source schema to the sink table(s) at
+        DDL-detect time so a TRAILING DDL (no subsequent data) is still
+        visible in reads; the routed variant overrides this to apply
+        the transform and fan out to the router targets (wave-13b-era
+        finding: the base set_schema addressed the SOURCE table id,
+        which a routed pipe's state never materializes — a trailing ADD
+        on a routed live pipeline stayed invisible until the next
+        merge)."""
+        self.state.set_schema(self.table, self.schema.to_spark_struct())
+
     def _repair_marker(self) -> str:
         return self._offset_file + ".repair_pending"
 
@@ -124,14 +135,14 @@ class JdbcCdcPipeline:
             refresh_capture(self.source.ep, self.cfg.table)
             for ev in events:
                 self.schema = apply_schema_change_event(self.schema, ev)
-            self.state.set_schema(self.table, self.schema.to_spark_struct())
+            self._apply_sink_schema()
         pending = os.path.exists(marker)
         if pending and not events:
             # replaying a crashed DDL poll: the crash may have landed
             # before the capture refresh / sink-schema push — re-assert
             # both (idempotent) so the stale window ends here
             refresh_capture(self.source.ep, self.cfg.table)
-            self.state.set_schema(self.table, self.schema.to_spark_struct())
+            self._apply_sink_schema()
         last = self._load_offset() or 0
         hw = self.source.current_offset()
         if hw <= last:
@@ -434,6 +445,20 @@ class _RoutedTablePipe(JdbcCdcPipeline):
 
     def targets(self):
         return [str(t) for t in self.parent.router.route(self._tid)]
+
+    def _apply_sink_schema(self):
+        from ..operators.transform import TransformProcessor
+
+        rule = self.parent._rule_for(self._tid)
+        schema = self.schema
+        if rule is not None:
+            proc = TransformProcessor(
+                rule, schema.to_spark_struct(), udf_names=self.parent.udf_names
+            )
+            schema = proc.output_schema(schema)
+        struct = schema.to_spark_struct()
+        for target in self.parent.router.route(self._tid):
+            self.state.set_schema(str(target), struct)
 
     # the single-table lifecycle funnels every merge through _merge_env;
     # route and transform by overriding that one hook

@@ -188,3 +188,46 @@ def test_live_pipeline_with_ddl_converges_to_live_state(spark, tmp_path, trial):
             f"(missing={set(live) - set(got)}, extra={set(got) - set(live)}, "
             f"diff={[k for k in got if k in live and got[k] != live[k]][:5]})"
         )
+
+
+def test_trailing_ddl_visible_on_routed_sink(spark, tmp_path):
+    """A trailing ALTER TABLE ADD COLUMN (no data events after it) must
+    surface in the ROUTED sink table's reads — the base pipeline pushed
+    the evolved schema to the SOURCE table id, which a routed pipe's
+    state never materializes, so the new column stayed invisible until
+    the next merge (r14 finding; `_apply_sink_schema` override)."""
+    rng = random.Random(SEED + 99)
+    ep = JdbcEndpoint(spark, derby_url(str(tmp_path / "db")))
+    url = derby_url(str(tmp_path / "db"), create=False)
+    model = {"users": {}}
+    next_id = [1]
+    _create(ep, "users")
+    _apply_ops(ep, rng, model, "users", 5, next_id)
+
+    pipeline_def = parse_pipeline_yaml(
+        """
+source: {type: values}
+sink: {type: values}
+route:
+  - source-table: app.\\.*
+    sink-table: mart.<>
+    replace-symbol: <>
+pipeline: {execution.runtime-mode: STREAMING}
+"""
+    )
+    loop = MultiTableCdcPipeline(
+        spark, url, str(tmp_path / "state"),
+        pipeline_def=pipeline_def, tables_selector=r"app.\.*",
+        chunk_size=7, shuffle_partitions=4,
+    )
+    loop.bootstrap()
+
+    # the ALTER is the LAST thing that happens before the poll — zero
+    # data events after it, so only the sink-schema push can surface it
+    ep.execute("ALTER TABLE users ADD COLUMN extra BIGINT")
+    loop.poll_once()
+
+    out = loop.current_state("mart.users")
+    assert "extra" in out.columns
+    rows = {r.id: (r.name, r.extra) for r in out.collect()}
+    assert rows == {i: (n, None) for i, (n, v) in model["users"].items()}
