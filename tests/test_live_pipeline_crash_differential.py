@@ -220,3 +220,96 @@ def test_crash_during_newly_added_rescan_recovers(spark, tmp_path):
     loop.poll_once()
 
     _assert_matches_live(ep, loop, ["users", "events"], {}, "rescan crash")
+
+
+def test_wave14_routed_transform_ddl_crash_converges(spark, tmp_path):
+    """Wave 14 — the full interaction: replace-symbol ROUTING, a
+    TRANSFORM on one table (projection excludes any later-added
+    column), live ALTER ADD COLUMN with old-trigger traffic needing
+    repair, and a crash injected between the DDL poll's merge and its
+    repair. After a fresh loop resumes: the transformed sink equals the
+    projection of the live table (no leaked new column), the plain
+    routed sink equals the live table INCLUDING the new column."""
+    from flink_cdc_spark.pipeline.yaml_parser import parse_pipeline_yaml
+
+    rng = random.Random(SEED + 140)
+    ep = JdbcEndpoint(spark, derby_url(str(tmp_path / "db")))
+    url = derby_url(str(tmp_path / "db"), create=False)
+    model = {"users": {}, "orders": {}}
+    next_id = [1]
+    for t in model:
+        _create(ep, t)
+        _apply_ops(ep, rng, model, t, rng.randrange(4, 9), next_id)
+
+    pipeline_def = parse_pipeline_yaml(
+        """
+source: {type: values}
+sink: {type: values}
+transform:
+  - source-table: app.users
+    projection: id, UPPER(name) AS uname, val
+route:
+  - source-table: app.\\.*
+    sink-table: mart.<>
+    replace-symbol: <>
+pipeline: {execution.runtime-mode: STREAMING}
+"""
+    )
+
+    def fresh():
+        loop = MultiTableCdcPipeline(
+            spark, url, str(tmp_path / "state"),
+            pipeline_def=pipeline_def, tables_selector=r"app.\.*",
+            chunk_size=7, shuffle_partitions=4,
+        )
+        loop.bootstrap()
+        return loop
+
+    loop = fresh()
+    loop.poll_once()
+
+    # ALTER both tables; traffic AFTER the alter is captured by the OLD
+    # triggers (missing the new column) and needs the repair
+    for t in model:
+        ep.execute(f"ALTER TABLE {t} ADD COLUMN extra BIGINT")
+        _apply_ops(ep, rng, model, t, rng.randrange(2, 7), next_id)
+        for i in rng.sample(sorted(model[t]), min(2, len(model[t]))):
+            ep.execute_update(
+                f"UPDATE {t} SET extra = {rng.randrange(10_000)} WHERE id = {i}"
+            )
+
+    # crash between the DDL poll's merge and its repair, on one pipe
+    pipe = loop.pipes["app.orders"]
+
+    def boom(env, target):
+        raise _Crash("crash before the DDL repair")
+    pipe._repair_touched_keys = boom
+    with pytest.raises(_Crash):
+        loop.poll_once()
+
+    loop = fresh()
+    loop.poll_once()
+    _apply_ops(ep, rng, model, "orders", 3, next_id)  # post-recovery traffic
+    loop.poll_once()
+
+    # plain routed sink: equals live INCLUDING the new column
+    live = {
+        row[0]: tuple(row[1:])
+        for row in ep.query("SELECT id, name, val, extra FROM orders")
+    }
+    got = {
+        r.id: (r.name, r.val, r.extra)
+        for r in loop.current_state("mart.orders").collect()
+    }
+    assert got == live
+
+    # transformed sink: equals the PROJECTION of live — and the new
+    # column must NOT leak through the projection
+    out = loop.current_state("mart.users")
+    assert "extra" not in out.columns
+    live_u = {
+        row[0]: (row[1].upper(), row[2])
+        for row in ep.query("SELECT id, name, val FROM users")
+    }
+    got_u = {r.id: (r.uname, r.val) for r in out.collect()}
+    assert got_u == live_u
