@@ -129,6 +129,11 @@ def _gen_slices(rng, n_slices):
                 slice_added.append(c)
             elif r < 0.13:
                 old = next(c for c, _t in cols if c.startswith("g"))
+                if widened[0] and "val" in names() and rng.random() < 0.3:
+                    # rename the WIDENED column: a crash replay now
+                    # re-delivers the ALTER under the renamed name —
+                    # the per-name generation-aware translate seam
+                    old = "val"
                 reuse = sorted(retired_g - set(names()))
                 if reuse and rng.random() < 0.5:
                     # name-REUSE chain: rename the live g-column to a name
