@@ -4224,15 +4224,15 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 # tests/test_registry_capacity.py enforces the row-count bound.
 
 _PRIORITY: list = [
-    # Rows whose CODE changed in r14 while carrying a fresh r13 signal the
-    # artifacts can't know is stale.  Budgeted against the window: after the
-    # r14 capacity-policy merge (kafka_debezium_roundtrip +
-    # kafka_canal_roundtrip -> kafka_codec_roundtrip) the derivation
-    # auto-leads 46 r11-stale rows + 2 never-signalled new rows; this list
-    # holds the remainder of the 50.  The r13 rows that led r14's first
-    # commit (streaming_ttl_dedup, streaming_stateful_dedup) now carry r13
-    # artifact signals, so the derivation owns them again.
-    "lake_partitioned_pruning",  # lsm_store generation-aware rename rewrite
+    # Rows whose CODE changes in r15 while carrying a fresh r13/r14 signal
+    # the artifacts can't know is stale.  Budgeted against the window: the
+    # derivation auto-leads 43 r12-stale rows + 4 never-signalled rows (the
+    # two r15 capacity-policy merges dedup_exact_family / sim_ivf_family and
+    # the two new TPC-H registry rows tpch_q9 / tpch_q21), so this list holds
+    # the remaining 3 of the 50.
+    "lake_partitioned_pruning",  # lsm read-path triage (VERDICT r14 item 3)
+    "lake_merge_evolution",  # lsm rename-replay + anchor fixes (ADVICE r14)
+    "streaming_temporal_join_scd2",  # O(delta) LSM-backed epoch state (item 4)
 ]
 
 
