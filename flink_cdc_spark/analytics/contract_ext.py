@@ -164,3 +164,31 @@ def tpch_q15_top_supplier(spark, sf_dir):
     return), supplier dim joined last."""
     supp, li = _tables(spark, sf_dir, "supplier", "lineitem")
     return tpch.q15_top_supplier(supp, li)
+
+
+@register("tpch_q9_product_type_profit", tpch.q9_oracle_sql())
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (multi-fact star, registered r15 per VERDICT r14
+    item 2): the name-filtered part slice prunes lineitem FIRST via a
+    semi-join (AQE-broadcastable), derived partsupp and supplier ride as
+    bounded broadcasts, nation is a FIXED broadcast, and orders is the
+    single big shuffle join; profit in exact cent-micros DECIMAL(38,0)."""
+    nat, supp, part, orders, li = _tables(
+        spark, sf_dir, "nation", "supplier", "part", "orders", "lineitem"
+    )
+    return tpch.q9_product_type_profit(nat, supp, part, orders, li)
+
+
+@register("tpch_q21_waiting_suppliers", tpch.q21_oracle_sql())
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (registered r15 per VERDICT r14 item 2): the
+    equivalence-proved aggregate rewrite — ONE orderkey exchange
+    computes (distinct suppliers, distinct late, sole late supplier,
+    late lines) per finalized order, replacing the spec's EXISTS +
+    NOT-EXISTS double lineitem self-join; the one-nation supplier dim
+    broadcasts; deterministic top-100. The EXISTS-formulation
+    equivalence proof lives in tests/test_tpch_remaining.py."""
+    nat, supp, orders, li = _tables(
+        spark, sf_dir, "nation", "supplier", "orders", "lineitem"
+    )
+    return tpch.q21_waiting_suppliers(nat, supp, orders, li)

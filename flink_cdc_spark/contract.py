@@ -4207,11 +4207,13 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 #       multi-branch row whose oracle unions the branches with a tag column
 #       (done r13: schema_evolution_{ignore,exclude_add_column,try_evolve}
 #       -> schema_evolution_behaviors; done r14: kafka_{debezium,canal}_
-#       roundtrip -> kafka_codec_roundtrip; next candidates, in order:
-#       dedup_exact + dedup_exact_keep_payload [one exact-dedup machine,
-#       keep-payload is a projection toggle], sim_ivf_topk +
-#       sim_ivf_fitted_topk [one IVF probe path, fitted vs grid
-#       centroids]);
+#       roundtrip -> kafka_codec_roundtrip; done r15: dedup_exact +
+#       dedup_exact_keep_payload -> dedup_exact_family and sim_ivf_topk +
+#       sim_ivf_fitted_topk -> sim_ivf_family [funded tpch_q9/tpch_q21];
+#       next candidates, in order: dedup_semantic_cluster +
+#       dedup_semantic_kmeans [one SemDeDup machine, seeded vs fitted
+#       centroids], sim_cosine_topk + sim_filtered_topk [one exact top-k
+#       probe, the label filter is a pre-scan toggle]);
 #   (b) RETIRE a row whose surface is gated at least as strongly elsewhere,
 #       moving its exact dataflow-vs-oracle comparison into a NAMED pytest
 #       (done r13: corpus_training_pipeline_v2 ->

@@ -69,15 +69,17 @@ def sim_hybrid_retrieval(spark, sf_dir):
     return similarity.hybrid_retrieval(_docs(spark, sf_dir), _embs(spark, sf_dir))
 
 
-@register("dedup_exact", dedup.exact_dedup_oracle_sql())
-def dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(_docs(spark, sf_dir))
-
-
 @register(
-    "dedup_exact_keep_payload",
-    """
-    SELECT doc_id, lang, source, n_chars
+    "dedup_exact_family",
+    f"""
+    SELECT 'ids' AS variant, doc_id, fingerprint, dup_count,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_chars
+    FROM ({dedup.exact_dedup_oracle_sql()}) ids
+    UNION ALL
+    SELECT 'payload' AS variant, doc_id,
+           CAST(NULL AS VARCHAR) AS fingerprint,
+           CAST(NULL AS BIGINT) AS dup_count, lang, source, n_chars
     FROM documents
     WHERE doc_id IN (
       SELECT min(doc_id) FROM documents
@@ -85,19 +87,47 @@ def dedup_exact(spark, sf_dir):
     )
     """,
 )
-def dedup_exact_keep_payload(spark, sf_dir):
-    """Exact dedup keeping surviving payload rows: dedup on the narrow
-    (key, fingerprint) projection, then semi-join back — the payload never
-    enters the dedup shuffle (the 100 TB-friendly shape)."""
+def dedup_exact_family(spark, sf_dir):
+    """One exact-dedup machine, both surfaces, union-tagged by variant
+    (r15 capacity-policy MERGE of dedup_exact + dedup_exact_keep_payload —
+    each branch's dataflow and oracle survive verbatim; keep-payload is
+    the projection toggle on the same fingerprint aggregate):
+
+      * 'ids' — the narrow (key, fingerprint, dup_count) dedup result.
+        One hash-aggregate shuffle on the md5 fingerprint.
+      * 'payload' — surviving payload rows: dedup on the narrow
+        projection, then semi-join back — the payload never enters the
+        dedup shuffle (the 100 TB-friendly shape).
+    """
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
+    ids = dedup.exact_dedup(docs).select(
+        F.lit("ids").alias("variant"),
+        "doc_id",
+        "fingerprint",
+        "dup_count",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+    )
     keepers = dedup.exact_dedup(docs).select("doc_id")
     # keeper set ~ |distinct docs| (corpus-proportional): no hard
     # broadcast hint — AQE broadcasts it while it fits, shuffles at scale
-    return docs.join(keepers, "doc_id", "left_semi").select(
-        "doc_id", "lang", "source", "n_chars"
+    payload = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+        .select(
+            F.lit("payload").alias("variant"),
+            "doc_id",
+            F.lit(None).cast("string").alias("fingerprint"),
+            F.lit(None).cast("bigint").alias("dup_count"),
+            "lang",
+            "source",
+            "n_chars",
+        )
     )
+    return ids.unionByName(payload)
 
 
 @register("dedup_ngram_jaccard", dedup.ngram_jaccard_oracle_sql())
@@ -205,23 +235,48 @@ def _ivf_fitted_oracle():
     return clustering.ivf_fitted_oracle_sql(n_queries=N_SIM_QUERIES)
 
 
-@register("sim_ivf_fitted_topk", _ivf_fitted_oracle())
-def sim_ivf_fitted_topk(spark, sf_dir):
-    """The index-build composition: k-means-fit centroids (exact-oracle
-    Lloyd), normalize, then IVF ANN probes the fitted cells — the
-    production path where the IVF index comes from the corpus itself
-    rather than seeded hyperplanes."""
+def _ivf_family_oracle():
+    grid = similarity.ivf_topk_oracle_sql(n_queries=N_SIM_QUERIES)
+    return f"""
+    SELECT 'grid' AS variant, * FROM ({grid}) g
+    UNION ALL
+    SELECT 'fitted' AS variant, * FROM ({_ivf_fitted_oracle()}) f
+    """
+
+
+@register("sim_ivf_family", _ivf_family_oracle())
+def sim_ivf_family(spark, sf_dir):
+    """One IVF probe path, both centroid sources, union-tagged by
+    variant (r15 capacity-policy MERGE of sim_ivf_topk +
+    sim_ivf_fitted_topk — each branch's dataflow and oracle survive
+    verbatim; fitted-vs-grid is where the centroids come from, the
+    probe machine is identical):
+
+      * 'grid' — seeded grid centroids (the standing IVF index).
+      * 'fitted' — the index-build composition: k-means-fit centroids
+        (exact-oracle Lloyd), normalize, then IVF ANN probes the fitted
+        cells — the production path where the index comes from the
+        corpus itself.
+    """
     import math
+
+    from pyspark.sql import functions as F
 
     from . import clustering
 
     embs = _embs(spark, sf_dir)
+    queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
+    grid = similarity.ivf_topk(embs, queries).select(
+        F.lit("grid").alias("variant"), "*"
+    )
     _, cents = clustering.kmeans_fit(embs, k=16, iters=2)
     unit = [
         [v / math.sqrt(sum(x * x for x in c)) for v in c] for c in cents
     ]
-    queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
-    return similarity.ivf_topk(embs, queries, centroids=unit)
+    fitted = similarity.ivf_topk(embs, queries, centroids=unit).select(
+        F.lit("fitted").alias("variant"), "*"
+    )
+    return grid.unionByName(fitted)
 
 
 def _sem_km_oracle():
@@ -260,13 +315,6 @@ def sim_ann_lsh(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
     return similarity.ann_topk(embs, queries)
-
-
-@register("sim_ivf_topk", similarity.ivf_topk_oracle_sql(n_queries=N_SIM_QUERIES))
-def sim_ivf_topk(spark, sf_dir):
-    embs = _embs(spark, sf_dir)
-    queries = embs.where(f"vec_id < {N_SIM_QUERIES}")
-    return similarity.ivf_topk(embs, queries)
 
 
 # deterministic duplicate salting for the connected-components gate: the
