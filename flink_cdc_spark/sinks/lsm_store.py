@@ -276,18 +276,28 @@ class LsmStateStore:
         # renames: ordered rename EVENTS (each a list of [old, new] pairs
         # applied simultaneously — one select per event, so a single-event
         # swap reads correctly); legacy flat [old, new] pairs are treated
-        # as single-pair events
-        if renames and isinstance(renames[0][0], str):
-            renames = [[pair] for pair in renames]
+        # as single-pair events. Normalized PER ENTRY, not from entry[0]:
+        # a pre-r14 manifest holds flat pairs in the same list that r14
+        # rename_columns then appends events to, so the list can be MIXED
+        # (ADVICE r14 — deciding the format from renames[0] wrapped the
+        # new-style event too and dict() raised at read time)
+        renames = [
+            [entry] if entry and isinstance(entry[0], str) else entry
+            for entry in renames
+        ]
         for event in renames:
             ev_map = dict(event)
             if any(old in df.columns for old in ev_map):
                 df = df.select(
                     *[F.col(c).alias(ev_map.get(c, c)) for c in df.columns]
                 )
+        have_types = {f.name: f.dataType for f in df.schema.fields}
         cols = []
         for f_ in schema_struct.fields:
-            if f_.name in df.columns:
+            cur_t = have_types.get(f_.name)
+            if cur_t == f_.dataType:
+                cols.append(F.col(f_.name))  # no-op cast elided
+            elif cur_t is not None:
                 cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
             else:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
@@ -385,13 +395,25 @@ class LsmStateStore:
         apply events in order. Pairs whose old name is not in the
         current schema are dropped — that is a crash-replayed rename
         whose first application already landed; re-logging it would
-        corrupt the generation anchors."""
+        corrupt the generation anchors. Pairs whose NEW name already
+        exists are also dropped unless that name is itself an old name
+        within the same event (a swap): a replayed ``RENAME a->b`` that
+        runs after a fresh re-ADD of ``a`` would otherwise see the
+        re-added ``a``, re-apply, and leave the schema with duplicate
+        ``b`` fields and no ``a`` (ADVICE r14 — the replayed rename must
+        no-op; the replayed ADD then converges via the in-have skip)."""
         m = self._load(table)
         if m is None:
             return
         schema_struct = T.StructType.fromJson(json.loads(m["schema"]))
         have = {f.name for f in schema_struct.fields}
-        event = [[old, new] for old, new in mapping if old in have]
+        kept = [[old, new] for old, new in mapping if old in have]
+        olds = {old for old, _ in kept}
+        event = [
+            [old, new]
+            for old, new in kept
+            if not (new in have and new not in olds)
+        ]
         if not event:
             return
         ev_map = dict(event)
@@ -429,8 +451,12 @@ class LsmStateStore:
         [(name, spark DataType, position, anchor)] where position is a
         ColumnPosition name ('FIRST'/'LAST'/'BEFORE'/'AFTER') and anchor
         the existing column for BEFORE/AFTER — the SchemaUtils
-        applyAddColumnEvent ordering (SchemaUtils.java:126-164); absent
-        anchors degrade to LAST. Unlike set_schema, this can be replayed
+        applyAddColumnEvent ordering (SchemaUtils.java:126-164). A
+        BEFORE/AFTER anchor that is None or names no schema column
+        RAISES, matching the reference's Preconditions.checkNotNull on
+        existedColumnName (ADVICE r14 — silent degrade-to-LAST was an
+        ordering divergence); an anchor renamed since the event's epoch
+        is translated forward first, so crash replay still lands. Unlike set_schema, this can be replayed
         against an ALREADY-ahead manifest without regressing it (a
         crash-replayed DDL must never move the schema backwards — a
         compaction run while regressed would bake NULLs into the base;
@@ -472,8 +498,34 @@ class LsmStateStore:
             field = T.StructField(n, t, True)
             if pos == "FIRST":
                 out.insert(0, field)
-            elif pos in ("BEFORE", "AFTER") and anchor in {f.name for f in out}:
-                idx = [f.name for f in out].index(anchor)
+            elif pos in ("BEFORE", "AFTER"):
+                if anchor is None:
+                    raise ValueError(
+                        f"ADD COLUMN {n} {pos}: anchor column is required "
+                        "(SchemaUtils.applyAddColumnEvent checkNotNull)"
+                    )
+                cur_names = [f.name for f in out]
+                a = (
+                    anchor
+                    if anchor in cur_names
+                    else self._translate(m, anchor)
+                )
+                if a not in cur_names:
+                    if anchor in dropped or a in dropped:
+                        # replayed ADD whose anchor was DROPPED after the
+                        # event's epoch: the position is no longer
+                        # observable — land the column, ordered LAST
+                        out.append(field)
+                        have.add(n)
+                        dropped.discard(n)
+                        added_at[n] = [len(log), self._epoch]
+                        changed = True
+                        continue
+                    raise ValueError(
+                        f"ADD COLUMN {n} {pos} {anchor}: anchor not in "
+                        f"schema {cur_names}"
+                    )
+                idx = cur_names.index(a)
                 out.insert(idx if pos == "BEFORE" else idx + 1, field)
             else:
                 out.append(field)

@@ -151,3 +151,83 @@ def test_positioned_add_orders_manifest_schema(spark, tmp_path):
     st.add_columns("db.t", [("mid", T.LongType(), "AFTER", "id")])
     st.add_columns("db.t", [("pre", T.LongType(), "BEFORE", "a")])
     assert st.read("db.t").columns == ["lead", "id", "mid", "pre", "a"]
+
+
+def test_replayed_rename_after_fresh_readd_noops(spark, tmp_path):
+    """ADVICE r14 medium: a crash-replayed batch carrying RENAME a->b
+    followed by a re-ADD of `a` must converge — the replayed rename sees
+    the re-added `a` live and, before the fix, re-applied, leaving the
+    schema ['id','b','b'] (duplicate b, a lost). The rename must no-op
+    when its NEW name already exists and is not part of a swap."""
+    st = _store(spark, tmp_path)
+    _merge(st, spark, "db.t", S_ID_A, [(1, "v")])
+    # first delivery of the batch
+    st.rename_columns("db.t", [("a", "b")])
+    st.add_columns("db.t", [("a", T.LongType())])
+    assert st.read("db.t").columns == ["id", "b", "a"]
+    # crash replay: the same rename + add re-deliver in order
+    st.rename_columns("db.t", [("a", "b")])
+    st.add_columns("db.t", [("a", T.LongType())])
+    out = st.read("db.t")
+    assert out.columns == ["id", "b", "a"]
+    r = out.collect()[0]
+    assert (r.id, r.b, r.a) == (1, "v", None)
+
+
+def test_legacy_flat_renames_mixed_with_events_read(spark, tmp_path):
+    """ADVICE r14 low: a pre-r14 manifest holds flat [old, new] pairs in
+    d['renames']; r14 rename_columns appends a new-style EVENT to that
+    same list. The read path must normalize PER ENTRY — deciding the
+    format from renames[0] wrapped the event too and dict() raised."""
+    st = _store(spark, tmp_path)
+    _merge(st, spark, "db.t", S_ID_A, [(1, "v")])
+    st.rename_columns("db.t", [("a", "b")])
+    # regress the stored delta renames to the legacy flat-pair format
+    m = st._load("db.t")
+    m["deltas"][0]["renames"] = [["a", "b"]]
+    st._store("db.t", m)
+    # post-upgrade rename appends a new-style event to the mixed list
+    st.rename_columns("db.t", [("b", "c")])
+    out = st.read("db.t")
+    assert out.columns == ["id", "c"]
+    assert out.collect()[0].c == "v"
+
+
+def test_before_after_missing_anchor_raises(spark, tmp_path):
+    """ADVICE r14 low: BEFORE/AFTER with a None or unknown anchor must
+    fail loudly (SchemaUtils.applyAddColumnEvent checkNotNull), not
+    silently degrade to LAST."""
+    import pytest
+
+    st = _store(spark, tmp_path)
+    _merge(st, spark, "db.t", S_ID_A, [(1, "v")])
+    with pytest.raises(ValueError, match="anchor column is required"):
+        st.add_columns("db.t", [("n1", T.LongType(), "BEFORE", None)])
+    with pytest.raises(ValueError, match="anchor not in schema"):
+        st.add_columns("db.t", [("n2", T.LongType(), "AFTER", "ghost")])
+    # the schema is untouched by the failed adds
+    assert st.read("db.t").columns == ["id", "a"]
+
+
+def test_after_anchor_renamed_since_event_translates(spark, tmp_path):
+    """A replayed positioned ADD whose anchor was renamed after the
+    event's epoch translates the anchor forward instead of raising —
+    crash replay still lands in the right position."""
+    st = _store(spark, tmp_path)
+    _merge(st, spark, "db.t", S_ID_A, [(1, "v")])
+    st.rename_columns("db.t", [("a", "b")])
+    st.add_columns("db.t", [("n", T.LongType(), "AFTER", "a")])
+    assert st.read("db.t").columns == ["id", "b", "n"]
+
+
+def test_after_anchor_dropped_since_event_lands_last(spark, tmp_path):
+    """A replayed positioned ADD whose anchor was DROPPED after the
+    event's epoch lands (ordered LAST — the position is unobservable);
+    only a genuinely unknown anchor raises."""
+    st = _store(spark, tmp_path)
+    _merge(st, spark, "db.t", S_ID_A, [(1, "v")])
+    st.add_columns("db.t", [("n", T.LongType(), "AFTER", "a")])
+    st.drop_columns("db.t", ["a", "n"])
+    # crash replay of the ADD: anchor `a` is gone, n must still land
+    st.add_columns("db.t", [("n", T.LongType(), "AFTER", "a")])
+    assert st.read("db.t").columns == ["id", "n"]
