@@ -264,7 +264,15 @@ class LsmStateStore:
         if pts:
             writer = writer.partitionBy(*pts)
         writer.parquet(path)
-        m["deltas"].append({"id": cid, "renames": []})
+        delta = {"id": cid, "renames": []}
+        if self._epoch is not None:
+            # epoch provenance: lets a crash-replayed epoch OVERWRITE its
+            # own delta (drop_epoch_deltas) instead of appending a second
+            # one, and keeps the in-flight epoch out of compaction (its
+            # checkpoint hasn't committed — baking it into the base would
+            # make the replay-overwrite impossible)
+            delta["epoch"] = self._epoch
+        m["deltas"].append(delta)
         m["next"] = cid + 1
         self._store(table, m)
         if len(m["deltas"]) >= self.compact_every:
@@ -313,11 +321,17 @@ class LsmStateStore:
         cannot (no pushdown through a PK-partitioned window). Sound for
         any column whose value is immutable per key (partition columns
         are, by the same rule Paimon imposes on partition keys)."""
-        from pyspark.sql import Window
-
         m = self._load(table)
         if m is None:
             return None
+        return self._merged(table, m, m["deltas"], predicate)
+
+    def _merged(self, table: str, m: dict, deltas, predicate=None) -> DataFrame:
+        """Merge-on-read over the base and an explicit delta subset —
+        read() passes every manifest delta; compact() passes only the
+        committed-epoch ones."""
+        from pyspark.sql import Window
+
         schema_struct = T.StructType.fromJson(json.loads(m["schema"]))
         parts = []
         if m["base"] is not None:
@@ -329,7 +343,7 @@ class LsmStateStore:
             if predicate:
                 base = base.where(F.expr(predicate))
             parts.append(base.withColumn(_COMMIT, F.lit(-1)))
-        for d in m["deltas"]:
+        for d in deltas:
             delta = self._read_commit(
                 os.path.join(self._dir(table), f"delta-{d['id']:08d}"),
                 d["renames"],
@@ -360,11 +374,24 @@ class LsmStateStore:
 
     # -- maintenance -------------------------------------------------------
     def compact(self, table: str) -> None:
-        """Fold base + deltas into a new base commit (amortized O(state))."""
+        """Fold base + deltas into a new base commit (amortized O(state)).
+
+        Deltas of the IN-FLIGHT epoch (the one begin_epoch announced) are
+        excluded and stay referenced as deltas: their foreachBatch
+        checkpoint hasn't committed yet, so a crash can still replay the
+        epoch, and the replay-overwrite (drop_epoch_deltas) must be able
+        to unreference them — impossible once baked into the base."""
         m = self._load(table)
         if m is None or not m["deltas"]:
             return
-        state = self.read(table)
+        safe = [
+            d for d in m["deltas"]
+            if self._epoch is None or d.get("epoch") != self._epoch
+        ]
+        in_flight = [d for d in m["deltas"] if d not in safe]
+        if not safe:
+            return
+        state = self._merged(table, m, safe)
         cid = m["next"]
         path = os.path.join(self._dir(table), f"base-{cid:08d}")
         schema_struct = T.StructType.fromJson(json.loads(m["schema"]))
@@ -383,9 +410,39 @@ class LsmStateStore:
         writer.parquet(path)
         m["base"] = cid
         m["base_renames"] = []
-        m["deltas"] = []
+        m["deltas"] = in_flight
         m["next"] = cid + 1
         self._store(table, m)
+
+    def drop_epoch_deltas(self, table: str, from_epoch) -> None:
+        """Unreference every delta whose epoch is >= ``from_epoch`` — the
+        replay-overwrite: a crash-replayed foreachBatch epoch calls this
+        FIRST, so its fold reads the state exactly as of its committed
+        predecessor and its re-merge takes the crashed attempt's place.
+        Epoch-less deltas (non-streaming writers) are never dropped.
+        Sound because foreachBatch is serial: if epoch N re-delivers,
+        no epoch > N ever committed its checkpoint."""
+        m = self._load(table)
+        if m is None:
+            return
+        keep, dropped = [], []
+        for d in m["deltas"]:
+            e = d.get("epoch")
+            if e is not None and e >= from_epoch:
+                dropped.append(d)
+            else:
+                keep.append(d)
+        if not dropped:
+            return
+        m["deltas"] = keep
+        self._store(table, m)
+        import shutil
+
+        for d in dropped:  # best-effort: unreferenced either way
+            shutil.rmtree(
+                os.path.join(self._dir(table), f"delta-{d['id']:08d}"),
+                ignore_errors=True,
+            )
 
     # -- DDL (metadata-only; the MetadataApplier contract) -----------------
     def rename_columns(self, table: str, mapping) -> None:
