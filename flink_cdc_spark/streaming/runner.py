@@ -145,6 +145,7 @@ class StreamingPipelineRunner:
         parallel_metadata: bool = False,
         primary_keys: Optional[dict] = None,
         shuffle_partitions: Optional[int] = None,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.pipeline = pipeline
@@ -163,7 +164,9 @@ class StreamingPipelineRunner:
             # DDL, amortized compaction (sinks/lsm_store.py)
             from ..sinks.lsm_store import LsmStateStore
 
-            self.state = LsmStateStore(spark, state_root)
+            self.state = LsmStateStore(
+                spark, state_root, compact_every=compact_every
+            )
         elif state_backend == "parquet":
             # legacy full-rewrite store (O(state) per batch; kept for
             # comparison and as the simplest possible sink)
