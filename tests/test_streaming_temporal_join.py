@@ -150,11 +150,12 @@ def _model(dim_events, probes):
 
 
 def _run(spark, work, rows, n_epochs, cls=StreamingTemporalJoin,
-         crash=None, phase=None):
+         crash=None, phase=None, compact_every=8):
     tj_args = dict(
         dim_table_id=DIM, probe_table_id=PROBE, dim_key="k",
         payload_cols=["v"], probe_key="pk", probe_ts="pts",
         probe_cols=["pid", "pk", "pts"], n_batches=n_epochs,
+        compact_every=compact_every,
     )
     tj = cls(spark, work, **tj_args)
     if not tj.staged():
@@ -178,9 +179,14 @@ def test_streaming_temporal_join_matches_model(spark, tmp_path, trial,
     rows, dim_events, probes = _gen(rng, n_epochs, n_keys=8)
     crash = rng.randrange(n_epochs) if crash_phase else None
 
+    # odd trials force a compaction after EVERY history delta commit:
+    # crash replay must then drop its own delta from a manifest whose
+    # BASE already folds the committed predecessors (in-flight epochs
+    # are excluded from compaction by design — this pins that rule)
     tj = _run(spark, str(tmp_path / "w"), rows, n_epochs,
               cls=CrashingTemporalJoin if crash_phase else StreamingTemporalJoin,
-              crash=crash, phase=crash_phase)
+              crash=crash, phase=crash_phase,
+              compact_every=1 if trial % 2 else 8)
 
     got = {
         r.pid: (r.v, r.valid_from_ver)
