@@ -4231,7 +4231,10 @@ _PRIORITY: list = [
     # derivation auto-leads 43 r12-stale rows + 4 never-signalled rows (the
     # two r15 capacity-policy merges dedup_exact_family / sim_ivf_family and
     # the two new TPC-H registry rows tpch_q9 / tpch_q21), so this list holds
-    # the remaining 3 of the 50.
+    # the remaining 3 of the 50.  Two of the auto-led r12-stale rows —
+    # streaming_retract_aggregate / streaming_retract_topn — are ALSO
+    # code-touched in r15 (the LSM state-backend conversion); they need no
+    # slot here because staleness already leads them into the window.
     "lake_partitioned_pruning",  # lsm read-path triage (VERDICT r14 item 3)
     "lake_merge_evolution",  # lsm rename-replay + anchor fixes (ADVICE r14)
     "streaming_temporal_join_scd2",  # O(delta) LSM-backed epoch state (item 4)

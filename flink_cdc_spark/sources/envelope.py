@@ -73,3 +73,26 @@ def wrap_as_inserts(df: DataFrame, table_id: str, seq_offset: int = 0) -> DataFr
         F.create_map().cast("map<string,string>").alias(ENVELOPE_META),
         (F.monotonically_increasing_id() + F.lit(seq_offset)).alias(ENVELOPE_SEQ),
     )
+
+
+def wrap_as_upsert_deletes(
+    df: DataFrame, table_id: str, delete_col: str, seq_offset: int = 0
+) -> DataFrame:
+    """Wrap a plain DataFrame as a changelog envelope whose per-row op is
+    DELETE where the boolean column ``delete_col`` is true and INSERT
+    otherwise — the upsert/tombstone delta shape the LSM state store
+    consumes (`sinks/lsm_store.py` reads the before image for deletes,
+    the after image otherwise; both carry the same payload here, since a
+    tombstone only needs its primary-key columns populated)."""
+    payload_cols = [c for c in df.columns if c != delete_col]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    return df.select(
+        F.lit(table_id).alias(ENVELOPE_TABLE_ID),
+        F.when(F.col(delete_col), F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_INSERT))
+        .alias(ENVELOPE_OP),
+        payload.alias("before"),
+        payload.alias("after"),
+        F.create_map().cast("map<string,string>").alias(ENVELOPE_META),
+        (F.monotonically_increasing_id() + F.lit(seq_offset)).alias(ENVELOPE_SEQ),
+    )

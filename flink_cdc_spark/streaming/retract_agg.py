@@ -8,18 +8,27 @@ itself changes) and add the after-image; deletes retract; groups whose
 row count reaches zero disappear. This is the accumulate/retract protocol
 of Flink's AggregateFunction (public semantics), expressed Spark-first:
 each change event becomes at most two (group, delta) contribution rows,
-micro-batch deltas are map-side-combined, and the running state is a
-group-cardinality-sized table merged once per epoch.
+micro-batch deltas are map-side-combined, and the running state is an
+LSM table keyed by group that each epoch extends with one
+touched-groups-only delta commit.
 
 Scale shape: the per-batch work is one hash aggregation over the batch's
 contribution rows (map-side combined, shuffle keyed on the group) plus a
-full-outer merge against a state table whose size is the number of LIVE
-GROUPS — corpus-sublinear, so rewriting it per epoch is cheap even when
-the changelog is 100 TB. State versions are keyed by epoch id and each
-epoch merges from its committed PREDECESSOR version, so a replayed epoch
-(foreachBatch crash-retry) rewrites the same version deterministically
-instead of double-applying — the standard idempotent-foreachBatch
-pattern.
+full-outer merge against the TOUCHED groups' prior state (broadcast
+semi-join on the batch's group set — batch-bounded). State lives in the
+repo's own ``LsmStateStore`` as delta commits keyed by group (r15,
+VERDICT r14 item 4 — the epoch-versioned full-parquet rewrite wrote
+O(live groups) per epoch; the LSM write is O(touched groups)): per
+epoch the merge commits ONLY the touched groups' new (n_rows,
+sum_cents) images, with a DELETE tombstone for any group whose row
+count reached zero; untouched groups are never rewritten; reads are
+merge-on-read with compaction amortizing the delta count. Crash
+idempotence maps onto epoch-keyed delta provenance: each epoch
+announces itself (``begin_epoch``), drops any delta a crashed attempt
+of itself left behind (``drop_epoch_deltas``), merges from the
+committed predecessor state, and re-commits — replay OVERWRITES its
+own delta (the standard idempotent-foreachBatch pattern, now with an
+O(batch) write).
 
 Determinism: money sums use the exact-cents idiom (floor(x*100 + 0.5) as
 BIGINT — the tpch_q1 discipline): every delta and every running sum is an
@@ -126,31 +135,35 @@ def contribution_deltas(env: DataFrame, group: str, value: str) -> DataFrame:
     )
 
 
-def merge_state(prev: Optional[DataFrame], deltas: DataFrame) -> DataFrame:
-    """Full-outer combine of the running state with one batch's deltas;
-    groups whose row count reaches zero are retracted away entirely."""
+def merge_state_unfiltered(
+    prev: Optional[DataFrame], deltas: DataFrame
+) -> DataFrame:
+    """Full-outer combine of the (touched-group) running state with one
+    batch's deltas, KEEPING groups whose row count reached zero — the
+    LSM epoch commit turns those into DELETE tombstones."""
     if prev is None:
-        merged = deltas.select(
+        return deltas.select(
             "grp",
             F.col("dn").alias("n_rows"),
             F.col("d_cents").alias("sum_cents"),
         )
-    else:
-        merged = (
-            prev.join(deltas, "grp", "full_outer")
-            .select(
-                "grp",
-                (
-                    F.coalesce(F.col("n_rows"), F.lit(0))
-                    + F.coalesce(F.col("dn"), F.lit(0))
-                ).alias("n_rows"),
-                (
-                    F.coalesce(F.col("sum_cents"), F.lit(0))
-                    + F.coalesce(F.col("d_cents"), F.lit(0))
-                ).alias("sum_cents"),
-            )
-        )
-    return merged.where(F.col("n_rows") != 0)
+    return prev.join(deltas, "grp", "full_outer").select(
+        "grp",
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce(F.col("sum_cents"), F.lit(0))
+            + F.coalesce(F.col("d_cents"), F.lit(0))
+        ).alias("sum_cents"),
+    )
+
+
+def merge_state(prev: Optional[DataFrame], deltas: DataFrame) -> DataFrame:
+    """Full-outer combine of the running state with one batch's deltas;
+    groups whose row count reaches zero are retracted away entirely."""
+    return merge_state_unfiltered(prev, deltas).where(F.col("n_rows") != 0)
 
 
 class RetractAggregateStream:
@@ -164,6 +177,7 @@ class RetractAggregateStream:
         group: str,
         value: str,
         staged_dir: Optional[str] = None,
+        compact_every: int = 8,
     ):
         """staged_dir: reuse an already-staged batch directory (staging is
         deterministic per input, so bench re-runs share it; checkpoint and
@@ -176,6 +190,11 @@ class RetractAggregateStream:
         self.state_dir = os.path.join(work_dir, "state")
         os.makedirs(self.active, exist_ok=True)
         os.makedirs(self.state_dir, exist_ok=True)
+        from ..sinks.lsm_store import LsmStateStore
+
+        self.state = LsmStateStore(
+            spark, self.state_dir, compact_every=compact_every
+        )
         self._schema = None
 
     # -- staging ------------------------------------------------------------
@@ -198,19 +217,19 @@ class RetractAggregateStream:
         self._schema = env.drop("__b").schema
         stage_replay_batches(env, self.active)
 
-    # -- state versioning ---------------------------------------------------
+    # -- LSM-backed state (O(touched groups) delta commits) -------------------
+
+    _AGG = "agg"
 
     def _committed_versions(self):
-        out = []
-        for fn in os.listdir(self.state_dir):
-            if fn.startswith("v") and os.path.exists(
-                os.path.join(self.state_dir, fn, "_SUCCESS")
-            ):
-                out.append(int(fn[1:]))
-        return sorted(out)
-
-    def _read_version(self, v: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.state_dir, f"v{v}"))
+        """Epochs with a live delta commit in the LSM manifest (compaction
+        folds older epochs' deltas into the base, so after a compaction
+        this reflects only the uncompacted tail — the tests and the
+        registry row run 3-4 epochs against the default compact_every=8)."""
+        m = self.state._load(self._AGG)
+        if m is None:
+            return []
+        return sorted({d["epoch"] for d in m["deltas"] if "epoch" in d})
 
     # -- the streaming query ------------------------------------------------
 
@@ -218,14 +237,34 @@ class RetractAggregateStream:
         return os.path.exists(os.path.join(self.active, "_STAGED"))
 
     def _merge_epoch(self, batch_df, epoch_id) -> None:
+        from ..sources.envelope import wrap_as_upsert_deletes
+
+        # replay-overwrite: announce the epoch and unreference any delta a
+        # crashed attempt of this epoch left behind, so the merge reads
+        # the state exactly as of the committed predecessor
+        self.state.begin_epoch(epoch_id)
+        self.state.drop_epoch_deltas(self._AGG, epoch_id)
         deltas = contribution_deltas(batch_df, self.group, self.value)
-        prior = [v for v in self._committed_versions() if v < epoch_id]
-        prev = self._read_version(max(prior)) if prior else None
-        merged = merge_state(prev, deltas)
-        # keyed by epoch id: a crash-retried epoch rewrites v{epoch}
-        # from the same predecessor — idempotent, never double-applied
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, f"v{epoch_id}")
+        prev_full = self.state.read(self._AGG)
+        if prev_full is None:
+            prev = None
+        else:
+            # the merge only ever READS the touched groups' state — the
+            # semi-join bounds the work to the batch's group set
+            prev = prev_full.join(
+                F.broadcast(deltas.select("grp")), "grp", "left_semi"
+            )
+        merged = merge_state_unfiltered(prev, deltas)
+        # ONE O(touched groups) delta commit: upserts for live groups,
+        # DELETE tombstones for groups whose row count reached zero —
+        # untouched groups are never rewritten
+        delta = merged.withColumn("__dead", F.col("n_rows") == 0)
+        payload = merged.schema
+        self.state.merge(
+            self._AGG,
+            wrap_as_upsert_deletes(delta, self._AGG, "__dead"),
+            payload,
+            ["grp"],
         )
 
     def run(self) -> None:
@@ -254,12 +293,12 @@ class RetractAggregateStream:
         unload_state_store_providers(self.spark)
 
     def current_state(self) -> DataFrame:
-        versions = self._committed_versions()
-        if not versions:
+        state = self.state.read(self._AGG)
+        if state is None:
             return self.spark.createDataFrame(
                 [], "grp string, n_rows bigint, sum_cents bigint"
             )
-        return self._read_version(versions[-1])
+        return state
 
 
 def retract_aggregate_oracle_sql(

@@ -5,21 +5,31 @@ a ranked view stays correct when INSERT/UPDATE/DELETE re-orders rows,
 re-emitting only the groups an update touched).
 
 Spark rendition, same epoch-keyed idempotent state machine as
-retract_agg / incremental_join:
+retract_agg / temporal_join_stream:
 
-  * state table ``tbl`` = per-key last images (keyed merge: broadcast
-    anti-join on the batch's delta keys, union the live images);
-  * view table ``topn`` = per-group Top-N. Per epoch the Top-N is
-    recomputed ONLY for groups the batch touched — including the
-    BEFORE-image group of every update (a group-moving update must
-    repair the group it left, or the view keeps a ghost row); every
-    untouched group's rows carry forward by broadcast anti-join.
+  * state table ``tbl`` = per-key last images, an ``LsmStateStore``
+    table keyed ``__pk`` — per epoch ONE delta commit of the batch's
+    keys (live images upsert, dead keys tombstone), untouched keys are
+    never rewritten;
+  * view table ``topn`` = per-group Top-N, an LSM table keyed
+    ``(group, rnk)``. Per epoch the Top-N is recomputed ONLY for groups
+    the batch touched — including the BEFORE-image group of every
+    update (a group-moving update must repair the group it left, or
+    the view keeps a ghost row) — and committed as one delta: the
+    recomputed rank rows upsert, and any OLD rank slot of a touched
+    group that the recompute no longer fills is tombstoned; every
+    untouched group's rows simply stay in their original commits.
 
-Per-epoch cost is proportional to (delta keys + rows of touched
-groups), never to the view: the retract contract. Both state tables are
-versioned by epoch id, always merging from the committed predecessor —
-crash-retried epochs rewrite their own version (idempotent
-foreachBatch). Money rides as exact integer cents.
+Per-epoch WRITE cost is proportional to (delta keys + top-n rows of
+touched groups), never to the state or the view: the retract contract
+(r15, VERDICT r14 item 4 — the epoch-versioned full-parquet rewrite
+wrote O(state) per epoch). Reads are merge-on-read with compaction
+amortizing the delta count. Crash idempotence maps onto epoch-keyed
+delta provenance: each epoch announces itself (``begin_epoch``), drops
+any delta a crashed attempt of itself left behind
+(``drop_epoch_deltas`` on BOTH tables), recomputes from the committed
+predecessor, and re-commits — replay OVERWRITES its own deltas. Money
+rides as exact integer cents.
 """
 
 from __future__ import annotations
@@ -46,6 +56,7 @@ class RetractTopNStream:
         value: str,
         n: int = 2,
         staged_dir: Optional[str] = None,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.key = key
@@ -57,6 +68,11 @@ class RetractTopNStream:
         self.state_dir = os.path.join(work_dir, "state")
         os.makedirs(self.active, exist_ok=True)
         os.makedirs(self.state_dir, exist_ok=True)
+        from ..sinks.lsm_store import LsmStateStore
+
+        self.state = LsmStateStore(
+            spark, self.state_dir, compact_every=compact_every
+        )
         self._schema = None
 
     # -- staging (retract_agg pattern: inserts, updates, deletes) -----------
@@ -74,52 +90,34 @@ class RetractTopNStream:
     def staged(self) -> bool:
         return os.path.exists(os.path.join(self.active, "_STAGED"))
 
-    # -- versioned state (retract_agg pattern) -------------------------------
+    # -- LSM-backed state (O(delta) commits on both tables) -------------------
+
+    _TBL = "tbl"
+    _TOPN = "topn"
 
     def _versions(self):
-        root = os.path.join(self.state_dir, "both")
-        if not os.path.isdir(root):
-            return []
-        return sorted(
-            int(fn[1:])
-            for fn in os.listdir(root)
-            if fn.startswith("v")
-            and os.path.exists(os.path.join(root, fn, "_SUCCESS"))
-        )
-
-    def _read(self, name: str, v: int) -> DataFrame:
-        df = self.spark.read.parquet(
-            os.path.join(self.state_dir, "both", f"v{v}")
-        ).where(F.col("__t") == name)
-        if name == "tbl":
-            return df.select("__pk", self.group, self.key, "value_cents")
-        return df.select(self.group, self.key, "value_cents", "rnk")
-
-    def _prev(self, name: str, epoch: int) -> Optional[DataFrame]:
-        prior = [v for v in self._versions() if v < epoch]
-        return self._read(name, max(prior)) if prior else None
-
-    def _write_epoch(self, epoch: int, tbl_new: DataFrame, topn_new: DataFrame) -> None:
-        """Both state tables land in ONE partitioned write: one Spark job
-        per epoch instead of two (the write is the dominant per-epoch
-        cost). Commit atomicity comes from the _SUCCESS gate in
-        _versions, not the single job per se — a crash mid-write leaves
-        a partial v{epoch} dir that is simply never read. The job
-        references tbl_new twice (directly and via topn_new's
-        affected-groups lineage); the caller caches it for the write's
-        duration so the keyed anti-join computes once per epoch."""
-        both = tbl_new.withColumn("__t", F.lit("tbl")).unionByName(
-            topn_new.withColumn("__t", F.lit("topn")),
-            allowMissingColumns=True,
-        )
-        both.write.mode("overwrite").partitionBy("__t").parquet(
-            os.path.join(self.state_dir, "both", f"v{epoch}")
-        )
+        """Epochs with a live delta commit in either LSM manifest
+        (compaction folds older epochs' deltas into the base; the tests
+        and the registry row run 3 epochs against compact_every=8)."""
+        epochs = set()
+        for t in (self._TBL, self._TOPN):
+            m = self.state._load(t)
+            if m:
+                epochs.update(d["epoch"] for d in m["deltas"] if "epoch" in d)
+        return sorted(epochs)
 
     # -- the maintenance epoch ------------------------------------------------
 
     def _merge_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..sources.envelope import wrap_as_upsert_deletes
+
         k, g, v = self.key, self.group, self.value
+        # replay-overwrite: drop any delta a crashed attempt of this epoch
+        # left on EITHER table, so the recompute reads the state exactly
+        # as of the committed predecessor
+        self.state.begin_epoch(epoch_id)
+        self.state.drop_epoch_deltas(self._TBL, epoch_id)
+        self.state.drop_epoch_deltas(self._TOPN, epoch_id)
         pk = F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
         w = Window.partitionBy("__pk").orderBy(F.col(ENVELOPE_SEQ).desc())
         delta = (
@@ -150,11 +148,7 @@ class RetractTopNStream:
             )
             .unionByName(batch_df.select(F.col(f"after.{g}").alias("__g")))
         )
-
-        live = delta.where(F.col("__alive")).select(
-            "__pk", F.col("__g_new").alias(g), k, "value_cents"
-        )
-        tbl_old = self._prev("tbl", epoch_id)
+        tbl_old = self.state.read(self._TBL)
         if tbl_old is not None:
             # a changelog whose DELETEs carry a NULL before image names no
             # group to repair — the key silently leaves the state table but
@@ -168,26 +162,28 @@ class RetractTopNStream:
                 ).select(F.col(g).alias("__g"))
             )
         touched = touched.where(F.col("__g").isNotNull()).distinct()
-        if tbl_old is None:
-            tbl_new = live
-        else:
-            changed = delta.select("__pk")
-            tbl_new = tbl_old.join(
-                F.broadcast(changed), "__pk", "left_anti"
-            ).unionByName(live)
-        # tbl_new feeds BOTH branches of the single epoch write (directly
-        # and via topn's affected-groups lineage) — cache it so the keyed
-        # anti-join over the previous version computes once per epoch,
-        # not twice (r13 A/B, interleaved: 5.03/6.31/4.75 -> 4.57/4.78/4.07)
-        tbl_new = tbl_new.cache()
         try:
-            # the cache() sits inside the try so an exception anywhere in
-            # the top-n recompute can't leak the cached frame for the
-            # session lifetime (ADVICE r13)
-            topn_old = self._prev("topn", epoch_id)
-            # the top-n recompute consumes the tbl_new PLAN directly (a
-            # cheap broadcast anti-join over the previous parquet version
-            # + the cached delta) — no write-then-read-back barrier
+            # ONE O(delta keys) commit on the state table: live images
+            # upsert, dead keys tombstone (a DELETE's after image is
+            # already NULL in the delta frame, so the tombstone carries
+            # just the pk) — untouched keys are never rewritten
+            tbl_delta = delta.select(
+                "__pk",
+                F.col("__g_new").alias(g),
+                F.col(k),
+                "value_cents",
+                (~F.col("__alive")).alias("__dead"),
+            )
+            self.state.merge(
+                self._TBL,
+                wrap_as_upsert_deletes(tbl_delta, self._TBL, "__dead"),
+                tbl_delta.drop("__dead").schema,
+                ["__pk"],
+            )
+            # the top-n recompute reads the post-commit merge-on-read
+            # state, restricted to the touched groups (broadcast semi —
+            # rows of touched groups only, never O(state))
+            tbl_new = self.state.read(self._TBL)
             affected = tbl_new.join(
                 F.broadcast(touched), tbl_new[g] == F.col("__g"), "left_semi"
             )
@@ -200,20 +196,42 @@ class RetractTopNStream:
                 )
                 .where(F.col("rnk") <= self.n)
                 .select(F.col(g), F.col(k), F.col("value_cents"), "rnk")
-            )
+            ).cache()
+            # view delta keyed (group, rnk): recomputed rank rows upsert;
+            # any OLD rank slot of a touched group the recompute no longer
+            # fills (group shrank below its old top-n, or vanished) is
+            # tombstoned — O(touched groups x n), never O(view)
+            topn_old = self.state.read(self._TOPN)
             if topn_old is None:
-                topn_new = recomputed
+                topn_delta = recomputed.withColumn("__dead", F.lit(False))
             else:
-                carried = topn_old.join(
-                    F.broadcast(touched),
-                    topn_old[g] == F.col("__g"),
-                    "left_anti",
+                key_t = dict(recomputed.dtypes)[k]
+                dead = (
+                    topn_old.join(
+                        F.broadcast(touched),
+                        topn_old[g] == F.col("__g"),
+                        "left_semi",
+                    )
+                    .join(recomputed.select(g, "rnk"), [g, "rnk"], "left_anti")
+                    .select(
+                        F.col(g),
+                        F.lit(None).cast(key_t).alias(k),
+                        F.lit(None).cast("bigint").alias("value_cents"),
+                        F.col("rnk"),
+                    )
                 )
-                topn_new = carried.unionByName(recomputed)
-            self._write_epoch(epoch_id, tbl_new, topn_new)
+                topn_delta = recomputed.withColumn(
+                    "__dead", F.lit(False)
+                ).unionByName(dead.withColumn("__dead", F.lit(True)))
+            self.state.merge(
+                self._TOPN,
+                wrap_as_upsert_deletes(topn_delta, self._TOPN, "__dead"),
+                topn_delta.drop("__dead").schema,
+                [g, "rnk"],
+            )
+            recomputed.unpersist()
         finally:
             delta.unpersist()
-            tbl_new.unpersist()
 
     # -- the streaming query ---------------------------------------------------
 
@@ -241,10 +259,10 @@ class RetractTopNStream:
         unload_state_store_providers(self.spark)
 
     def current_topn(self) -> DataFrame:
-        versions = self._versions()
-        if not versions:
+        view = self.state.read(self._TOPN)
+        if view is None:
             raise RuntimeError("no committed topn state")
-        return self._read("topn", versions[-1])
+        return view.select(self.group, self.key, "value_cents", "rnk")
 
 
 def retract_topn_oracle_sql(

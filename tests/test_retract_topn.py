@@ -139,3 +139,54 @@ def test_delete_with_null_before_image_leaves_no_ghost(spark, tmp_path):
         ("A", 1): (2, 5000),   # ghost of k=1 gone, runner-up leads
         ("B", 1): (3, 1000),
     }
+
+
+def test_per_epoch_writes_are_o_delta(spark, tmp_path):
+    """VERDICT r14 item 4 'done' gate for this machine: BOTH per-epoch
+    state writes are delta-bounded, asserted on the LSM delta files —
+    the `tbl` delta holds one row per batch key (upsert or tombstone),
+    the `topn` delta holds only the touched groups' recomputed rank
+    rows plus tombstones for rank slots the recompute no longer fills;
+    untouched keys and groups are never rewritten. (The old
+    epoch-versioned parquet state rewrote the FULL table + view every
+    epoch.)"""
+    rows = [
+        # epoch 0 (inserts): A(k1 100, k2 50, k3 25) B(k4 10, k5 5)
+        (OP_INSERT, None, _row(1, "A", 100.0), 1),
+        (OP_INSERT, None, _row(2, "A", 50.0), 2),
+        (OP_INSERT, None, _row(3, "A", 25.0), 3),
+        (OP_INSERT, None, _row(4, "B", 10.0), 4),
+        (OP_INSERT, None, _row(5, "B", 5.0), 5),
+        # epoch 1 (updates): k3 climbs within A -> touches only A
+        (OP_UPDATE, _row(3, "A", 25.0), _row(3, "A", 75.0), 10),
+        # epoch 2 (deletes): k5 leaves B -> B shrinks to one row
+        (OP_DELETE, _row(5, "B", 5.0), None, 20),
+    ]
+    tn = _build(spark, tmp_path, rows)
+
+    def frames(table):
+        m = tn.state._load(table)
+        return {
+            d["epoch"]: spark.read.parquet(
+                str(tmp_path / "work" / "state" / table
+                    / f"delta-{d['id']:08d}")
+            )
+            for d in m["deltas"]
+        }
+
+    tbl = frames("tbl")
+    assert {e: df.count() for e, df in tbl.items()} == {0: 5, 1: 1, 2: 1}
+    # untouched key k2 is written exactly once (its insert epoch)
+    hits = [e for e, df in tbl.items()
+            if df.where(F.col("k") == 2).count() > 0]
+    assert hits == [0], f"key 2 rewritten in epochs {hits}"
+
+    topn = frames("topn")
+    # epoch 0: both groups' top-2 = 4 rows; epoch 1: A's recomputed
+    # top-2; epoch 2: B's new top-1 + a tombstone for B's old rnk-2 slot
+    assert {e: df.count() for e, df in topn.items()} == {0: 4, 1: 2, 2: 2}
+    assert topn[1].where(F.col("g") == "B").count() == 0
+    assert topn[2].where(F.col("__deleted")).count() == 1
+
+    got = sorted((r.g, r.rnk, r.k) for r in tn.current_topn().collect())
+    assert got == [("A", 1, 1), ("A", 2, 3), ("B", 1, 4)]
