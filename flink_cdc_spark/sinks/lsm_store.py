@@ -360,7 +360,12 @@ class LsmStateStore:
         for p in parts[1:]:
             merged = merged.unionByName(p)
         pks = m.get("pks") or []
-        if pks:
+        # single-commit reads skip the pk window entirely: every commit
+        # is pk-unique by construction (merge() dedups by seq within the
+        # batch; a compacted base is the windowed merge itself), so with
+        # one part there is nothing to resolve — this drops the read's
+        # only shuffle for fully-compacted tables and first-epoch state
+        if pks and len(parts) > 1:
             w = Window.partitionBy(*pks).orderBy(
                 F.col(_COMMIT).desc(), F.col(ENVELOPE_SEQ).desc()
             )

@@ -180,10 +180,20 @@ class RetractTopNStream:
                 tbl_delta.drop("__dead").schema,
                 ["__pk"],
             )
-            # the top-n recompute reads the post-commit merge-on-read
-            # state, restricted to the touched groups (broadcast semi —
-            # rows of touched groups only, never O(state))
-            tbl_new = self.state.read(self._TBL)
+            # the top-n recompute consumes the post-commit state as a
+            # PLAN built from frames already in hand — predecessor state
+            # minus the delta's keys plus the live images is exactly what
+            # a post-commit merge-on-read would resolve, without a second
+            # windowed read of every commit (broadcast anti, no shuffle)
+            live = delta.where(F.col("__alive")).select(
+                "__pk", F.col("__g_new").alias(g), k, "value_cents"
+            )
+            if tbl_old is None:
+                tbl_new = live
+            else:
+                tbl_new = tbl_old.join(
+                    F.broadcast(delta.select("__pk")), "__pk", "left_anti"
+                ).unionByName(live)
             affected = tbl_new.join(
                 F.broadcast(touched), tbl_new[g] == F.col("__g"), "left_semi"
             )
