@@ -1673,8 +1673,9 @@ def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     as three micro-batches (inserts, then the group-MOVING updates —
     o_orderstatus flips to 'U' — then deletes),
     each epoch merging map-side-combined (group, delta) contributions
-    into a group-cardinality state table keyed by epoch id (idempotent
-    foreachBatch). The maintained state must equal a from-scratch
+    into an LSM state table keyed by group — one touched-groups-only
+    delta commit per epoch, replay-overwritten by epoch provenance
+    (idempotent foreachBatch). The maintained state must equal a from-scratch
     aggregate over the post-changelog final state — the oracle. Money in
     exact integer cents (tpch_q1 discipline)."""
     import hashlib
@@ -1719,9 +1720,11 @@ def streaming_retract_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Top-N maintained under the orders changelog (Flink
     SQL's retract rank operator): each epoch recomputes the Top-2 only
     for customer groups the batch touched — including the BEFORE-image
-    group of updates — and carries every other group forward; the
-    maintained view must equal a from-scratch row_number() over the
-    post-changelog final state (the oracle). Money in exact cents."""
+    group of updates — and commits just those groups' rank rows (plus
+    tombstones for vacated rank slots) as LSM deltas; untouched groups
+    stay in their original commits. The maintained view must equal a
+    from-scratch row_number() over the post-changelog final state (the
+    oracle). Money in exact cents."""
     import hashlib
     import tempfile
 

@@ -200,9 +200,17 @@ class LsmStateStore:
         return T.StructType(fields)
 
     def merge(self, table: str, env: DataFrame, target_struct, primary_keys,
-              partition_keys=()) -> None:
+              partition_keys=(), batch_unique: bool = False) -> None:
         """Append one delta commit from an envelope batch (already coerced
         to target_struct). O(batch) — never touches existing state.
+
+        ``batch_unique``: the caller guarantees at most one row per
+        primary key in this batch (true for the epoch-state machines,
+        whose deltas are aggregation/last-image outputs), so the
+        within-batch seq-dedup window — one shuffle per commit — is
+        skipped. Commit-level pk-uniqueness is what read()'s
+        merge-on-read and the single-part window skip rely on, so only
+        set this when uniqueness holds by construction.
 
         ``partition_keys`` (the Paimon `partition.key` sink option /
         Schema.partitionKeys — PaimonMetadataApplier.java:157-165): delta
@@ -250,7 +258,7 @@ class LsmStateStore:
             (F.col(ENVELOPE_OP) == OP_DELETE).alias(_TOMBSTONE),
             F.col(ENVELOPE_SEQ).alias(ENVELOPE_SEQ),
         )
-        if primary_keys:
+        if primary_keys and not batch_unique:
             w = Window.partitionBy(*primary_keys).orderBy(F.col(ENVELOPE_SEQ).desc())
             rows = (
                 rows.withColumn("__rn", F.row_number().over(w))

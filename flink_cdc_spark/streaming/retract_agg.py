@@ -265,6 +265,7 @@ class RetractAggregateStream:
             wrap_as_upsert_deletes(delta, self._AGG, "__dead"),
             payload,
             ["grp"],
+            batch_unique=True,  # one row per group: a groupBy output
         )
 
     def run(self) -> None:

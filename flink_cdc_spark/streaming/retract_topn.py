@@ -5,20 +5,30 @@ a ranked view stays correct when INSERT/UPDATE/DELETE re-orders rows,
 re-emitting only the groups an update touched).
 
 Spark rendition, same epoch-keyed idempotent state machine as
-retract_agg / temporal_join_stream:
+retract_agg / temporal_join_stream. Both state planes live in ONE
+``LsmStateStore`` table, union-tagged by ``__t`` and hive-partitioned
+on it (the machine's proven single-write-job epoch commit, now with
+O(delta) volume):
 
-  * state table ``tbl`` = per-key last images, an ``LsmStateStore``
-    table keyed ``__pk`` — per epoch ONE delta commit of the batch's
-    keys (live images upsert, dead keys tombstone), untouched keys are
-    never rewritten;
-  * view table ``topn`` = per-group Top-N, an LSM table keyed
-    ``(group, rnk)``. Per epoch the Top-N is recomputed ONLY for groups
-    the batch touched — including the BEFORE-image group of every
-    update (a group-moving update must repair the group it left, or
-    the view keeps a ghost row) — and committed as one delta: the
-    recomputed rank rows upsert, and any OLD rank slot of a touched
-    group that the recompute no longer fills is tombstoned; every
-    untouched group's rows simply stay in their original commits.
+  * plane ``tbl`` = per-key last images — the batch's keys only (live
+    images upsert, dead keys tombstone), untouched keys are never
+    rewritten;
+  * plane ``topn`` = the per-group Top-N view. Per epoch the Top-N is
+    recomputed ONLY for groups the batch touched — including the
+    BEFORE-image group of every update (a group-moving update must
+    repair the group it left, or the view keeps a ghost row) — and the
+    recomputed rank rows upsert while every touched group's rank slots
+    ABOVE its recomputed count are tombstoned unconditionally (slots
+    beyond n never exist in the view, so count+1..n covers every
+    vacated slot and a tombstone for a never-filled slot is a no-op
+    under merge-on-read). No read of the old view is needed at all.
+
+The two planes share a surrogate key (``__t``, ``__k1``, ``__k2``) —
+(plane, key-as-string, 0) for images, (plane, group-as-string, rank)
+for view rows — so one pk-unique delta commit carries both and the
+epoch write stays a single all-or-nothing Spark job. Per-plane reads
+pass ``__t`` as the read predicate: it prunes whole hive partitions at
+file listing and, being a pk column, commutes with the merge window.
 
 Per-epoch WRITE cost is proportional to (delta keys + top-n rows of
 touched groups), never to the state or the view: the retract contract
@@ -27,9 +37,9 @@ wrote O(state) per epoch). Reads are merge-on-read with compaction
 amortizing the delta count. Crash idempotence maps onto epoch-keyed
 delta provenance: each epoch announces itself (``begin_epoch``), drops
 any delta a crashed attempt of itself left behind
-(``drop_epoch_deltas`` on BOTH tables), recomputes from the committed
-predecessor, and re-commits — replay OVERWRITES its own deltas. Money
-rides as exact integer cents.
+(``drop_epoch_deltas``), recomputes from the committed predecessor,
+and re-commits — replay OVERWRITES its own delta. Money rides as
+exact integer cents.
 """
 
 from __future__ import annotations
@@ -90,21 +100,27 @@ class RetractTopNStream:
     def staged(self) -> bool:
         return os.path.exists(os.path.join(self.active, "_STAGED"))
 
-    # -- LSM-backed state (O(delta) commits on both tables) -------------------
+    # -- LSM-backed state (one O(delta) union-tagged commit per epoch) -------
 
-    _TBL = "tbl"
-    _TOPN = "topn"
+    _BOTH = "both"
+    _PKS = ["__t", "__k1", "__k2"]
 
     def _versions(self):
-        """Epochs with a live delta commit in either LSM manifest
+        """Epochs with a live delta commit in the LSM manifest
         (compaction folds older epochs' deltas into the base; the tests
         and the registry row run 3 epochs against compact_every=8)."""
-        epochs = set()
-        for t in (self._TBL, self._TOPN):
-            m = self.state._load(t)
-            if m:
-                epochs.update(d["epoch"] for d in m["deltas"] if "epoch" in d)
-        return sorted(epochs)
+        m = self.state._load(self._BOTH)
+        if m is None:
+            return []
+        return sorted({d["epoch"] for d in m["deltas"] if "epoch" in d})
+
+    def _read_plane(self, plane: str) -> Optional[DataFrame]:
+        state = self.state.read(self._BOTH, predicate=f"__t = '{plane}'")
+        if state is None:
+            return None
+        if plane == "tbl":
+            return state.select("__pk", self.group, self.key, "value_cents")
+        return state.select(self.group, self.key, "value_cents", "rnk")
 
     # -- the maintenance epoch ------------------------------------------------
 
@@ -112,12 +128,11 @@ class RetractTopNStream:
         from ..sources.envelope import wrap_as_upsert_deletes
 
         k, g, v = self.key, self.group, self.value
-        # replay-overwrite: drop any delta a crashed attempt of this epoch
-        # left on EITHER table, so the recompute reads the state exactly
-        # as of the committed predecessor
+        # replay-overwrite: drop any delta a crashed attempt of this
+        # epoch left behind, so the recompute reads the state exactly as
+        # of the committed predecessor
         self.state.begin_epoch(epoch_id)
-        self.state.drop_epoch_deltas(self._TBL, epoch_id)
-        self.state.drop_epoch_deltas(self._TOPN, epoch_id)
+        self.state.drop_epoch_deltas(self._BOTH, epoch_id)
         pk = F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
         w = Window.partitionBy("__pk").orderBy(F.col(ENVELOPE_SEQ).desc())
         delta = (
@@ -128,7 +143,7 @@ class RetractTopNStream:
                 "__pk",
                 (F.col(ENVELOPE_OP) != OP_DELETE).alias("__alive"),
                 F.col(f"after.{g}").alias("__g_new"),
-                # the state table stores ONLY the ranked attributes —
+                # the state plane stores ONLY the ranked attributes —
                 # group, key, exact-cents value — not the full payload:
                 # per-epoch state write volume is O(keys x 3 columns),
                 # not O(keys x table width)
@@ -148,12 +163,12 @@ class RetractTopNStream:
             )
             .unionByName(batch_df.select(F.col(f"after.{g}").alias("__g")))
         )
-        tbl_old = self.state.read(self._TBL)
+        tbl_old = self._read_plane("tbl")
         if tbl_old is not None:
             # a changelog whose DELETEs carry a NULL before image names no
-            # group to repair — the key silently leaves the state table but
-            # its old topn row would survive as a ghost. The state table's
-            # own current group for every delta key closes that hole (and
+            # group to repair — the key silently leaves the state plane but
+            # its old topn row would survive as a ghost. The plane's own
+            # current group for every delta key closes that hole (and
             # subsumes before.g when images are complete); one semi-join
             # against the broadcast delta keyset, bounded by the delta.
             touched = touched.unionByName(
@@ -163,28 +178,28 @@ class RetractTopNStream:
             )
         touched = touched.where(F.col("__g").isNotNull()).distinct()
         try:
-            # ONE O(delta keys) commit on the state table: live images
+            pk_t = dict(delta.dtypes)["__pk"]
+            key_t = dict(delta.dtypes)[k]
+            # image plane rows: the batch's keys only — live images
             # upsert, dead keys tombstone (a DELETE's after image is
             # already NULL in the delta frame, so the tombstone carries
-            # just the pk) — untouched keys are never rewritten
-            tbl_delta = delta.select(
-                "__pk",
+            # just the pk); untouched keys are never rewritten
+            tbl_plane = delta.select(
+                F.lit("tbl").alias("__t"),
+                F.col("__pk").cast("string").alias("__k1"),
+                F.lit(0).cast("bigint").alias("__k2"),
+                F.col("__pk"),
                 F.col("__g_new").alias(g),
                 F.col(k),
-                "value_cents",
+                F.col("value_cents"),
+                F.lit(None).cast("bigint").alias("rnk"),
                 (~F.col("__alive")).alias("__dead"),
             )
-            self.state.merge(
-                self._TBL,
-                wrap_as_upsert_deletes(tbl_delta, self._TBL, "__dead"),
-                tbl_delta.drop("__dead").schema,
-                ["__pk"],
-            )
-            # the top-n recompute consumes the post-commit state as a
-            # PLAN built from frames already in hand — predecessor state
-            # minus the delta's keys plus the live images is exactly what
-            # a post-commit merge-on-read would resolve, without a second
-            # windowed read of every commit (broadcast anti, no shuffle)
+            # the top-n recompute consumes the post-commit image state as
+            # a PLAN built from frames already in hand — predecessor
+            # plane minus the delta's keys plus the live images is
+            # exactly what a post-commit merge-on-read would resolve
+            # (broadcast anti, no shuffle, no second windowed read)
             live = delta.where(F.col("__alive")).select(
                 "__pk", F.col("__g_new").alias(g), k, "value_cents"
             )
@@ -207,37 +222,60 @@ class RetractTopNStream:
                 .where(F.col("rnk") <= self.n)
                 .select(F.col(g), F.col(k), F.col("value_cents"), "rnk")
             ).cache()
-            # view delta keyed (group, rnk): recomputed rank rows upsert;
-            # any OLD rank slot of a touched group the recompute no longer
-            # fills (group shrank below its old top-n, or vanished) is
-            # tombstoned — O(touched groups x n), never O(view)
-            topn_old = self.state.read(self._TOPN)
-            if topn_old is None:
-                topn_delta = recomputed.withColumn("__dead", F.lit(False))
-            else:
-                key_t = dict(recomputed.dtypes)[k]
-                dead = (
-                    topn_old.join(
-                        F.broadcast(touched),
-                        topn_old[g] == F.col("__g"),
-                        "left_semi",
-                    )
-                    .join(recomputed.select(g, "rnk"), [g, "rnk"], "left_anti")
-                    .select(
-                        F.col(g),
-                        F.lit(None).cast(key_t).alias(k),
-                        F.lit(None).cast("bigint").alias("value_cents"),
-                        F.col("rnk"),
-                    )
+            up_plane = recomputed.select(
+                F.lit("topn").alias("__t"),
+                F.col(g).cast("string").alias("__k1"),
+                F.col("rnk").alias("__k2"),
+                F.lit(None).cast(pk_t).alias("__pk"),
+                F.col(g),
+                F.col(k),
+                F.col("value_cents"),
+                F.col("rnk"),
+                F.lit(False).alias("__dead"),
+            )
+            # vacated rank slots: every touched group's slots above its
+            # recomputed count, tombstoned unconditionally — O(touched
+            # groups x n), and no read of the old view
+            cnts = recomputed.groupBy(g).agg(F.count("*").alias("__cnt"))
+            dead_plane = (
+                touched.join(cnts, touched["__g"] == cnts[g], "left")
+                .select(
+                    F.col("__g"),
+                    F.coalesce(F.col("__cnt"), F.lit(0)).alias("__cnt"),
                 )
-                topn_delta = recomputed.withColumn(
-                    "__dead", F.lit(False)
-                ).unionByName(dead.withColumn("__dead", F.lit(True)))
+                .where(F.col("__cnt") < self.n)
+                .select(
+                    F.col("__g"),
+                    F.explode(
+                        F.sequence(
+                            (F.col("__cnt") + 1).cast("bigint"),
+                            F.lit(self.n).cast("bigint"),
+                        )
+                    ).alias("rnk"),
+                )
+                .select(
+                    F.lit("topn").alias("__t"),
+                    F.col("__g").cast("string").alias("__k1"),
+                    F.col("rnk").alias("__k2"),
+                    F.lit(None).cast(pk_t).alias("__pk"),
+                    F.col("__g").alias(g),
+                    F.lit(None).cast(key_t).alias(k),
+                    F.lit(None).cast("bigint").alias("value_cents"),
+                    F.col("rnk"),
+                    F.lit(True).alias("__dead"),
+                )
+            )
+            combined = tbl_plane.unionByName(up_plane).unionByName(dead_plane)
+            # ONE pk-unique delta commit carries both planes — a single
+            # all-or-nothing write job per epoch, hive-partitioned on the
+            # plane tag so per-plane reads prune at file listing
             self.state.merge(
-                self._TOPN,
-                wrap_as_upsert_deletes(topn_delta, self._TOPN, "__dead"),
-                topn_delta.drop("__dead").schema,
-                [g, "rnk"],
+                self._BOTH,
+                wrap_as_upsert_deletes(combined, self._BOTH, "__dead"),
+                combined.drop("__dead").schema,
+                self._PKS,
+                partition_keys=["__t"],
+                batch_unique=True,
             )
             recomputed.unpersist()
         finally:
@@ -269,10 +307,10 @@ class RetractTopNStream:
         unload_state_store_providers(self.spark)
 
     def current_topn(self) -> DataFrame:
-        view = self.state.read(self._TOPN)
+        view = self._read_plane("topn")
         if view is None:
             raise RuntimeError("no committed topn state")
-        return view.select(self.group, self.key, "value_cents", "rnk")
+        return view
 
 
 def retract_topn_oracle_sql(

@@ -146,11 +146,15 @@ class StreamingTemporalJoin:
             "is_current",
         ]
         delta = delta.select(*cols)
+        # batch_unique: a close rewrites a version whose ordinal is <= the
+        # key's pre-batch base, new rows carry ordinals strictly above it
+        # — no (key, valid_from_ver) repeats within one fold's delta
         self.state.merge(
             self._HIST,
             wrap_as_inserts(delta, self._HIST),
             delta.schema,
             [self.dim_key, "valid_from_ver"],
+            batch_unique=True,
         )
 
     # -- the maintenance epoch -------------------------------------------------

@@ -13,12 +13,12 @@ same-content overwrite (versioned state / epoch-keyed emission), never
 an append. Machines covered: RetractAggregateStream, RetractTopNStream,
 IncrementalJoinView, streaming_ttl_dedup.
 
-r15 additions for the LSM-backed retract machines: half the trials
+r15 addition for the LSM-backed retract machines: half the trials
 force a compaction after every merge (compact_every=1, so the
-crash-replay window always contains one), and MidCrashTopN injects a
-crash BETWEEN retract_topn's two per-epoch LSM commits (tbl landed,
-topn didn't — a seam the old all-or-nothing single write didn't
-have)."""
+crash-replay window always contains one). retract_topn's epoch commit
+carries both state planes in ONE union-tagged LSM delta, so there is
+no between-commits crash state to inject — the epoch write stays
+all-or-nothing by construction."""
 
 import os
 import random
@@ -361,76 +361,3 @@ def test_ttl_dedup_crash_restart(spark, tmp_path, trial):
     )
     assert got == want, f"crash at epoch {epoch}/{phase} diverged"
 
-
-class MidCrashTopN(RetractTopNStream):
-    """Crash BETWEEN the two LSM commits inside one epoch — the state
-    table's delta landed, the view table's didn't. This seam exists only
-    in the r15 LSM backend (the old single-write epoch commit was
-    all-or-nothing); on replay, drop_epoch_deltas must unreference the
-    dangling `tbl` delta so the recompute reads the committed
-    predecessor on BOTH tables."""
-
-    def arm_mid(self, epoch):
-        self._mid = epoch
-
-    def _merge_epoch(self, batch_df, epoch_id):
-        if getattr(self, "_mid", None) != epoch_id:
-            return super()._merge_epoch(batch_df, epoch_id)
-        orig = self.state.merge
-
-        def wrapped(table, *a, **k):
-            if table == self._TOPN:
-                raise _Crash(f"mid-epoch crash before topn commit, "
-                             f"epoch {epoch_id}")
-            return orig(table, *a, **k)
-
-        self._mid = None
-        self.state.merge = wrapped
-        try:
-            super()._merge_epoch(batch_df, epoch_id)
-        finally:
-            del self.state.merge  # restore the bound method
-
-
-@pytest.mark.parametrize("trial", range(2))
-def test_retract_topn_mid_epoch_crash_between_commits(spark, tmp_path, trial):
-    rng = random.Random(SEED + 300 + trial)
-    ops = _random_kv_changelog(rng)
-    env = _kv_env(spark, ops)
-
-    base = RetractTopNStream(spark, str(tmp_path / "base"),
-                             key="k", group="g", value="val", n=2)
-    base.stage(env)
-    base.run()
-    want = sorted((r.g, r.rnk, r.k, r.value_cents)
-                  for r in base.current_topn().collect())
-
-    epoch = rng.randrange(3)
-    ce = 1 if trial % 2 else 8  # half the trials force compaction
-    crash = MidCrashTopN(spark, str(tmp_path / "crash"),
-                         key="k", group="g", value="val", n=2,
-                         compact_every=ce)
-    crash.stage(env)
-    crash.arm_mid(epoch)
-    try:
-        crash.run()
-        crashed = False
-    except Exception:
-        crashed = True
-    assert crashed, "armed mid-epoch crash never fired"
-    # the dangling tbl delta (epoch committed on one table only) exists
-    m_tbl = crash.state._load("tbl")
-    m_topn = crash.state._load("topn")
-    tbl_epochs = {d.get("epoch") for d in m_tbl["deltas"]} if m_tbl else set()
-    topn_epochs = ({d.get("epoch") for d in m_topn["deltas"]}
-                   if m_topn else set())
-    if epoch > 0:  # epoch 0's crash may leave topn manifest absent
-        assert epoch in tbl_epochs and epoch not in topn_epochs
-
-    resumed = RetractTopNStream(spark, str(tmp_path / "crash"),
-                                key="k", group="g", value="val", n=2,
-                                compact_every=ce)
-    resumed.run()
-    got = sorted((r.g, r.rnk, r.k, r.value_cents)
-                 for r in resumed.current_topn().collect())
-    assert got == want, f"mid-epoch crash at epoch {epoch} diverged"

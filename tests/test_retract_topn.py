@@ -143,13 +143,13 @@ def test_delete_with_null_before_image_leaves_no_ghost(spark, tmp_path):
 
 def test_per_epoch_writes_are_o_delta(spark, tmp_path):
     """VERDICT r14 item 4 'done' gate for this machine: BOTH per-epoch
-    state writes are delta-bounded, asserted on the LSM delta files —
-    the `tbl` delta holds one row per batch key (upsert or tombstone),
-    the `topn` delta holds only the touched groups' recomputed rank
+    state planes are delta-bounded, asserted on the LSM delta files —
+    the `tbl` plane holds one row per batch key (upsert or tombstone),
+    the `topn` plane holds only the touched groups' recomputed rank
     rows plus tombstones for rank slots the recompute no longer fills;
     untouched keys and groups are never rewritten. (The old
     epoch-versioned parquet state rewrote the FULL table + view every
-    epoch.)"""
+    epoch.) Both planes ride in ONE union-tagged commit per epoch."""
     rows = [
         # epoch 0 (inserts): A(k1 100, k2 50, k3 25) B(k4 10, k5 5)
         (OP_INSERT, None, _row(1, "A", 100.0), 1),
@@ -164,13 +164,15 @@ def test_per_epoch_writes_are_o_delta(spark, tmp_path):
     ]
     tn = _build(spark, tmp_path, rows)
 
-    def frames(table):
-        m = tn.state._load(table)
+    m = tn.state._load("both")
+    assert len(m["deltas"]) == 3  # ONE commit per epoch, both planes
+
+    def frames(plane):
         return {
             d["epoch"]: spark.read.parquet(
-                str(tmp_path / "work" / "state" / table
+                str(tmp_path / "work" / "state" / "both"
                     / f"delta-{d['id']:08d}")
-            )
+            ).where(F.col("__t") == plane)
             for d in m["deltas"]
         }
 
