@@ -216,3 +216,43 @@ def test_partition_column_rename_survives(spark, tmp_path):
     store.merge("app.t", wrap_as_inserts(df2, "app.t"), struct2, ["id"])
     rows = {r.id: r.zone for r in store.read("app.t").collect()}
     assert rows[100] == "ap" and rows[0] == "us"
+
+
+def test_single_commit_read_is_windowless(spark, tmp_path):
+    """Every commit is pk-unique by construction, so a single-part read
+    (one delta, or a fully-compacted base) must resolve WITHOUT the
+    merge window — no Exchange/Window in the plan (r15: the pk-window
+    skip that makes compacted lake reads and first-epoch state cheap).
+    Multi-part reads still window, and compaction collapses them back
+    to the windowless shape with identical content."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+    from flink_cdc_spark.sources.envelope import wrap_as_inserts
+
+    store = LsmStateStore(spark, str(tmp_path), compact_every=100)
+    struct = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(6)], struct)
+    store.merge("app.t", wrap_as_inserts(df1, "app.t"), struct, ["id"])
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    one = store.read("app.t")
+    assert "Window" not in plan(one)
+    assert one.count() == 6
+
+    df2 = spark.createDataFrame([(2, "b2"), (9, "b9")], struct)
+    store.merge("app.t", wrap_as_inserts(df2, "app.t"), struct, ["id"])
+    two = store.read("app.t")
+    assert "Window" in plan(two)  # cross-commit upsert needs the merge
+    want = {(0, "a0"), (1, "a1"), (2, "b2"), (3, "a3"), (4, "a4"),
+            (5, "a5"), (9, "b9")}
+    assert {(r.id, r.v) for r in two.collect()} == want
+
+    store.compact("app.t")
+    compacted = store.read("app.t")
+    assert "Window" not in plan(compacted)  # base-only: windowless again
+    assert {(r.id, r.v) for r in compacted.collect()} == want
