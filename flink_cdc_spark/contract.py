@@ -4229,18 +4229,16 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 # tests/test_registry_capacity.py enforces the row-count bound.
 
 _PRIORITY: list = [
-    # Rows whose CODE changes in r15 while carrying a fresh r13/r14 signal
+    # Rows whose CODE changes in r16 while carrying a fresh r14/r15 signal
     # the artifacts can't know is stale.  Budgeted against the window: the
-    # derivation auto-leads 43 r12-stale rows + 4 never-signalled rows (the
-    # two r15 capacity-policy merges dedup_exact_family / sim_ivf_family and
-    # the two new TPC-H registry rows tpch_q9 / tpch_q21), so this list holds
-    # the remaining 3 of the 50.  Two of the auto-led r12-stale rows —
-    # streaming_retract_aggregate / streaming_retract_topn — are ALSO
-    # code-touched in r15 (the LSM state-backend conversion); they need no
-    # slot here because staleness already leads them into the window.
-    "lake_partitioned_pruning",  # lsm read-path triage (VERDICT r14 item 3)
-    "lake_merge_evolution",  # lsm rename-replay + anchor fixes (ADVICE r14)
-    "streaming_temporal_join_scd2",  # O(delta) LSM-backed epoch state (item 4)
+    # derivation auto-leads 48 r13-stale rows, so this list holds the
+    # remaining 2 of the 50.  Other r16-touched rows (retract_aggregate,
+    # temporal_join_scd2, the lake rows — all share the LsmStateStore
+    # bucketing/epoch-marker changes) carry r15 signals and rotate back in
+    # naturally at r17; the two pinned here are the rows whose MACHINE is
+    # rewritten this round, not merely its storage substrate.
+    "streaming_incremental_join_view",  # LSM delta-backend conversion (VERDICT r15 item 2)
+    "streaming_retract_topn",  # merge-on-read constant shave (VERDICT r15 item 3, perf-weak)
 ]
 
 
