@@ -45,6 +45,12 @@ from ..sources.envelope import (
 
 _TOMBSTONE = "__deleted"
 _COMMIT = "__commit"
+_BUCKET = "__bucket"
+
+# Test hook (ADVICE r15): when true, merge(batch_unique=True) verifies the
+# caller's pk-uniqueness contract with a count-vs-distinct check before
+# committing. Off by default — it costs one extra job per commit.
+DEBUG_ASSERT_BATCH_UNIQUE = False
 
 
 class LsmStateStore:
@@ -59,9 +65,45 @@ class LsmStateStore:
         # re-delivers under the SAME id, a genuinely new event arrives
         # under a LATER one. None for direct (non-runner) callers.
         self._epoch = None
+        # tables merged through THIS instance — seal_all()'s scope
+        self._merged_tables: set = set()
 
     def begin_epoch(self, epoch) -> None:
         self._epoch = epoch
+
+    # -- key buckets -------------------------------------------------------
+    #
+    # Optional hash(pk)-bucketed physical layout (r16, VERDICT r15 item 4):
+    # state tables gain a synthetic hive-partition column
+    # __bucket = pmod(xxhash64(bucket keys), n), so a delta-bounded fold can
+    # prune its read to the TOUCHED buckets at file listing — the 100-TB
+    # shape for the epoch-state machines, whose per-epoch read was otherwise
+    # an O(state) scan regardless of how small the delta was. Sound because
+    # the bucket is a pure function of key columns (immutable per pk), so
+    # filtering whole buckets commutes with the pk merge window — the same
+    # rule that admits partition-column predicates.
+
+    @staticmethod
+    def _bucket_col(spec) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in spec["keys"]]), F.lit(spec["n"])
+        ).cast("int")
+
+    def touched_buckets(self, table: str, keys_df: DataFrame):
+        """Distinct bucket ids of ``keys_df`` (a frame carrying the bucket
+        key columns — e.g. one epoch's delta keys), as a sorted list. At
+        most ``n`` values, so the collect is driver-safe by construction.
+        Returns None when the table is unbucketed."""
+        m = self._load(table)
+        spec = (m or {}).get("bucket")
+        if not spec:
+            return None
+        return sorted(
+            r[0]
+            for r in keys_df.select(self._bucket_col(spec).alias("b"))
+            .distinct()
+            .collect()
+        )
 
     # -- manifest ----------------------------------------------------------
     def _dir(self, table: str) -> str:
@@ -200,7 +242,8 @@ class LsmStateStore:
         return T.StructType(fields)
 
     def merge(self, table: str, env: DataFrame, target_struct, primary_keys,
-              partition_keys=(), batch_unique: bool = False) -> None:
+              partition_keys=(), batch_unique: bool = False,
+              bucket_keys=None, num_buckets: int = 0) -> None:
         """Append one delta commit from an envelope batch (already coerced
         to target_struct). O(batch) — never touches existing state.
 
@@ -210,7 +253,21 @@ class LsmStateStore:
         within-batch seq-dedup window — one shuffle per commit — is
         skipped. Commit-level pk-uniqueness is what read()'s
         merge-on-read and the single-part window skip rely on, so only
-        set this when uniqueness holds by construction.
+        set this when uniqueness holds by construction. A violating
+        caller produces a commit with duplicate pk rows whose corruption
+        is MODE-SPLIT: invisible under multi-part windowed reads (the
+        window picks one arbitrarily) but surfacing as duplicate rows on
+        the single-part windowless path — first-epoch state and
+        fully-compacted tables (ADVICE r15). Set
+        ``DEBUG_ASSERT_BATCH_UNIQUE`` in tests to check the contract.
+
+        ``bucket_keys``/``num_buckets``: opt into the hash-bucketed
+        layout on table CREATION — the commit's rows additionally
+        hive-partition on ``__bucket = pmod(xxhash64(bucket_keys),
+        num_buckets)`` so key-restricted reads (``read(touched=...)``)
+        prune at file listing. Bucket keys must be key columns
+        (immutable per pk); the spec is sticky in the manifest and
+        later merges ignore the arguments.
 
         ``partition_keys`` (the Paimon `partition.key` sink option /
         Schema.partitionKeys — PaimonMetadataApplier.java:157-165): delta
@@ -228,6 +285,11 @@ class LsmStateStore:
             "partition_keys": list(partition_keys),
             "rename_log": [],
             "history": [],
+            **(
+                {"bucket": {"keys": list(bucket_keys), "n": int(num_buckets)}}
+                if bucket_keys and num_buckets
+                else {}
+            ),
         }
         payload_cols = [f.name for f in target_struct.fields]
         mapping = self._translate_set(m, payload_cols)
@@ -265,9 +327,24 @@ class LsmStateStore:
                 .where(F.col("__rn") == 1)
                 .drop("__rn")
             )
+        elif primary_keys and batch_unique and DEBUG_ASSERT_BATCH_UNIQUE:
+            n, nd = rows.select(
+                F.count(F.lit(1)),
+                F.count_distinct(*[F.col(k) for k in primary_keys]),
+            ).first()
+            if n != nd:
+                raise AssertionError(
+                    f"merge(batch_unique=True) on {table}: {n} rows but "
+                    f"{nd} distinct pks {primary_keys} — the caller's "
+                    "uniqueness contract is violated"
+                )
         cid = m["next"]
         path = os.path.join(self._dir(table), f"delta-{cid:08d}")
         pts = [k for k in m.get("partition_keys", []) if k in out_names]
+        spec = m.get("bucket")
+        if spec:
+            rows = rows.withColumn(_BUCKET, self._bucket_col(spec))
+            pts = pts + [_BUCKET]
         writer = rows.write.mode("overwrite")
         if pts:
             writer = writer.partitionBy(*pts)
@@ -280,14 +357,22 @@ class LsmStateStore:
             # checkpoint hasn't committed — baking it into the base would
             # make the replay-overwrite impossible)
             delta["epoch"] = self._epoch
+            # ... and the exclusion must survive a PROCESS boundary
+            # (VERDICT r15 item 5): a maintenance compact() between this
+            # commit and the epoch's replay, run from a fresh process,
+            # reads the marker from the manifest. seal() clears it once
+            # the streaming checkpoint has committed.
+            m["in_flight_epoch"] = self._epoch
         m["deltas"].append(delta)
         m["next"] = cid + 1
         self._store(table, m)
+        self._merged_tables.add(table)
         if len(m["deltas"]) >= self.compact_every:
             self.compact(table)
 
     # -- read path ---------------------------------------------------------
-    def _read_commit(self, path: str, renames, schema_struct) -> DataFrame:
+    def _read_commit(self, path: str, renames, schema_struct,
+                     bucket_spec=None) -> DataFrame:
         df = self.spark.read.parquet(path)
         # renames: ordered rename EVENTS (each a list of [old, new] pairs
         # applied simultaneously — one select per event, so a single-event
@@ -317,9 +402,21 @@ class LsmStateStore:
                 cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
             else:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        if bucket_spec:
+            # expose the bucket for pre-window pruning predicates: commits
+            # written bucketed carry it as a PHYSICAL hive-partition column
+            # (a predicate on it prunes at file listing); commits that
+            # predate the spec fall back to computing it from the key
+            # columns — same values, just unprunable for those files
+            cols.append(
+                F.col(_BUCKET).cast("int")
+                if _BUCKET in df.columns
+                else self._bucket_col(bucket_spec).alias(_BUCKET)
+            )
         return df.select(*cols, F.col(_TOMBSTONE), F.col(ENVELOPE_SEQ))
 
-    def read(self, table: str, predicate: Optional[str] = None) -> Optional[DataFrame]:
+    def read(self, table: str, predicate: Optional[str] = None,
+             touched: Optional[DataFrame] = None) -> Optional[DataFrame]:
         """Merge-on-read: base ∪ deltas -> last image per key -> live rows.
 
         ``predicate`` (a SQL boolean over payload columns) applies to each
@@ -328,10 +425,25 @@ class LsmStateStore:
         at file listing (PartitionFilters), which the post-merge filter
         cannot (no pushdown through a PK-partitioned window). Sound for
         any column whose value is immutable per key (partition columns
-        are, by the same rule Paimon imposes on partition keys)."""
+        are, by the same rule Paimon imposes on partition keys).
+
+        ``touched`` (bucketed tables only): a frame of bucket-key columns
+        — e.g. one epoch's delta keys — restricting the read to those
+        keys' BUCKETS at file listing. The result still contains every
+        row of the touched buckets (a superset of the touched keys), so
+        callers keep their key-level semi-join; what changes is that the
+        scan underneath it is O(touched buckets), not O(state)."""
         m = self._load(table)
         if m is None:
             return None
+        if touched is not None and m.get("bucket"):
+            buckets = self.touched_buckets(table, touched)
+            if not buckets:
+                return self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(m["schema"]))
+                )
+            in_list = f"{_BUCKET} IN ({', '.join(map(str, buckets))})"
+            predicate = f"({predicate}) AND {in_list}" if predicate else in_list
         return self._merged(table, m, m["deltas"], predicate)
 
     def _merged(self, table: str, m: dict, deltas, predicate=None) -> DataFrame:
@@ -341,12 +453,14 @@ class LsmStateStore:
         from pyspark.sql import Window
 
         schema_struct = T.StructType.fromJson(json.loads(m["schema"]))
+        spec = m.get("bucket")
         parts = []
         if m["base"] is not None:
             base = self._read_commit(
                 os.path.join(self._dir(table), f"base-{m['base']:08d}"),
                 m.get("base_renames", []),
                 schema_struct,
+                bucket_spec=spec,
             )
             if predicate:
                 base = base.where(F.expr(predicate))
@@ -356,6 +470,7 @@ class LsmStateStore:
                 os.path.join(self._dir(table), f"delta-{d['id']:08d}"),
                 d["renames"],
                 schema_struct,
+                bucket_spec=spec,
             )
             if predicate:
                 delta = delta.where(F.expr(predicate))
@@ -393,13 +508,25 @@ class LsmStateStore:
         excluded and stay referenced as deltas: their foreachBatch
         checkpoint hasn't committed yet, so a crash can still replay the
         epoch, and the replay-overwrite (drop_epoch_deltas) must be able
-        to unreference them — impossible once baked into the base."""
+        to unreference them — impossible once baked into the base.
+
+        The exclusion survives a process boundary: when this store has no
+        announced epoch (maintenance compaction from a fresh process), the
+        manifest's persisted ``in_flight_epoch`` marker — recorded by the
+        last streaming merge, cleared by ``seal()`` once the checkpoint
+        committed — identifies the epoch that may still replay (VERDICT
+        r15 item 5: previously the exclusion was process-local, so a
+        between-crash-and-replay compact baked the crashed attempt's
+        delta into the base and double-applied it after replay)."""
         m = self._load(table)
         if m is None or not m["deltas"]:
             return
+        flight = self._epoch if self._epoch is not None else m.get(
+            "in_flight_epoch"
+        )
         safe = [
             d for d in m["deltas"]
-            if self._epoch is None or d.get("epoch") != self._epoch
+            if flight is None or d.get("epoch") != flight
         ]
         in_flight = [d for d in m["deltas"] if d not in safe]
         if not safe:
@@ -417,6 +544,9 @@ class LsmStateStore:
             k for k in m.get("partition_keys", [])
             if k in {f.name for f in schema_struct.fields}
         ]
+        if m.get("bucket"):
+            out = out.withColumn(_BUCKET, self._bucket_col(m["bucket"]))
+            pts = pts + [_BUCKET]
         writer = out.write.mode("overwrite")
         if pts:
             writer = writer.partitionBy(*pts)
@@ -457,6 +587,28 @@ class LsmStateStore:
                 ignore_errors=True,
             )
 
+    def seal(self, table: str) -> None:
+        """Clear the persisted in-flight-epoch marker — called once the
+        streaming checkpoint has committed (after awaitTermination), when
+        the last epoch can no longer replay. Until sealed, compact()
+        conservatively keeps that epoch's deltas out of the base even
+        from a fresh process. Also resets the in-memory epoch so a
+        direct post-run compact() on the same store folds everything."""
+        self._epoch = None
+        m = self._load(table)
+        if m is None or m.get("in_flight_epoch") is None:
+            return
+        m["in_flight_epoch"] = None
+        self._store(table, m)
+
+    def seal_all(self) -> None:
+        """seal() every table merged through this instance — the runner's
+        post-awaitTermination hook (it merges one table per routed sink
+        table, and only the instance knows which)."""
+        for t in sorted(self._merged_tables):
+            self.seal(t)
+        self._epoch = None
+
     # -- DDL (metadata-only; the MetadataApplier contract) -----------------
     def rename_columns(self, table: str, mapping) -> None:
         """RENAME COLUMN without touching a single data file: record ONE
@@ -496,6 +648,10 @@ class LsmStateStore:
         m["partition_keys"] = [
             ev_map.get(k, k) for k in m.get("partition_keys", [])
         ]
+        if m.get("bucket"):
+            m["bucket"]["keys"] = [
+                ev_map.get(k, k) for k in m["bucket"]["keys"]
+            ]
         for d in m["deltas"]:
             d["renames"].append(event)
         if m["base"] is not None:

@@ -83,7 +83,16 @@ def wrap_as_upsert_deletes(
     otherwise — the upsert/tombstone delta shape the LSM state store
     consumes (`sinks/lsm_store.py` reads the before image for deletes,
     the after image otherwise; both carry the same payload here, since a
-    tombstone only needs its primary-key columns populated)."""
+    tombstone only needs its primary-key columns populated).
+
+    Input contract: at most ONE row per primary key (ADVICE r15). The
+    ``__seq`` assigned here is ``monotonically_increasing_id()`` — stable
+    within a read but reflecting no event order across partitions — so
+    if a caller passed multiple rows per key without ``batch_unique=True``
+    downstream, the store's within-batch seq-dedup would pick an
+    arbitrary winner. Every current caller passes pk-unique frames
+    (aggregation / last-image outputs); a future multi-event-per-key
+    caller must thread a real ordering column instead."""
     payload_cols = [c for c in df.columns if c != delete_col]
     payload = F.struct(*[F.col(c) for c in payload_cols])
     return df.select(

@@ -8,36 +8,55 @@ Per epoch, with left Δ keyed by the left pk and right Δ keyed by the
 join key:
 
     affected(view row) := its left pk ∈ ΔL  OR  its join key ∈ ΔR
-    view_new = view_old minus affected rows
-             ∪ (L_new restricted to affected) ⋈ R_new
+    repaired  = (L_new restricted to affected) ⋈ R_new
+    view delta = repaired (upserts) ∪ (affected \\ repaired) (tombstones)
 
 Both the state updates and the view repair are keyed to the CHANGED key
 sets (broadcast hash semi/anti-joins against per-batch key sets, which
 are micro-batch-sized, i.e. corpus-sublinear) — the unaffected bulk of
-the view is carried forward untouched. That is the actual incremental
-contract: per-epoch cost proportional to the delta, not the view.
+the view is never touched, read, or rewritten.
 
-State tables (the folded left+right table keyed by (__left, __pk), and
-the view) are versioned by epoch id exactly like retract_agg: an epoch
-always merges from its committed PREDECESSOR and overwrites its own
-version, so foreachBatch crash-retries are idempotent. Money columns
-ride as exact integer cents. Folding both sides into ONE keyed state
-table (possible because the stream is harmonized to a superset payload)
-means an epoch is two state writes and one delta shuffle, not three and
-two — per-epoch job count was the r9 bench's dominant cost.
+State lives in the repo's own ``LsmStateStore`` (r16, VERDICT r15
+item 2 — this was the last epoch-state machine on the O(state)-per-epoch
+full-parquet-rewrite pattern). Both planes share ONE union-tagged table
+(the retract_topn convention), hive-partitioned on the plane tag:
 
-Scale: at real scale the state tables would live bucketed by their key
-in a table format (the repo's lsm/iceberg stores); the parquet versions
-here keep the same keyed-merge plan shape. The repair join broadcasts
-the affected left segment only when it is small — it is delta-sized by
-construction.
+  * plane ``lr`` = the folded left+right per-key last images, keyed
+    (side, pk) — the batch's keys only: live images upsert, dead keys
+    tombstone, untouched keys stay in their original commits;
+  * plane ``view`` = the maintained join view keyed by the left pk —
+    repaired rows upsert, affected-but-no-longer-matching left pks
+    tombstone (covers left deletes, re-pointed FKs that lost their
+    match, and right-side deletes killing every referencing row).
+
+The two planes share a surrogate key (``__t``, ``__k1``, ``__k2``) —
+(plane, pk-as-string, side) for images, (plane, left-pk-as-string, 2)
+for view rows — so one pk-unique delta commit carries both planes and
+the epoch write stays a single all-or-nothing Spark job. Per-epoch
+WRITE volume is O(delta keys + affected view rows), never O(state).
+
+Per-epoch READ: the resolved image plane is carried across epochs
+within a run (the fold computes exactly the post-commit state, so
+re-resolving it from disk each epoch — the retract_topn r15 lesson —
+would be pure waste); only the FIRST epoch of a process attaches via
+one merge-on-read scan. Crash idempotence maps onto epoch-keyed delta
+provenance: each epoch announces itself (``begin_epoch``), drops any
+delta a crashed attempt of itself left behind (``drop_epoch_deltas``),
+folds from the committed predecessor, and re-commits — replay
+OVERWRITES its own delta; the carry is never trusted for an epoch at
+or below the one that produced it. Money columns ride as-is in the
+harmonized payload (the oracle compares post-join images, not sums).
+
+Scale: state bucketing by hash(pk) is available in the store
+(``bucket_keys``) but not enabled here — the per-epoch path never does
+a key-restricted disk read (the carry serves it), and the plane tag
+already partitions the two read patterns that exist (attach, final
+view read).
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -100,6 +119,7 @@ class IncrementalJoinView:
         left_cols,
         right_cols,
         staged_dir: Optional[str] = None,
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.left_table_id = left_table_id
@@ -114,7 +134,17 @@ class IncrementalJoinView:
         self.state_dir = os.path.join(work_dir, "state")
         os.makedirs(self.active, exist_ok=True)
         os.makedirs(self.state_dir, exist_ok=True)
+        from ..sinks.lsm_store import LsmStateStore
+
+        self.state = LsmStateStore(
+            spark, self.state_dir, compact_every=compact_every
+        )
         self._schema = None
+        # resolved image plane carried across epochs within a run (see
+        # module docstring); only trusted for epochs strictly after the
+        # one that produced it
+        self._lr_carry = None
+        self._carry_epoch = None
 
     # -- staging (same mtime-ordered single-file batches as retract_agg) ----
 
@@ -122,10 +152,9 @@ class IncrementalJoinView:
         """Inserts of both tables, then updates, then deletes — mutations
         always target rows accumulated in earlier micro-batches, on both
         sides. Three epochs: the r9 bench showed per-epoch cost is
-        dominated by the two state writes regardless of batch size, so
-        the old parity split of inserts over two epochs bought no extra
-        coverage (update epochs already exercise state-merge-onto-state)
-        for a full extra epoch of fixed overhead."""
+        dominated by the fixed state-write overhead regardless of batch
+        size, so the old parity split of inserts over two epochs bought
+        no extra coverage for a full extra epoch of overhead."""
         env = env.withColumn(
             "__b",
             F.when(F.col(ENVELOPE_OP) == OP_INSERT, F.lit(0))
@@ -135,108 +164,210 @@ class IncrementalJoinView:
         self._schema = env.drop("__b").schema
         stage_replay_batches(env, self.active)
 
-    # -- state versioning (retract_agg pattern) -----------------------------
+    def staged(self) -> bool:
+        return os.path.exists(os.path.join(self.active, "_STAGED"))
 
-    def _versions(self, name: str):
-        root = os.path.join(self.state_dir, name)
-        if not os.path.isdir(root):
+    # -- LSM-backed state (one O(delta) union-tagged commit per epoch) -------
+
+    _BOTH = "both"
+    _PKS = ["__t", "__k1", "__k2"]
+
+    def _versions(self, name: str = "view"):
+        """Epochs with a live delta commit in the LSM manifest (compaction
+        folds older epochs' deltas into the base; the tests and the
+        registry row run 3-4 epochs against the default compact_every=8).
+        ``name`` is vestigial — both planes commit in ONE delta."""
+        m = self.state._load(self._BOTH)
+        if m is None:
             return []
-        return sorted(
-            int(fn[1:])
-            for fn in os.listdir(root)
-            if fn.startswith("v")
-            and os.path.exists(os.path.join(root, fn, "_SUCCESS"))
-        )
+        return sorted({d["epoch"] for d in m["deltas"] if "epoch" in d})
 
-    def _read(self, name: str, v: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.state_dir, name, f"v{v}"))
+    def _view_cols(self):
+        return self.left_cols + [
+            c for c in self.right_cols if c != self.pk_right
+        ]
 
-    def _prev(self, name: str, epoch: int) -> Optional[DataFrame]:
-        prior = [v for v in self._versions(name) if v < epoch]
-        return self._read(name, max(prior)) if prior else None
-
-    def _write(self, name: str, epoch: int, df: DataFrame) -> None:
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, name, f"v{epoch}")
-        )
+    def _read_plane(self, plane: str) -> Optional[DataFrame]:
+        state = self.state.read(self._BOTH, predicate=f"__t = '{plane}'")
+        if state is None:
+            return None
+        if plane == "lr":
+            payload = [
+                c for c in state.columns
+                if c not in ("__t", "__k1", "__k2", "__left", "__pk")
+            ]
+            return state.select("__left", "__pk", *payload)
+        return state.select(*self._view_cols())
 
     # -- the maintenance epoch ----------------------------------------------
 
     def _merge_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """One epoch = TWO state writes (the folded left+right table and
-        the view), not three: both sides' last images reduce in one
-        shuffle (two_sided_delta), both sides' state lives in one keyed
-        parquet table partitioned by (__left, __pk) — the r9 verdict's
-        per-epoch-overhead item."""
+        """One epoch = ONE union-tagged LSM delta commit carrying both the
+        image-plane delta and the view repair — a single all-or-nothing
+        Spark write job, O(delta) volume."""
+        from ..sources.envelope import wrap_as_upsert_deletes
+
+        # replay-overwrite: drop any delta a crashed attempt of this
+        # epoch left behind, so the fold reads the state exactly as of
+        # the committed predecessor
+        self.state.begin_epoch(epoch_id)
+        self.state.drop_epoch_deltas(self._BOTH, epoch_id)
+        if self._carry_epoch is not None and self._carry_epoch >= epoch_id:
+            # replayed/retried epoch in-process: the carry reflects a
+            # commit this epoch is about to overwrite
+            self._lr_carry = None
+            self._carry_epoch = None
+
         delta = two_sided_delta(
             batch_df, self.left_table_id, self.pk_left, self.pk_right
-        ).cache()  # consumed ~7x below (live, lr anti, view anti x2, semi x2, join)
-        live = delta.where(F.col("__alive")).select("__left", "__pk", "after.*")
-        lr_old = self._prev("lr", epoch_id)
-        if lr_old is None:
-            lr_new = live
-        else:
-            changed = delta.select("__left", "__pk")
-            lr_new = lr_old.join(
-                F.broadcast(changed), ["__left", "__pk"], "left_anti"
-            ).unionByName(live)
-        self._write("lr", epoch_id, lr_new)
-        lr = self._read("lr", epoch_id)
-        l_new = lr.where(F.col("__left")).select(*self.left_cols)
-        r_new = lr.where(~F.col("__left")).select(*self.right_cols)
-
-        view_old = self._prev("view", epoch_id)
-        changed_l = delta.where(F.col("__left")).select(
-            F.col("__pk").alias(self.pk_left)
-        )
-        changed_r = delta.where(~F.col("__left")).select(
-            F.col("__pk").alias("__jk")
-        )
-        if view_old is None:
-            carried = None
-        else:
-            carried = view_old.join(
-                F.broadcast(changed_l), self.pk_left, "left_anti"
-            ).join(
-                F.broadcast(changed_r),
-                F.col(self.join_key) == F.col("__jk"),
-                "left_anti",
-            )
-        # left rows needing (re)join: their pk changed, or their join key
-        # points at a changed right key — delta-sized by construction
-        repair_l = l_new.join(
-            F.broadcast(changed_l), self.pk_left, "left_semi"
-        ).unionByName(
-            l_new.join(
-                F.broadcast(changed_r),
-                F.col(self.join_key) == F.col("__jk"),
-                "left_semi",
-            )
-        ).dropDuplicates([self.pk_left])
-        # aliased sides: when the left's join-key column NAME equals the
-        # right's pk name (the common FK==PK-name CDC layout), a bare
-        # F.col is AMBIGUOUS_REFERENCE — caught by the r10 randomized
-        # streaming differential; the contract fixture's distinct
-        # o_custkey/c_custkey names had masked it
-        repaired = repair_l.alias("__l").join(
-            r_new.alias("__r"),
-            F.col(f"__l.{self.join_key}") == F.col(f"__r.{self.pk_right}"),
-        ).select(
-            *[F.col(f"__l.{c}") for c in self.left_cols],
-            *[
-                F.col(f"__r.{c}")
-                for c in self.right_cols
-                if c != self.pk_right
-            ],
-        )
-        view_new = repaired if carried is None else carried.unionByName(repaired)
+        ).cache()  # consumed ~6x below (live, keys anti/semi, plane rows)
+        fresh_read = None
+        repaired = None
+        lr_new = None
         try:
-            self._write("view", epoch_id, view_new)
+            superset = [f.name for f in batch_df.schema["after"].dataType.fields]
+            sup_types = {
+                f.name: f.dataType
+                for f in batch_df.schema["after"].dataType.fields
+            }
+            live = delta.where(F.col("__alive")).select(
+                "__left", "__pk", *[F.col(f"after.{c}").alias(c) for c in superset]
+            )
+            if self._lr_carry is not None:
+                lr_old = self._lr_carry  # materialized last epoch
+            else:
+                lr_old = self._read_plane("lr")
+                if lr_old is not None:
+                    fresh_read = lr_old = lr_old.cache()
+            changed = delta.select("__left", "__pk")
+            if lr_old is None:
+                lr_new = live
+            else:
+                lr_new = lr_old.join(
+                    F.broadcast(changed), ["__left", "__pk"], "left_anti"
+                ).unionByName(live)
+            # lazy cache: the merge write job below scans l_new/r_new and
+            # fills it — no separate materialization job. The post-commit
+            # localCheckpoint then reads FROM the cache (cheap) purely to
+            # truncate lineage, so per-epoch plans don't chain.
+            lr_new = lr_new.cache()
+            l_new = lr_new.where(F.col("__left")).select(*self.left_cols)
+            r_new = lr_new.where(~F.col("__left")).select(*self.right_cols)
+
+            changed_l = delta.where(F.col("__left")).select(
+                F.col("__pk").alias(self.pk_left)
+            )
+            changed_r = delta.where(~F.col("__left")).select(
+                F.col("__pk").alias("__jk")
+            )
+            # left rows needing (re)join: their pk changed, or their join
+            # key points at a changed right key — delta-sized by
+            # construction
+            repair_l = l_new.join(
+                F.broadcast(changed_l), self.pk_left, "left_semi"
+            ).unionByName(
+                l_new.join(
+                    F.broadcast(changed_r),
+                    F.col(self.join_key) == F.col("__jk"),
+                    "left_semi",
+                )
+            ).dropDuplicates([self.pk_left])
+            # aliased sides: when the left's join-key column NAME equals
+            # the right's pk name (the common FK==PK-name CDC layout), a
+            # bare F.col is AMBIGUOUS_REFERENCE — caught by the r10
+            # randomized streaming differential
+            repaired = repair_l.alias("__l").join(
+                r_new.alias("__r"),
+                F.col(f"__l.{self.join_key}") == F.col(f"__r.{self.pk_right}"),
+            ).select(
+                *[F.col(f"__l.{c}") for c in self.left_cols],
+                *[
+                    F.col(f"__r.{c}")
+                    for c in self.right_cols
+                    if c != self.pk_right
+                ],
+            ).cache()
+            # affected left pks with NO repaired row any more: left
+            # deletes, re-pointed FKs that lost their match, right-side
+            # deletes killing every referencing row — tombstones
+            affected = changed_l.unionByName(
+                repair_l.select(self.pk_left)
+            ).distinct()
+            gone = affected.join(
+                repaired.select(self.pk_left), self.pk_left, "left_anti"
+            )
+
+            pk_t = dict(delta.dtypes)["__pk"]
+            view_cols = set(self._view_cols())
+
+            def _pad(source_cols):
+                """Project a frame into the superset payload, nulling the
+                columns the plane doesn't carry."""
+                return [
+                    (F.col(c) if c in source_cols else F.lit(None).cast(
+                        sup_types[c]
+                    )).alias(c)
+                    for c in superset
+                ]
+
+            tbl_plane = delta.select(
+                F.lit("lr").alias("__t"),
+                F.col("__pk").cast("string").alias("__k1"),
+                F.when(F.col("__left"), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("__k2"),
+                F.col("__left"),
+                F.col("__pk"),
+                *[F.col(f"after.{c}").alias(c) for c in superset],
+                (~F.col("__alive")).alias("__dead"),
+            )
+            up_plane = repaired.select(
+                F.lit("view").alias("__t"),
+                F.col(self.pk_left).cast("string").alias("__k1"),
+                F.lit(2).cast("bigint").alias("__k2"),
+                F.lit(None).cast("boolean").alias("__left"),
+                F.lit(None).cast(pk_t).alias("__pk"),
+                *_pad(view_cols),
+                F.lit(False).alias("__dead"),
+            )
+            dead_plane = gone.select(
+                F.lit("view").alias("__t"),
+                F.col(self.pk_left).cast("string").alias("__k1"),
+                F.lit(2).cast("bigint").alias("__k2"),
+                F.lit(None).cast("boolean").alias("__left"),
+                F.lit(None).cast(pk_t).alias("__pk"),
+                *_pad({self.pk_left}),
+                F.lit(True).alias("__dead"),
+            )
+            combined = tbl_plane.unionByName(up_plane).unionByName(dead_plane)
+            # ONE pk-unique delta commit carries both planes,
+            # hive-partitioned on the plane tag so per-plane reads prune
+            # at file listing
+            self.state.merge(
+                self._BOTH,
+                wrap_as_upsert_deletes(combined, self._BOTH, "__dead"),
+                combined.drop("__dead").schema,
+                self._PKS,
+                partition_keys=["__t"],
+                batch_unique=True,
+            )
+            # commit landed: the post-commit image plane IS the next
+            # epoch's state — checkpointed off the warm cache
+            self._lr_carry = lr_new.localCheckpoint(eager=True)
+            self._carry_epoch = epoch_id
         finally:
             delta.unpersist()
+            if lr_new is not None:
+                lr_new.unpersist()
+            if repaired is not None:
+                # inside finally (the ADVICE r15 leak class): an exception
+                # after cache() must not leak the frame
+                repaired.unpersist()
+            if fresh_read is not None:
+                fresh_read.unpersist()
 
-    def staged(self) -> bool:
-        return os.path.exists(os.path.join(self.active, "_STAGED"))
+    # -- the streaming query --------------------------------------------------
 
     def run(self) -> None:
         if self._schema is None:  # attached to a pre-staged directory
@@ -249,26 +380,25 @@ class IncrementalJoinView:
             .parquet(self.active)
         )
         with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
-            self._run_stream(stream)
-
-    def _run_stream(self, stream) -> None:
-        q = (
-            stream.writeStream.outputMode("update")
-            .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
-            .option("checkpointLocation", self.ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+            q = (
+                stream.writeStream.outputMode("update")
+                .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
+                .option("checkpointLocation", self.ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        # checkpoint committed: clear the persisted in-flight marker
+        self.state.seal(self._BOTH)
         from .windowed import unload_state_store_providers
 
         unload_state_store_providers(self.spark)
 
     def current_view(self) -> DataFrame:
-        versions = self._versions("view")
-        if not versions:
+        view = self._read_plane("view")
+        if view is None:
             raise RuntimeError("no committed view state")
-        return self._read("view", versions[-1])
+        return view
 
 
 def harmonize_envelope(env: DataFrame, superset) -> DataFrame:

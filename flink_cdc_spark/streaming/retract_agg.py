@@ -178,13 +178,20 @@ class RetractAggregateStream:
         value: str,
         staged_dir: Optional[str] = None,
         compact_every: int = 8,
+        num_buckets: int = 8,
     ):
         """staged_dir: reuse an already-staged batch directory (staging is
         deterministic per input, so bench re-runs share it; checkpoint and
-        state stay per-run under work_dir)."""
+        state stay per-run under work_dir).
+
+        num_buckets: the state table lays out hash(grp)-bucketed (r16,
+        VERDICT r15 item 4), so the per-epoch fold READS only the touched
+        groups' buckets — pruned at file listing — instead of scanning
+        the whole state under the merge window. 0 disables."""
         self.spark = spark
         self.group = group
         self.value = value
+        self.num_buckets = num_buckets
         self.active = staged_dir or os.path.join(work_dir, "active")
         self.ckpt = os.path.join(work_dir, "ckpt")
         self.state_dir = os.path.join(work_dir, "state")
@@ -244,29 +251,40 @@ class RetractAggregateStream:
         # the state exactly as of the committed predecessor
         self.state.begin_epoch(epoch_id)
         self.state.drop_epoch_deltas(self._AGG, epoch_id)
-        deltas = contribution_deltas(batch_df, self.group, self.value)
-        prev_full = self.state.read(self._AGG)
-        if prev_full is None:
-            prev = None
-        else:
-            # the merge only ever READS the touched groups' state — the
-            # semi-join bounds the work to the batch's group set
-            prev = prev_full.join(
-                F.broadcast(deltas.select("grp")), "grp", "left_semi"
+        # consumed 3x (bucket probe, semi-join broadcast, merge) — tiny
+        # (one row per touched group), so cache instead of recompute
+        deltas = contribution_deltas(batch_df, self.group, self.value).cache()
+        try:
+            # the fold SCANS only the touched groups' buckets (pruned at
+            # file listing — the bucketed layout's point) and READS only
+            # the touched groups' state (the semi-join bounds the merge
+            # work to the batch's group set)
+            prev_full = self.state.read(
+                self._AGG, touched=deltas.select("grp")
             )
-        merged = merge_state_unfiltered(prev, deltas)
-        # ONE O(touched groups) delta commit: upserts for live groups,
-        # DELETE tombstones for groups whose row count reached zero —
-        # untouched groups are never rewritten
-        delta = merged.withColumn("__dead", F.col("n_rows") == 0)
-        payload = merged.schema
-        self.state.merge(
-            self._AGG,
-            wrap_as_upsert_deletes(delta, self._AGG, "__dead"),
-            payload,
-            ["grp"],
-            batch_unique=True,  # one row per group: a groupBy output
-        )
+            if prev_full is None:
+                prev = None
+            else:
+                prev = prev_full.join(
+                    F.broadcast(deltas.select("grp")), "grp", "left_semi"
+                )
+            merged = merge_state_unfiltered(prev, deltas)
+            # ONE O(touched groups) delta commit: upserts for live groups,
+            # DELETE tombstones for groups whose row count reached zero —
+            # untouched groups are never rewritten
+            delta = merged.withColumn("__dead", F.col("n_rows") == 0)
+            payload = merged.schema
+            self.state.merge(
+                self._AGG,
+                wrap_as_upsert_deletes(delta, self._AGG, "__dead"),
+                payload,
+                ["grp"],
+                batch_unique=True,  # one row per group: a groupBy output
+                bucket_keys=["grp"],
+                num_buckets=self.num_buckets,
+            )
+        finally:
+            deltas.unpersist()
 
     def run(self) -> None:
         if self._schema is None:  # attached to a pre-staged directory
@@ -289,6 +307,10 @@ class RetractAggregateStream:
                 .start()
             )
             q.awaitTermination(300)
+        # checkpoint committed: the last epoch can no longer replay, so
+        # clear the persisted in-flight marker (a maintenance compaction
+        # may now fold its delta)
+        self.state.seal(self._AGG)
         from .windowed import unload_state_store_providers
 
         unload_state_store_providers(self.spark)

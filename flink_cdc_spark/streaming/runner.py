@@ -235,6 +235,9 @@ class StreamingPipelineRunner:
         with scope:
             q = self.start(source_dir, available_now=True)
             q.awaitTermination(timeout)
+        if hasattr(self.state, "seal_all"):
+            # checkpoint committed: clear the persisted in-flight markers
+            self.state.seal_all()
         unload_state_store_providers(self.spark)
 
     # -- the core ----------------------------------------------------------

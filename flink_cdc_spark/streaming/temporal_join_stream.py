@@ -322,6 +322,8 @@ class StreamingTemporalJoin:
                 .start()
             )
             q.awaitTermination(300)
+        # checkpoint committed: clear the persisted in-flight marker
+        self.state.seal(self._HIST)
         unload_state_store_providers(self.spark)
 
     # -- results -------------------------------------------------------------

@@ -291,10 +291,15 @@ def test_incremental_join_crash_restart(spark, tmp_path, trial):
                   for r in base.current_view().collect())
 
     epoch, phase = rng.randrange(3), ("pre", "post")[trial % 2]
-    crash = CrashingJoin(spark, str(tmp_path / "crash"), **_join_args())
+    # compaction pressure on half the trials (see the agg differential):
+    # the crash-replay window then always contains a compaction
+    ce = 1 if trial % 2 else 8
+    crash = CrashingJoin(spark, str(tmp_path / "crash"),
+                         compact_every=ce, **_join_args())
     crash.stage(env)
     assert _run_with_crash(crash, epoch, phase)
-    resumed = IncrementalJoinView(spark, str(tmp_path / "crash"), **_join_args())
+    resumed = IncrementalJoinView(spark, str(tmp_path / "crash"),
+                                  compact_every=ce, **_join_args())
     resumed.run()
     got = sorted((r.o_pk, r.o_fk, r.o_val, r.c_name)
                  for r in resumed.current_view().collect())

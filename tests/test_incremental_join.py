@@ -157,6 +157,102 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
     assert view == [(2, "ann")]
 
 
+def test_per_epoch_writes_are_o_delta(spark, tmp_path):
+    """VERDICT r15 item 2 'done' gate: the per-epoch state WRITE is
+    O(delta keys + affected view rows), asserted on the LSM delta files
+    themselves — each epoch's commit holds the batch's image-plane keys
+    plus only the AFFECTED view rows (upserts or tombstones); untouched
+    keys and view rows are never rewritten. (The old epoch-versioned
+    parquet state rewrote the whole folded table AND the whole view
+    every epoch.)"""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # epoch 0 (inserts): 2 customers, 3 orders
+        ("t.cust", OP_INSERT, None, _c(10, "ann"), 1),
+        ("t.cust", OP_INSERT, None, _c(11, "bob"), 2),
+        ("t.orders", OP_INSERT, None, _o(1, 10, "a"), 3),
+        ("t.orders", OP_INSERT, None, _o(2, 10, "b"), 4),
+        ("t.orders", OP_INSERT, None, _o(3, 11, "c"), 5),
+        # epoch 1 (updates): ONE left-side value change -> repairs order 1 only
+        ("t.orders", OP_UPDATE, _o(1, 10, "a"), _o(1, 10, "A"), 10),
+        # epoch 2 (deletes): order 3 leaves -> one image tombstone + one
+        # view tombstone
+        ("t.orders", OP_DELETE, _o(3, 11, "c"), None, 20),
+    ]
+    ijv = _build(spark, tmp_path, rows)
+    m = ijv.state._load(ijv._BOTH)
+    assert len(m["deltas"]) == 3
+    frames = {
+        d["epoch"]: ijv.spark.read.parquet(
+            str(tmp_path / "work" / "state" / "both" / f"delta-{d['id']:08d}")
+        )
+        for d in m["deltas"]
+    }
+
+    def plane_counts(df):
+        return {
+            r["__t"]: r["n"]
+            for r in df.groupBy("__t").agg(F.count("*").alias("n")).collect()
+        }
+
+    # epoch 0: all 5 images + 3 view rows
+    assert plane_counts(frames[0]) == {"lr": 5, "view": 3}
+    # epoch 1: ONE image upsert + ONE repaired view row — order 2 and 3
+    # (untouched) are not rewritten
+    assert plane_counts(frames[1]) == {"lr": 1, "view": 1}
+    assert [r.o_pk for r in frames[1].where("__t = 'view'").collect()] == [1]
+    # epoch 2: one image tombstone + one view tombstone for order 3
+    assert plane_counts(frames[2]) == {"lr": 1, "view": 1}
+    dead = frames[2].where("__t = 'view'").collect()
+    assert len(dead) == 1 and dead[0]["__k1"] == "3" and dead[0]["__deleted"]
+    # untouched order 2's view row is written exactly once (its insert epoch)
+    hits = [
+        e
+        for e, df in frames.items()
+        if df.where("__t = 'view' AND __k1 = '2'").count() > 0
+    ]
+    assert hits == [0], f"untouched view row rewritten in epochs {hits}"
+
+    view = {r.o_pk: (r.o_val, r.c_name) for r in ijv.current_view().collect()}
+    assert view == {1: ("A", "ann"), 2: ("b", "ann")}
+
+
+def test_forced_compaction_inside_run_converges(spark, tmp_path):
+    """compact_every=1 forces a compaction after every merge — the
+    in-flight epoch's delta stays out of the base (its checkpoint hasn't
+    committed) and the view still lands exactly."""
+    rows = [
+        ("t.cust", OP_INSERT, None, _c(10, "ann"), 1),
+        ("t.orders", OP_INSERT, None, _o(1, 10, "a"), 2),
+        ("t.orders", OP_INSERT, None, _o(2, 10, "b"), 3),
+        ("t.cust", OP_UPDATE, _c(10, "ann"), _c(10, "ANN"), 10),
+        ("t.orders", OP_DELETE, _o(1, 10, "a"), None, 20),
+    ]
+    ijv = IncrementalJoinView(
+        spark,
+        str(tmp_path / "work"),
+        left_table_id="t.orders",
+        right_table_id="t.cust",
+        pk_left="o_pk",
+        join_key="o_fk",
+        pk_right="c_pk",
+        left_cols=["o_pk", "o_fk", "o_val"],
+        right_cols=["c_pk", "c_name"],
+        compact_every=1,
+    )
+    ijv.stage(_env(spark, rows))
+    ijv.run()
+    view = {r.o_pk: (r.o_val, r.c_name) for r in ijv.current_view().collect()}
+    assert view == {2: ("b", "ANN")}
+    # sealed post-run: a maintenance compaction may now fold everything
+    ijv.state.compact(ijv._BOTH)
+    m = ijv.state._load(ijv._BOTH)
+    assert m["deltas"] == [] and m["base"] is not None
+    view = {r.o_pk: (r.o_val, r.c_name) for r in ijv.current_view().collect()}
+    assert view == {2: ("b", "ANN")}
+
+
 def test_harmonize_envelope_roundtrip(spark):
     """Casting a table's changelog to the superset payload and projecting
     its own columns back is the identity — images stay aligned, ops and
