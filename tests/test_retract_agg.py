@@ -186,3 +186,32 @@ def test_per_epoch_state_write_is_o_touched_groups(spark, tmp_path):
     out = {r.grp: (r.n_rows, r.sum_cents)
            for r in ra.current_state().collect()}
     assert out == {"A": (2, 3500), "B": (2, 7000)}
+
+
+def test_fold_read_is_bucket_pruned_at_file_listing(spark, tmp_path):
+    """VERDICT r15 item 4 'done' gate: the per-epoch fold READ — state
+    restricted to the batch's touched groups — prunes to those groups'
+    hash buckets at file listing (PartitionFilters on __bucket), so the
+    scan under the merge window is O(touched buckets), not O(state)."""
+    env = _env(spark, [
+        (OP_INSERT, None, (0, "A", 10.0), 1),
+        (OP_INSERT, None, (1, "B", 20.0), 2),
+        (OP_INSERT, None, (2, "C", 30.0), 3),
+        (OP_UPDATE, (0, "A", 10.0), (0, "A", 15.0), 10),
+        (OP_DELETE, (2, "C", 30.0), None, 20),
+    ])
+    ra = RetractAggregateStream(spark, str(tmp_path / "work"), "grp", "v")
+    ra.stage(env, "k")
+    ra.run()
+    assert ra.state._load(ra._AGG)["bucket"]["keys"] == ["grp"]
+
+    # the exact read shape _merge_epoch issues for a batch touching A
+    touched = spark.createDataFrame([("A",)], "grp string")
+    pruned = ra.state.read(ra._AGG, touched=touched)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__bucket" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # and the pruned read still resolves A's state exactly
+    rows = {r.grp: (r.n_rows, r.sum_cents) for r in pruned.collect()
+            if r.grp == "A"}
+    assert rows == {"A": (1, 1500)}
