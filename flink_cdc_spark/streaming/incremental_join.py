@@ -171,6 +171,11 @@ class IncrementalJoinView:
 
     _BOTH = "both"
     _PKS = ["__t", "__k1", "__k2"]
+    # lineage-truncation cadence for the carried image plane: epochs in
+    # between carry the CACHED frame directly (its cache fills during the
+    # merge job — zero extra jobs); every _CKPT_EVERY-th epoch re-anchors
+    # in a localCheckpoint so plans don't grow without bound
+    _CKPT_EVERY = 4
 
     def _versions(self, name: str = "view"):
         """Epochs with a live delta commit in the LSM manifest (compaction
@@ -215,6 +220,7 @@ class IncrementalJoinView:
         if self._carry_epoch is not None and self._carry_epoch >= epoch_id:
             # replayed/retried epoch in-process: the carry reflects a
             # commit this epoch is about to overwrite
+            self._lr_carry.unpersist()
             self._lr_carry = None
             self._carry_epoch = None
 
@@ -222,7 +228,7 @@ class IncrementalJoinView:
             batch_df, self.left_table_id, self.pk_left, self.pk_right
         ).cache()  # consumed ~6x below (live, keys anti/semi, plane rows)
         fresh_read = None
-        repaired = None
+        joined = None
         lr_new = None
         try:
             superset = [f.name for f in batch_df.schema["after"].dataType.fields]
@@ -247,9 +253,11 @@ class IncrementalJoinView:
                     F.broadcast(changed), ["__left", "__pk"], "left_anti"
                 ).unionByName(live)
             # lazy cache: the merge write job below scans l_new/r_new and
-            # fills it — no separate materialization job. The post-commit
-            # localCheckpoint then reads FROM the cache (cheap) purely to
-            # truncate lineage, so per-epoch plans don't chain.
+            # fills it — no separate materialization job. The carry IS
+            # this cached frame; lineage is truncated only every
+            # _CKPT_EVERY epochs (each epoch's plan reads the
+            # predecessor's cache, so execution never re-derives, and the
+            # periodic checkpoint bounds plan growth on unbounded runs).
             lr_new = lr_new.cache()
             l_new = lr_new.where(F.col("__left")).select(*self.left_cols)
             r_new = lr_new.where(~F.col("__left")).select(*self.right_cols)
@@ -272,29 +280,37 @@ class IncrementalJoinView:
                     "left_semi",
                 )
             ).dropDuplicates([self.pk_left])
-            # aliased sides: when the left's join-key column NAME equals
-            # the right's pk name (the common FK==PK-name CDC layout), a
-            # bare F.col is AMBIGUOUS_REFERENCE — caught by the r10
-            # randomized streaming differential
-            repaired = repair_l.alias("__l").join(
+            # ONE left-outer join decides every affected row's fate —
+            # matched rows upsert, unmatched tombstone (re-pointed FKs
+            # that lost their match, right-side deletes killing every
+            # referencing row); left DELETES tombstone straight from the
+            # delta (a dead key is not in l_new, hence not in repair_l —
+            # the two tombstone sets are disjoint by construction, so no
+            # distinct/anti shuffle is needed). Aliased sides: when the
+            # left's join-key column NAME equals the right's pk name
+            # (the common FK==PK-name CDC layout), a bare F.col is
+            # AMBIGUOUS_REFERENCE — caught by the r10 randomized
+            # streaming differential.
+            joined = repair_l.alias("__l").join(
                 r_new.alias("__r"),
                 F.col(f"__l.{self.join_key}") == F.col(f"__r.{self.pk_right}"),
-            ).select(
+                "left",
+            ).cache()
+            matched = F.col(f"__r.{self.pk_right}").isNotNull()
+            repaired = joined.where(matched).select(
                 *[F.col(f"__l.{c}") for c in self.left_cols],
                 *[
                     F.col(f"__r.{c}")
                     for c in self.right_cols
                     if c != self.pk_right
                 ],
-            ).cache()
-            # affected left pks with NO repaired row any more: left
-            # deletes, re-pointed FKs that lost their match, right-side
-            # deletes killing every referencing row — tombstones
-            affected = changed_l.unionByName(
-                repair_l.select(self.pk_left)
-            ).distinct()
-            gone = affected.join(
-                repaired.select(self.pk_left), self.pk_left, "left_anti"
+            )
+            gone = joined.where(~matched).select(
+                F.col(f"__l.{self.pk_left}").alias(self.pk_left)
+            ).unionByName(
+                delta.where(F.col("__left") & ~F.col("__alive")).select(
+                    F.col("__pk").alias(self.pk_left)
+                )
             )
 
             pk_t = dict(delta.dtypes)["__pk"]
@@ -353,17 +369,26 @@ class IncrementalJoinView:
                 batch_unique=True,
             )
             # commit landed: the post-commit image plane IS the next
-            # epoch's state — checkpointed off the warm cache
-            self._lr_carry = lr_new.localCheckpoint(eager=True)
+            # epoch's state (its cache filled during the merge job);
+            # every _CKPT_EVERY-th epoch re-anchors it in a checkpoint to
+            # bound plan growth
+            prev_carry = self._lr_carry
+            if epoch_id % self._CKPT_EVERY == self._CKPT_EVERY - 1:
+                self._lr_carry = lr_new.localCheckpoint(eager=True)
+            else:
+                self._lr_carry = lr_new
+                lr_new = None  # adopted — must not unpersist in finally
             self._carry_epoch = epoch_id
+            if prev_carry is not None:
+                prev_carry.unpersist()
         finally:
             delta.unpersist()
             if lr_new is not None:
                 lr_new.unpersist()
-            if repaired is not None:
+            if joined is not None:
                 # inside finally (the ADVICE r15 leak class): an exception
                 # after cache() must not leak the frame
-                repaired.unpersist()
+                joined.unpersist()
             if fresh_read is not None:
                 fresh_read.unpersist()
 

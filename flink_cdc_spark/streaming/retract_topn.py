@@ -116,6 +116,11 @@ class RetractTopNStream:
 
     _BOTH = "both"
     _PKS = ["__t", "__k1", "__k2"]
+    # lineage-truncation cadence for the carried image plane (see
+    # incremental_join): in-between epochs carry the cached frame
+    # directly — zero extra jobs — and every _CKPT_EVERY-th epoch
+    # re-anchors in a localCheckpoint to bound plan growth
+    _CKPT_EVERY = 4
 
     def _versions(self):
         """Epochs with a live delta commit in the LSM manifest
@@ -179,6 +184,7 @@ class RetractTopNStream:
             # replayed/retried epoch in-process: the carry reflects a
             # commit this epoch is about to overwrite — fall back to the
             # store (drop_epoch_deltas above restored the predecessor)
+            self._tbl_carry.unpersist()
             self._tbl_carry = None
             self._carry_epoch = None
         fresh_read = None
@@ -313,9 +319,17 @@ class RetractTopNStream:
             )
             # commit landed: the post-commit image plane IS the next
             # epoch's state (exactly what a post-commit merge-on-read
-            # would resolve) — checkpointed off the warm cache
-            self._tbl_carry = tbl_new.localCheckpoint(eager=True)
+            # would resolve); cache filled during the merge job, periodic
+            # checkpoint bounds plan growth
+            prev_carry = self._tbl_carry
+            if epoch_id % self._CKPT_EVERY == self._CKPT_EVERY - 1:
+                self._tbl_carry = tbl_new.localCheckpoint(eager=True)
+            else:
+                self._tbl_carry = tbl_new
+                tbl_new = None  # adopted — must not unpersist in finally
             self._carry_epoch = epoch_id
+            if prev_carry is not None:
+                prev_carry.unpersist()
         finally:
             delta.unpersist()
             if recomputed is not None:
