@@ -88,7 +88,14 @@ class StreamingTemporalJoin:
         staged_dir: Optional[str] = None,
         n_batches: int = N_TEMPORAL_BATCHES,
         compact_every: int = 8,
+        num_buckets: int = 8,
     ):
+        """num_buckets: the history state lays out hash(dim_key)-bucketed
+        (r16, VERDICT r15 item 4 — sound because the bucket depends only
+        on the key half of the (dim_key, valid_from_ver) pk), so both
+        per-epoch reads — the fold's touched-keys scan and the
+        enrichment's probed-keys scan — prune to the relevant buckets at
+        file listing instead of scanning the whole history. 0 disables."""
         self.spark = spark
         self.dim_table_id = dim_table_id
         self.probe_table_id = probe_table_id
@@ -111,6 +118,7 @@ class StreamingTemporalJoin:
         self.state = LsmStateStore(
             spark, self.state_dir, compact_every=compact_every
         )
+        self.num_buckets = num_buckets
         self._schema = None
 
     # -- staging -------------------------------------------------------------
@@ -155,6 +163,8 @@ class StreamingTemporalJoin:
             delta.schema,
             [self.dim_key, "valid_from_ver"],
             batch_unique=True,
+            bucket_keys=[self.dim_key],
+            num_buckets=self.num_buckets,
         )
 
     # -- the maintenance epoch -------------------------------------------------
@@ -182,8 +192,13 @@ class StreamingTemporalJoin:
             F.col("__rn") == 1
         ).select(k, F.col("__ts").alias("__first_ts"))
 
-        hist_old = self.state.read(self._HIST)
         keys = events.select(k).distinct()
+        # the fold only ever reads the touched keys' versions — the
+        # bucketed layout prunes the SCAN to their buckets at file
+        # listing before the semi-join bounds it to the keys themselves
+        # (an all-new-keys batch reads an empty pruned frame, which the
+        # closes/base joins below handle as no-prior-versions)
+        hist_old = self.state.read(self._HIST, touched=keys)
         if hist_old is not None:
             # the fold only ever READS the touched keys' versions — the
             # semi-join bounds the work to the batch's key set
@@ -263,7 +278,13 @@ class StreamingTemporalJoin:
             F.col(ENVELOPE_TABLE_ID) == self.probe_table_id
         ).select(*[F.col(f"after.{c}").alias(c) for c in self.probe_cols])
         out_path = os.path.join(self.out_dir, f"e{epoch_id}")
-        hist = self.state.read(self._HIST)
+        # the enrichment sees only the probed keys' versions — prune the
+        # scan to their buckets at file listing, then the semi-join below
+        # bounds it to the keys themselves
+        probe_keys = probes.select(
+            F.col(self.probe_key).alias(self.dim_key)
+        ).distinct()
+        hist = self.state.read(self._HIST, touched=probe_keys)
         if hist is None:
             # probes before any dimension version: NULL-enriched, typed
             # from the harmonized envelope payload
@@ -282,9 +303,6 @@ class StreamingTemporalJoin:
             enriched.write.mode("overwrite").parquet(out_path)
             return
         # the join sees only the probed keys' versions — batch-bounded
-        probe_keys = probes.select(
-            F.col(self.probe_key).alias(self.dim_key)
-        ).distinct()
         hist_probe = hist.join(F.broadcast(probe_keys), self.dim_key, "left_semi")
         enriched = temporal_join(
             probes,
