@@ -276,3 +276,31 @@ def test_per_epoch_history_write_is_o_batch(spark, tmp_path):
         assert hits == [0], f"key {k} rewritten in epochs {hits}"
     # and the merged state is the full 7-version history
     assert tj.current_history().count() == 7
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_bucketed_history_opt_in_matches_model(spark, tmp_path, trial):
+    """r16: the opt-in hash(dim_key)-bucketed history layout (sound
+    because the bucket depends only on the key half of the
+    (dim_key, valid_from_ver) pk). With it on, the fold's touched-keys
+    read and the enrichment's probed-keys read prune to buckets at file
+    listing; the enrichment must still exactly match the model —
+    including probes whose keys hash to version-free buckets. Off by
+    default (two probe jobs per epoch cost more than the full scan at
+    local scale); this pins the ON path."""
+    rng = random.Random(SEED + 500 + trial)
+    n_epochs = rng.randrange(3, 5)
+    rows, dim_events, probes = _gen(rng, n_epochs, n_keys=8)
+    tj_args = dict(
+        dim_table_id=DIM, probe_table_id=PROBE, dim_key="k",
+        payload_cols=["v"], probe_key="pk", probe_ts="pts",
+        probe_cols=["pid", "pk", "pts"], n_batches=n_epochs,
+        num_buckets=4,
+    )
+    tj = StreamingTemporalJoin(spark, str(tmp_path / "w"), **tj_args)
+    tj.stage(spark.createDataFrame(rows, ENV_SCHEMA))
+    tj.run()
+    assert tj.state._load(tj._HIST)["bucket"] == {"keys": ["k"], "n": 4}
+    got = {r.pid: (r.v, r.valid_from_ver) for r in tj.enriched().collect()}
+    want = _model(dim_events, probes)
+    assert got == want
