@@ -364,6 +364,13 @@ class RetractTopNStream:
             q.awaitTermination(300)
         # checkpoint committed: clear the persisted in-flight marker
         self.state.seal(self._BOTH)
+        if self._tbl_carry is not None:
+            # the run is over — release the carry's cached blocks now
+            # instead of waiting for GC (a long session would otherwise
+            # accumulate one lingering state-sized cache per run)
+            self._tbl_carry.unpersist()
+            self._tbl_carry = None
+            self._carry_epoch = None
         from .windowed import unload_state_store_providers
 
         unload_state_store_providers(self.spark)
