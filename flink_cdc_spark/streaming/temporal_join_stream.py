@@ -128,6 +128,22 @@ class StreamingTemporalJoin:
         )
         self.num_buckets = num_buckets
         self._schema = None
+        # resolved history carried across epochs WITHIN a run (r16
+        # optimization round, guide §2.4/§5: the fold already computes
+        # the exact post-commit history as predecessor-minus-delta-pks
+        # plus delta, so re-resolving it from disk — a multi-commit
+        # merge-on-read scan + pk-window Exchange, TWICE per epoch (fold
+        # touched-read + enrichment probe-read) — was pure waste; the
+        # retract_topn/incremental_join r16 lesson applied here).
+        # Replay-safe: the carry is only trusted for epochs STRICTLY
+        # AFTER the one that produced it, and a fold whose post-commit
+        # image could not be adopted (no probes to fill its cache, or
+        # bucketed mode) invalidates it so the next epoch re-attaches
+        # from the store. Unused in bucketed mode (num_buckets > 0),
+        # whose key-restricted disk reads are the at-scale shape this
+        # carry would otherwise mask.
+        self._hist_carry = None
+        self._carry_epoch = None
 
     # -- staging -------------------------------------------------------------
 
@@ -143,6 +159,18 @@ class StreamingTemporalJoin:
     # -- LSM-backed history state (O(batch) delta commits) ---------------------
 
     _HIST = "hist"
+    # lineage-truncation cadence for the carried history (the
+    # retract_topn/incremental_join convention): in-between epochs carry
+    # the cached frame directly — zero extra jobs — and every
+    # _CKPT_EVERY-th epoch re-anchors it in a localCheckpoint so plans
+    # don't grow without bound on long runs
+    _CKPT_EVERY = 4
+
+    def _drop_carry(self) -> None:
+        if self._hist_carry is not None:
+            self._hist_carry.unpersist()
+        self._hist_carry = None
+        self._carry_epoch = None
 
     def _commit_hist(self, delta: DataFrame) -> None:
         """Append ONE upsert delta commit keyed (dim_key, valid_from_ver):
@@ -201,12 +229,23 @@ class StreamingTemporalJoin:
         ).select(k, F.col("__ts").alias("__first_ts"))
 
         keys = events.select(k).distinct()
-        # the fold only ever reads the touched keys' versions — the
-        # bucketed layout prunes the SCAN to their buckets at file
-        # listing before the semi-join bounds it to the keys themselves
-        # (an all-new-keys batch reads an empty pruned frame, which the
-        # closes/base joins below handle as no-prior-versions)
-        hist_old = self.state.read(self._HIST, touched=keys)
+        # the fold only ever reads the touched keys' versions; the carry
+        # (when valid) serves that read in-memory, and otherwise the
+        # store resolves it — with the bucketed layout pruning the SCAN
+        # to the touched buckets at file listing before the semi-join
+        # bounds it to the keys themselves (an all-new-keys batch reads
+        # an empty pruned frame, which the closes/base joins below
+        # handle as no-prior-versions)
+        fresh_read = None
+        if self._hist_carry is not None:
+            hist_old = self._hist_carry
+        else:
+            hist_old = self.state.read(self._HIST, touched=keys)
+            if hist_old is not None:
+                # referenced twice per epoch (fold semi-join + the
+                # post-commit carry's anti-join): without the cache the
+                # windowed merge-on-read can execute twice (ADVICE r15)
+                fresh_read = hist_old = hist_old.cache()
         if hist_old is not None:
             # the fold only ever READS the touched keys' versions — the
             # semi-join bounds the work to the batch's key set
@@ -256,7 +295,20 @@ class StreamingTemporalJoin:
             F.col("valid_to_ver").isNull().alias("is_current"),
         )
         delta = new_rows if closes is None else closes.unionByName(new_rows)
+        delta = delta.select(
+            k,
+            *self.payload_cols,
+            "valid_from_ver",
+            "valid_to_ver",
+            "valid_from_ts",
+            "valid_to_ts",
+            "is_current",
+        ).cache()  # the commit write job fills it; the carry reuses it
         self._commit_hist(delta)
+        # stashed rather than returned: subclasses (the crash-injection
+        # differentials) override _fold_history without forwarding a
+        # return value
+        self._last_fold = (delta, hist_old, fresh_read)
 
     def _merge_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         # replay-overwrite: announce the epoch and unreference any delta
@@ -264,6 +316,11 @@ class StreamingTemporalJoin:
         # the state exactly as of the committed predecessor
         self.state.begin_epoch(epoch_id)
         self.state.drop_epoch_deltas(self._HIST, epoch_id)
+        if self._carry_epoch is not None and self._carry_epoch >= epoch_id:
+            # replayed/retried epoch in-process: the carry reflects a
+            # commit this epoch is about to overwrite — fall back to the
+            # store (drop_epoch_deltas above restored the predecessor)
+            self._drop_carry()
         # ONE metadata job decides which planes the batch carries (a
         # limit(1).count() per plane costs an extra Spark job per epoch —
         # measured against the bench's per-epoch fixed-overhead budget)
@@ -271,57 +328,131 @@ class StreamingTemporalJoin:
             r[0]
             for r in batch_df.select(ENVELOPE_TABLE_ID).distinct().collect()
         }
-        dim_env = batch_df.where(
-            F.col(ENVELOPE_TABLE_ID) == self.dim_table_id
-        )
-        if self.dim_table_id in present:
-            self._fold_history(dim_env, epoch_id)
-        # probe-only epochs commit no history delta: the enrichment
-        # below reads the merge-on-read state, which under replay is
-        # either this epoch's own freshly-rewritten fold or the
-        # predecessor — identical either way (epoch-keyed overwrites)
-        if self.probe_table_id not in present:
-            return
-        probes = batch_df.where(
-            F.col(ENVELOPE_TABLE_ID) == self.probe_table_id
-        ).select(*[F.col(f"after.{c}").alias(c) for c in self.probe_cols])
-        out_path = os.path.join(self.out_dir, f"e{epoch_id}")
-        # the enrichment sees only the probed keys' versions — prune the
-        # scan to their buckets at file listing, then the semi-join below
-        # bounds it to the keys themselves
-        probe_keys = probes.select(
-            F.col(self.probe_key).alias(self.dim_key)
-        ).distinct()
-        hist = self.state.read(self._HIST, touched=probe_keys)
-        if hist is None:
-            # probes before any dimension version: NULL-enriched, typed
-            # from the harmonized envelope payload
-            payload_t = {
-                f.name: f.dataType
-                for f in batch_df.schema["after"].dataType.fields
-            }
-            enriched = probes
-            for c in self.payload_cols:
-                enriched = enriched.withColumn(
-                    c, F.lit(None).cast(payload_t[c])
+        delta = hist_old = fresh_read = hist_new = None
+        folded = adopted = False
+        self._last_fold = None
+        try:
+            if self.dim_table_id in present:
+                dim_env = batch_df.where(
+                    F.col(ENVELOPE_TABLE_ID) == self.dim_table_id
                 )
-            enriched = enriched.withColumn(
-                "valid_from_ver", F.lit(None).cast("bigint")
+                self._fold_history(dim_env, epoch_id)
+                delta, hist_old, fresh_read = self._last_fold
+                folded = True
+            # probe-only epochs commit no history delta: the enrichment
+            # below reads the carry (or the merge-on-read state), which
+            # under replay is either this epoch's own freshly-rewritten
+            # fold or the predecessor — identical either way (epoch-keyed
+            # overwrites)
+            if self.probe_table_id not in present:
+                return
+            probes = batch_df.where(
+                F.col(ENVELOPE_TABLE_ID) == self.probe_table_id
+            ).select(*[F.col(f"after.{c}").alias(c) for c in self.probe_cols])
+            out_path = os.path.join(self.out_dir, f"e{epoch_id}")
+            probe_keys = probes.select(
+                F.col(self.probe_key).alias(self.dim_key)
+            ).distinct()
+            if folded and not self.num_buckets:
+                # post-commit history as a PLAN built from frames already
+                # in hand — predecessor minus the delta's pks plus the
+                # delta is exactly what a post-commit merge-on-read would
+                # resolve (broadcast anti, no disk scan, no pk-window
+                # Exchange); its cache fills during the enrichment write
+                # below — zero extra jobs
+                if hist_old is None:
+                    hist_new = delta  # already cached by the fold
+                else:
+                    hist_new = hist_old.join(
+                        F.broadcast(
+                            delta.select(self.dim_key, "valid_from_ver")
+                        ),
+                        [self.dim_key, "valid_from_ver"],
+                        "left_anti",
+                    ).unionByName(delta).cache()
+                hist = hist_new
+            elif not folded and self._hist_carry is not None:
+                hist = self._hist_carry
+            else:
+                # bucketed mode (or a probe-only epoch with no carry):
+                # the store serves the read, pruned to the probed keys'
+                # buckets at file listing before the semi-join below
+                # bounds it to the keys themselves
+                hist = self.state.read(self._HIST, touched=probe_keys)
+            if hist is None:
+                # probes before any dimension version: NULL-enriched,
+                # typed from the harmonized envelope payload
+                payload_t = {
+                    f.name: f.dataType
+                    for f in batch_df.schema["after"].dataType.fields
+                }
+                enriched = probes
+                for c in self.payload_cols:
+                    enriched = enriched.withColumn(
+                        c, F.lit(None).cast(payload_t[c])
+                    )
+                enriched = enriched.withColumn(
+                    "valid_from_ver", F.lit(None).cast("bigint")
+                )
+                enriched.write.mode("overwrite").parquet(out_path)
+                return
+            # the join sees only the probed keys' versions — batch-bounded
+            hist_probe = hist.join(
+                F.broadcast(probe_keys), self.dim_key, "left_semi"
+            )
+            enriched = temporal_join(
+                probes,
+                hist_probe,
+                probe_key=self.probe_key,
+                probe_ts=self.probe_ts,
+                dim_key=self.dim_key,
+                payload_cols=self.payload_cols,
+                version_col="valid_from_ver",
             )
             enriched.write.mode("overwrite").parquet(out_path)
-            return
-        # the join sees only the probed keys' versions — batch-bounded
-        hist_probe = hist.join(F.broadcast(probe_keys), self.dim_key, "left_semi")
-        enriched = temporal_join(
-            probes,
-            hist_probe,
-            probe_key=self.probe_key,
-            probe_ts=self.probe_ts,
-            dim_key=self.dim_key,
-            payload_cols=self.payload_cols,
-            version_col="valid_from_ver",
-        )
-        enriched.write.mode("overwrite").parquet(out_path)
+            if hist_new is not None:
+                # the write above materialized hist_new's cache — adopt
+                # it as the next epoch's carry, re-anchored in a
+                # localCheckpoint every _CKPT_EVERY epochs to bound plan
+                # growth
+                prev = self._hist_carry
+                if epoch_id % self._CKPT_EVERY == self._CKPT_EVERY - 1:
+                    self._hist_carry = hist_new.localCheckpoint(eager=True)
+                    hist_new.unpersist()
+                else:
+                    self._hist_carry = hist_new
+                hist_new = None  # adopted — must not unpersist in finally
+                self._carry_epoch = epoch_id
+                adopted = True
+                if prev is not None:
+                    prev.unpersist()
+        finally:
+            if not folded and self._last_fold is not None:
+                # the fold committed but raised before handing its frames
+                # back (a crash-injection subclass) — take ownership here
+                # so the caches don't leak, and treat it as an unadopted
+                # fold (the store moved past the carry)
+                delta, hist_old, fresh_read = self._last_fold
+                if hist_old is self._hist_carry:
+                    hist_old = None  # owned by the carry, released below
+                folded = True
+            if folded and not adopted:
+                # the store moved past the carry but no post-commit image
+                # was adopted (no probes this epoch, bucketed mode, or a
+                # failure) — the carry is stale; the next epoch
+                # re-attaches from the store
+                self._drop_carry()
+            if hist_new is not None:
+                hist_new.unpersist()
+            if delta is not None and not (adopted and hist_old is None):
+                # when the adopted carry IS the delta frame (first fold),
+                # they share one cache entry — unpersisting it here would
+                # strip the carry; _drop_carry releases it later instead
+                delta.unpersist()
+            if fresh_read is not None:
+                # an exception after cache() must not leak the frame for
+                # the session lifetime (the ADVICE r15 leak class)
+                fresh_read.unpersist()
 
     # -- the streaming query -----------------------------------------------------
 
@@ -350,6 +481,10 @@ class StreamingTemporalJoin:
             q.awaitTermination(300)
         # checkpoint committed: clear the persisted in-flight marker
         self.state.seal(self._HIST)
+        # the run is over — release the carried history's cached blocks
+        # now instead of waiting for GC (a long session would otherwise
+        # accumulate one lingering state-sized cache per run)
+        self._drop_carry()
         unload_state_store_providers(self.spark)
 
     # -- results -------------------------------------------------------------
@@ -369,7 +504,7 @@ class StreamingTemporalJoin:
         )
         if not dirs:
             raise RuntimeError("no committed enriched output")
-        out = self.spark.read.parquet(dirs[0])
-        for d in dirs[1:]:
-            out = out.unionByName(self.spark.read.parquet(d))
-        return out
+        # ONE multi-path scan instead of a per-epoch read chained through
+        # unionByName: every epoch writes the identical schema, and a
+        # single relation plans/lists once (r16 optimization round)
+        return self.spark.read.parquet(*dirs)

@@ -278,6 +278,43 @@ def test_per_epoch_history_write_is_o_batch(spark, tmp_path):
     assert tj.current_history().count() == 7
 
 
+def test_steady_state_epochs_serve_reads_from_carry(spark, tmp_path):
+    """r16 optimization round: within one run the resolved history is
+    carried across epochs in-process, so steady-state epochs do ZERO
+    merge-on-read disk resolutions — the fold's touched-read and the
+    enrichment's probe-read are both served by the carried frame. The
+    only store read a fresh run may perform is the first fold's attach
+    (which on an empty store returns None). Correctness is pinned by
+    the model as everywhere else."""
+    from flink_cdc_spark.sinks.lsm_store import LsmStateStore
+
+    rng = random.Random(SEED + 900)
+    n_epochs = 4
+    rows, dim_events, probes = _gen(rng, n_epochs, n_keys=8)
+
+    calls = []
+    orig_read = LsmStateStore.read
+
+    def spy(self, table, predicate=None, touched=None):
+        calls.append(table)
+        return orig_read(self, table, predicate=predicate, touched=touched)
+
+    LsmStateStore.read = spy
+    try:
+        tj = _run(spark, str(tmp_path / "w"), rows, n_epochs)
+        got = {r.pid: (r.v, r.valid_from_ver)
+               for r in tj.enriched().collect()}
+    finally:
+        LsmStateStore.read = orig_read
+    assert got == _model(dim_events, probes)
+    # the run resolves the store once per epoch only UNTIL the first
+    # fold adopts a carry (each leading dim-less epoch pays one probe
+    # read of the empty store, the first fold pays the attach read);
+    # every epoch after that reads the carry — zero disk resolutions
+    first_dim_epoch = min(r[6] for r in rows if r[0] == DIM)
+    assert calls.count("hist") <= first_dim_epoch + 1, calls
+
+
 @pytest.mark.parametrize("trial", range(2))
 def test_bucketed_history_opt_in_matches_model(spark, tmp_path, trial):
     """r16: the opt-in hash(dim_key)-bucketed history layout (sound
