@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main():
     # pure-Python micro-bench first, before the JVM adds driver load
+    jiffies0 = _read_proc_stat()
     selectors = _bench_selectors()
 
     from flink_cdc_spark import contract
@@ -37,6 +38,7 @@ def main():
     spark.range(1).count()
 
     timings = {}
+    query_steal = {}
     for name, fn in contract.queries().items():
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()  # warm-up: untimed
@@ -47,10 +49,14 @@ def main():
         # the whole benchmark's wall time bounded as the registry grows
         reps = 1 if warm > 5.0 else 3
         runs = []
+        qj0 = _read_proc_stat()
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             runs.append(time.perf_counter() - t0)
+        qh = _host_weather(qj0, _read_proc_stat())
+        if qh is not None:
+            query_steal[name] = qh["steal_pct"]
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -66,6 +72,19 @@ def main():
         "selectors_ops_per_ms": selectors,
         "sf": sf,
     }
+    host = _host_weather(jiffies0, _read_proc_stat())
+    if host is not None:
+        # steal-aware calibration (r16): fraction of this run's CPU time
+        # stolen by the host, alongside the selector throughput — lets
+        # round-over-round comparisons discount ambient-contention runs
+        # (this sandbox showed multi-minute steal episodes inflating
+        # checkpointed-streaming rows 3-15x on unchanged code)
+        out["host"] = host
+    if query_steal:
+        # per-query steal over each row's timed window — identifies WHICH
+        # rows a mid-run contention episode hit; full record only (the
+        # printed line has a hard 1900-char budget)
+        out["host_query_steal_pct"] = query_steal
     # The complete record goes to BENCH_FULL.json; the printed line must
     # stay under the driver's 2000-char stdout capture or it records an
     # unparseable truncation (round-6 BENCH had parsed=null for exactly
@@ -74,6 +93,7 @@ def main():
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    out.pop("host_query_steal_pct", None)  # full record only (line budget)
     line = json.dumps(out)
     if len(line) > 1900:
         ranked = sorted(timings.items(), key=lambda kv: -kv[1])
@@ -88,6 +108,40 @@ def main():
         out["full_record"] = "BENCH_FULL.json"
         line = json.dumps(out)
     print(line)
+
+
+def _read_proc_stat():
+    """Aggregate cpu jiffies from /proc/stat (user, nice, system, idle,
+    iowait, irq, softirq, steal, ...) or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts and parts[0] == "cpu":
+            return [int(x) for x in parts[1:]]
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _host_weather(before, after):
+    """Steal/busy percentages over the benchmark window. Steal (field 8)
+    is time the hypervisor ran somebody else while this VM was runnable
+    — the direct measure of the ambient contention that inflated
+    checkpointed-streaming rows in r14-r16 bench readings."""
+    if before is None or after is None:
+        return None
+    n = min(len(before), len(after))
+    delta = [a - b for b, a in zip(before[:n], after[:n])]
+    total = sum(delta)
+    if total <= 0:
+        return None
+    steal = delta[7] if len(delta) > 7 else 0
+    idle = delta[3] if len(delta) > 3 else 0
+    iowait = delta[4] if len(delta) > 4 else 0
+    return {
+        "steal_pct": round(100.0 * steal / total, 2),
+        "busy_pct": round(100.0 * (total - idle - iowait - steal) / total, 2),
+    }
 
 
 def _bench_selectors():
