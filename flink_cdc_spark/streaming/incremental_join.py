@@ -270,16 +270,33 @@ class IncrementalJoinView:
             )
             # left rows needing (re)join: their pk changed, or their join
             # key points at a changed right key — delta-sized by
-            # construction
-            repair_l = l_new.join(
-                F.broadcast(changed_l), self.pk_left, "left_semi"
-            ).unionByName(
+            # construction. Two broadcast LEFT joins + a flag filter
+            # instead of semi-join/union/dropDuplicates: both key sets
+            # are pk-unique (two_sided_delta keeps row_number()==1 per
+            # (__left, __pk)), so the left joins preserve multiplicity
+            # and the OR-filter replaces the dedup — one Exchange fewer
+            # inside the per-epoch commit job (r16 opt round).
+            repair_l = (
                 l_new.join(
-                    F.broadcast(changed_r),
-                    F.col(self.join_key) == F.col("__jk"),
-                    "left_semi",
+                    F.broadcast(
+                        changed_l.withColumn("__hit_l", F.lit(True))
+                    ),
+                    self.pk_left,
+                    "left",
                 )
-            ).dropDuplicates([self.pk_left])
+                .join(
+                    F.broadcast(
+                        changed_r.withColumn("__hit_r", F.lit(True))
+                    ),
+                    F.col(self.join_key) == F.col("__jk"),
+                    "left",
+                )
+                .where(
+                    F.coalesce(F.col("__hit_l"), F.lit(False))
+                    | F.coalesce(F.col("__hit_r"), F.lit(False))
+                )
+                .select(*self.left_cols)
+            )
             # ONE left-outer join decides every affected row's fate —
             # matched rows upsert, unmatched tombstone (re-pointed FKs
             # that lost their match, right-side deletes killing every
