@@ -138,25 +138,40 @@ def contribution_deltas(env: DataFrame, group: str, value: str) -> DataFrame:
 def merge_state_unfiltered(
     prev: Optional[DataFrame], deltas: DataFrame
 ) -> DataFrame:
-    """Full-outer combine of the (touched-group) running state with one
-    batch's deltas, KEEPING groups whose row count reached zero — the
-    LSM epoch commit turns those into DELETE tombstones."""
+    """Combine the (touched-group) running state with one batch's
+    deltas, KEEPING groups whose row count reached zero — the LSM epoch
+    commit turns those into DELETE tombstones.
+
+    Formulated as union + group-sum, not a full-outer join: a full
+    outer cannot broadcast, so Spark planned it as a SortMergeJoin —
+    two Exchanges plus two sorts inside every epoch's commit job — for
+    what is associative integer addition. One map-side-combined hash
+    aggregate computes the identical result (the per-row coalesce
+    reproduces the old NULL-as-zero join arithmetic exactly)."""
     if prev is None:
         return deltas.select(
             "grp",
             F.col("dn").alias("n_rows"),
             F.col("d_cents").alias("sum_cents"),
         )
-    return prev.join(deltas, "grp", "full_outer").select(
+    contrib = prev.select(
         "grp",
-        (
-            F.coalesce(F.col("n_rows"), F.lit(0))
-            + F.coalesce(F.col("dn"), F.lit(0))
-        ).alias("n_rows"),
-        (
-            F.coalesce(F.col("sum_cents"), F.lit(0))
-            + F.coalesce(F.col("d_cents"), F.lit(0))
-        ).alias("sum_cents"),
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("dn"),
+        F.coalesce(F.col("sum_cents"), F.lit(0)).alias("d_cents"),
+    )
+    return (
+        contrib.unionByName(
+            deltas.select(
+                "grp",
+                F.coalesce(F.col("dn"), F.lit(0)).alias("dn"),
+                F.coalesce(F.col("d_cents"), F.lit(0)).alias("d_cents"),
+            )
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("dn").alias("n_rows"),
+            F.sum("d_cents").alias("sum_cents"),
+        )
     )
 
 
