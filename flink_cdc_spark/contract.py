@@ -4229,16 +4229,18 @@ from .analytics import contract_ext as _analytics_ext  # noqa: E402,F401  (OLAP 
 # tests/test_registry_capacity.py enforces the row-count bound.
 
 _PRIORITY: list = [
-    # Rows whose CODE changes in r16 while carrying a fresh r14/r15 signal
-    # the artifacts can't know is stale.  Budgeted against the window: the
-    # derivation auto-leads 48 r13-stale rows, so this list holds the
-    # remaining 2 of the 50.  Other r16-touched rows (retract_aggregate,
-    # temporal_join_scd2, the lake rows — all share the LsmStateStore
-    # bucketing/epoch-marker changes) carry r15 signals and rotate back in
-    # naturally at r17; the two pinned here are the rows whose MACHINE is
-    # rewritten this round, not merely its storage substrate.
-    "streaming_incremental_join_view",  # LSM delta-backend conversion (VERDICT r15 item 2)
-    "streaming_retract_topn",  # merge-on-read constant shave (VERDICT r15 item 3, perf-weak)
+    # Rows whose CODE changed after their latest driver signal (VERDICT r16
+    # item 4): temporal_join_scd2 (carry rewrite, 03637d6) and
+    # retract_aggregate (SMJ→group-sum, 2ef8709) landed AFTER the r16
+    # `_PRIORITY` rotation, so their r16-code correctness has no driver
+    # signal yet; incremental_join_view and retract_topn are re-touched in
+    # r17 (commit-constant shave / merge-write fusion — VERDICT r16 items
+    # 2 and 7).  Budgeted against the window: the derivation auto-leads 43
+    # r14-stale rows, so these 4 + 43 leave 3 slots for r15 rows.
+    "streaming_temporal_join_scd2",  # r16 late rewrite, no driver signal on its code
+    "streaming_retract_aggregate",  # r16 late rewrite, no driver signal on its code
+    "streaming_incremental_join_view",  # r17 commit-constant shave (VERDICT r16 item 2)
+    "streaming_retract_topn",  # r17 merge-write fusion candidate (VERDICT r16 item 7)
 ]
 
 
