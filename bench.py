@@ -37,8 +37,17 @@ def main():
     # warm the JVM + parquet footers once with a trivial job
     spark.range(1).count()
 
+    probe = _make_probe()
+    # quiet-capability reference: rolling max of every probe reading this
+    # run (contention can only lower the probe), seeded before the loop
+    probe_ref = max(probe() for _ in range(3))
+
     timings = {}
     query_steal = {}
+    query_probe_ratio = {}
+    retimed = {}
+    contaminated = []
+    retime_budget = _MAX_RETIMES_TOTAL
     for name, fn in contract.queries().items():
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()  # warm-up: untimed
@@ -48,16 +57,40 @@ def main():
         # variance is tiny and each run is seconds) — one timed run keeps
         # the whole benchmark's wall time bounded as the registry grows
         reps = 1 if warm > 5.0 else 3
-        runs = []
-        qj0 = _read_proc_stat()
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            runs.append(time.perf_counter() - t0)
-        qh = _host_weather(qj0, _read_proc_stat())
-        if qh is not None:
-            query_steal[name] = qh["steal_pct"]
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        attempts = []
+        while True:
+            p0 = probe()
+            qj0 = _read_proc_stat()
+            runs = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                runs.append(time.perf_counter() - t0)
+            qh = _host_weather(qj0, _read_proc_stat())
+            p1 = probe()
+            probe_ref = max(probe_ref, p0, p1)
+            win_probe = min(p0, p1)
+            win_steal = qh["steal_pct"] if qh is not None else None
+            attempts.append({
+                "median": sorted(runs)[len(runs) // 2],
+                "steal_pct": win_steal,
+                "probe": win_probe,
+                "clean": _window_clean(win_steal, win_probe, probe_ref),
+            })
+            if (attempts[-1]["clean"]
+                    or len(attempts) > _MAX_RETIMES_PER_QUERY
+                    or retime_budget <= 0):
+                break
+            retime_budget -= 1
+        pick = attempts[_pick_attempt(attempts)]
+        timings[name] = round(pick["median"], 3)
+        if pick["steal_pct"] is not None:
+            query_steal[name] = pick["steal_pct"]
+        query_probe_ratio[name] = round(pick["probe"] / probe_ref, 3)
+        if len(attempts) > 1:
+            retimed[name] = [round(a["median"], 3) for a in attempts]
+        if not pick["clean"]:
+            contaminated.append(name)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -85,6 +118,16 @@ def main():
         # rows a mid-run contention episode hit; full record only (the
         # printed line has a hard 1900-char budget)
         out["host_query_steal_pct"] = query_steal
+    # r17 weather protocol evidence (full record only): per-row probe ratio
+    # vs the run's quiet-capability reference, every re-timed row's attempt
+    # medians, and rows whose REPORTED window was still contaminated after
+    # the bounded retries
+    out["host_query_probe_ratio"] = query_probe_ratio
+    out["probe_ref_ops_per_ms"] = round(probe_ref, 1)
+    if retimed:
+        out["retimed"] = retimed
+    if contaminated:
+        out["contaminated"] = contaminated
     # The complete record goes to BENCH_FULL.json; the printed line must
     # stay under the driver's 2000-char stdout capture or it records an
     # unparseable truncation (round-6 BENCH had parsed=null for exactly
@@ -93,7 +136,14 @@ def main():
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    out.pop("host_query_steal_pct", None)  # full record only (line budget)
+    # full record only (line budget): the per-query diagnostics; the
+    # printed line keeps two compact counters so the captured artifact
+    # shows whether the weather protocol fired
+    for k in ("host_query_steal_pct", "host_query_probe_ratio", "retimed",
+              "contaminated", "probe_ref_ops_per_ms"):
+        out.pop(k, None)
+    out["retimed_n"] = len(retimed)
+    out["contaminated_n"] = len(contaminated)
     line = json.dumps(out)
     if len(line) > 1900:
         ranked = sorted(timings.items(), key=lambda kv: -kv[1])
@@ -132,7 +182,10 @@ def _host_weather(before, after):
         return None
     n = min(len(before), len(after))
     delta = [a - b for b, a in zip(before[:n], after[:n])]
-    total = sum(delta)
+    # fields 9-10 (guest, guest_nice) are already folded into user/nice by
+    # the kernel — summing them would double-count guest time and deflate
+    # the percentages on guest-hosting machines (ADVICE r16)
+    total = sum(delta[:8])
     if total <= 0:
         return None
     steal = delta[7] if len(delta) > 7 else 0
@@ -142,6 +195,79 @@ def _host_weather(before, after):
         "steal_pct": round(100.0 * steal / total, 2),
         "busy_pct": round(100.0 * (total - idle - iowait - steal) / total, 2),
     }
+
+
+# --- mid-run weather protocol (r17, VERDICT r16 item 1) -------------------
+# The r14-r16 rounds showed multi-minute host-contention episodes that hit
+# individual timed windows 3-15x while the start-of-run selector stayed
+# normal.  Each query's timed window is therefore bracketed by a ~10ms
+# pure-Python probe plus a /proc/stat steal reading, and a window that shows
+# either steal above _STEAL_MAX_PCT or probe throughput below
+# _PROBE_RATIO_MIN of the run's best observed throughput is re-timed
+# (bounded per query and globally).  The chosen value is still the same
+# warm median-of-reps as before — re-timing only selects WHICH window the
+# median is taken from, and every attempt is flagged in BENCH_FULL.json.
+_STEAL_MAX_PCT = 1.5
+_PROBE_RATIO_MIN = 0.75
+_MAX_RETIMES_PER_QUERY = 2
+_MAX_RETIMES_TOTAL = 30
+
+
+def _make_probe(ops: int = 12_000):
+    """A ~10ms single-thread throughput probe (the cached-selector op, same
+    unit as the recorded selector reading): ambient contention can only
+    LOWER it, so min(before, after) over a timed window detects an episode
+    that hit the window, and the rolling max estimates quiet capability."""
+    from flink_cdc_spark.core.selectors import Selectors
+    from flink_cdc_spark.core.table_id import TableId
+
+    patterns = (
+        r"db1.sc1.tbl1, db1.sc2.\.*, db2.\.*.orders, "
+        r"inventory.products, logs_\.*.events_\d+, exact.schema.table"
+    )
+    ids = [
+        TableId.parse("db1.sc1.tbl1"),
+        TableId.parse("db1.sc2.anything"),
+        TableId.parse("db2.any.orders"),
+        TableId.parse("inventory.products"),
+        TableId.parse("logs_7.events_42"),
+        TableId.parse("no.match.here"),
+    ]
+    sel = Selectors(patterns)
+    for tid in ids:
+        sel.is_match(tid)
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        for _ in range(ops):
+            for tid in ids:
+                sel.is_match(tid)
+        return ops / ((time.perf_counter() - t0) * 1000)  # ops per ms
+
+    return probe
+
+
+def _window_clean(steal_pct, probe, ref,
+                  steal_max=_STEAL_MAX_PCT, ratio_min=_PROBE_RATIO_MIN):
+    """Was a timed window free of detectable host contention?  steal_pct
+    may be None (no /proc/stat); the probe check still applies."""
+    if steal_pct is not None and steal_pct > steal_max:
+        return False
+    return not (ref > 0 and probe < ratio_min * ref)
+
+
+def _pick_attempt(attempts):
+    """Index of the attempt to report: the first clean one, else the one
+    whose window looked least contended (highest probe, then lowest
+    steal).  `attempts` rows: {"median","steal_pct","probe"} + "clean"."""
+    for i, a in enumerate(attempts):
+        if a["clean"]:
+            return i
+    return max(
+        range(len(attempts)),
+        key=lambda i: (attempts[i]["probe"],
+                       -(attempts[i]["steal_pct"] or 0.0)),
+    )
 
 
 def _bench_selectors():
