@@ -228,7 +228,6 @@ class IncrementalJoinView:
             batch_df, self.left_table_id, self.pk_left, self.pk_right
         ).cache()  # consumed ~6x below (live, keys anti/semi, plane rows)
         fresh_read = None
-        joined = None
         lr_new = None
         try:
             superset = [f.name for f in batch_df.schema["after"].dataType.fields]
@@ -308,40 +307,33 @@ class IncrementalJoinView:
             # (the common FK==PK-name CDC layout), a bare F.col is
             # AMBIGUOUS_REFERENCE — caught by the r10 randomized
             # streaming differential.
+            # consumed ONCE by the fused view plane below — no cache needed
             joined = repair_l.alias("__l").join(
                 r_new.alias("__r"),
                 F.col(f"__l.{self.join_key}") == F.col(f"__r.{self.pk_right}"),
                 "left",
-            ).cache()
+            )
             matched = F.col(f"__r.{self.pk_right}").isNotNull()
-            repaired = joined.where(matched).select(
-                *[F.col(f"__l.{c}") for c in self.left_cols],
-                *[
-                    F.col(f"__r.{c}")
-                    for c in self.right_cols
-                    if c != self.pk_right
-                ],
-            )
-            gone = joined.where(~matched).select(
-                F.col(f"__l.{self.pk_left}").alias(self.pk_left)
-            ).unionByName(
-                delta.where(F.col("__left") & ~F.col("__alive")).select(
-                    F.col("__pk").alias(self.pk_left)
-                )
-            )
 
             pk_t = dict(delta.dtypes)["__pk"]
-            view_cols = set(self._view_cols())
 
-            def _pad(source_cols):
-                """Project a frame into the superset payload, nulling the
-                columns the plane doesn't carry."""
-                return [
-                    (F.col(c) if c in source_cols else F.lit(None).cast(
-                        sup_types[c]
-                    )).alias(c)
-                    for c in superset
-                ]
+            def _view_val(c):
+                """The fused upsert/tombstone payload (r17, VERDICT r16
+                item 2): matched rows carry the joined view image
+                (upsert), unmatched rows carry only the left pk (the
+                tombstone padding the old dead_plane produced) — one
+                conditional projection instead of two scans of `joined`
+                unioned, which doubled the repair join's subtree in every
+                per-epoch commit plan and forced a cache on it."""
+                if c == self.pk_left:
+                    return F.col(f"__l.{c}")
+                if c in self.left_cols:
+                    src = F.col(f"__l.{c}")
+                elif c in self.right_cols and c != self.pk_right:
+                    src = F.col(f"__r.{c}")
+                else:
+                    return F.lit(None).cast(sup_types[c])
+                return F.when(matched, src)
 
             tbl_plane = delta.select(
                 F.lit("lr").alias("__t"),
@@ -355,25 +347,41 @@ class IncrementalJoinView:
                 *[F.col(f"after.{c}").alias(c) for c in superset],
                 (~F.col("__alive")).alias("__dead"),
             )
-            up_plane = repaired.select(
+            # matched -> view upsert (the old up_plane); unmatched ->
+            # pk-only tombstone (the old dead_plane's joined arm):
+            # re-pointed FKs that lost their match and right-side deletes
+            # killing every referencing row
+            view_plane = joined.select(
                 F.lit("view").alias("__t"),
-                F.col(self.pk_left).cast("string").alias("__k1"),
+                F.col(f"__l.{self.pk_left}").cast("string").alias("__k1"),
                 F.lit(2).cast("bigint").alias("__k2"),
                 F.lit(None).cast("boolean").alias("__left"),
                 F.lit(None).cast(pk_t).alias("__pk"),
-                *_pad(view_cols),
-                F.lit(False).alias("__dead"),
+                *[_view_val(c).alias(c) for c in superset],
+                (~matched).alias("__dead"),
             )
-            dead_plane = gone.select(
+            # left DELETES tombstone straight from the delta (a dead key
+            # is not in l_new, hence not in repair_l — disjoint from the
+            # view plane's rows by construction)
+            del_plane = delta.where(
+                F.col("__left") & ~F.col("__alive")
+            ).select(
                 F.lit("view").alias("__t"),
-                F.col(self.pk_left).cast("string").alias("__k1"),
+                F.col("__pk").cast("string").alias("__k1"),
                 F.lit(2).cast("bigint").alias("__k2"),
                 F.lit(None).cast("boolean").alias("__left"),
                 F.lit(None).cast(pk_t).alias("__pk"),
-                *_pad({self.pk_left}),
+                *[
+                    (
+                        F.col("__pk").cast(sup_types[c])
+                        if c == self.pk_left
+                        else F.lit(None).cast(sup_types[c])
+                    ).alias(c)
+                    for c in superset
+                ],
                 F.lit(True).alias("__dead"),
             )
-            combined = tbl_plane.unionByName(up_plane).unionByName(dead_plane)
+            combined = tbl_plane.unionByName(view_plane).unionByName(del_plane)
             # ONE pk-unique delta commit carries both planes,
             # hive-partitioned on the plane tag so per-plane reads prune
             # at file listing
@@ -401,11 +409,9 @@ class IncrementalJoinView:
         finally:
             delta.unpersist()
             if lr_new is not None:
-                lr_new.unpersist()
-            if joined is not None:
                 # inside finally (the ADVICE r15 leak class): an exception
                 # after cache() must not leak the frame
-                joined.unpersist()
+                lr_new.unpersist()
             if fresh_read is not None:
                 fresh_read.unpersist()
 
