@@ -210,11 +210,9 @@ class RetractTopNStream:
                 ).select(F.col(g).alias("__g"))
             )
         touched = touched.where(F.col("__g").isNotNull()).distinct()
-        recomputed = None
         tbl_new = None
         try:
             pk_t = dict(delta.dtypes)["__pk"]
-            key_t = dict(delta.dtypes)[k]
             # image plane rows: the batch's keys only — live images
             # upsert, dead keys tombstone (a DELETE's after image is
             # already NULL in the delta frame, so the tombstone carries
@@ -260,52 +258,47 @@ class RetractTopNStream:
                     "rnk", F.row_number().over(wv).cast("bigint")
                 )
                 .where(F.col("rnk") <= self.n)
-                .select(F.col(g), F.col(k), F.col("value_cents"), "rnk")
-            ).cache()
-            up_plane = recomputed.select(
+                .select(
+                    F.col(g).alias("__rg"),
+                    F.col(k),
+                    F.col("value_cents"),
+                    F.col("rnk").alias("__rrnk"),
+                )
+            )
+            # fused view plane (r17, VERDICT r16 item 7): every touched
+            # group owns exactly rank slots 1..n per epoch — slots the
+            # recompute filled upsert, the rest tombstone unconditionally
+            # (a tombstone for a never-filled slot is a no-op under
+            # merge-on-read). The (touched x 1..n) grid left-joined to the
+            # recomputed ranks emits BOTH row kinds in one pass, replacing
+            # the old two-arm shape (upsert scan + count-aggregate +
+            # join + explode of vacated slots) that consumed `recomputed`
+            # twice and forced a cache on it.
+            grid = touched.select(
+                "__g",
+                F.explode(
+                    F.sequence(
+                        F.lit(1).cast("bigint"), F.lit(self.n).cast("bigint")
+                    )
+                ).alias("rnk"),
+            )
+            view_plane = grid.join(
+                recomputed,
+                (grid["__g"] == recomputed["__rg"])
+                & (grid["rnk"] == recomputed["__rrnk"]),
+                "left",
+            ).select(
                 F.lit("topn").alias("__t"),
-                F.col(g).cast("string").alias("__k1"),
+                F.col("__g").cast("string").alias("__k1"),
                 F.col("rnk").alias("__k2"),
                 F.lit(None).cast(pk_t).alias("__pk"),
-                F.col(g),
+                F.col("__g").alias(g),
                 F.col(k),
                 F.col("value_cents"),
                 F.col("rnk"),
-                F.lit(False).alias("__dead"),
+                F.col("__rrnk").isNull().alias("__dead"),
             )
-            # vacated rank slots: every touched group's slots above its
-            # recomputed count, tombstoned unconditionally — O(touched
-            # groups x n), and no read of the old view
-            cnts = recomputed.groupBy(g).agg(F.count("*").alias("__cnt"))
-            dead_plane = (
-                touched.join(cnts, touched["__g"] == cnts[g], "left")
-                .select(
-                    F.col("__g"),
-                    F.coalesce(F.col("__cnt"), F.lit(0)).alias("__cnt"),
-                )
-                .where(F.col("__cnt") < self.n)
-                .select(
-                    F.col("__g"),
-                    F.explode(
-                        F.sequence(
-                            (F.col("__cnt") + 1).cast("bigint"),
-                            F.lit(self.n).cast("bigint"),
-                        )
-                    ).alias("rnk"),
-                )
-                .select(
-                    F.lit("topn").alias("__t"),
-                    F.col("__g").cast("string").alias("__k1"),
-                    F.col("rnk").alias("__k2"),
-                    F.lit(None).cast(pk_t).alias("__pk"),
-                    F.col("__g").alias(g),
-                    F.lit(None).cast(key_t).alias(k),
-                    F.lit(None).cast("bigint").alias("value_cents"),
-                    F.col("rnk"),
-                    F.lit(True).alias("__dead"),
-                )
-            )
-            combined = tbl_plane.unionByName(up_plane).unionByName(dead_plane)
+            combined = tbl_plane.unionByName(view_plane)
             # ONE pk-unique delta commit carries both planes — a single
             # all-or-nothing write job per epoch, hive-partitioned on the
             # plane tag so per-plane reads prune at file listing
@@ -332,11 +325,9 @@ class RetractTopNStream:
                 prev_carry.unpersist()
         finally:
             delta.unpersist()
-            if recomputed is not None:
+            if tbl_new is not None:
                 # inside finally (ADVICE r15): an exception after cache()
                 # must not leak the frame for the session lifetime
-                recomputed.unpersist()
-            if tbl_new is not None:
                 tbl_new.unpersist()
             if fresh_read is not None:
                 fresh_read.unpersist()
