@@ -163,7 +163,13 @@ class StreamingTemporalJoin:
     # retract_topn/incremental_join convention): in-between epochs carry
     # the cached frame directly — zero extra jobs — and every
     # _CKPT_EVERY-th epoch re-anchors it in a localCheckpoint so plans
-    # don't grow without bound on long runs
+    # don't grow without bound on long runs. No-recompute assumption
+    # (ADVICE r16): between anchors the carry is only a filled
+    # MEMORY_AND_DISK cache whose lineage references store delta files a
+    # later compact()/drop_epoch_deltas() may rewrite — fine in local
+    # mode (blocks never recompute), but an executor/block loss on a
+    # real cluster would recompute against a mutated store; deployments
+    # with eviction should set _CKPT_EVERY = 1.
     _CKPT_EVERY = 4
 
     def _drop_carry(self) -> None:
@@ -470,22 +476,28 @@ class StreamingTemporalJoin:
             .option("maxFilesPerTrigger", 1)
             .parquet(self.active)
         )
-        with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
-            q = (
-                stream.writeStream.outputMode("update")
-                .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
-                .option("checkpointLocation", self.ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-        # checkpoint committed: clear the persisted in-flight marker
-        self.state.seal(self._HIST)
-        # the run is over — release the carried history's cached blocks
-        # now instead of waiting for GC (a long session would otherwise
-        # accumulate one lingering state-sized cache per run)
-        self._drop_carry()
-        unload_state_store_providers(self.spark)
+        try:
+            with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
+                q = (
+                    stream.writeStream.outputMode("update")
+                    .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
+                    .option("checkpointLocation", self.ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+            # checkpoint committed: clear the persisted in-flight marker.
+            # Deliberately NOT in the finally: a failed run's last epoch
+            # can still replay, and sealing would let a maintenance
+            # compact() bake its delta into the base.
+            self.state.seal(self._HIST)
+        finally:
+            # released even when the streaming query fails (ADVICE r16 —
+            # the crash-injection subclasses exercise that path): the
+            # carried history's cached blocks and the state-store
+            # providers must not outlive the run
+            self._drop_carry()
+            unload_state_store_providers(self.spark)
 
     # -- results -------------------------------------------------------------
 

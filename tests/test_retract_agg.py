@@ -59,6 +59,22 @@ def test_merge_state_drops_zero_count_groups(spark):
     assert out["C"] == (1, 700)    # new group appears
 
 
+def test_merge_state_merges_null_group_rows(spark):
+    """NULL grp pin (ADVICE r16): groupBy merges NULL-group rows into
+    ONE group — standard GROUP BY semantics, and the behavior that
+    upholds the commit's batch_unique pk contract (the old full_outer
+    join never matched NULL grp and emitted two rows for one pk)."""
+    prev = spark.createDataFrame(
+        [(None, 1, 1000)], "grp string, n_rows bigint, sum_cents bigint"
+    )
+    deltas = spark.createDataFrame(
+        [(None, 500, 2)], "grp string, d_cents bigint, dn bigint"
+    )
+    rows = merge_state(prev, deltas).collect()
+    assert len(rows) == 1
+    assert (rows[0].grp, rows[0].n_rows, rows[0].sum_cents) == (None, 3, 1500)
+
+
 def test_end_to_end_stream_matches_recompute(spark, tmp_path):
     """Inserts, a group-moving update, and deletes across three ordered
     micro-batches: the maintained state equals a from-scratch aggregate
