@@ -313,22 +313,27 @@ class RetractAggregateStream:
             .parquet(self.active)
         )
         # tiny per-epoch relations: full shuffle width is pure overhead
-        with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
-            q = (
-                stream.writeStream.outputMode("update")
-                .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
-                .option("checkpointLocation", self.ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-        # checkpoint committed: the last epoch can no longer replay, so
-        # clear the persisted in-flight marker (a maintenance compaction
-        # may now fold its delta)
-        self.state.seal(self._AGG)
-        from .windowed import unload_state_store_providers
+        try:
+            with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
+                q = (
+                    stream.writeStream.outputMode("update")
+                    .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
+                    .option("checkpointLocation", self.ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+            # checkpoint committed: the last epoch can no longer replay, so
+            # clear the persisted in-flight marker (a maintenance compaction
+            # may now fold its delta). Deliberately NOT in the finally: a
+            # failed run's last epoch can still replay.
+            self.state.seal(self._AGG)
+        finally:
+            # unloaded even when the streaming query fails (ADVICE r16 —
+            # the crash-injection subclasses exercise that path)
+            from .windowed import unload_state_store_providers
 
-        unload_state_store_providers(self.spark)
+            unload_state_store_providers(self.spark)
 
     def current_state(self) -> DataFrame:
         state = self.state.read(self._AGG)

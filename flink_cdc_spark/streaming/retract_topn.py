@@ -344,27 +344,33 @@ class RetractTopNStream:
             .option("maxFilesPerTrigger", 1)
             .parquet(self.active)
         )
-        with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
-            q = (
-                stream.writeStream.outputMode("update")
-                .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
-                .option("checkpointLocation", self.ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-        # checkpoint committed: clear the persisted in-flight marker
-        self.state.seal(self._BOTH)
-        if self._tbl_carry is not None:
-            # the run is over — release the carry's cached blocks now
-            # instead of waiting for GC (a long session would otherwise
-            # accumulate one lingering state-sized cache per run)
-            self._tbl_carry.unpersist()
-            self._tbl_carry = None
-            self._carry_epoch = None
-        from .windowed import unload_state_store_providers
+        try:
+            with scoped_shuffle_partitions(self.spark, STATE_PARTITIONS):
+                q = (
+                    stream.writeStream.outputMode("update")
+                    .foreachBatch(lambda df, eid: self._merge_epoch(df, eid))
+                    .option("checkpointLocation", self.ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+            # checkpoint committed: clear the persisted in-flight marker.
+            # Deliberately NOT in the finally: a failed run's last epoch
+            # can still replay, and sealing would let a maintenance
+            # compact() bake its delta into the base.
+            self.state.seal(self._BOTH)
+        finally:
+            # released even when the streaming query fails (ADVICE r16 —
+            # the crash-injection subclasses exercise that path): the
+            # carried image plane's cached blocks and the state-store
+            # providers must not outlive the run
+            if self._tbl_carry is not None:
+                self._tbl_carry.unpersist()
+                self._tbl_carry = None
+                self._carry_epoch = None
+            from .windowed import unload_state_store_providers
 
-        unload_state_store_providers(self.spark)
+            unload_state_store_providers(self.spark)
 
     def current_topn(self) -> DataFrame:
         view = self._read_plane("topn")
