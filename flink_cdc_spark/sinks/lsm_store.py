@@ -345,6 +345,14 @@ class LsmStateStore:
         if spec:
             rows = rows.withColumn(_BUCKET, self._bucket_col(spec))
             pts = pts + [_BUCKET]
+            # cluster by bucket before the partitioned write (guide §6 —
+            # Iceberg's write.distribution-mode=hash): without it every
+            # upstream task fans out one file into EACH bucket dir it
+            # holds rows for (tasks × buckets small files), and the
+            # r17 8M-key crossover A/B measured the pruned read LOSING
+            # 0.43x to listing/open overhead of that fan-out; with it a
+            # bucket's rows land in exactly one task → one file per dir
+            rows = rows.repartition(F.col(_BUCKET))
         writer = rows.write.mode("overwrite")
         if pts:
             writer = writer.partitionBy(*pts)
@@ -547,6 +555,10 @@ class LsmStateStore:
         if m.get("bucket"):
             out = out.withColumn(_BUCKET, self._bucket_col(m["bucket"]))
             pts = pts + [_BUCKET]
+            # same hash-clustering as merge(): one file per bucket dir
+            # instead of (tasks × buckets) — the compacted BASE is the
+            # dominant file count a pruned read lists/opens
+            out = out.repartition(F.col(_BUCKET))
         writer = out.write.mode("overwrite")
         if pts:
             writer = writer.partitionBy(*pts)
