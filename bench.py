@@ -79,7 +79,13 @@ def main():
             })
             if (attempts[-1]["clean"]
                     or len(attempts) > _MAX_RETIMES_PER_QUERY
-                    or retime_budget <= 0):
+                    or retime_budget <= 0
+                    # sub-second rows can't move the total: don't spend
+                    # the global retry budget on them (the first r17
+                    # protocol run burned ~13 of 30 retries on 0.4-1.4s
+                    # rows and had none left when a 20%-steal episode hit
+                    # a 37s reading of kafka_source_topic_replay)
+                    or attempts[-1]["median"] < _RETIME_MIN_SEC):
                 break
             retime_budget -= 1
         pick = attempts[_pick_attempt(attempts)]
@@ -211,6 +217,7 @@ _STEAL_MAX_PCT = 1.5
 _PROBE_RATIO_MIN = 0.75
 _MAX_RETIMES_PER_QUERY = 2
 _MAX_RETIMES_TOTAL = 30
+_RETIME_MIN_SEC = 1.0
 
 
 def _make_probe(ops: int = 12_000):
@@ -258,16 +265,17 @@ def _window_clean(steal_pct, probe, ref,
 
 def _pick_attempt(attempts):
     """Index of the attempt to report: the first clean one, else the one
-    whose window looked least contended (highest probe, then lowest
-    steal).  `attempts` rows: {"median","steal_pct","probe"} + "clean"."""
+    with the LOWEST median.  For a fixed workload ambient contention can
+    only ADD time, so among dirty windows the fastest median is the
+    least-contaminated estimate — the first r17 protocol run showed that
+    trusting the bracket probes instead picks windows a mid-window burst
+    hit (es_bulk reported a 5.35s window over same-run 2.80/2.99s ones:
+    the probes bracket the window, they don't see inside it).
+    `attempts` rows: {"median","steal_pct","probe"} + "clean"."""
     for i, a in enumerate(attempts):
         if a["clean"]:
             return i
-    return max(
-        range(len(attempts)),
-        key=lambda i: (attempts[i]["probe"],
-                       -(attempts[i]["steal_pct"] or 0.0)),
-    )
+    return min(range(len(attempts)), key=lambda i: attempts[i]["median"])
 
 
 def _bench_selectors():

@@ -39,21 +39,25 @@ def test_pick_attempt_prefers_first_clean():
     assert bench._pick_attempt(attempts) == 1
 
 
-def test_pick_attempt_falls_back_to_least_contended():
+def test_pick_attempt_falls_back_to_min_median():
+    # all windows dirty: contamination only ADDS time, so the fastest
+    # median is the least-contaminated estimate — even when a slower
+    # window's bracket probes looked cleaner (the probes can't see a
+    # mid-window burst; observed in the first r17 protocol run)
     attempts = [
         {"median": 9.0, "steal_pct": 5.0, "probe": 500.0, "clean": False},
         {"median": 7.0, "steal_pct": 2.0, "probe": 800.0, "clean": False},
-        {"median": 8.0, "steal_pct": 3.0, "probe": 700.0, "clean": False},
+        {"median": 5.3, "steal_pct": 3.0, "probe": 700.0, "clean": False},
     ]
-    assert bench._pick_attempt(attempts) == 1
+    assert bench._pick_attempt(attempts) == 2
 
 
-def test_pick_attempt_ties_break_on_lower_steal():
-    attempts = [
-        {"median": 9.0, "steal_pct": 5.0, "probe": 800.0, "clean": False},
-        {"median": 7.0, "steal_pct": 2.0, "probe": 800.0, "clean": False},
-    ]
-    assert bench._pick_attempt(attempts) == 1
+def test_retime_min_sec_guards_the_budget():
+    # sub-second rows are excluded from re-timing so the bounded global
+    # budget stays available for rows whose absolute distortion matters
+    # (the first r17 protocol run burned ~13/30 retries on 0.4-1.4s rows
+    # and had none left for a 37s steal-episode reading)
+    assert bench._RETIME_MIN_SEC == 1.0
 
 
 def test_probe_runs_fast_and_returns_throughput():
